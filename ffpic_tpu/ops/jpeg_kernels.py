@@ -1,0 +1,164 @@
+"""Device-side JPEG decode pipeline: fused dequant → 8x8 IDCT →
+chroma upsample → YUV→RGBA/BGRA over whole-image block grids.
+
+TPU-first design (replaces the reference's per-MCU serial pipeline,
+format/jpg.c:512-576): the host entropy decoder emits one planar
+coefficient tensor per component, shaped (blocks_y, blocks_x, 8, 8)
+int16 in natural (de-zigzagged) raster order, and a single jitted XLA
+program does all dense math for the whole image (or a batch of images)
+in one launch. All integer stages are bit-exact mirrors of the C
+reference (utils/idct.c:512-534); the float color stage follows
+utils/colorspace.c:133-172 (computed in f32; the C double path is
+matched within +-1 LSB, covered by golden-model tests).
+
+The einsum-based IDCT compiles to VPU integer multiply-accumulate;
+int32 wraparound semantics are preserved because XLA integer ops wrap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffpic_tpu.ops.golden import IDCT_P13, FDCT_P13
+
+_T = jnp.asarray(IDCT_P13.astype(np.int32))
+_D = jnp.asarray(FDCT_P13.astype(np.int32))
+
+
+def _i16(x):
+    return x.astype(jnp.int16)
+
+
+def dequant_idct_blocks(coeffs, quant):
+    """coeffs: (..., 8, 8) int16 de-zigzagged; quant: (8, 8) int32.
+    Returns (..., 8, 8) int16 samples in [0, 65535]-clamped int16
+    storage — exact mirror of dequant_data_unit + idct_8x8_16."""
+    x = _i16(coeffs.astype(jnp.int32) * quant).astype(jnp.int32)
+    col = jnp.einsum("iu,...ux->...ix", _T, x)          # int32, wraps like C
+    col = _i16((col + (1 << 10)) >> 11).astype(jnp.int32)
+    row = jnp.einsum("iu,...yu->...yi", _T, col)
+    out = jnp.clip((row + (257 << 17)) >> 18, 0, 65535)
+    return _i16(out)
+
+
+def fdct_blocks(samples):
+    """Forward DCT, exact mirror of fdct_8x8_8 (utils/idct.c:778-807).
+    samples: (..., 8, 8) int16 level-shifted (y-128)."""
+    x = samples.astype(jnp.int32)
+    row = jnp.einsum("iu,...yu->...yi", _D, x) >> 1
+    row = _i16((row + (1 << 12)) >> 13).astype(jnp.int32)
+    col = jnp.einsum("iu,...ux->...ix", _D, row) >> 1
+    return _i16((col + (1 << 12)) >> 13)
+
+
+def blocks_to_plane(blocks):
+    """(nby, nbx, 8, 8) -> (nby*8, nbx*8)"""
+    nby, nbx = blocks.shape[0], blocks.shape[1]
+    return blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+
+def plane_to_blocks(plane):
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def upsample_nearest(plane, v: int, h: int, out_h: int, out_w: int):
+    """Nearest-neighbor chroma upsample; index math identical to the
+    reference's uu = U[(i/v)*8 + (k/h)] (colorspace.c:149-150)."""
+    if v != 1:
+        plane = jnp.repeat(plane, v, axis=0)
+    if h != 1:
+        plane = jnp.repeat(plane, h, axis=1)
+    return plane[:out_h, :out_w]
+
+
+def color_convert(yp, up, vp, order: str = "bgra", mode: str = "reference"):
+    """(H, W) int16 planes -> (H, W, 4) uint8.
+
+    mode="reference": the C decoder's coefficients with
+    truncation-toward-zero (colorspace.c:162-164): r=y+1.280v,
+    g=y-0.215u-0.381v, b=y+2.128u.
+    mode="bt601": standard JFIF/BT.601 with round-half-up
+    (the "correct" path the reference comments out,
+    colorspace.c:153-155).
+    """
+    yy = yp.astype(jnp.float32)
+    uu = up.astype(jnp.float32) - 128.0
+    vv = vp.astype(jnp.float32) - 128.0
+    if mode == "reference":
+        r = jnp.trunc(yy + 1.280 * vv)
+        g = jnp.trunc(yy - 0.215 * uu - 0.381 * vv)
+        b = jnp.trunc(yy + 2.128 * uu)
+    elif mode == "bt601":
+        r = jnp.floor(yy + 1.402 * vv + 0.5)
+        g = jnp.floor(yy - 0.344136 * uu - 0.714136 * vv + 0.5)
+        b = jnp.floor(yy + 1.772 * uu + 0.5)
+    else:
+        raise ValueError(mode)
+    r = jnp.clip(r, 0, 255).astype(jnp.uint8)
+    g = jnp.clip(g, 0, 255).astype(jnp.uint8)
+    b = jnp.clip(b, 0, 255).astype(jnp.uint8)
+    a = jnp.full_like(r, 255)
+    if order == "bgra":
+        return jnp.stack([b, g, r, a], axis=-1)
+    if order == "rgba":
+        return jnp.stack([r, g, b, a], axis=-1)
+    raise ValueError(order)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("samplings", "out_h", "out_w", "order", "mode"),
+)
+def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
+                      order="bgra", mode="reference"):
+    """Full device pipeline for one image.
+
+    coeffs: tuple of per-component (nby_c, nbx_c, 8, 8) int16 arrays.
+    quants: tuple of per-component (8, 8) int32 quant tables.
+    samplings: static tuple of (v, h) per component, as luma-relative
+      upsample factors (reference jpg.c uses the luma sampling as the
+      MCU geometry; chroma planes are 1x1-per-MCU).
+    out_h/out_w: cropped output size (width already 8-aligned per the
+      reference's p->width convention, jpg.c:792).
+    """
+    planes = []
+    for c, (coef, q) in enumerate(zip(coeffs, quants)):
+        samples = dequant_idct_blocks(coef, q)
+        plane = blocks_to_plane(samples)
+        v, h = samplings[c]
+        planes.append(upsample_nearest(plane, v, h, out_h, out_w))
+    if len(planes) == 1:
+        # grayscale: reference feeds a zero U/V block (jpg.c:552-555)
+        zero = jnp.full((out_h, out_w), 128, jnp.int16)
+        yp, up, vp = planes[0], zero, zero
+    else:
+        yp, up, vp = planes[0], planes[1], planes[2]
+    return color_convert(yp, up, vp, order=order, mode=mode)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "mode"))
+def decode_batch_420(ycoef, ucoef, vcoef, yquant, cquant,
+                     order="rgba", mode="reference"):
+    """Batched 4:2:0 pipeline: (N, nby, nbx, 8, 8) luma + (N, nby/2,
+    nbx/2, 8, 8) chroma coefficient tensors -> (N, H, W, 4) uint8.
+    Used by the benchmark and decode_batch for same-sized shards."""
+    ys = dequant_idct_blocks(ycoef, yquant)
+    us = dequant_idct_blocks(ucoef, cquant)
+    vs = dequant_idct_blocks(vcoef, cquant)
+
+    def assemble(b):
+        n, nby, nbx = b.shape[0], b.shape[1], b.shape[2]
+        return b.transpose(0, 1, 3, 2, 4).reshape(n, nby * 8, nbx * 8)
+
+    yp = assemble(ys)
+    up = assemble(us)
+    vp = assemble(vs)
+    H, W = yp.shape[1], yp.shape[2]
+    up = jnp.repeat(jnp.repeat(up, 2, axis=1), 2, axis=2)[:, :H, :W]
+    vp = jnp.repeat(jnp.repeat(vp, 2, axis=1), 2, axis=2)[:, :H, :W]
+    return color_convert(yp, up, vp, order=order, mode=mode)
