@@ -1,0 +1,5 @@
+"""Side-effect import of every format codec — the analog of the
+reference's file_ops_init registration table (format/file.c:94-113).
+Probe order follows the reference's init order where it matters."""
+
+from ffpic_tpu.formats import jpg  # noqa: F401

@@ -112,10 +112,11 @@ def color_convert(yp, up, vp, order: str = "bgra", mode: str = "reference"):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("samplings", "out_h", "out_w", "order", "mode"),
+    static_argnames=("samplings", "out_h", "out_w", "order", "mode",
+                     "gray_chroma"),
 )
 def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
-                      order="bgra", mode="reference"):
+                      order="bgra", mode="reference", gray_chroma=128):
     """Full device pipeline for one image.
 
     coeffs: tuple of per-component (nby_c, nbx_c, 8, 8) int16 arrays.
@@ -133,8 +134,9 @@ def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
         v, h = samplings[c]
         planes.append(upsample_nearest(plane, v, h, out_h, out_w))
     if len(planes) == 1:
-        # grayscale: reference feeds a zero U/V block (jpg.c:552-555)
-        zero = jnp.full((out_h, out_w), 128, jnp.int16)
+        # grayscale: gray_chroma=128 is neutral; 0 replicates the
+        # reference's tinted dummy-zero blocks (jpg.c:552-555)
+        zero = jnp.full((out_h, out_w), gray_chroma, jnp.int16)
         yp, up, vp = planes[0], zero, zero
     else:
         yp, up, vp = planes[0], planes[1], planes[2]

@@ -1,0 +1,88 @@
+"""End-to-end JPEG conformance: our decode vs the compiled C reference
+(±1 LSB target, BASELINE.json) and vs PIL/libjpeg for correctness."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+CORPUS = os.path.join(REPO, "corpus")
+
+from refdecode import have_reference, ref_decode_bgra  # noqa: E402
+
+needs_ref = pytest.mark.skipif(not have_reference(),
+                               reason="C reference not built (refbuild/)")
+needs_corpus = pytest.mark.skipif(not os.path.isdir(CORPUS),
+                                  reason="corpus not generated")
+
+
+def _our_decode_bgra(path, quirks=True):
+    from ffpic_tpu.formats import jpg
+    with open(path, "rb") as f:
+        data = f.read()
+    return jpg.load(data, quirks=quirks)[0].to_bgra32()
+
+
+@needs_ref
+@needs_corpus
+@pytest.mark.parametrize("name", ["jpeg_160_420.jpg", "jpeg_160_444.jpg"])
+def test_conformance_vs_c_reference(name):
+    path = os.path.join(CORPUS, name)
+    ours = _our_decode_bgra(path).astype(int)
+    ref = ref_decode_bgra(path).astype(int)
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() <= 1
+
+
+def _psnr_vs_pil(name, mode="bt601"):
+    from PIL import Image
+    from ffpic_tpu.formats import jpg
+    path = os.path.join(CORPUS, name)
+    with open(path, "rb") as f:
+        pic = jpg.load(f.read(), mode=mode)[0]
+    ours = pic.to_rgba32()[..., :3].astype(float)
+    pil = np.array(Image.open(path).convert("RGB")).astype(float)
+    mse = ((ours - pil) ** 2).mean()
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+
+@needs_corpus
+def test_correctness_vs_pil_bt601_444():
+    """4:4:4 isolates IDCT+color: must track libjpeg very closely."""
+    psnr = _psnr_vs_pil("jpeg_160_444.jpg")
+    assert psnr > 45, f"PSNR vs libjpeg too low: {psnr:.1f} dB"
+
+
+@needs_corpus
+def test_correctness_vs_pil_bt601_420():
+    """4:2:0 differs by chroma upsample filter (ours nearest, libjpeg
+    fancy/triangle) — still must be close."""
+    psnr = _psnr_vs_pil("jpeg_160_420.jpg")
+    assert psnr > 34, f"PSNR vs libjpeg too low: {psnr:.1f} dB"
+
+
+@needs_corpus
+def test_skip_decode_metadata():
+    from ffpic_tpu.formats import jpg
+    path = os.path.join(CORPUS, "jpeg_160_420.jpg")
+    with open(path, "rb") as f:
+        pic = jpg.load(f.read(), skip_decode=True)[0]
+    assert pic.pixels is None
+    assert pic.meta["width"] == 160 and pic.meta["height"] == 160
+    comps = pic.meta["components"]
+    assert len(comps) == 3
+    assert (comps[0]["h"], comps[0]["v"]) == (2, 2)
+
+
+@needs_corpus
+def test_registry_probe_and_load():
+    import ffpic_tpu
+    path = os.path.join(CORPUS, "jpeg_160_444.jpg")
+    codec = ffpic_tpu.probe(path)
+    assert codec.name == "JPG"
+    pic = ffpic_tpu.load(path)
+    assert pic.width == 160 and pic.height == 160
+    assert pic.np_pixels().shape == (160, 160, 4)
