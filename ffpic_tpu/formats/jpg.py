@@ -14,6 +14,7 @@ on device, entropy coding on host.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -54,7 +55,11 @@ class JpegFile:
     comment: bytes = b""
     app0: dict = field(default_factory=dict)
     scans: list = field(default_factory=list)        # scan metadata for info()
-    coeffs: list = field(default_factory=list)       # per-comp (nby,nbx,64) zz
+    coeffs: list = field(default_factory=list)       # per-comp (nby,nbx,64)
+    coeffs_raster: bool = False  # True: natural order (native path);
+    #                              False: zigzag order (python oracle)
+    mcus_x: int = 0
+    mcus_y: int = 0
 
 
 def probe(data: bytes) -> bool:
@@ -124,8 +129,8 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                 j.comps.append(FrameComp(cid=cid, h=hv >> 4, v=hv & 0xF, tq=tq))
             hmax = max(c.h for c in j.comps)
             vmax = max(c.v for c in j.comps)
-            mcus_x = -(-j.width // (8 * hmax))
-            mcus_y = -(-j.height // (8 * vmax))
+            mcus_x = j.mcus_x = -(-j.width // (8 * hmax))
+            mcus_y = j.mcus_y = -(-j.height // (8 * vmax))
             for c in j.comps:
                 c.nbx = mcus_x * c.h
                 c.nby = mcus_y * c.v
@@ -135,6 +140,9 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                 c.nby_actual = -(-comp_h // 8)
             j.coeffs = [np.zeros((c.nby, c.nbx, 64), np.int16)
                         for c in j.comps]
+            from ffpic_tpu import native
+            j.coeffs_raster = native.available() and not os.environ.get(
+                "FFPIC_NO_NATIVE")
         elif m == DQT:
             p = 0
             while p < len(seg):
@@ -184,17 +192,26 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                                 ss=ss, se=se, ah=ah, al=al))
             scan_end = _find_scan_end(data, nxt)
             if not skip_decode:
-                if dec is None:
-                    dec = JpegEntropyDecoder(j.comps, j.coeffs,
-                                             j.restart_interval)
-                dec.restart_interval = j.restart_interval
-                dc_tables = {tid: t for (tc, tid), t in j.dht.items() if tc == 0}
-                ac_tables = {tid: t for (tc, tid), t in j.dht.items() if tc == 1}
                 scan_data = data[nxt:scan_end]
                 if quirks and len(scan_data) > 1:
                     scan_data = scan_data[:-1]  # reference drops last byte
-                dec.decode_scan(scan_data, scan_comps,
-                                dc_tables, ac_tables, ss, se, ah, al)
+                if j.coeffs_raster:
+                    from ffpic_tpu import native
+                    native.jpeg_decode_scan(
+                        scan_data, j.dht_raw, j.comps, scan_comps,
+                        ss, se, ah, al, j.restart_interval,
+                        j.mcus_x, j.mcus_y, j.coeffs)
+                else:
+                    if dec is None:
+                        dec = JpegEntropyDecoder(j.comps, j.coeffs,
+                                                 j.restart_interval)
+                    dec.restart_interval = j.restart_interval
+                    dc_tables = {tid: t for (tc, tid), t in j.dht.items()
+                                 if tc == 0}
+                    ac_tables = {tid: t for (tc, tid), t in j.dht.items()
+                                 if tc == 1}
+                    dec.decode_scan(scan_data, scan_comps,
+                                    dc_tables, ac_tables, ss, se, ah, al)
             nxt = scan_end
         i = nxt
     return j, i
@@ -217,7 +234,11 @@ def to_pic(j: JpegFile, order: str = "rgba", mode: str = "reference",
     out_w = _align8(j.width)      # reference p->width convention (jpg.c:792)
     out_h = j.height
 
-    coeffs = tuple(jnp.asarray(dezigzag_planes(cz)) for cz in j.coeffs)
+    if j.coeffs_raster:
+        coeffs = tuple(jnp.asarray(c.reshape(c.shape[0], c.shape[1], 8, 8))
+                       for c in j.coeffs)
+    else:
+        coeffs = tuple(jnp.asarray(dezigzag_planes(cz)) for cz in j.coeffs)
     quants = tuple(jnp.asarray(j.dqt[c.tq].reshape(8, 8)) for c in j.comps)
     samplings = tuple((vmax // c.v, hmax // c.h) for c in j.comps)
 

@@ -1,0 +1,141 @@
+"""Native host-kernel module: builds and loads the C entropy decoders.
+
+The C sources compile on first use into a cached shared library (no
+external deps, plain cc -O3). ``available()`` gates the fast path;
+every caller has a pure-Python fallback so the framework works even
+without a toolchain. Set FFPIC_NO_NATIVE=1 to force the fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["host_jpeg.c", "host_inflate.c", "host_vp8.c"]
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES
+            if os.path.exists(os.path.join(_DIR, s))]
+    if not srcs:
+        return None
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
+    cache_dir = os.path.join(_DIR, "build")
+    os.makedirs(cache_dir, exist_ok=True)
+    so = os.path.join(cache_dir, f"libffpic_host_{tag}.so")
+    if os.path.exists(so):
+        return so
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-march=native", "-fPIC", "-shared",
+           "-fvisibility=hidden", "-o", so] + srcs
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as e:
+        err = getattr(e, "stderr", b"")
+        raise RuntimeError(f"native build failed: {err!r}") from e
+    return so
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("FFPIC_NO_NATIVE"):
+        return None
+    try:
+        so = _build()
+        if so is None:
+            return None
+        _lib = ctypes.CDLL(so)
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def jpeg_decode_scan(scan: bytes, dht: dict, frame_comps, scan_comps,
+                     ss: int, se: int, ah: int, al: int,
+                     restart_interval: int, mcus_x: int, mcus_y: int,
+                     planes: list[np.ndarray]) -> None:
+    """Decode one scan into raster-order coefficient planes.
+
+    dht: {(class, id): (counts, symbols)}.
+    planes: per-frame-component (nby, nbx, 64) int16 arrays in natural
+    raster order (modified in place).
+    """
+    lib = _load()
+    assert lib is not None
+
+    counts = np.zeros((8, 16), np.uint8)
+    syms = np.zeros((8, 256), np.uint8)
+    present = np.zeros(8, np.int32)
+    for (tc, th), (cnt, sy) in dht.items():
+        if th > 3:
+            raise ValueError("huffman table id > 3")
+        slot = tc * 4 + th
+        counts[slot, :] = cnt
+        syms[slot, :len(sy)] = sy
+        present[slot] = 1
+
+    ncomps = len(frame_comps)
+    ch = np.array([c.h for c in frame_comps], np.int32)
+    cv = np.array([c.v for c in frame_comps], np.int32)
+    nbx = np.array([c.nbx for c in frame_comps], np.int32)
+    nby = np.array([c.nby for c in frame_comps], np.int32)
+    nbxa = np.array([c.nbx_actual for c in frame_comps], np.int32)
+    nbya = np.array([c.nby_actual for c in frame_comps], np.int32)
+
+    ns = len(scan_comps)
+    sc_comp = np.array([s.comp_idx for s in scan_comps], np.int32)
+    sc_dc = np.array([s.dc_tbl for s in scan_comps], np.int32)
+    sc_ac = np.array([s.ac_tbl for s in scan_comps], np.int32)
+
+    PlaneArr = ctypes.c_void_p * ncomps
+    plane_ptrs = PlaneArr(*[p.ctypes.data_as(ctypes.c_void_p).value
+                            for p in planes])
+    for p in planes:
+        assert p.dtype == np.int16 and p.flags["C_CONTIGUOUS"]
+
+    scan_buf = np.frombuffer(scan, np.uint8)
+    fn = lib.ffpic_jpeg_decode_scan
+    fn.restype = ctypes.c_int
+    rc = fn(
+        scan_buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(scan)),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        syms.ctypes.data_as(ctypes.c_void_p),
+        present.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(ncomps),
+        ch.ctypes.data_as(ctypes.c_void_p), cv.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(mcus_x), ctypes.c_int(mcus_y),
+        nbx.ctypes.data_as(ctypes.c_void_p), nby.ctypes.data_as(ctypes.c_void_p),
+        nbxa.ctypes.data_as(ctypes.c_void_p), nbya.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(ns),
+        sc_comp.ctypes.data_as(ctypes.c_void_p),
+        sc_dc.ctypes.data_as(ctypes.c_void_p),
+        sc_ac.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(ss), ctypes.c_int(se), ctypes.c_int(ah), ctypes.c_int(al),
+        ctypes.c_int(restart_interval),
+        plane_ptrs,
+    )
+    if rc != 0:
+        raise ValueError(f"native jpeg scan decode failed rc={rc}")
