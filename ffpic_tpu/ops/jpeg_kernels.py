@@ -33,26 +33,49 @@ def _i16(x):
     return x.astype(jnp.int16)
 
 
+def _lincomb8(mat: np.ndarray, vecs: list):
+    """rows of constant-scalar linear combinations: out[i] = sum_u
+    mat[i,u]*vecs[u]. Unrolled with Python-int constants — XLA:CPU
+    compiles integer dots pathologically slowly (minutes for an 8-wide
+    int32 einsum), while this shift-add form compiles in <1s and maps
+    straight onto the TPU VPU. int32 wraparound matches C."""
+    return [sum(int(mat[i, u]) * vecs[u] for u in range(8) if mat[i, u] != 0)
+            for i in range(8)]
+
+
+@jax.jit
 def dequant_idct_blocks(coeffs, quant):
     """coeffs: (..., 8, 8) int16 de-zigzagged; quant: (8, 8) int32.
     Returns (..., 8, 8) int16 samples in [0, 65535]-clamped int16
-    storage — exact mirror of dequant_data_unit + idct_8x8_16."""
+    storage — exact mirror of dequant_data_unit + idct_8x8_16
+    (format/jpg.c:247-253 + utils/idct.c:512-534)."""
     x = _i16(coeffs.astype(jnp.int32) * quant).astype(jnp.int32)
-    col = jnp.einsum("iu,...ux->...ix", _T, x)          # int32, wraps like C
-    col = _i16((col + (1 << 10)) >> 11).astype(jnp.int32)
-    row = jnp.einsum("iu,...yu->...yi", _T, col)
-    out = jnp.clip((row + (257 << 17)) >> 18, 0, 65535)
-    return _i16(out)
+    # column pass: col[i, x] = sum_u T[i,u] * in[u, x]
+    cols = [x[..., u, :] for u in range(8)]
+    col = _lincomb8(IDCT_P13, cols)
+    col = [_i16((c + (1 << 10)) >> 11).astype(jnp.int32) for c in col]
+    # row pass: out[y, i] = sum_u T[i,u] * col[u][y]  per row y == col idx
+    # col[i] has shape (..., 8=x); regroup to per-row vectors over x
+    colm = jnp.stack(col, axis=-2)                    # (..., 8y, 8x)
+    rows = [colm[..., u] for u in range(8)]           # along x
+    row = _lincomb8(IDCT_P13, rows)
+    out = jnp.stack(row, axis=-1)                     # (..., y, i=x)
+    return _i16(jnp.clip((out + (257 << 17)) >> 18, 0, 65535))
 
 
+@jax.jit
 def fdct_blocks(samples):
     """Forward DCT, exact mirror of fdct_8x8_8 (utils/idct.c:778-807).
     samples: (..., 8, 8) int16 level-shifted (y-128)."""
     x = samples.astype(jnp.int32)
-    row = jnp.einsum("iu,...yu->...yi", _D, x) >> 1
-    row = _i16((row + (1 << 12)) >> 13).astype(jnp.int32)
-    col = jnp.einsum("iu,...ux->...ix", _D, row) >> 1
-    return _i16((col + (1 << 12)) >> 13)
+    rows_in = [x[..., :, u] for u in range(8)]
+    row = _lincomb8(FDCT_P13, rows_in)
+    row = [_i16(((r >> 1) + (1 << 12)) >> 13).astype(jnp.int32) for r in row]
+    rowm = jnp.stack(row, axis=-1)                    # (..., y, i)
+    cols_in = [rowm[..., u, :] for u in range(8)]
+    col = _lincomb8(FDCT_P13, cols_in)
+    out = jnp.stack([_i16(((c >> 1) + (1 << 12)) >> 13) for c in col], axis=-2)
+    return out
 
 
 def blocks_to_plane(blocks):

@@ -21,10 +21,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import pytest  # noqa: E402
 
-# persistent XLA compile cache: repeated test runs skip recompilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ffpic_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NOTE: do not enable JAX_COMPILATION_CACHE_DIR here — on this
+# single-vCPU host the XLA:CPU executable serialization for the cache
+# write is far slower than the compile itself (minutes vs seconds).
 
 
 @pytest.fixture(scope="session")
