@@ -25,6 +25,12 @@ import pytest  # noqa: E402
 # single-vCPU host the XLA:CPU executable serialization for the cache
 # write is far slower than the compile itself (minutes vs seconds).
 
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment, so
+# force the CPU backend through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def rng():
