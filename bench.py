@@ -1,0 +1,116 @@
+"""Benchmark: 1080p baseline JPEG decode on one TPU chip.
+
+Prints ONE JSON line:
+  metric/value/unit/vs_baseline  — end-to-end decode MP/s per chip
+  (host entropy + device dequant|IDCT|upsample|color), against the
+  BASELINE.json north star of 2000 MP/s.
+Extra keys report the stage breakdown the measurement plan in
+BASELINE.md calls for (host-entropy MP/s, device-kernel MP/s,
+host->HBM GB/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+H, W = 1088, 1920          # MCU-aligned 1080p-class frame
+BATCH = 8
+ITERS = 20
+BASELINE_MPS = 2000.0
+
+
+def ensure_jpeg(path: str) -> None:
+    if os.path.exists(path):
+        return
+    import numpy as np
+    from PIL import Image
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from make_corpus import synth_rgb
+    Image.fromarray(synth_rgb(H, W, seed=42)).save(
+        path, "JPEG", quality=85, subsampling="4:2:0")
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    path = "/tmp/ffpic_bench_1080p.jpg"
+    ensure_jpeg(path)
+    with open(path, "rb") as f:
+        data = f.read()
+
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+
+    # ---- host entropy stage ------------------------------------------
+    j, _ = jpg.parse_and_decode(data)          # warm (also builds tables)
+    n_host = 6
+    t0 = time.perf_counter()
+    for _ in range(n_host):
+        j, _ = jpg.parse_and_decode(data)
+    host_dt = (time.perf_counter() - t0) / n_host
+    mp = H * W / 1e6
+    host_mps = mp / host_dt
+
+    # ---- device pipeline stage ---------------------------------------
+    assert j.coeffs_raster, "native decoder required for bench"
+    yc = j.coeffs[0].reshape(j.comps[0].nby, j.comps[0].nbx, 8, 8)
+    uc = j.coeffs[1].reshape(j.comps[1].nby, j.comps[1].nbx, 8, 8)
+    vc = j.coeffs[2].reshape(j.comps[2].nby, j.comps[2].nbx, 8, 8)
+    yq = j.dqt[j.comps[0].tq].reshape(8, 8)
+    cq = j.dqt[j.comps[1].tq].reshape(8, 8)
+
+    ycb = np.broadcast_to(yc, (BATCH, *yc.shape)).copy()
+    ucb = np.broadcast_to(uc, (BATCH, *uc.shape)).copy()
+    vcb = np.broadcast_to(vc, (BATCH, *vc.shape)).copy()
+
+    ycb_d = jnp.asarray(ycb)
+    ucb_d = jnp.asarray(ucb)
+    vcb_d = jnp.asarray(vcb)
+    yq_d = jnp.asarray(yq)
+    cq_d = jnp.asarray(cq)
+
+    out = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)  # warm/compile
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)
+    out.block_until_ready()
+    dev_dt = (time.perf_counter() - t0) / ITERS
+    dev_mps = BATCH * mp / dev_dt
+
+    # ---- host->HBM staging -------------------------------------------
+    nbytes = ycb.nbytes + ucb.nbytes + vcb.nbytes
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(jax.device_put((ycb, ucb, vcb)))
+    h2d_dt = (time.perf_counter() - t0) / 5
+    h2d_gbps = nbytes / h2d_dt / 1e9
+
+    # ---- end-to-end (host stage pipelined against device stage would
+    # overlap; report the serial composition as the honest lower bound)
+    e2e_mps = 1.0 / (1.0 / host_mps + 1.0 / dev_mps + (nbytes / BATCH) /
+                     (h2d_gbps * 1e9) / mp)
+
+    result = {
+        "metric": "jpeg_1080p_420_decode_end_to_end",
+        "value": round(e2e_mps, 1),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(e2e_mps / BASELINE_MPS, 4),
+        "host_entropy_mps": round(host_mps, 1),
+        "device_pipeline_mps": round(dev_mps, 1),
+        "host_to_hbm_gbps": round(h2d_gbps, 2),
+        "batch": BATCH,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
