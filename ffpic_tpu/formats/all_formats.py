@@ -3,4 +3,5 @@ reference's file_ops_init registration table (format/file.c:94-113).
 Probe order follows the reference's init order where it matters."""
 
 from ffpic_tpu.formats import jpg  # noqa: F401
+from ffpic_tpu.formats import png  # noqa: F401
 from ffpic_tpu.formats import bmp  # noqa: F401

@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_inflate.c", "host_vp8.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c"]
 _lib = None
 _tried = False
 
@@ -139,3 +139,21 @@ def jpeg_decode_scan(scan: bytes, dht: dict, frame_comps, scan_comps,
     )
     if rc != 0:
         raise ValueError(f"native jpeg scan decode failed rc={rc}")
+
+
+def png_unfilter(raw: np.ndarray, height: int, stride: int,
+                 bpp: int) -> np.ndarray:
+    """Reconstruct PNG scanlines. raw: height*(stride+1) bytes of
+    filter-tagged rows; returns (height, stride) uint8."""
+    lib = _load()
+    assert lib is not None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    out = np.empty(height * stride, np.uint8)
+    fn = lib.ffpic_png_unfilter
+    fn.restype = ctypes.c_int
+    rc = fn(raw.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(height), ctypes.c_long(stride), ctypes.c_int(bpp))
+    if rc != 0:
+        raise ValueError("invalid PNG filter type")
+    return out.reshape(height, stride)
