@@ -4,4 +4,11 @@ Probe order follows the reference's init order where it matters."""
 
 from ffpic_tpu.formats import jpg  # noqa: F401
 from ffpic_tpu.formats import png  # noqa: F401
+from ffpic_tpu.formats import gif  # noqa: F401
 from ffpic_tpu.formats import bmp  # noqa: F401
+from ffpic_tpu.formats import pnm  # noqa: F401
+from ffpic_tpu.formats import tiff  # noqa: F401
+from ffpic_tpu.formats import exr  # noqa: F401
+from ffpic_tpu.formats import psd  # noqa: F401
+from ffpic_tpu.formats import ico  # noqa: F401
+from ffpic_tpu.formats import tga  # noqa: F401  (no magic; probe last)

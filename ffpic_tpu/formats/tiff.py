@@ -1,0 +1,207 @@
+"""TIFF codec — parity with format/tiff.c: IFD/DE tag walk (both
+byte orders), strip-based reads, compression none/LZW/PackBits,
+horizontal predictor, bilevel/gray/palette/RGB photometrics, multi-IFD
+files as multiple pictures. Adds zlib (Deflate, tag 8/32946) support
+the reference lacks; tiles remain unsupported (as in the reference)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ffpic_tpu.formats.pic import Pic, PixelFormat
+from ffpic_tpu.formats.registry import Codec, register
+from ffpic_tpu.coding.lzw import lzw_decode_tiff
+from ffpic_tpu.utils.vlog import get_logger
+
+log = get_logger("tiff")
+
+TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+
+
+def probe(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _packbits(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < max_out:
+        c = data[pos]
+        pos += 1
+        if c < 128:
+            out += data[pos:pos + c + 1]
+            pos += c + 1
+        elif c > 128:
+            if pos < n:
+                out += bytes([data[pos]]) * (257 - c)
+                pos += 1
+    return bytes(out)
+
+
+def _read_ifd(data: bytes, pos: int, bo: str):
+    count = struct.unpack_from(bo + "H", data, pos)[0]
+    tags = {}
+    for i in range(count):
+        off = pos + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(bo + "HHI", data, off)
+        size = TYPE_SIZES.get(typ, 1) * n
+        if size <= 4:
+            voff = off + 8
+        else:
+            voff = struct.unpack_from(bo + "I", data, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I", 2: "s"}.get(typ)
+        if typ == 2:
+            vals = data[voff:voff + n].split(b"\0")[0].decode("latin1",
+                                                              "replace")
+        elif typ == 5:  # rational
+            vals = [struct.unpack_from(bo + "II", data, voff + 8 * k)
+                    for k in range(n)]
+        elif fmt:
+            vals = list(struct.unpack_from(bo + fmt * n, data, voff))
+        else:
+            vals = data[voff:voff + size]
+        tags[tag] = vals
+    nxt = struct.unpack_from(bo + "I", data, pos + 2 + 12 * count)[0]
+    return tags, nxt
+
+
+def _first(tags, tag, default=None):
+    v = tags.get(tag, default)
+    if isinstance(v, list):
+        return v[0] if v else default
+    return v
+
+
+def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
+    w = _first(tags, 256)
+    h = _first(tags, 257)
+    if not w or not h:
+        return None
+    bits = tags.get(258, [1])
+    if isinstance(bits, list):
+        bps = bits[0]
+    else:
+        bps = bits
+    comp = _first(tags, 259, 1)
+    photo = _first(tags, 262, 1)
+    spp = _first(tags, 277, 1)
+    predictor = _first(tags, 317, 1)
+    rows_per_strip = _first(tags, 278, h)
+    offsets = tags.get(273, [])
+    counts = tags.get(279, [])
+    if not isinstance(offsets, list):
+        offsets = [offsets]
+    if not isinstance(counts, list):
+        counts = [counts]
+
+    stride = (w * spp * bps + 7) // 8
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = data[off:off + cnt]
+        nrows = min(rows_per_strip, h - len(raw) // stride)
+        want = stride * nrows
+        if comp == 1:
+            raw += strip[:want]
+        elif comp == 5:
+            raw += lzw_decode_tiff(strip, want)
+        elif comp == 32773:
+            raw += _packbits(strip, want)
+        elif comp in (8, 32946):
+            raw += zlib.decompress(strip)[:want]
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    raw = bytes(raw[:stride * h]).ljust(stride * h, b"\0")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+
+    if bps == 1:
+        bitsarr = np.unpackbits(rows, axis=1)[:, :w]
+        # photometric 0 = WhiteIsZero
+        g = np.where(bitsarr == (0 if photo == 0 else 1), 255, 0) \
+            .astype(np.uint8)
+        rgba = np.dstack([g, g, g, np.full((h, w), 255, np.uint8)])
+    elif bps == 8:
+        px = rows[:, :w * spp].reshape(h, w, spp)
+        if predictor == 2:
+            px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+        if photo == 3:  # palette
+            cmap = tags.get(320, [])
+            ncol = 1 << bps
+            pal = np.zeros((ncol, 4), np.uint8)
+            pal[:, 3] = 255
+            for c in range(3):
+                pal[:, c] = (np.array(cmap[c * ncol:(c + 1) * ncol]) >> 8) \
+                    .astype(np.uint8)
+            rgba = pal[px[..., 0]]
+        elif spp == 1:
+            g = px[..., 0] if photo != 0 else 255 - px[..., 0]
+            rgba = np.dstack([g, g, g, np.full((h, w), 255, np.uint8)])
+        elif spp == 3:
+            rgba = np.dstack([px, np.full((h, w), 255, np.uint8)])
+        else:
+            rgba = px[..., :4].copy()
+    elif bps == 16:
+        bo_np = "<" if bo == "<" else ">"
+        px = np.frombuffer(raw, bo_np + "u2").reshape(h, -1)[:, :w * spp] \
+            .reshape(h, w, spp)
+        if predictor == 2:
+            px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint16)
+        px8 = (px >> 8).astype(np.uint8)
+        if spp == 1:
+            g = px8[..., 0]
+            rgba = np.dstack([g, g, g, np.full((h, w), 255, np.uint8)])
+        else:
+            rgba = np.dstack([px8[..., :3],
+                              np.full((h, w), 255, np.uint8)]) if spp == 3 \
+                else px8[..., :4].copy()
+    else:
+        raise ValueError(f"unsupported bits/sample {bps}")
+
+    meta = dict(width=w, height=h, bits=bps, samples=spp, photometric=photo,
+                compression=comp, predictor=predictor,
+                description=tags.get(270, ""), software=tags.get(305, ""))
+    return Pic(pixels=np.ascontiguousarray(rgba), width=w, height=h,
+               depth=32, pitch=w * 4, format=PixelFormat.RGBA32,
+               codec="TIFF", meta=meta)
+
+
+def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
+    bo = "<" if data[:2] == b"II" else ">"
+    pos = struct.unpack_from(bo + "I", data, 4)[0]
+    pics = []
+    seen = set()
+    while pos and pos not in seen and pos < len(data):
+        seen.add(pos)
+        tags, pos = _read_ifd(data, pos, bo)
+        if skip_decode:
+            w, h = _first(tags, 256, 0), _first(tags, 257, 0)
+            pics.append(Pic(width=w, height=h, depth=32, pitch=w * 4,
+                            codec="TIFF",
+                            meta=dict(width=w, height=h,
+                                      compression=_first(tags, 259, 1),
+                                      tags=sorted(tags))))
+            continue
+        p = _decode_ifd(data, tags, bo)
+        if p is not None:
+            pics.append(p)
+    return pics
+
+
+def info(pic: Pic) -> str:
+    m = pic.meta
+    comp_names = {1: "none", 5: "LZW", 8: "deflate", 32773: "PackBits",
+                  32946: "deflate"}
+    lines = ["TIFF file format",
+             f"\twidth {m['width']}, height {m['height']}"]
+    if "bits" in m:
+        lines.append(f"\tbits {m['bits']}, samples {m['samples']}, "
+                     f"photometric {m['photometric']}")
+    lines.append(f"\tcompression {comp_names.get(m['compression'], m['compression'])}")
+    return "\n".join(lines)
+
+
+register(Codec(name="TIFF", alias="TIF", probe=probe, load=load, info=info))
