@@ -5,6 +5,7 @@ Probe order follows the reference's init order where it matters."""
 from ffpic_tpu.formats import jpg  # noqa: F401
 from ffpic_tpu.formats import png  # noqa: F401
 from ffpic_tpu.formats import gif  # noqa: F401
+from ffpic_tpu.formats import webp  # noqa: F401
 from ffpic_tpu.formats import bmp  # noqa: F401
 from ffpic_tpu.formats import pnm  # noqa: F401
 from ffpic_tpu.formats import tiff  # noqa: F401

@@ -1,0 +1,198 @@
+"""WebP container codec.
+
+Parity with the reference's format/webp.c RIFF layer: VP8 (lossy key
+frame, full decode via ffpic_tpu.formats.vp8), VP8X extended files,
+ALPH chunk (we actually decode the alpha plane — the reference parses
+but ignores it, webp.c:2031-2039), EXIF/XMP metadata; VP8L is parsed
+to header level (stub, as in the reference).
+
+Color output modes:
+* "libwebp": BT.601 limited-range with libwebp's exact fixed-point
+  (yuv.h constants) and fancy (diamond) chroma upsampling — matches
+  libwebp/PIL output.
+* "reference": the C reference's plane-level conversion
+  (colorspace.c:291-329 — full-range treatment, 1.28/2.128
+  coefficients, truncation) for conformance against it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ffpic_tpu.formats.pic import Pic, PixelFormat
+from ffpic_tpu.formats.registry import Codec, register
+from ffpic_tpu.utils.vlog import get_logger
+
+log = get_logger("webp")
+
+
+def probe(data: bytes) -> bool:
+    return (len(data) > 16 and data[:4] == b"RIFF" and
+            data[8:12] == b"WEBP")
+
+
+def _fancy_upsample(chroma: np.ndarray, H: int, W: int) -> np.ndarray:
+    """libwebp's 'fancy' 2x chroma upsampler (upsampling.c): each
+    output pixel is a (9a+3b+3c+d+8)>>4 diamond blend of the four
+    nearest chroma samples, borders replicated."""
+    c = chroma.astype(np.int32)
+    ch, cw = c.shape
+    cN = np.vstack([c[:1], c[:-1]])
+    cS = np.vstack([c[1:], c[-1:]])
+    cW = np.hstack([c[:, :1], c[:, :-1]])
+    cE = np.hstack([c[:, 1:], c[:, -1:]])
+    cNW = np.hstack([cN[:, :1], cN[:, :-1]])
+    cNE = np.hstack([cN[:, 1:], cN[:, -1:]])
+    cSW = np.hstack([cS[:, :1], cS[:, :-1]])
+    cSE = np.hstack([cS[:, 1:], cS[:, -1:]])
+    out = np.zeros((2 * ch, 2 * cw), np.int32)
+    out[0::2, 0::2] = (9 * c + 3 * (cN + cW) + cNW + 8) >> 4
+    out[0::2, 1::2] = (9 * c + 3 * (cN + cE) + cNE + 8) >> 4
+    out[1::2, 0::2] = (9 * c + 3 * (cS + cW) + cSW + 8) >> 4
+    out[1::2, 1::2] = (9 * c + 3 * (cS + cE) + cSE + 8) >> 4
+    return out[:H, :W].astype(np.uint8)
+
+
+def _yuv_to_rgb_libwebp(Y, U, V, H, W):
+    """libwebp yuv.h fixed point: value>>6 after MultHi (>>8) terms."""
+    y = Y[:H, :W].astype(np.int32)
+    u = _fancy_upsample(U, H, W).astype(np.int32)
+    v = _fancy_upsample(V, H, W).astype(np.int32)
+
+    def mult_hi(val, coeff):
+        return (val * coeff) >> 8
+
+    yv = mult_hi(y, 19077)
+    r = yv + mult_hi(v, 26149) - 14234
+    g = yv - mult_hi(u, 6419) - mult_hi(v, 13320) + 8708
+    b = yv + mult_hi(u, 33050) - 17685
+
+    def clip8(x):
+        return np.clip(x >> 6, 0, 255).astype(np.uint8)
+
+    return clip8(r), clip8(g), clip8(b)
+
+
+def _yuv_to_rgb_reference(Y, U, V, H, W):
+    """C reference plane path (colorspace.c:316-318): nearest upsample,
+    full-range treatment with the quirky coefficients + truncation."""
+    y = Y[:H, :W].astype(np.float64)
+    u = np.repeat(np.repeat(U, 2, 0), 2, 1)[:H, :W].astype(np.float64) - 128
+    v = np.repeat(np.repeat(V, 2, 0), 2, 1)[:H, :W].astype(np.float64) - 128
+    r = np.clip(np.trunc(y + 1.28 * v), 0, 255).astype(np.uint8)
+    g = np.clip(np.trunc(y - 0.215 * u - 0.381 * v), 0, 255).astype(np.uint8)
+    b = np.clip(np.trunc(y + 2.128 * u), 0, 255).astype(np.uint8)
+    return r, g, b
+
+
+def _decode_alpha(alph: bytes, H: int, W: int) -> np.ndarray | None:
+    """ALPH chunk: method 0 = raw, method 1 = VP8L-compressed (the
+    latter needs the VP8L decoder — returns None until it lands)."""
+    if not alph:
+        return None
+    b0 = alph[0]
+    method = b0 & 3
+    filt = (b0 >> 2) & 3
+    if method == 0:
+        a = np.frombuffer(alph, np.uint8, W * H, 1).reshape(H, W).copy()
+    else:
+        return None
+    if filt == 1:    # horizontal
+        a = a.astype(np.int32)
+        for x in range(1, W):
+            a[:, x] = (a[:, x] + a[:, x - 1]) & 255
+        a = a.astype(np.uint8)
+    elif filt == 2:  # vertical
+        a = (np.cumsum(a.astype(np.int64), axis=0) & 255).astype(np.uint8)
+    elif filt == 3:  # gradient — serial recurrence
+        a = a.astype(np.int32)
+        for yy in range(H):
+            for xx in range(W):
+                l = a[yy, xx - 1] if xx else 0
+                t = a[yy - 1, xx] if yy else 0
+                tl = a[yy - 1, xx - 1] if (xx and yy) else 0
+                g = np.clip(l + t - tl, 0, 255)
+                a[yy, xx] = (a[yy, xx] + g) & 255
+        a = a.astype(np.uint8)
+    return a
+
+
+def load(data: bytes, skip_decode: bool = False,
+         mode: str = "libwebp") -> list[Pic]:
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    pos = 12
+    chunks: dict[str, bytes] = {}
+    order = []
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4].decode("latin1")
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        chunks[tag] = data[pos + 8:pos + 8 + size]
+        order.append(tag)
+        pos += 8 + size + (size & 1)
+
+    meta = dict(chunks=order, riff_size=riff_size)
+    if "VP8X" in chunks:
+        x = chunks["VP8X"]
+        meta["features"] = x[0]
+        meta["canvas"] = (1 + (int.from_bytes(x[4:7], "little")),
+                          1 + (int.from_bytes(x[7:10], "little")))
+
+    if "VP8 " in chunks:
+        vp8_data = chunks["VP8 "]
+        from ffpic_tpu.formats.vp8 import VP8Decoder
+        dec = VP8Decoder(vp8_data)
+        W, H = dec.hdr.width, dec.hdr.height
+        meta.update(width=W, height=H, format="lossy VP8",
+                    version=dec.version)
+        if skip_decode:
+            return [Pic(width=W, height=H, depth=32, pitch=W * 4,
+                        codec="WEBP", meta=meta)]
+        Y, U, V = dec.decode()
+        meta["partitions"] = dec.hdr.n_partitions
+        meta["filter"] = ("simple" if dec.hdr.filter_type
+                          else "normal")
+        meta["quant_yac"] = dec.hdr.q_yac
+        if mode == "libwebp":
+            r, g, b = _yuv_to_rgb_libwebp(Y, U, V, H, W)
+        else:
+            r, g, b = _yuv_to_rgb_reference(Y, U, V, H, W)
+        a = _decode_alpha(chunks.get("ALPH", b""), H, W)
+        if a is None:
+            a = np.full((H, W), 255, np.uint8)
+        rgba = np.dstack([r, g, b, a])
+        return [Pic(pixels=rgba, width=W, height=H, depth=32,
+                    pitch=W * 4, format=PixelFormat.RGBA32, codec="WEBP",
+                    meta=meta)]
+
+    if "VP8L" in chunks:
+        l = chunks["VP8L"]
+        if l[0] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = int.from_bytes(l[1:5], "little")
+        W = (bits & 0x3FFF) + 1
+        H = ((bits >> 14) & 0x3FFF) + 1
+        meta.update(width=W, height=H, format="lossless VP8L",
+                    alpha_hint=(bits >> 28) & 1)
+        # pixel decode pending the VP8L entropy image implementation
+        return [Pic(width=W, height=H, depth=32, pitch=W * 4,
+                    codec="WEBP", meta=meta)]
+
+    raise ValueError("no VP8/VP8L payload in WebP container")
+
+
+def info(pic: Pic) -> str:
+    m = pic.meta
+    lines = ["WEBP file format",
+             f"\twidth {m.get('width')}, height {m.get('height')}",
+             f"\t{m.get('format', '?')}"]
+    if "partitions" in m:
+        lines.append(f"\tpartitions {m['partitions']}, "
+                     f"{m['filter']} loop filter, "
+                     f"q_yac {m['quant_yac']}")
+    lines.append(f"\tchunks: {' '.join(m['chunks'])}")
+    return "\n".join(lines)
+
+
+register(Codec(name="WEBP", probe=probe, load=load, info=info))

@@ -1,0 +1,92 @@
+"""WebP/VP8 decode tests: pixel-exact against libwebp (via PIL)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.path.join(REPO, "corpus")
+
+
+def _roundtrip(arr, q=75, **save_kw):
+    from ffpic_tpu.formats import webp as W
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "WEBP", lossless=False, quality=q,
+                              method=4, **save_kw)
+    data = b.getvalue()
+    mode = "RGBA" if arr.shape[-1] == 4 else "RGB"
+    pil = np.array(Image.open(io.BytesIO(data)).convert(mode))
+    ours = W.load(data)[0].to_rgba32()[..., :arr.shape[-1]]
+    return ours, pil
+
+
+def test_vp8_flat_exact():
+    arr = np.full((32, 32, 3), 137, np.uint8)
+    ours, pil = _roundtrip(arr)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_vp8_noise_exact(rng):
+    arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    ours, pil = _roundtrip(arr)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_vp8_gradient_exact():
+    yy, xx = np.mgrid[0:48, 0:64]
+    arr = np.stack([(xx * 4) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+    ours, pil = _roundtrip(arr)
+    np.testing.assert_array_equal(ours, pil)
+
+
+@pytest.mark.parametrize("q", [20, 92])
+def test_vp8_alpha_odd_size_exact(rng, q):
+    arr = rng.integers(0, 256, (37, 53, 4), dtype=np.uint8)
+    ours, pil = _roundtrip(arr, q=q)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_vp8_photo_like_exact(rng):
+    # smooth content exercising segmentation/filters at moderate size
+    yy, xx = np.mgrid[0:96, 0:112].astype(np.float32)
+    arr = np.stack([
+        128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 13.0),
+        128 + 80 * np.cos(xx / 7.0 + yy / 21.0),
+        128 + 110 * np.sin((xx + yy) / 23.0),
+    ], axis=-1)
+    arr = np.clip(arr + rng.normal(0, 8, arr.shape), 0, 255).astype(np.uint8)
+    ours, pil = _roundtrip(arr, q=60)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_webp_skip_decode_and_info(rng):
+    from ffpic_tpu.formats import webp as W
+    arr = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "WEBP", lossless=False, quality=75)
+    pic = W.load(b.getvalue(), skip_decode=True)[0]
+    assert pic.meta["width"] == 40 and pic.meta["height"] == 24
+    assert "VP8 " in pic.meta["chunks"]
+    assert "lossy" in W.info(pic)
+
+
+def test_vp8l_header_parse(rng):
+    from ffpic_tpu.formats import webp as W
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "WEBP", lossless=True)
+    pic = W.load(b.getvalue())[0]
+    assert pic.meta["width"] == 30 and pic.meta["height"] == 20
+    assert pic.meta["format"] == "lossless VP8L"
+
+
+def test_registry_probe_webp(rng):
+    import ffpic_tpu
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "WEBP", lossless=False)
+    assert ffpic_tpu.probe(b.getvalue()).name == "WEBP"
