@@ -65,6 +65,31 @@ def main():
     yq = j.dqt[j.comps[0].tq].reshape(8, 8)
     cq = j.dqt[j.comps[1].tq].reshape(8, 8)
 
+    yq_d = jnp.asarray(yq)
+    cq_d = jnp.asarray(cq)
+
+    # ---- end-to-end FIRST (fresh device queue): measured pipelined
+    # loop — host entropy -> stage -> device pipeline, async dispatch
+    # chaining across frames
+    warm = decode_batch_420(jnp.asarray(yc[None]), jnp.asarray(uc[None]),
+                            jnp.asarray(vc[None]), yq_d, cq_d)
+    warm.block_until_ready()
+    del warm
+    K = 12
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(K):
+        jj, _ = jpg.parse_and_decode(data)
+        y = jj.coeffs[0].reshape(1, *yc.shape)
+        u = jj.coeffs[1].reshape(1, *uc.shape)
+        v = jj.coeffs[2].reshape(1, *vc.shape)
+        outs.append(decode_batch_420(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), yq_d, cq_d))
+    jax.block_until_ready(outs)
+    e2e_mps = K * mp / (time.perf_counter() - t0)
+    del outs
+
+    # ---- device pipeline stage (batched) -----------------------------
     ycb = np.broadcast_to(yc, (BATCH, *yc.shape)).copy()
     ucb = np.broadcast_to(uc, (BATCH, *uc.shape)).copy()
     vcb = np.broadcast_to(vc, (BATCH, *vc.shape)).copy()
@@ -72,8 +97,6 @@ def main():
     ycb_d = jnp.asarray(ycb)
     ucb_d = jnp.asarray(ucb)
     vcb_d = jnp.asarray(vcb)
-    yq_d = jnp.asarray(yq)
-    cq_d = jnp.asarray(cq)
 
     out = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)  # warm/compile
     out.block_until_ready()
@@ -91,11 +114,6 @@ def main():
         jax.block_until_ready(jax.device_put((ycb, ucb, vcb)))
     h2d_dt = (time.perf_counter() - t0) / 5
     h2d_gbps = nbytes / h2d_dt / 1e9
-
-    # ---- end-to-end (host stage pipelined against device stage would
-    # overlap; report the serial composition as the honest lower bound)
-    e2e_mps = 1.0 / (1.0 / host_mps + 1.0 / dev_mps + (nbytes / BATCH) /
-                     (h2d_gbps * 1e9) / mp)
 
     result = {
         "metric": "jpeg_1080p_420_decode_end_to_end",

@@ -40,6 +40,13 @@ def _align8(x: int) -> int:
     return (x + 7) & ~7
 
 
+def _native_ok() -> bool:
+    if os.environ.get("FFPIC_NO_NATIVE"):
+        return False
+    from ffpic_tpu import native
+    return native.available()
+
+
 @dataclass
 class JpegFile:
     width: int = 0
@@ -70,18 +77,20 @@ def probe(data: bytes) -> bool:
 
 def _find_scan_end(data: bytes, pos: int) -> int:
     """End of entropy-coded data: the next marker that is not stuffing
-    or RSTn."""
+    or RSTn. Hops between 0xFF bytes with bytes.find (C speed)."""
     n = len(data)
     i = pos
-    while i + 1 < n:
-        if data[i] == 0xFF:
-            nxt = data[i + 1]
-            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7) and nxt != 0xFF:
-                return i
-            i += 2 if (nxt == 0x00 or 0xD0 <= nxt <= 0xD7) else 1
-        else:
+    while True:
+        i = data.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = data[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+        elif nxt == 0xFF:
             i += 1
-    return n
+        else:
+            return i
 
 
 def parse_and_decode(data: bytes, skip_decode: bool = False,
@@ -140,9 +149,7 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                 c.nby_actual = -(-comp_h // 8)
             j.coeffs = [np.zeros((c.nby, c.nbx, 64), np.int16)
                         for c in j.comps]
-            from ffpic_tpu import native
-            j.coeffs_raster = native.available() and not os.environ.get(
-                "FFPIC_NO_NATIVE")
+            j.coeffs_raster = _native_ok()
         elif m == DQT:
             p = 0
             while p < len(seg):
@@ -168,8 +175,9 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                 total = sum(counts)
                 syms = list(seg[p:p + total])
                 p += total
-                j.dht[(tc, th)] = HuffLUT(counts, syms)
                 j.dht_raw[(tc, th)] = (counts, syms)
+                if not _native_ok():   # python fallback needs the LUTs
+                    j.dht[(tc, th)] = HuffLUT(counts, syms)
         elif m == DRI:
             (j.restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == COM:

@@ -36,7 +36,64 @@ static const uint8_t ZZ[64] = {
     53, 60, 61, 54, 47, 55, 62, 63,
 };
 
-/* ---------------- bit source with inline destuffing ---------------- */
+/* ---------------- destuffed bit source ------------------------------
+ *
+ * The entropy stream is destuffed in ONE pass up front (0xFF00 ->
+ * 0xFF, restart markers recorded as segment boundaries); the bit
+ * reader then runs branch-light with 64-bit bulk refills
+ * (byte-swapped loads), libjpeg-turbo style.
+ */
+
+#define MAX_SEGMENTS 4096
+
+typedef struct {
+    uint8_t *buf;          /* destuffed bytes */
+    long seg_start[MAX_SEGMENTS];
+    long seg_end[MAX_SEGMENTS];
+    int n_segs;
+} Destuffed;
+
+/* single pass: strip FF00 stuffing and FF fill bytes, split at RSTn,
+ * stop at any other marker. Returns 0 on success. */
+static int destuff(const uint8_t *src, long n, Destuffed *d) {
+    d->buf = (uint8_t *)malloc(n > 0 ? n : 1);
+    if (!d->buf)
+        return -1;
+    long w = 0;
+    d->n_segs = 0;
+    d->seg_start[0] = 0;
+    long i = 0;
+    while (i < n) {
+        uint8_t c = src[i];
+        if (c != 0xFF) {
+            d->buf[w++] = c;
+            i++;
+            continue;
+        }
+        long p = i + 1;
+        while (p < n && src[p] == 0xFF)
+            p++;
+        if (p >= n)
+            break;
+        uint8_t m = src[p];
+        if (m == 0x00) {
+            d->buf[w++] = 0xFF;
+            i = p + 1;
+        } else if (m >= 0xD0 && m <= 0xD7) {
+            if (d->n_segs + 1 >= MAX_SEGMENTS)
+                return -2;
+            d->seg_end[d->n_segs] = w;
+            d->n_segs++;
+            d->seg_start[d->n_segs] = w;
+            i = p + 1;
+        } else {
+            break; /* terminating marker */
+        }
+    }
+    d->seg_end[d->n_segs] = w;
+    d->n_segs++;
+    return 0;
+}
 
 typedef struct {
     const uint8_t *data;
@@ -44,59 +101,30 @@ typedef struct {
     long pos;
     uint64_t cache;   /* next bits left-aligned in the high bits */
     int bits;         /* number of valid bits in cache */
-    int at_marker;    /* hit a non-stuffing marker; pad zeros from here */
-    int marker;       /* the marker byte seen (0xD0..0xD7 for RST) */
 } BitSrc;
 
-static void bs_init(BitSrc *b, const uint8_t *data, long len) {
-    b->data = data;
-    b->len = len;
+static inline void bs_seg(BitSrc *b, const Destuffed *d, int seg) {
+    b->data = d->buf + d->seg_start[seg];
+    b->len = d->seg_end[seg] - d->seg_start[seg];
     b->pos = 0;
     b->cache = 0;
     b->bits = 0;
-    b->at_marker = 0;
-    b->marker = 0;
-}
-
-/* fetch one entropy byte, handling FF00 stuffing / FF fill / markers */
-static inline int bs_next_byte(BitSrc *b) {
-    if (b->at_marker || b->pos >= b->len)
-        return -1;
-    uint8_t c = b->data[b->pos];
-    if (c != 0xFF) {
-        b->pos++;
-        return c;
-    }
-    /* skip fill bytes (FF FF ... before marker or stuffed zero) */
-    long p = b->pos + 1;
-    while (p < b->len && b->data[p] == 0xFF)
-        p++;
-    if (p >= b->len) {
-        b->pos = b->len;
-        b->at_marker = 1;
-        return -1;
-    }
-    uint8_t n = b->data[p];
-    if (n == 0x00) {
-        b->pos = p + 1;
-        return 0xFF;
-    }
-    /* real marker (RST or terminating) */
-    b->at_marker = 1;
-    b->marker = n;
-    b->pos = p + 1;
-    return -1;
 }
 
 static inline void bs_fill(BitSrc *b) {
+    if (b->pos + 8 <= b->len) {
+        uint64_t v;
+        memcpy(&v, b->data + b->pos, 8);
+        v = __builtin_bswap64(v);
+        b->cache |= v >> b->bits;
+        int take = (63 - b->bits) >> 3;
+        b->pos += take;
+        b->bits += take << 3;
+        return;
+    }
     while (b->bits <= 56) {
-        int c = bs_next_byte(b);
-        if (c < 0) {
-            /* pad with zeros; bits stays, cache zeros appended already */
-            b->bits = 64; /* pretend full so callers stop refilling */
-            return;
-        }
-        b->cache |= (uint64_t)c << (56 - b->bits);
+        uint64_t c = (b->pos < b->len) ? b->data[b->pos++] : 0;
+        b->cache |= c << (56 - b->bits);
         b->bits += 8;
     }
 }
@@ -106,7 +134,7 @@ static inline uint32_t bs_get(BitSrc *b, int n) {
         return 0;
     if (b->bits < n)
         bs_fill(b);
-    uint32_t v = (uint32_t)(b->cache >> (64 - n));
+    uint32_t v = (uint32_t)(b->cache >> 1 >> (63 - n));
     b->cache <<= n;
     b->bits -= n;
     return v;
@@ -121,34 +149,6 @@ static inline uint32_t bs_peek16(BitSrc *b) {
 static inline void bs_consume(BitSrc *b, int n) {
     b->cache <<= n;
     b->bits -= n;
-}
-
-/* align to byte boundary and consume an expected RST marker */
-static int bs_restart(BitSrc *b) {
-    /* drop cached bits (they are padding before the marker) */
-    b->cache = 0;
-    b->bits = 0;
-    if (!b->at_marker) {
-        /* scan forward to the marker */
-        while (b->pos < b->len) {
-            if (b->data[b->pos] == 0xFF && b->pos + 1 < b->len) {
-                uint8_t n = b->data[b->pos + 1];
-                if (n != 0x00 && n != 0xFF) {
-                    b->at_marker = 1;
-                    b->marker = n;
-                    b->pos += 2;
-                    break;
-                }
-            }
-            b->pos++;
-        }
-    }
-    if (b->at_marker && b->marker >= 0xD0 && b->marker <= 0xD7) {
-        b->at_marker = 0;
-        b->marker = 0;
-        return 0;
-    }
-    return -1;
 }
 
 /* ---------------- huffman tables (flat full-length LUT) ------------- */
@@ -386,8 +386,15 @@ FFPIC_API int ffpic_jpeg_decode_scan(
         }
     }
 
+    Destuffed ds;
+    if (destuff(scan, scan_len, &ds) != 0) {
+        for (int i = 0; i < 8; i++)
+            htable_free(&tables[i]);
+        return -11;
+    }
+    int cur_seg = 0;
     BitSrc bs;
-    bs_init(&bs, scan, scan_len);
+    bs_seg(&bs, &ds, 0);
 
     int pred[4] = {0, 0, 0, 0};
     int eobrun = 0;
@@ -404,10 +411,12 @@ FFPIC_API int ffpic_jpeg_decode_scan(
     long in_interval = 0;
     for (long u = 0; u < units && rc == 0; u++) {
         if (restart_interval && in_interval == restart_interval) {
-            if (bs_restart(&bs) != 0) {
+            cur_seg++;
+            if (cur_seg >= ds.n_segs) {
                 rc = -2;
                 break;
             }
+            bs_seg(&bs, &ds, cur_seg);
             for (int i = 0; i < 4; i++)
                 pred[i] = 0;
             eobrun = 0;
@@ -472,9 +481,10 @@ FFPIC_API int ffpic_jpeg_decode_scan(
         }
     }
 
+    free(ds.buf);
     for (int i = 0; i < 8; i++)
         htable_free(&tables[i]);
     return rc;
 }
 
-FFPIC_API const char *ffpic_native_version(void) { return "ffpic-native-1"; }
+FFPIC_API const char *ffpic_native_version(void) { return "ffpic-native-2"; }
