@@ -226,7 +226,8 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
 
 
 def to_pic(j: JpegFile, order: str = "rgba", mode: str = "reference",
-           device: bool = True, quirks: bool = False) -> Pic:
+           device: bool = True, quirks: bool = False,
+           upsample: str = "nearest") -> Pic:
     """Run the device pipeline over the decoded coefficient planes.
 
     quirks=True mirrors the reference's grayscale handling: a single
@@ -253,7 +254,7 @@ def to_pic(j: JpegFile, order: str = "rgba", mode: str = "reference",
     px = jpeg_kernels.decode_mcu_planes(
         coeffs, quants, samplings, out_h, out_w,
         order=order, mode=mode,
-        gray_chroma=(0 if quirks else 128))
+        gray_chroma=(0 if quirks else 128), upsample=upsample)
     if not device:
         px = np.asarray(px)
 
@@ -277,7 +278,8 @@ def _meta(j: JpegFile) -> dict:
 
 
 def load(data: bytes, skip_decode: bool = False, quirks: bool = False,
-         order: str = "rgba", mode: str = "reference") -> list[Pic]:
+         order: str = "rgba", mode: str = "reference",
+         upsample: str = "nearest") -> list[Pic]:
     pics = []
     off = 0
     n = len(data)
@@ -290,7 +292,8 @@ def load(data: bytes, skip_decode: bool = False, quirks: bool = False,
             p = Pic(width=_align8(j.width), height=j.height, depth=32,
                     pitch=_align8(j.width) * 4, codec="JPG", meta=_meta(j))
         else:
-            p = to_pic(j, order=order, mode=mode, quirks=quirks)
+            p = to_pic(j, order=order, mode=mode, quirks=quirks,
+                       upsample=upsample)
         pics.append(p)
         # skip trailing garbage until a plausible next SOI
         while off < n - 1 and not (data[off] == 0xFF and data[off + 1] == SOI):

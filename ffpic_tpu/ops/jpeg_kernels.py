@@ -99,6 +99,32 @@ def upsample_nearest(plane, v: int, h: int, out_h: int, out_w: int):
     return plane[:out_h, :out_w]
 
 
+def upsample_fancy(plane, v: int, h: int, out_h: int, out_w: int):
+    """libjpeg's 'fancy' (triangle-filter) chroma upsampling
+    (jdsample.c h2v2/h2v1): 3:1 blend toward the nearer sample with
+    the 8/7 alternating bias, borders replicated. Vectorized for the
+    VPU — the per-pixel sequential C loop becomes shifted-plane math."""
+    x = plane.astype(jnp.int32)
+    if v == 2:
+        up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        dn = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        rows = jnp.stack([3 * x + up, 3 * x + dn], axis=1) \
+            .reshape(-1, x.shape[1])
+        ebias, obias = 8, 7          # h2v2: (3t + l + 8)>>4 / (+7)
+    else:
+        rows = x * 4
+        ebias, obias = 4, 8          # h2v1: == (3a + b + 1)>>2 / (+2)
+    if h == 2:
+        lf = jnp.concatenate([rows[:, :1], rows[:, :-1]], axis=1)
+        rt = jnp.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
+        even = (3 * rows + lf + ebias) >> 4
+        odd = (3 * rows + rt + obias) >> 4
+        out = jnp.stack([even, odd], axis=2).reshape(rows.shape[0], -1)
+    else:
+        out = (rows + 2) >> 2
+    return out[:out_h, :out_w].astype(jnp.int16)
+
+
 def color_convert(yp, up, vp, order: str = "bgra", mode: str = "reference"):
     """(H, W) int16 planes -> (H, W, 4) uint8.
 
@@ -136,10 +162,11 @@ def color_convert(yp, up, vp, order: str = "bgra", mode: str = "reference"):
 @functools.partial(
     jax.jit,
     static_argnames=("samplings", "out_h", "out_w", "order", "mode",
-                     "gray_chroma"),
+                     "gray_chroma", "upsample"),
 )
 def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
-                      order="bgra", mode="reference", gray_chroma=128):
+                      order="bgra", mode="reference", gray_chroma=128,
+                      upsample="nearest"):
     """Full device pipeline for one image.
 
     coeffs: tuple of per-component (nby_c, nbx_c, 8, 8) int16 arrays.
@@ -150,12 +177,16 @@ def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
     out_h/out_w: cropped output size (width already 8-aligned per the
       reference's p->width convention, jpg.c:792).
     """
+    up_fn = upsample_fancy if upsample == "fancy" else upsample_nearest
     planes = []
     for c, (coef, q) in enumerate(zip(coeffs, quants)):
         samples = dequant_idct_blocks(coef, q)
         plane = blocks_to_plane(samples)
         v, h = samplings[c]
-        planes.append(upsample_nearest(plane, v, h, out_h, out_w))
+        if v == 1 and h == 1:
+            planes.append(plane[:out_h, :out_w])
+        else:
+            planes.append(up_fn(plane, v, h, out_h, out_w))
     if len(planes) == 1:
         # grayscale: gray_chroma=128 is neutral; 0 replicates the
         # reference's tinted dummy-zero blocks (jpg.c:552-555)
