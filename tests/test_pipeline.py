@@ -1,0 +1,90 @@
+"""Model-facing pipeline (BASELINE.json config 5): batched mixed-format
+decode -> on-device resize/normalize -> ViT consumption, plus the
+multi-chip dryrun path."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def mixed_files(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    d = tmp_path_factory.mktemp("mixed")
+    paths = []
+    for i, fmt in enumerate(["JPEG", "PNG", "WEBP"]):
+        arr = rng.integers(0, 256, (40 + 8 * i, 56, 3), dtype=np.uint8)
+        p = d / f"img{i}.{fmt.lower()}"
+        kw = {"lossless": False, "quality": 70} if fmt == "WEBP" else {}
+        Image.fromarray(arr).save(p, fmt, **kw)
+        paths.append(str(p))
+    return paths
+
+
+def test_decode_batch_mixed_resize(mixed_files):
+    import ffpic_tpu
+    batch = ffpic_tpu.decode_batch(mixed_files, size=(64, 64))
+    assert batch.shape == (3, 64, 64, 4)
+    assert batch.dtype.name == "uint8"
+    # content sanity: each decoded image is non-constant
+    b = np.asarray(batch)
+    assert all(b[i].std() > 5 for i in range(3))
+
+
+def test_normalize_feeds_vit(mixed_files):
+    import jax
+    import ffpic_tpu
+    from ffpic_tpu.ops.resize import normalize_for_model
+    from ffpic_tpu.models import vit
+
+    cfg = vit.VIT_TINY
+    batch = ffpic_tpu.decode_batch(mixed_files, size=(cfg.image_size,
+                                                      cfg.image_size))
+    x = normalize_for_model(batch)
+    assert x.shape == (3, cfg.image_size, cfg.image_size, 3)
+    params = vit.init_params(cfg, jax.random.PRNGKey(0))
+    logits = jax.jit(lambda p, im: vit.forward(cfg, p, im))(params, x)
+    assert logits.shape == (3, cfg.n_classes)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sharded_decode_on_mesh(rng):
+    from ffpic_tpu.parallel import make_mesh, sharded_decode_420
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(model_parallel=1)
+    N = len(jax.devices())
+    ycoef = rng.integers(-128, 128, (N, 4, 4, 8, 8)).astype(np.int16)
+    ucoef = rng.integers(-64, 64, (N, 2, 2, 8, 8)).astype(np.int16)
+    vcoef = rng.integers(-64, 64, (N, 2, 2, 8, 8)).astype(np.int16)
+    q = np.full((8, 8), 8, np.int32)
+    out = sharded_decode_420(mesh, ycoef, ucoef, vcoef, q, q)
+    assert out.shape == (N, 32, 32, 4)
+    # sharded over data axis
+    assert len(out.sharding.device_set) == N
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, REPO)
+    import importlib
+    ge = importlib.import_module("__graft_entry__")
+    import jax
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 128, 128, 4)
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, REPO)
+    import importlib
+    import jax
+    ge = importlib.import_module("__graft_entry__")
+    ge.dryrun_multichip(len(jax.devices()))
