@@ -58,8 +58,11 @@ def _fancy_upsample(chroma: np.ndarray, H: int, W: int) -> np.ndarray:
 def _yuv_to_rgb_libwebp(Y, U, V, H, W):
     """libwebp yuv.h fixed point: value>>6 after MultHi (>>8) terms."""
     y = Y[:H, :W].astype(np.int32)
-    u = _fancy_upsample(U, H, W).astype(np.int32)
-    v = _fancy_upsample(V, H, W).astype(np.int32)
+    # crop chroma to its valid sample grid first so the upsampler's
+    # edge replication (not MB padding) feeds the borders
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    u = _fancy_upsample(U[:ch, :cw], H, W).astype(np.int32)
+    v = _fancy_upsample(V[:ch, :cw], H, W).astype(np.int32)
 
     def mult_hi(val, coeff):
         return (val * coeff) >> 8
@@ -97,6 +100,9 @@ def _decode_alpha(alph: bytes, H: int, W: int) -> np.ndarray | None:
     filt = (b0 >> 2) & 3
     if method == 0:
         a = np.frombuffer(alph, np.uint8, W * H, 1).reshape(H, W).copy()
+    elif method == 1:
+        from ffpic_tpu.formats.vp8l import decode_alpha_stream
+        a = decode_alpha_stream(alph[1:], W, H)
     else:
         return None
     if filt == 1:    # horizontal
@@ -175,9 +181,14 @@ def load(data: bytes, skip_decode: bool = False,
         H = ((bits >> 14) & 0x3FFF) + 1
         meta.update(width=W, height=H, format="lossless VP8L",
                     alpha_hint=(bits >> 28) & 1)
-        # pixel decode pending the VP8L entropy image implementation
-        return [Pic(width=W, height=H, depth=32, pitch=W * 4,
-                    codec="WEBP", meta=meta)]
+        if skip_decode:
+            return [Pic(width=W, height=H, depth=32, pitch=W * 4,
+                        codec="WEBP", meta=meta)]
+        from ffpic_tpu.formats.vp8l import decode_vp8l
+        rgba = decode_vp8l(l)
+        return [Pic(pixels=rgba, width=W, height=H, depth=32,
+                    pitch=W * 4, format=PixelFormat.RGBA32, codec="WEBP",
+                    meta=meta)]
 
     raise ValueError("no VP8/VP8L payload in WebP container")
 

@@ -186,7 +186,11 @@ def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
         if v == 1 and h == 1:
             planes.append(plane[:out_h, :out_w])
         else:
-            planes.append(up_fn(plane, v, h, out_h, out_w))
+            # crop to the valid sample grid so fancy upsampling's edge
+            # replication (not MCU padding) feeds the borders
+            ph = -(-out_h // v)
+            pw = -(-out_w // h)
+            planes.append(up_fn(plane[:ph, :pw], v, h, out_h, out_w))
     if len(planes) == 1:
         # grayscale: gray_chroma=128 is neutral; 0 replicates the
         # reference's tinted dummy-zero blocks (jpg.c:552-555)

@@ -74,14 +74,59 @@ def test_webp_skip_decode_and_info(rng):
     assert "lossy" in W.info(pic)
 
 
-def test_vp8l_header_parse(rng):
+def _lossless_roundtrip(arr, **kw):
     from ffpic_tpu.formats import webp as W
-    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
     b = io.BytesIO()
-    Image.fromarray(arr).save(b, "WEBP", lossless=True)
-    pic = W.load(b.getvalue())[0]
-    assert pic.meta["width"] == 30 and pic.meta["height"] == 20
-    assert pic.meta["format"] == "lossless VP8L"
+    Image.fromarray(arr).save(b, "WEBP", lossless=True, **kw)
+    data = b.getvalue()
+    mode = "RGBA" if arr.shape[-1] == 4 else "RGB"
+    pil = np.array(Image.open(io.BytesIO(data)).convert(mode))
+    ours = W.load(data)[0].to_rgba32()[..., :arr.shape[-1]]
+    return ours, pil
+
+
+def test_vp8l_lossless_exact(rng):
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    ours, pil = _lossless_roundtrip(arr)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_vp8l_rgba_exact(rng):
+    arr = rng.integers(0, 256, (33, 47, 4), dtype=np.uint8)
+    ours, pil = _lossless_roundtrip(arr)
+    np.testing.assert_array_equal(ours, pil)
+
+
+@pytest.mark.parametrize("ncolors,mult", [(2, 255), (4, 85), (14, 18)])
+def test_vp8l_palette_packing_exact(rng, ncolors, mult):
+    # small palettes trigger color-indexing with sub-byte pixel packing
+    idx = (rng.integers(0, ncolors, (25, 37)) * mult).astype(np.uint8)
+    arr = np.stack([idx, 255 - idx, idx // 2], axis=-1)
+    ours, pil = _lossless_roundtrip(arr)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_vp8l_photo_transforms_exact(rng):
+    # method 6 engages predictor/color transforms + meta huffman groups
+    yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+    arr = np.stack([128 + 90 * np.sin(xx / 19) * np.cos(yy / 13),
+                    128 + 70 * np.cos(xx / 9 + yy / 23),
+                    128 + 100 * np.sin((xx + yy) / 29)], axis=-1)
+    arr = np.clip(arr + rng.normal(0, 6, arr.shape), 0, 255).astype(np.uint8)
+    ours, pil = _lossless_roundtrip(arr, method=6, quality=100)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_vp8_odd_size_edge_upsampling_exact(rng):
+    # non-multiple-of-16 dims: border chroma must blend edge-replicated
+    # valid samples, not MB padding
+    arr = rng.integers(0, 256, (30, 20, 3), dtype=np.uint8)
+    from ffpic_tpu.formats import webp as W
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "WEBP", lossless=False, quality=75)
+    pil = np.array(Image.open(io.BytesIO(b.getvalue())).convert("RGB"))
+    ours = W.load(b.getvalue())[0].to_rgba32()[..., :3]
+    np.testing.assert_array_equal(ours, pil)
 
 
 def test_registry_probe_webp(rng):
