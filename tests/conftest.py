@@ -36,3 +36,17 @@ jax.config.update("jax_platforms", "cpu")
 def rng():
     import numpy as np
     return np.random.default_rng(1234)
+
+
+def pytest_configure(config):
+    """Generate the synthetic corpus on first run so corpus-dependent
+    tests work from a fresh checkout (tools/make_corpus.py, ~10 s)."""
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    corpus = repo / "corpus"
+    if not corpus.is_dir():
+        sys.path.insert(0, str(repo / "tools"))
+        try:
+            import make_corpus
+            make_corpus.main()
+        except Exception:
+            pass  # corpus tests will skip
