@@ -1,0 +1,51 @@
+"""Extract the HEVC CABAC context initValue tables (ITU-T H.265 Tables
+9-5..9-31, spec constants) from the reference source text into
+ffpic_tpu/coding/cabac_tables.py — groundwork for the round-2 slice
+decoder. Same approach as tools/extract_vp8_tables.py: the numbers are
+protocol constants; the decoder code around them is written fresh."""
+
+import re
+
+SRC = "/root/reference/coding/cabac.c"
+
+
+def main():
+    text = open(SRC).read()
+    pat = re.compile(
+        r"static\s+int\s+(initValue_\w+)\s*((?:\[\d+\])+)\s*=\s*\{(.*?)\};",
+        re.S)
+    out = ['"""HEVC CABAC context initialization values (ITU-T H.265\n'
+           "Tables 9-5 through 9-31) — protocol constants, machine-\n"
+           "extracted by tools/extract_hevc_tables.py. Keys are the\n"
+           'syntax-element names; values are nested lists indexed by\n'
+           '[initType][ctxIdx] where multi-dimensional."""\n\n'
+           "INIT_VALUES = {\n"]
+    count = 0
+    for m in pat.finditer(text):
+        name = m.group(1).replace("initValue_", "")
+        dims = [int(d) for d in re.findall(r"\[(\d+)\]", m.group(2))]
+        nums = [int(x) for x in re.findall(r"\d+", m.group(3))]
+        total = 1
+        for d in dims:
+            total *= d
+        if len(nums) != total:
+            print(f"skip {name}: {len(nums)} values for dims {dims}")
+            continue
+
+        def nest(vals, ds):
+            if len(ds) == 1:
+                return list(vals)
+            step = len(vals) // ds[0]
+            return [nest(vals[i * step:(i + 1) * step], ds[1:])
+                    for i in range(ds[0])]
+
+        out.append(f"    {name!r}: {nest(nums, dims)},\n")
+        count += 1
+    out.append("}\n")
+    with open("/root/repo/ffpic_tpu/coding/cabac_tables.py", "w") as f:
+        f.write("".join(out))
+    print(f"wrote cabac_tables.py with {count} tables")
+
+
+if __name__ == "__main__":
+    main()
