@@ -20,11 +20,11 @@ def main(argv=None):
     for path in args.files:
         try:
             codec = ffpic_tpu.probe(path)
-        except ValueError as e:
+            pic = ffpic_tpu.load(path, skip_decode=args.skip_decode)
+        except (ValueError, OSError, NotImplementedError) as e:
             print(f"{path}: {e}", file=sys.stderr)
             rc = 1
             continue
-        pic = ffpic_tpu.load(path, skip_decode=args.skip_decode)
         print(f"{path}: codec {codec.name}")
         print(ffpic_tpu.info(pic))
         if pic.frames:

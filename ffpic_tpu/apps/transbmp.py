@@ -14,7 +14,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import ffpic_tpu
-    pic = ffpic_tpu.load(args.file)
+    try:
+        pic = ffpic_tpu.load(args.file)
+    except (ValueError, OSError, NotImplementedError) as e:
+        print(f"transbmp: {e}", file=sys.stderr)
+        return 1
     out = args.out or f"{args.file} ({pic.width} * {pic.height}).bmp"
     data = ffpic_tpu.encode(pic, "BMP")
     with open(out, "wb") as f:

@@ -16,11 +16,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import ffpic_tpu
-    pic = ffpic_tpu.load(args.file)
     opts = {}
     if args.quality is not None:
         opts["quality"] = args.quality
-    data = ffpic_tpu.encode(pic, args.codec, **opts)
+    try:
+        pic = ffpic_tpu.load(args.file)
+        data = ffpic_tpu.encode(pic, args.codec, **opts)
+    except (ValueError, OSError, KeyError, NotImplementedError) as e:
+        msg = e.args[0] if e.args else e
+        print(f"transcode: {msg}", file=sys.stderr)
+        return 1
     with open(args.out, "wb") as f:
         f.write(data)
     print(f"wrote {args.out} ({len(data)} bytes)")
