@@ -38,10 +38,24 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def _pad_to(x, n):
+    """Pad leading dim up to n with zeros (host-side, cheap)."""
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(np.asarray(x), pad)
+
+
 def shard_batch(mesh: Mesh, x):
-    """Place a host batch (leading dim N) sharded over the data axis."""
+    """Place a host batch (leading dim N) sharded over the data axis.
+
+    Ragged batches (N % dp != 0) are zero-padded up to the next
+    multiple of the data-axis size; callers that care about exact N
+    should slice the result (sharded_decode_420 does)."""
+    dp = mesh.shape["data"]
+    n = -(-x.shape[0] // dp) * dp
     sh = NamedSharding(mesh, P("data"))
-    return jax.device_put(x, sh)
+    return jax.device_put(_pad_to(x, n), sh)
 
 
 def sharded_decode_420(mesh: Mesh, ycoef, ucoef, vcoef, yquant, cquant,
@@ -50,9 +64,15 @@ def sharded_decode_420(mesh: Mesh, ycoef, ucoef, vcoef, yquant, cquant,
 
     Inputs are (N, nby, nbx, 8, 8) int16 (+ (N, nby/2, nbx/2, 8, 8)
     chroma); output (N, H, W, 4) uint8 stays sharded on device for the
-    consuming model.
+    consuming model.  Ragged N (not divisible by the data-axis size)
+    is zero-padded for the launch and sliced back afterwards.
     """
     from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+
+    n = ycoef.shape[0]
+    dp = mesh.shape["data"]
+    npad = -(-n // dp) * dp
+    ycoef, ucoef, vcoef = (_pad_to(c, npad) for c in (ycoef, ucoef, vcoef))
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
@@ -61,4 +81,5 @@ def sharded_decode_420(mesh: Mesh, ycoef, ucoef, vcoef, yquant, cquant,
         in_shardings=(data_sh, data_sh, data_sh, repl, repl),
         out_shardings=data_sh,
     )
-    return fn(ycoef, ucoef, vcoef, yquant, cquant)
+    out = fn(ycoef, ucoef, vcoef, yquant, cquant)
+    return out[:n] if npad != n else out

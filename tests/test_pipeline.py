@@ -88,3 +88,39 @@ def test_graft_dryrun_multichip():
     import jax
     ge = importlib.import_module("__graft_entry__")
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_equals_single_device(rng):
+    """Per-device sharded result must equal the single-device result."""
+    from ffpic_tpu.parallel import make_mesh, sharded_decode_420
+    from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(model_parallel=1)
+    N = len(jax.devices())
+    ycoef = rng.integers(-128, 128, (N, 4, 4, 8, 8)).astype(np.int16)
+    ucoef = rng.integers(-64, 64, (N, 2, 2, 8, 8)).astype(np.int16)
+    vcoef = rng.integers(-64, 64, (N, 2, 2, 8, 8)).astype(np.int16)
+    q = np.full((8, 8), 8, np.int32)
+    sharded = np.asarray(
+        sharded_decode_420(mesh, ycoef, ucoef, vcoef, q, q))
+    single = np.asarray(decode_batch_420(
+        *(jax.numpy.asarray(a) for a in (ycoef, ucoef, vcoef)), q, q))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_ragged_batch(rng):
+    """N not divisible by the data-axis size: padded + sliced back."""
+    from ffpic_tpu.parallel import make_mesh, sharded_decode_420
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(model_parallel=1)
+    N = len(jax.devices()) + 1  # ragged
+    ycoef = rng.integers(-128, 128, (N, 4, 4, 8, 8)).astype(np.int16)
+    ucoef = rng.integers(-64, 64, (N, 2, 2, 8, 8)).astype(np.int16)
+    vcoef = rng.integers(-64, 64, (N, 2, 2, 8, 8)).astype(np.int16)
+    q = np.full((8, 8), 8, np.int32)
+    out = sharded_decode_420(mesh, ycoef, ucoef, vcoef, q, q)
+    assert out.shape == (N, 32, 32, 4)
