@@ -152,8 +152,13 @@ class CabacDecoder:
                 break
             prefix += 1
         value = prefix << rice
-        if rice and (prefix < max_pre or True):
+        # H.265 9.3.3.2: the FL suffix is present only when cMax >
+        # symbolVal, i.e. decoder-side: when the unary prefix did NOT
+        # saturate.  A saturated prefix means symbolVal == cMax exactly.
+        if rice and prefix < max_pre:
             value += self.bypass_n(rice)
+        elif rice:
+            value = c_max
         return value
 
     def exp_golomb_k(self, k: int, max_pre_len: int = 32) -> int:

@@ -3,7 +3,9 @@
 Decode parity target: the C reference's JPG_load
 (format/jpg.c:771-855) — baseline SOF0, extended SOF1, progressive
 SOF2 with spectral selection + successive approximation, restart
-intervals, 1-4 components, 8/16-bit DQT, multi-picture files. The
+intervals, 1 (gray) or 3 (YCbCr) components to pixels (2/4-component
+scans parse but are rejected at the pixel stage, like the reference),
+8/16-bit DQT, multi-picture files. The
 dense math (dequant + IDCT + upsample + color) runs on device via
 ffpic_tpu.ops.jpeg_kernels instead of per-MCU on the CPU.
 

@@ -10,6 +10,7 @@ registration order and returns the first match, exactly like
 from __future__ import annotations
 
 import os
+import struct
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -95,7 +96,16 @@ def load_all(src, skip_decode: bool = False) -> list[Pic]:
     (reference format/file.c:46-60 + the 64-slot output ring)."""
     data = _read_input(src)
     codec = probe(data)
-    pics = codec.load(data, skip_decode)
+    try:
+        pics = codec.load(data, skip_decode)
+    except (ValueError, NotImplementedError, OSError):
+        raise
+    except (struct.error, KeyError, IndexError, EOFError, OverflowError,
+            ZeroDivisionError) as e:
+        # Malformed files that pass probe must surface as the documented
+        # ValueError contract, not raw parser tracebacks.
+        raise ValueError(f"corrupt {codec.name} file: "
+                         f"{type(e).__name__}: {e}") from e
     for p in pics:
         p.codec = codec.name
     if pics and len(pics) > 1:

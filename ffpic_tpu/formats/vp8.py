@@ -92,6 +92,9 @@ class VP8Decoder:
             raise ValueError("only key frames occur in WebP stills")
         if d[3:6] != b"\x9d\x01\x2a":
             raise ValueError("bad VP8 start code")
+        if 10 + first_size > len(d):
+            raise ValueError("truncated VP8: first partition size "
+                             f"{first_size} exceeds available data")
         w = d[6] | (d[7] << 8)
         h = d[8] | (d[9] << 8)
         self.hdr = FrameHeader(width=w & 0x3FFF, height=h & 0x3FFF,
@@ -249,6 +252,9 @@ class VP8Decoder:
         p = pos
         for i in range(nparts):
             end = p + sizes[i] if i < nparts - 1 else len(self.rest)
+            if end > len(self.rest) or p > len(self.rest):
+                raise ValueError("truncated VP8: token partition "
+                                 f"{i} claims bytes past end of data")
             parts.append(BoolDecoder(self.rest[p:end]))
             p = end
 

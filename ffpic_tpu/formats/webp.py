@@ -134,6 +134,9 @@ def load(data: bytes, skip_decode: bool = False,
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4].decode("latin1")
         size = struct.unpack_from("<I", data, pos + 4)[0]
+        if pos + 8 + size > len(data):
+            raise ValueError(f"truncated WEBP: chunk {tag!r} claims "
+                             f"{size} bytes past end of file")
         chunks[tag] = data[pos + 8:pos + 8 + size]
         order.append(tag)
         pos += 8 + size + (size & 1)

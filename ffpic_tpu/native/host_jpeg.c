@@ -80,8 +80,11 @@ static int destuff(const uint8_t *src, long n, Destuffed *d) {
             d->buf[w++] = 0xFF;
             i = p + 1;
         } else if (m >= 0xD0 && m <= 0xD7) {
-            if (d->n_segs + 1 >= MAX_SEGMENTS)
+            if (d->n_segs + 1 >= MAX_SEGMENTS) {
+                free(d->buf);
+                d->buf = NULL;
                 return -2;
+            }
             d->seg_end[d->n_segs] = w;
             d->n_segs++;
             d->seg_start[d->n_segs] = w;
@@ -381,8 +384,11 @@ FFPIC_API int ffpic_jpeg_decode_scan(
     for (int i = 0; i < 8; i++) {
         if (dht_present[i]) {
             if (htable_build(&tables[i], dht_counts + 16 * i,
-                             dht_syms + 256 * i) != 0)
+                             dht_syms + 256 * i) != 0) {
+                for (int k = 0; k <= i; k++)
+                    htable_free(&tables[k]);
                 return -12;
+            }
         }
     }
 

@@ -177,6 +177,11 @@ def decode_mcu_planes(coeffs, quants, samplings, out_h, out_w,
     out_h/out_w: cropped output size (width already 8-aligned per the
       reference's p->width convention, jpg.c:792).
     """
+    if len(coeffs) not in (1, 3):
+        # matches the reference's scope: 1 (gray) or 3 (YCbCr)
+        # components reach the pixel path (jpg.c handles no CMYK)
+        raise ValueError(
+            f"unsupported component count {len(coeffs)} (want 1 or 3)")
     up_fn = upsample_fancy if upsample == "fancy" else upsample_nearest
     planes = []
     for c, (coef, q) in enumerate(zip(coeffs, quants)):

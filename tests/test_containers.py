@@ -1,11 +1,14 @@
 """ISOBMFF/HEIF/AVIF/BPG/JP2/SVG structure-level tests."""
 
 import io
+import os
 import struct
 
 import numpy as np
 import pytest
 from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_avif_structure(rng):
@@ -155,3 +158,19 @@ def test_hevc_sps_parse():
     assert 1 << sps.ctb_log2 == 64
     assert sps.sample_adaptive_offset
     assert sps.ptl.profile_idc == 3
+
+
+def test_truncated_files_raise_valueerror(tmp_path):
+    """Malformed files that pass probe must surface as ValueError, not
+    raw struct.error/KeyError/IndexError tracebacks (registry wraps)."""
+    import ffpic_tpu
+    corpus = os.path.join(REPO, "corpus")
+    for name, cut in [("gif_512.gif", 50), ("png_512_rgb.png", 60),
+                      ("webp_512.webp", 40), ("bmp_512.bmp", 30)]:
+        src = os.path.join(corpus, name)
+        if not os.path.exists(src):
+            continue
+        p = tmp_path / ("t_" + name)
+        p.write_bytes(open(src, "rb").read()[:cut])
+        with pytest.raises((ValueError, NotImplementedError)):
+            ffpic_tpu.load(str(p))

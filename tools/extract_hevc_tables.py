@@ -21,8 +21,18 @@ def main():
            '[initType][ctxIdx] where multi-dimensional."""\n\n'
            "INIT_VALUES = {\n"]
     count = 0
+    # The reference's identifiers carry typos vs the H.265 syntax
+    # element names; normalize so the slice decoder's lookups match
+    # the spec (chrome->chroma, flags->flag, indeces->indices).
+    renames = {
+        "intra_chrome_pred_mode": "intra_chroma_pred_mode",
+        "coeff_abs_level_greater2_flags": "coeff_abs_level_greater2_flag",
+        "copy_above_indeces_for_final_run_flag":
+            "copy_above_indices_for_final_run_flag",
+    }
     for m in pat.finditer(text):
         name = m.group(1).replace("initValue_", "")
+        name = renames.get(name, name)
         dims = [int(d) for d in re.findall(r"\[(\d+)\]", m.group(2))]
         nums = [int(x) for x in re.findall(r"\d+", m.group(3))]
         total = 1
