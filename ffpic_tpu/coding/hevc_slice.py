@@ -1,0 +1,791 @@
+"""HEVC slice segment decoding (ITU-T H.265 7.3.6 + 7.3.8 + 9.3):
+slice header, CTU loop, coding quadtree, intra CUs, transform tree and
+residual coding — the host CABAC pass of the TPU-native HEIF pipeline.
+
+Two-pass architecture (SURVEY.md §3.5 split point): this module is
+pass 1 — pure syntax, no pixels.  It emits an ordered op list
+(prediction blocks + TU residual references) that
+formats/hevc_recon.py executes; residual transforms have no feedback
+dependency so they batch per TU-size bucket (device-offloadable),
+while prediction runs as a host wavefront.
+
+Scope: Main / Main Still Picture intra decoding — 8-bit 4:2:0/4:0:0,
+all CTB/TB sizes, NxN partitions, transform skip, transquant bypass,
+sign data hiding, cu_qp_delta, SAO parsing.  Not yet: tiles, WPP
+entry points, PCM, scaling lists, 10-bit (validated gates below).
+
+Reference parity anchors: slice header hevc.c:2660, CTU loop
+hevc.c:6934-7047, quadtree hevc.c:6852, CU hevc.c:6467, transform tree
+hevc.c:6177, residual coding hevc.c:5636, scans hevc.c:2580-2658.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ffpic_tpu.coding.cabac import CabacDecoder, ContextModel
+from ffpic_tpu.coding.cabac_tables import INIT_VALUES
+from ffpic_tpu.coding.golomb import read_ue, read_se
+from ffpic_tpu.coding.hevc_consts import (SIG_CTX_4X4, chroma_qp,
+                                          scan_order)
+from ffpic_tpu.utils.bitstream import BitReader
+
+INTRA_PLANAR, INTRA_DC = 0, 1
+
+
+# ---------------------------------------------------------------------------
+# contexts
+# ---------------------------------------------------------------------------
+
+# (name, count) in our own layout; initValues come straight from the
+# machine-extracted spec tables keyed by syntax-element name.
+_CTX_SET = (
+    ("sao_merge", 1), ("sao_type_idx", 1), ("split_cu_flag", 3),
+    ("cu_transquant_bypass_flag", 1), ("part_mode", 1),
+    ("prev_intra_luma_pred_flag", 1), ("intra_chroma_pred_mode", 1),
+    ("split_transform_flag", 3), ("cbf_luma", 2), ("cbf_cb_cr", 5),
+    ("transform_skip_flag", 2), ("last_sig_coeff_x_prefix", 18),
+    ("last_sig_coeff_y_prefix", 18), ("coded_sub_block_flag", 4),
+    ("sig_coeff_flag", 44), ("coeff_abs_level_greater1_flag", 24),
+    ("coeff_abs_level_greater2_flag", 6), ("cu_qp_delta_abs", 2),
+)
+
+
+class Contexts:
+    """All context models for an I slice (initType 0)."""
+
+    def __init__(self, qp: int, init_type: int = 0):
+        self.m = {}
+        for name, count in _CTX_SET:
+            table = INIT_VALUES[name]
+            ivs = table[init_type]
+            if not isinstance(ivs, list):
+                ivs = [ivs]
+            if isinstance(ivs[0], list):     # nested one deeper
+                ivs = ivs[0]
+            if name == "sig_coeff_flag":
+                ivs = (INIT_VALUES["sig_coeff_flag"][init_type]
+                       + INIT_VALUES["sig_coeff_flag1"][init_type])
+            assert len(ivs) >= count, (name, len(ivs), count)
+            self.m[name] = [ContextModel(iv, qp) for iv in ivs[:count]]
+
+    def __getitem__(self, key):
+        name, idx = key
+        return self.m[name][idx]
+
+
+# ---------------------------------------------------------------------------
+# slice header (7.3.6.1, I slices)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SliceHeader:
+    first_slice: bool = True
+    pps_id: int = 0
+    segment_address: int = 0
+    slice_type: int = 2
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    qp: int = 26
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    deblocking_disabled: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    entry_points: tuple = ()
+    data_bit_offset: int = 0
+
+
+def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
+                       pps) -> SliceHeader:
+    h = SliceHeader()
+    h.first_slice = bool(r.read_bit())
+    if 16 <= nal_unit_type <= 23:
+        r.read_bit()                     # no_output_of_prior_pics
+    h.pps_id = read_ue(r)
+    if not h.first_slice:
+        if pps.dependent_slice_segments:
+            raise NotImplementedError("dependent slice segments")
+        ctbs = (((sps.width + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2) *
+                ((sps.height + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2))
+        h.segment_address = r.read_bits(max(1, (ctbs - 1).bit_length()))
+    for _ in range(pps.num_extra_slice_header_bits):
+        r.read_bit()
+    h.slice_type = read_ue(r)
+    if h.slice_type != 2:
+        raise NotImplementedError("only I slices (stills) supported")
+    if pps.output_flag_present:
+        r.read_bit()
+    if nal_unit_type not in (19, 20):    # not IDR: poc + rps
+        raise NotImplementedError("non-IDR still slices")
+    if sps.sample_adaptive_offset:
+        h.sao_luma = bool(r.read_bit())
+        h.sao_chroma = bool(r.read_bit())
+    h.qp = 26 + (pps.init_qp - 26) + read_se(r)
+    if pps.slice_chroma_qp_offsets_present:
+        h.cb_qp_offset = read_se(r)
+        h.cr_qp_offset = read_se(r)
+    h.deblocking_disabled = pps.deblocking_disabled
+    h.beta_offset_div2 = pps.beta_offset_div2
+    h.tc_offset_div2 = pps.tc_offset_div2
+    if pps.deblocking_control_present:
+        override = (r.read_bit()
+                    if pps.deblocking_override_enabled else 0)
+        if override:
+            h.deblocking_disabled = bool(r.read_bit())
+            if not h.deblocking_disabled:
+                h.beta_offset_div2 = read_se(r)
+                h.tc_offset_div2 = read_se(r)
+    if ((h.sao_luma or h.sao_chroma or not h.deblocking_disabled)
+            and pps.loop_filter_across_slices):
+        r.read_bit()
+    if pps.tiles_enabled or pps.entropy_coding_sync:
+        n = read_ue(r)
+        if n:
+            ln = read_ue(r) + 1
+            h.entry_points = tuple(r.read_bits(ln) + 1 for _ in range(n))
+    if pps.slice_header_extension_present:
+        ln = read_ue(r)
+        for _ in range(ln):
+            r.read_bits(8)
+    # byte_alignment(): 1 then zeros
+    if r.read_bit() != 1:
+        raise ValueError("slice header alignment bit missing")
+    while not r.byte_aligned():
+        if r.read_bit() != 0:
+            raise ValueError("nonzero alignment bit in slice header")
+    h.data_bit_offset = r.bitpos
+    return h
+
+
+# ---------------------------------------------------------------------------
+# decoded structures
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TU:
+    x: int                  # plane-local sample coords
+    y: int
+    n: int                  # block size in samples
+    c_idx: int
+    levels: np.ndarray      # (n, n) int32, [y][x]
+    qp: int = 26
+    skip: bool = False
+    bypass: bool = False
+    dst: bool = False
+
+
+@dataclass
+class PredOp:
+    plane: int
+    x: int
+    y: int
+    n: int
+    mode: int
+    tu: TU | None = None    # residual to add, if any
+
+
+class SliceDecoder:
+    """Pass-1 CABAC syntax decode of one independent I slice."""
+
+    def __init__(self, sps, pps, header: SliceHeader, data: bytes,
+                 pic=None):
+        self.sps, self.pps, self.hdr = sps, pps, header
+        self.ctb_log2 = sps.ctb_log2
+        self.min_cb = sps.log2_min_cb
+        self.max_tb = sps.log2_min_tb + sps.log2_diff_max_min_tb
+        self.min_tb = sps.log2_min_tb
+        self.w, self.h = sps.width, sps.height
+        self.ctbs_x = (self.w + (1 << self.ctb_log2) - 1) >> self.ctb_log2
+        self.ctbs_y = (self.h + (1 << self.ctb_log2) - 1) >> self.ctb_log2
+        if pps.tiles_enabled:
+            raise NotImplementedError("tiles")
+        if pps.entropy_coding_sync:
+            raise NotImplementedError("WPP")
+        if sps.bit_depth_luma != 8:
+            raise NotImplementedError("only 8-bit supported")
+        self.ctx = Contexts(header.qp)
+        self.dec = CabacDecoder(BitReader(data))
+        # syntax-state maps at 4x4 granularity
+        mw, mh = (self.w + 3) // 4, (self.h + 3) // 4
+        self.ct_depth = np.full((mh, mw), -1, np.int8)
+        self.luma_mode = np.full((mh, mw), -1, np.int8)
+        self.qp_y_map = np.full((mh, mw), header.qp, np.int8)
+        self.qp_prev = header.qp
+        self.cu_qp_delta = 0
+        self.qp_coded = False
+        self.qg_pos = (0, 0)
+        self.cur_qp = header.qp
+        self.ops: list[PredOp] = []
+        self.sao_out = {}
+        self.pic = pic                    # Picture for SAO/deblock meta
+        self._cu_tus: list[TU] = []
+
+    # -- top level -------------------------------------------------------
+    def decode_slice_data(self):
+        ctb_size = 1 << self.ctb_log2
+        log2_qg = self.ctb_log2 - self.pps.diff_cu_qp_delta_depth
+        self.log2_qg = log2_qg
+        for cy in range(self.ctbs_y):
+            for cx in range(self.ctbs_x):
+                x0, y0 = cx << self.ctb_log2, cy << self.ctb_log2
+                if self.hdr.sao_luma or self.hdr.sao_chroma:
+                    self._parse_sao(cx, cy)
+                self._coding_quadtree(x0, y0, self.ctb_log2, 0)
+                end = self.dec.terminate()
+                last = (cy == self.ctbs_y - 1 and cx == self.ctbs_x - 1)
+                if end != (1 if last else 0):
+                    raise ValueError(
+                        f"end_of_slice_segment_flag {end} at CTB "
+                        f"({cx},{cy}), expected {int(last)}")
+        return self.ops
+
+    # -- SAO syntax (7.3.8.3) ---------------------------------------------
+    def _parse_sao(self, cx, cy):
+        from ffpic_tpu.formats.hevc_recon import SaoParam
+        merge_left = merge_up = 0
+        if cx > 0:
+            merge_left = self.dec.decision(self.ctx["sao_merge", 0])
+        if cy > 0 and not merge_left:
+            merge_up = self.dec.decision(self.ctx["sao_merge", 0])
+        if merge_left:
+            self.sao_out[(cx, cy)] = self.sao_out[(cx - 1, cy)]
+            return
+        if merge_up:
+            self.sao_out[(cx, cy)] = self.sao_out[(cx, cy - 1)]
+            return
+        types = [0, 0, 0]
+        offsets = [[0] * 4 for _ in range(3)]
+        band_pos = [0, 0, 0]
+        eo_class = [0, 0, 0]
+        n_comp = 3 if self.sps.chroma_format else 1
+        for c in range(n_comp):
+            if c == 0 and not self.hdr.sao_luma:
+                continue
+            if c == 1 and not self.hdr.sao_chroma:
+                break
+            if c <= 1:
+                # sao_type_idx: bin0 ctx, bin1 bypass
+                if self.dec.decision(self.ctx["sao_type_idx", 0]):
+                    types[c] = 2 if self.dec.bypass() else 1
+                else:
+                    types[c] = 0
+                if c == 1:
+                    types[2] = types[1]
+            if types[c] == 0:
+                continue
+            for k in range(4):
+                offsets[c][k] = self.dec.truncated_rice(
+                    7, 0, bypass_prefix=True)
+            if types[c] == 1:
+                for k in range(4):
+                    if offsets[c][k] and self.dec.bypass():
+                        offsets[c][k] = -offsets[c][k]
+                band_pos[c] = self.dec.bypass_n(5)
+            else:
+                # edge: first two positive, last two negative
+                offsets[c][2] = -offsets[c][2]
+                offsets[c][3] = -offsets[c][3]
+                if c <= 1:
+                    eo_class[c] = self.dec.bypass_n(2)
+                    if c == 1:
+                        eo_class[2] = eo_class[1]
+        # spec: offsets for EO are [o0, o1, 0, o2, o3] around edgeIdx 2;
+        # we store 4 offsets keyed to edgeIdx {0,1,3,4} -> k 0..3
+        prm = SaoParam(type_idx=tuple(types),
+                       offsets=tuple(tuple(o) for o in offsets),
+                       band_pos=tuple(band_pos),
+                       eo_class=tuple(eo_class))
+        self.sao_out[(cx, cy)] = prm
+
+    # -- coding quadtree (7.3.8.4) ---------------------------------------
+    def _coding_quadtree(self, x0, y0, log2, depth):
+        size = 1 << log2
+        inside = x0 + size <= self.w and y0 + size <= self.h
+        if inside and log2 > self.min_cb:
+            ctx_inc = 0
+            if x0 > 0 and self.ct_depth[y0 // 4, (x0 - 1) // 4] > depth:
+                ctx_inc += 1
+            if y0 > 0 and self.ct_depth[(y0 - 1) // 4, x0 // 4] > depth:
+                ctx_inc += 1
+            split = self.dec.decision(self.ctx["split_cu_flag", ctx_inc])
+        elif log2 > self.min_cb:
+            split = 1
+        else:
+            split = 0
+        if (self.pps.cu_qp_delta_enabled
+                and log2 >= self.log2_qg):
+            self.qp_coded = False
+            self.cu_qp_delta = 0
+            self.qg_pos = (x0, y0)
+            self.qg_qp_prev = self.qp_prev
+        if split:
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < self.w and y1 < self.h:
+                    self._coding_quadtree(x1, y1, log2 - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2, depth)
+
+    # -- QP prediction (8.6.1) --------------------------------------------
+    def _derive_qp(self):
+        """qPY_PRED from the QG's left/above neighbors (must lie in the
+        same CTB and be decoded) with qPY_PREV fallback."""
+        xqg, yqg = self.qg_pos
+        ctb_mask = ~((1 << self.ctb_log2) - 1)
+        qp_a = qp_b = self.qg_qp_prev
+        if xqg > 0 and (xqg - 1) & ctb_mask == xqg & ctb_mask \
+                and self.ct_depth[yqg // 4, (xqg - 1) // 4] >= 0:
+            qp_a = int(self.qp_y_map[yqg // 4, (xqg - 1) // 4])
+        if yqg > 0 and (yqg - 1) & ctb_mask == yqg & ctb_mask \
+                and self.ct_depth[(yqg - 1) // 4, xqg // 4] >= 0:
+            qp_b = int(self.qp_y_map[(yqg - 1) // 4, xqg // 4])
+        pred = (qp_a + qp_b + 1) >> 1
+        return (pred + self.cu_qp_delta + 52) % 52
+
+    # -- coding unit (7.3.8.5) --------------------------------------------
+    def _coding_unit(self, x0, y0, log2, depth):
+        size = 1 << log2
+        bypass = False
+        if self.pps.transquant_bypass:
+            bypass = bool(self.dec.decision(
+                self.ctx["cu_transquant_bypass_flag", 0]))
+        # I slice: pred mode inferred INTRA; no cu_skip; no palette
+        part_nxn = False
+        if log2 == self.min_cb:
+            if not self.dec.decision(self.ctx["part_mode", 0]):
+                part_nxn = True
+        if self.sps.pcm_enabled and not part_nxn:
+            raise NotImplementedError("PCM")
+
+        # luma intra modes (7.3.8.5 two-loop order)
+        n_pu = 2 if part_nxn else 1
+        pb = size >> (1 if part_nxn else 0)
+        prev = [[0] * n_pu for _ in range(n_pu)]
+        for j in range(n_pu):
+            for i in range(n_pu):
+                prev[j][i] = self.dec.decision(
+                    self.ctx["prev_intra_luma_pred_flag", 0])
+        mpm_or_rem = [[0] * n_pu for _ in range(n_pu)]
+        for j in range(n_pu):
+            for i in range(n_pu):
+                if prev[j][i]:
+                    # mpm_idx: TR cMax=2, bypass
+                    v = 0
+                    if self.dec.bypass():
+                        v = 2 if self.dec.bypass() else 1
+                    mpm_or_rem[j][i] = v
+                else:
+                    mpm_or_rem[j][i] = self.dec.bypass_n(5)
+        modes = [[0] * n_pu for _ in range(n_pu)]
+        for j in range(n_pu):
+            for i in range(n_pu):
+                xp, yp = x0 + i * pb, y0 + j * pb
+                mode = self._derive_luma_mode(xp, yp, prev[j][i],
+                                              mpm_or_rem[j][i])
+                modes[j][i] = mode
+                self.luma_mode[yp // 4:(yp + pb) // 4,
+                               xp // 4:(xp + pb) // 4] = mode
+
+        # chroma mode (4:2:0: one per CU)
+        chroma_mode = 0
+        if self.sps.chroma_format:
+            if self.dec.decision(self.ctx["intra_chroma_pred_mode", 0]):
+                idx = self.dec.bypass_n(2)
+                cand = (INTRA_PLANAR, 26, 10, INTRA_DC)[idx]
+                chroma_mode = 34 if cand == modes[0][0] else cand
+            else:
+                chroma_mode = modes[0][0]
+
+        # bookkeeping for ctx of later CUs
+        self.ct_depth[y0 // 4:(y0 + size) // 4,
+                      x0 // 4:(x0 + size) // 4] = depth
+
+        # transform tree
+        self._cu_tus = []
+        self.cu_bypass = bypass
+        self.cu_modes = modes
+        self.cu_chroma_mode = chroma_mode
+        self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2
+        self.cu_part_nxn = part_nxn
+        max_depth = (self.sps.max_transform_hierarchy_depth_intra
+                     + (1 if part_nxn else 0))
+        self.cu_max_trafo_depth = max_depth
+        self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
+
+        # finalize CU QP (8.6.1) and stamp TUs + maps
+        qp_y = (self._derive_qp()
+                if self.pps.cu_qp_delta_enabled else self.hdr.qp)
+        self.qp_prev = qp_y
+        self.qp_y_map[y0 // 4:(y0 + size) // 4,
+                      x0 // 4:(x0 + size) // 4] = qp_y
+        if self.pic is not None:
+            self.pic.qp_map[y0 // 4:(y0 + size) // 4,
+                            x0 // 4:(x0 + size) // 4] = qp_y
+            if bypass:
+                self.pic.bypass_map[y0 // 4:(y0 + size) // 4,
+                                    x0 // 4:(x0 + size) // 4] = True
+        for tu in self._cu_tus:
+            if tu.c_idx == 0:
+                tu.qp = qp_y
+            else:
+                off = (self.pps.cb_qp_offset + self.hdr.cb_qp_offset
+                       if tu.c_idx == 1 else
+                       self.pps.cr_qp_offset + self.hdr.cr_qp_offset)
+                tu.qp = chroma_qp(min(max(qp_y + off, 0), 57))
+
+    def _derive_luma_mode(self, xp, yp, prev, val):
+        """MPM construction (8.4.2)."""
+        def cand(nx, ny, above):
+            if nx < 0 or ny < 0:
+                return INTRA_DC
+            if above and (ny >> self.ctb_log2) != (yp >> self.ctb_log2):
+                return INTRA_DC
+            m = self.luma_mode[ny // 4, nx // 4]
+            return INTRA_DC if m < 0 else int(m)
+        cand_a = cand(xp - 1, yp, False)
+        cand_b = cand(xp, yp - 1, True)
+        if cand_a == cand_b:
+            if cand_a < 2:
+                mpm = [INTRA_PLANAR, INTRA_DC, 26]
+            else:
+                mpm = [cand_a, 2 + ((cand_a + 29) % 32),
+                       2 + ((cand_a - 2 + 1) % 32)]
+        else:
+            mpm = [cand_a, cand_b, 0]
+            if INTRA_PLANAR not in (cand_a, cand_b):
+                mpm[2] = INTRA_PLANAR
+            elif INTRA_DC not in (cand_a, cand_b):
+                mpm[2] = INTRA_DC
+            else:
+                mpm[2] = 26
+        if prev:
+            return mpm[val]
+        s = sorted(mpm)
+        mode = val
+        for m in s:
+            if mode >= m:
+                mode += 1
+        return mode
+
+    # -- transform tree (7.3.8.8) ------------------------------------------
+    def _transform_tree(self, x0, y0, xb, yb, log2, depth, blk_idx,
+                        cbf_cb_par, cbf_cr_par):
+        intra_split = self.cu_part_nxn
+        if (log2 <= self.max_tb and log2 > self.min_tb
+                and depth < self.cu_max_trafo_depth
+                and not (intra_split and depth == 0)):
+            split = self.dec.decision(
+                self.ctx["split_transform_flag", 5 - log2])
+        else:
+            split = int(log2 > self.max_tb
+                        or (intra_split and depth == 0
+                            and log2 > self.min_tb))
+        cbf_cb, cbf_cr = cbf_cb_par, cbf_cr_par
+        if self.sps.chroma_format and log2 > 2:
+            if depth == 0 or cbf_cb_par:
+                cbf_cb = bool(self.dec.decision(
+                    self.ctx["cbf_cb_cr", depth]))
+            else:
+                cbf_cb = False
+            if depth == 0 or cbf_cr_par:
+                cbf_cr = bool(self.dec.decision(
+                    self.ctx["cbf_cb_cr", depth]))
+            else:
+                cbf_cr = False
+        if split:
+            half = 1 << (log2 - 1)
+            self._transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0,
+                                 cbf_cb, cbf_cr)
+            self._transform_tree(x0 + half, y0, x0, y0, log2 - 1,
+                                 depth + 1, 1, cbf_cb, cbf_cr)
+            self._transform_tree(x0, y0 + half, x0, y0, log2 - 1,
+                                 depth + 1, 2, cbf_cb, cbf_cr)
+            self._transform_tree(x0 + half, y0 + half, x0, y0, log2 - 1,
+                                 depth + 1, 3, cbf_cb, cbf_cr)
+            return
+        cbf_luma = bool(self.dec.decision(
+            self.ctx["cbf_luma", 1 if depth == 0 else 0]))
+        self._transform_unit(x0, y0, xb, yb, log2, depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+    # -- transform unit (7.3.8.10) -----------------------------------------
+    def _transform_unit(self, x0, y0, xb, yb, log2, depth, blk_idx,
+                        cbf_luma, cbf_cb, cbf_cr):
+        has_chroma = self.sps.chroma_format and (
+            log2 > 2 or blk_idx == 3)
+        if log2 > 2:
+            cx, cy, clog2 = x0, y0, log2 - 1
+        else:
+            cx, cy, clog2 = xb, yb, 2
+        cbf_chroma = has_chroma and (cbf_cb or cbf_cr)
+        if cbf_luma or cbf_chroma:
+            if self.pps.cu_qp_delta_enabled and not self.qp_coded:
+                self._parse_cu_qp_delta()
+        # luma: prediction op (+ residual)
+        size = 1 << log2
+        mode = int(self.luma_mode[y0 // 4, x0 // 4])
+        tu = None
+        if cbf_luma:
+            tu = self._residual(x0, y0, log2, 0, mode)
+        self.ops.append(PredOp(0, x0, y0, size, mode, tu))
+        if self.pic is not None:
+            self.pic.mark_edges(x0, y0, size)
+        # chroma: at this leaf if size > 4, else at blkIdx 3 (covering
+        # the parent 8x8)
+        if has_chroma:
+            csize = 1 << clog2            # chroma samples
+            cmode = self.cu_chroma_mode
+            tu_cb = tu_cr = None
+            if cbf_cb:
+                tu_cb = self._residual(cx, cy, clog2, 1, cmode)
+            if cbf_cr:
+                tu_cr = self._residual(cx, cy, clog2, 2, cmode)
+            self.ops.append(PredOp(1, cx >> 1, cy >> 1, csize, cmode,
+                                   tu_cb))
+            self.ops.append(PredOp(2, cx >> 1, cy >> 1, csize, cmode,
+                                   tu_cr))
+
+    def _parse_cu_qp_delta(self):
+        # cu_qp_delta_abs: TR cMax=5 ctx-coded (bin0 ctx0, rest ctx1),
+        # EG0 bypass suffix when prefix saturates
+        prefix = 0
+        if self.dec.decision(self.ctx["cu_qp_delta_abs", 0]):
+            prefix = 1
+            while prefix < 5 and self.dec.decision(
+                    self.ctx["cu_qp_delta_abs", 1]):
+                prefix += 1
+        val = prefix
+        if prefix == 5:
+            val = 5 + self.dec.exp_golomb_k(0)
+        if val:
+            if self.dec.bypass():
+                val = -val
+        self.cu_qp_delta = val
+        self.qp_coded = True
+
+    # -- residual coding (7.3.8.11) ------------------------------------------
+    def _residual(self, x0, y0, log2, c_idx, pred_mode) -> TU:
+        dec, ctx = self.dec, self.ctx
+        n = 1 << log2
+        levels = np.zeros((n, n), np.int32)
+        skip = False
+        if (self.pps.transform_skip_enabled and not self.cu_bypass
+                and log2 == 2):
+            skip = bool(dec.decision(
+                ctx["transform_skip_flag", 1 if c_idx else 0]))
+
+        # scan index (7.4.9.11): mode-dependent for small intra TBs
+        if log2 == 2 or (log2 == 3 and c_idx == 0):
+            if 6 <= pred_mode <= 14:
+                scan_idx = 2
+            elif 22 <= pred_mode <= 30:
+                scan_idx = 1
+            else:
+                scan_idx = 0
+        else:
+            scan_idx = 0
+
+        # last significant coefficient position (9.3.4.2.3)
+        def last_prefix(which):
+            base = ("last_sig_coeff_x_prefix" if which == 0
+                    else "last_sig_coeff_y_prefix")
+            if c_idx == 0:
+                off = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+                shift = (log2 + 1) >> 2
+            else:
+                off = 15
+                shift = log2 - 2
+            c_max = (log2 << 1) - 1
+            v = 0
+            while v < c_max and dec.decision(
+                    ctx[base, (v >> shift) + off]):
+                v += 1
+            return v
+
+        px = last_prefix(0)
+        py = last_prefix(1)
+
+        def last_val(prefix):
+            if prefix <= 3:
+                return prefix
+            nbits = (prefix >> 1) - 1
+            suf = dec.bypass_n(nbits)
+            return (2 + (prefix & 1)) * (1 << nbits) + suf
+
+        last_x = last_val(px)
+        last_y = last_val(py)
+        if scan_idx == 2:
+            last_x, last_y = last_y, last_x
+
+        sub_scan = scan_order(log2 - 2, scan_idx)
+        coef_scan = scan_order(2, scan_idx)
+        n_sub = 1 << (log2 - 2)
+
+        # locate last sub-block + position in scan order
+        last_sb = -1
+        last_pos = -1
+        sx_t, sy_t = last_x >> 2, last_y >> 2
+        for i, (sxx, syy) in enumerate(sub_scan):
+            if sxx == sx_t and syy == sy_t:
+                last_sb = i
+                break
+        px_t, py_t = last_x & 3, last_y & 3
+        for i, (cxx, cyy) in enumerate(coef_scan):
+            if cxx == px_t and cyy == py_t:
+                last_pos = i
+                break
+
+        csbf = np.zeros((n_sub, n_sub), np.int8)
+        gt1_continuation = 1              # greater1Ctx of prev sub-block
+
+        for i in range(last_sb, -1, -1):
+            sxx, syy = int(sub_scan[i][0]), int(sub_scan[i][1])
+            infer_dc = 0
+            if i < last_sb and i > 0:
+                right = csbf[syy, sxx + 1] if sxx + 1 < n_sub else 0
+                below = csbf[syy + 1, sxx] if syy + 1 < n_sub else 0
+                ctx_inc = min(int(right) + int(below), 1) + \
+                    (2 if c_idx else 0)
+                csbf[syy, sxx] = dec.decision(
+                    ctx["coded_sub_block_flag", ctx_inc])
+                infer_dc = 1
+            else:
+                csbf[syy, sxx] = 1
+            if not csbf[syy, sxx]:
+                continue
+
+            sig = np.zeros(16, np.int8)
+            start_n = last_pos - 1 if i == last_sb else 15
+            if i == last_sb:
+                sig[last_pos] = 1
+            for nn in range(start_n, -1, -1):
+                xp, yp = int(coef_scan[nn][0]), int(coef_scan[nn][1])
+                xc, yc = (sxx << 2) + xp, (syy << 2) + yp
+                if nn > 0 or not infer_dc:
+                    ctx_inc = self._sig_ctx(log2, c_idx, scan_idx, xc,
+                                            yc, sxx, syy, csbf, n_sub)
+                    sig[nn] = dec.decision(ctx["sig_coeff_flag",
+                                               ctx_inc])
+                    if sig[nn]:
+                        infer_dc = 0
+                else:
+                    sig[nn] = 1  # inferred DC
+            sig_pos = [nn for nn in range(15, -1, -1) if sig[nn]]
+            if not sig_pos:
+                continue
+
+            # greater1 flags for the first 8 (9.3.4.2.6)
+            ctx_set = 0 if (i == 0 or c_idx > 0) else 2
+            if gt1_continuation == 0:
+                ctx_set += 1
+            c1 = 1
+            gt1 = {}
+            for k, nn in enumerate(sig_pos[:8]):
+                ctx_inc = ctx_set * 4 + min(c1, 3)
+                if c_idx:
+                    ctx_inc += 16
+                f = dec.decision(
+                    ctx["coeff_abs_level_greater1_flag", ctx_inc])
+                gt1[nn] = f
+                if f:
+                    c1 = 0
+                elif 0 < c1 < 3:
+                    c1 += 1
+            gt1_continuation = c1
+
+            gt2 = {}
+            first_gt1 = next((nn for nn in sig_pos[:8] if gt1[nn]), None)
+            if first_gt1 is not None:
+                ctx_inc = ctx_set + (4 if c_idx else 0)
+                gt2[first_gt1] = dec.decision(
+                    ctx["coeff_abs_level_greater2_flag", ctx_inc])
+
+            # sign hiding decision
+            sign_hidden = (self.pps.sign_data_hiding
+                           and not self.cu_bypass
+                           and (sig_pos[0] - sig_pos[-1]) > 3)
+            signs = {}
+            for nn in sig_pos:
+                if sign_hidden and nn == sig_pos[-1]:
+                    continue
+                signs[nn] = dec.bypass()
+
+            # remaining levels (9.3.3.13)
+            rice = 0
+            total = 0
+            lvls = {}
+            for k, nn in enumerate(sig_pos):
+                base = 1
+                if k < 8:
+                    base += gt1.get(nn, 0)
+                    if nn == first_gt1:
+                        base += gt2.get(nn, 0)
+                threshold = 3 if (k < 8 and nn == first_gt1) else \
+                    (2 if k < 8 else 1)
+                lvl = base
+                if base == threshold:
+                    prefix = 0
+                    while prefix < 32 and dec.bypass():
+                        prefix += 1
+                    if prefix < 3:
+                        suf = dec.bypass_n(rice) if rice else 0
+                        rem = (prefix << rice) + suf
+                    else:
+                        nbits = prefix - 3 + rice
+                        suf = dec.bypass_n(nbits) if nbits else 0
+                        rem = (((1 << (prefix - 3)) + 2) << rice) + suf
+                    lvl = base + rem
+                    if lvl > (3 << rice):
+                        rice = min(rice + 1, 4)
+                lvls[nn] = lvl
+                total += lvl
+            for nn in sig_pos:
+                lvl = lvls[nn]
+                if sign_hidden and nn == sig_pos[-1]:
+                    s = total & 1
+                else:
+                    s = signs[nn]
+                if s:
+                    lvl = -lvl
+                xp, yp = int(coef_scan[nn][0]), int(coef_scan[nn][1])
+                levels[(syy << 2) + yp, (sxx << 2) + xp] = lvl
+
+        dst = (c_idx == 0 and log2 == 2)   # intra luma 4x4 -> DST
+        if c_idx:
+            x0, y0 = x0 >> 1, y0 >> 1
+        tu = TU(x=x0, y=y0, n=n, c_idx=c_idx, levels=levels,
+                skip=skip, bypass=self.cu_bypass, dst=dst)
+        self._cu_tus.append(tu)
+        return tu
+
+    @staticmethod
+    def _sig_ctx(log2, c_idx, scan_idx, xc, yc, sxx, syy, csbf, n_sub):
+        """9.3.4.2.5 sig_coeff_flag ctxInc derivation."""
+        if log2 == 2:
+            sig = SIG_CTX_4X4[(yc << 2) + xc]
+        elif xc == 0 and yc == 0:
+            sig = 0
+        else:
+            right = int(csbf[syy, sxx + 1]) if sxx + 1 < n_sub else 0
+            below = int(csbf[syy + 1, sxx]) if syy + 1 < n_sub else 0
+            prev = right + 2 * below
+            xp, yp = xc & 3, yc & 3
+            if prev == 0:
+                sig = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+            elif prev == 1:
+                sig = 2 if yp == 0 else (1 if yp == 1 else 0)
+            elif prev == 2:
+                sig = 2 if xp == 0 else (1 if xp == 1 else 0)
+            else:
+                sig = 2
+            if c_idx == 0:
+                if sxx or syy:
+                    sig += 3
+                sig += (9 if scan_idx == 0 else 15) if log2 == 3 else 21
+            else:
+                sig += 9 if log2 == 3 else 12
+        return sig + (27 if c_idx else 0)

@@ -75,6 +75,7 @@ class SPS:
     amp_enabled: bool = False
     sample_adaptive_offset: bool = False
     pcm_enabled: bool = False
+    strong_intra_smoothing: bool = False
     ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
 
     @property
@@ -109,8 +110,25 @@ class PPS:
     cr_qp_offset: int = 0
     tiles_enabled: bool = False
     entropy_coding_sync: bool = False
-    deblocking_override: bool = False
     transquant_bypass: bool = False
+    slice_chroma_qp_offsets_present: bool = False
+    dependent_slice_segments: bool = False
+    output_flag_present: bool = False
+    num_extra_slice_header_bits: int = 0
+    # tiles geometry (uniform or explicit, 7.3.2.3.1)
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+    uniform_spacing: bool = True
+    tile_col_widths: tuple = ()
+    tile_row_heights: tuple = ()
+    loop_filter_across_tiles: bool = True
+    loop_filter_across_slices: bool = False
+    deblocking_control_present: bool = False
+    deblocking_override_enabled: bool = False
+    deblocking_disabled: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    slice_header_extension_present: bool = False
 
 
 def _parse_ptl(r: BitReader) -> ProfileTierLevel:
@@ -179,7 +197,16 @@ def parse_sps(nalu: bytes) -> SPS:
         read_ue(r)
         r.read_bit()
     num_short_term_rps = read_ue(r)
-    # short-term RPS parsing not needed for stills (always 0 in HEIC)
+    if num_short_term_rps == 0:
+        # stills always have 0 RPS (HEIC); parse the trailing flags the
+        # slice decoder needs (7.3.2.2.1)
+        if r.read_bit():                # long_term_ref_pics_present
+            n = read_ue(r)
+            for _ in range(n):
+                r.read_bits(s.log2_max_pic_order_cnt)
+                r.read_bit()
+        r.read_bit()                    # sps_temporal_mvp_enabled
+        s.strong_intra_smoothing = bool(r.read_bit())
     return s
 
 
@@ -202,9 +229,9 @@ def parse_pps(nalu: bytes) -> PPS:
     p = PPS()
     p.pps_id = read_ue(r)
     p.sps_id = read_ue(r)
-    r.read_bit()                        # dependent_slice_segments
-    r.read_bit()                        # output_flag_present
-    r.read_bits(3)                      # num_extra_slice_header_bits
+    p.dependent_slice_segments = bool(r.read_bit())
+    p.output_flag_present = bool(r.read_bit())
+    p.num_extra_slice_header_bits = r.read_bits(3)
     p.sign_data_hiding = bool(r.read_bit())
     p.cabac_init_present = bool(r.read_bit())
     read_ue(r)                          # num_ref_idx_l0
@@ -217,14 +244,67 @@ def parse_pps(nalu: bytes) -> PPS:
         p.diff_cu_qp_delta_depth = read_ue(r)
     p.cb_qp_offset = read_se(r)
     p.cr_qp_offset = read_se(r)
-    r.read_bit()                        # slice_chroma_qp_offsets_present
+    p.slice_chroma_qp_offsets_present = bool(r.read_bit())
     r.read_bit()                        # weighted_pred
     r.read_bit()                        # weighted_bipred
     p.transquant_bypass = bool(r.read_bit())
     p.tiles_enabled = bool(r.read_bit())
     p.entropy_coding_sync = bool(r.read_bit())
+    if p.tiles_enabled:
+        p.num_tile_cols = read_ue(r) + 1
+        p.num_tile_rows = read_ue(r) + 1
+        p.uniform_spacing = bool(r.read_bit())
+        if not p.uniform_spacing:
+            p.tile_col_widths = tuple(read_ue(r) + 1
+                                      for _ in range(p.num_tile_cols - 1))
+            p.tile_row_heights = tuple(read_ue(r) + 1
+                                       for _ in range(p.num_tile_rows - 1))
+        p.loop_filter_across_tiles = bool(r.read_bit())
+    p.loop_filter_across_slices = bool(r.read_bit())
+    p.deblocking_control_present = bool(r.read_bit())
+    if p.deblocking_control_present:
+        p.deblocking_override_enabled = bool(r.read_bit())
+        p.deblocking_disabled = bool(r.read_bit())
+        if not p.deblocking_disabled:
+            p.beta_offset_div2 = read_se(r)
+            p.tc_offset_div2 = read_se(r)
+    if r.read_bit():                    # pps_scaling_list_data_present
+        _skip_scaling_list(r)
+    r.read_bit()                        # lists_modification_present
+    read_ue(r)                          # log2_parallel_merge_level_minus2
+    p.slice_header_extension_present = bool(r.read_bit())
     return p
 
 
 def nal_type(nalu: bytes) -> int:
     return (nalu[0] >> 1) & 0x3F if nalu else -1
+
+
+def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
+    """Decode one IDR slice NALU to a reconstructed Picture
+    (full pixel path: CABAC syntax -> recon -> deblock -> SAO).
+
+    Reference scope anchor: parse_slice_segment_layer
+    (coding/hevc.c:7194-7292) — but with deblock and SAO actually
+    implemented (the reference stubs/disables them, hevc.c:7173-7192).
+    """
+    from ffpic_tpu.coding.hevc_slice import (SliceDecoder,
+                                             parse_slice_header)
+    from ffpic_tpu.formats import hevc_recon
+
+    rbsp = unescape(nalu)
+    r = BitReader(rbsp)
+    nut = (rbsp[0] >> 1) & 0x3F
+    r.skip_bits(16)
+    hdr = parse_slice_header(r, nut, sps, pps)
+    data = rbsp[hdr.data_bit_offset // 8:]
+    pic = hevc_recon.Picture(sps)
+    sd = SliceDecoder(sps, pps, hdr, data, pic)
+    ops = sd.decode_slice_data()
+    hevc_recon.execute_ops(pic, ops)
+    pic.sao_params = sd.sao_out
+    if not hdr.deblocking_disabled:
+        hevc_recon.deblock(pic, hdr.beta_offset_div2, hdr.tc_offset_div2)
+    if hdr.sao_luma or hdr.sao_chroma:
+        hevc_recon.apply_sao(pic)
+    return pic

@@ -1,0 +1,548 @@
+"""HEVC reconstruction: intra prediction (8.4.4.2), residual
+application, deblocking filter (8.7.2) and SAO (8.7.3).
+
+Design (TPU-first split, SURVEY.md §3.5): the CABAC syntax pass
+(coding/hevc_slice.py) emits an ordered list of reconstruction ops;
+this module executes them.  Residual inverse transforms have no
+feedback dependency, so they are computed up front — batched per TU
+size bucket, device-offloadable — while intra prediction runs as a
+host wavefront over the op list (each TB needs reconstructed
+neighbors).  Deblock + SAO are whole-plane passes at the end; the
+reference stubs deblock and force-disables SAO (hevc.c:7173-7192), we
+implement both for real.
+
+Reference parity anchors: predict.c:651-792 (planar/DC/angular),
+hevc.c:4277-4428 (reference samples), hevc.c:7050-7172 (SAO parse).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ffpic_tpu.coding.hevc_consts import (
+    INTRA_PRED_ANGLE, INV_ANGLE, BETA_TABLE, TC_TABLE,
+    dequant, inverse_transform)
+
+INTRA_PLANAR, INTRA_DC = 0, 1
+
+
+# ---------------------------------------------------------------------------
+# picture state
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SaoParam:
+    """Per-CTB SAO parameters (one per component)."""
+    type_idx: tuple = (0, 0, 0)           # 0 off, 1 band, 2 edge
+    offsets: tuple = ((0,) * 4,) * 3      # signed, per component
+    band_pos: tuple = (0, 0, 0)
+    eo_class: tuple = (0, 0, 0)
+
+
+class Picture:
+    """Decoding state for one HEVC picture (4:2:0 or 4:0:0)."""
+
+    def __init__(self, sps):
+        self.sps = sps
+        self.bd = sps.bit_depth_luma
+        self.w = sps.width
+        self.h = sps.height
+        self.cw = (self.w + 1) >> 1
+        self.ch = (self.h + 1) >> 1
+        self.planes = [np.zeros((self.h, self.w), np.int32)]
+        if sps.chroma_format != 0:
+            self.planes += [np.zeros((self.ch, self.cw), np.int32),
+                            np.zeros((self.ch, self.cw), np.int32)]
+        # decoded masks at 4x4 granularity per plane (availability)
+        self.masks = [np.zeros(((p.shape[0] + 3) // 4, (p.shape[1] + 3) // 4),
+                               bool) for p in self.planes]
+        self.sao_params: dict[tuple, SaoParam] = {}
+        # per-4x4 luma QP map (for deblocking tC/beta lookups)
+        self.qp_map = np.zeros(((self.h + 3) // 4, (self.w + 3) // 4),
+                               np.int32)
+        # TU/CU edge flags on the 8x8 deblocking grid
+        self.v_edges = np.zeros((self.h, (self.w + 7) // 8), bool)
+        self.h_edges = np.zeros(((self.h + 7) // 8, self.w), bool)
+        self.bypass_map = np.zeros(((self.h + 3) // 4, (self.w + 3) // 4),
+                                   bool)
+
+    def mark_decoded(self, plane: int, x: int, y: int, size: int) -> None:
+        m = self.masks[plane]
+        m[y // 4:(y + size + 3) // 4, x // 4:(x + size + 3) // 4] = True
+
+    def mark_edges(self, x: int, y: int, size: int) -> None:
+        """Record a TU/CU boundary (luma coords) for deblocking."""
+        if x % 8 == 0 and x > 0:
+            self.v_edges[y:y + size, x // 8] = True
+        if y % 8 == 0 and y > 0:
+            self.h_edges[y // 8, x:x + size] = True
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (8.4.4.2)
+# ---------------------------------------------------------------------------
+
+def _gather_reference(pic: Picture, plane: int, x: int, y: int,
+                      n: int) -> tuple[np.ndarray, np.ndarray, int, bool]:
+    """Reference sample gathering + substitution (8.4.4.2.1-2).
+
+    Returns (top, left, corner): top[0..2n-1] = p[x..][-1],
+    left[0..2n-1] = p[-1][y..], corner = p[-1][-1].
+    """
+    pl = pic.planes[plane]
+    mask = pic.masks[plane]
+    ph, pw = pl.shape
+    bd_mid = 1 << (pic.bd - 1)
+
+    # availability per 4-sample group along each border
+    def avail(sx, sy):
+        if sx < 0 or sy < 0 or sx >= pw or sy >= ph:
+            return False
+        return bool(mask[sy // 4, sx // 4])
+
+    total = 4 * n + 1
+    vals = np.empty(total, np.int64)     # scan: bottom-left .. top-right
+    ok = np.zeros(total, bool)
+    # left column bottom-up: p[-1][y+2n-1] .. p[-1][y]
+    for i in range(2 * n):
+        sy = y + 2 * n - 1 - i
+        if avail(x - 1, sy):
+            vals[i] = pl[sy, x - 1]
+            ok[i] = True
+    # corner
+    if avail(x - 1, y - 1):
+        vals[2 * n] = pl[y - 1, x - 1]
+        ok[2 * n] = True
+    # top row left-to-right: p[x][-1] .. p[x+2n-1][-1]
+    for i in range(2 * n):
+        sx = x + i
+        if avail(sx, y - 1):
+            vals[2 * n + 1 + i] = pl[y - 1, min(sx, pw - 1)]
+            ok[2 * n + 1 + i] = True
+
+    if not ok.any():
+        vals[:] = bd_mid
+    elif not ok.all():
+        # substitution: first entry takes the first available value,
+        # then forward-fill (8.4.4.2.2)
+        if not ok[0]:
+            vals[0] = vals[np.argmax(ok)]
+            ok[0] = True
+        for i in range(1, total):
+            if not ok[i]:
+                vals[i] = vals[i - 1]
+
+    left = vals[2 * n - 1::-1]           # p[-1][y] .. p[-1][y+2n-1]
+    corner = int(vals[2 * n])
+    top = vals[2 * n + 1:]
+    return top.copy(), left.copy(), corner
+
+
+def _filter_reference(top, left, corner, n, mode, bd,
+                      strong_smoothing: bool):
+    """8.4.4.2.3 reference sample filtering (luma only)."""
+    if mode == INTRA_DC or n == 4:
+        return top, left, corner
+    min_dist = min(abs(mode - 26), abs(mode - 10))
+    thres = {8: 7, 16: 1, 32: 0}[n]
+    if not (mode == INTRA_PLANAR or min_dist > thres):
+        return top, left, corner
+    if (n == 32 and strong_smoothing and
+            abs(corner + top[2 * n - 1] - 2 * top[n - 1]) < (1 << (bd - 5))
+            and abs(corner + left[2 * n - 1] - 2 * left[n - 1])
+            < (1 << (bd - 5))):
+        i = np.arange(2 * n - 1)
+        ft = np.empty_like(top)
+        fl = np.empty_like(left)
+        ft[:2 * n - 1] = ((63 - i) * corner + (i + 1) * top[2 * n - 1]
+                          + 32) >> 6
+        ft[2 * n - 1] = top[2 * n - 1]
+        fl[:2 * n - 1] = ((63 - i) * corner + (i + 1) * left[2 * n - 1]
+                          + 32) >> 6
+        fl[2 * n - 1] = left[2 * n - 1]
+        return ft, fl, corner
+    # [1 2 1] smoothing
+    ft = np.empty_like(top)
+    fl = np.empty_like(left)
+    ft[0] = (corner + 2 * top[0] + top[1] + 2) >> 2
+    ft[1:2 * n - 1] = (top[:2 * n - 2] + 2 * top[1:2 * n - 1]
+                       + top[2:] + 2) >> 2
+    ft[2 * n - 1] = top[2 * n - 1]
+    fl[0] = (corner + 2 * left[0] + left[1] + 2) >> 2
+    fl[1:2 * n - 1] = (left[:2 * n - 2] + 2 * left[1:2 * n - 1]
+                       + left[2:] + 2) >> 2
+    fl[2 * n - 1] = left[2 * n - 1]
+    fc = (left[0] + 2 * corner + top[0] + 2) >> 2
+    return ft, fl, fc
+
+
+def predict_intra(pic: Picture, plane: int, x: int, y: int, n: int,
+                  mode: int) -> np.ndarray:
+    """Intra sample prediction (8.4.4.2.4-7) for one nxn TB.
+
+    x/y are plane-local sample coords.  Returns (n, n) int32.
+    """
+    bd = pic.bd
+    maxv = (1 << bd) - 1
+    top, left, corner = _gather_reference(pic, plane, x, y, n)
+    if plane == 0:
+        top, left, corner = _filter_reference(
+            top, left, corner, n, mode, bd,
+            getattr(pic.sps, "strong_intra_smoothing", False))
+
+    if mode == INTRA_PLANAR:                       # 8.4.4.2.4
+        xs = np.arange(n)
+        ys = np.arange(n)[:, None]
+        pred = ((n - 1 - xs) * left[ys] + (xs + 1) * top[n]
+                + (n - 1 - ys) * top[xs] + (ys + 1) * left[n] + n)
+        return (pred >> (n.bit_length())).astype(np.int32)
+
+    if mode == INTRA_DC:                           # 8.4.4.2.5
+        dc = (int(top[:n].sum() + left[:n].sum()) + n) >> n.bit_length()
+        pred = np.full((n, n), dc, np.int64)
+        if plane == 0 and n < 32:
+            pred[0, 0] = (left[0] + 2 * dc + top[0] + 2) >> 2
+            pred[0, 1:] = (top[1:n] + 3 * dc + 2) >> 2
+            pred[1:, 0] = (left[1:n] + 3 * dc + 2) >> 2
+        return pred.astype(np.int32)
+
+    # angular (8.4.4.2.6)
+    angle = INTRA_PRED_ANGLE[mode - 2]
+    if mode >= 18:
+        main, side, side_corner = top, left, corner
+    else:
+        main, side, side_corner = left, top, corner
+    # build ref[-n .. 2n]: index offset n
+    ref = np.zeros(3 * n + 1, np.int64)
+    ref[n] = corner
+    ref[n + 1:n + 1 + 2 * n] = main
+    if angle < 0:
+        last = (n * angle) >> 5
+        if last < -1:
+            inv = INV_ANGLE[mode - 11]
+            for i in range(-1, last - 1, -1):
+                idx = ((i * inv + 128) >> 8) - 1
+                ref[n + i] = side[idx] if idx >= 0 else side_corner
+    pos = (np.arange(1, n + 1) * angle)
+    i_idx = pos >> 5
+    i_fact = pos & 31
+    cols = np.arange(n)
+    a = ref[n + 1 + i_idx[:, None] + cols]
+    # when iFact == 0 the b sample has zero weight; clamp its index so
+    # the gather stays in bounds at mode 2/34's extreme (idx would hit
+    # 3n+1)
+    b_idx = np.minimum(n + 2 + i_idx[:, None] + cols, 3 * n)
+    b = ref[b_idx]
+    pred = ((32 - i_fact[:, None]) * a + i_fact[:, None] * b + 16) >> 5
+    # rows of `pred` are distance-from-edge; orient for mode direction
+    if mode >= 18:
+        out = pred                                  # pred[y][x]
+    else:
+        out = pred.T
+    out = out.astype(np.int64)
+    if plane == 0 and n < 32:
+        if mode == 26:
+            col = corner
+            out = out.copy()
+            out[:, 0] = np.clip(top[0] + ((left[:n] - col) >> 1), 0, maxv)
+        elif mode == 10:
+            out = out.copy()
+            out[0, :] = np.clip(left[0] + ((top[:n] - corner) >> 1),
+                                0, maxv)
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# residual computation (batched per TU; 8.6.2-8.6.5)
+# ---------------------------------------------------------------------------
+
+def compute_residual(tu, bd: int) -> np.ndarray:
+    """Dequant + inverse transform for one TU (numpy golden path).
+
+    tu fields: levels (n,n int32, [y][x]), qp, skip, bypass, dst.
+    """
+    if tu.bypass:
+        return tu.levels.astype(np.int32)
+    d = dequant(tu.levels, tu.qp, bd)
+    if tu.skip:
+        shift2 = 20 - bd
+        r = (d.astype(np.int64) << 7)
+        r = (r + (1 << (shift2 - 1))) >> shift2
+        return np.clip(r, -32768, 32767).astype(np.int32)
+    return inverse_transform(d, dst=tu.dst, bit_depth=bd)
+
+
+# ---------------------------------------------------------------------------
+# deblocking filter (8.7.2) — real implementation (reference stubs it)
+# ---------------------------------------------------------------------------
+
+def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical):
+    """Filter all bS=2 (intra) luma edges in one direction, in 4-line
+    segments along each 8-aligned edge."""
+    h, w = pl.shape
+    if vertical:
+        for ci in range(edges.shape[1]):
+            xc = ci * 8
+            if xc == 0 or xc >= w or not edges[:, ci].any():
+                continue
+            for y0 in range(0, h, 4):
+                if not edges[y0:y0 + 4, ci].any():
+                    continue
+                _filter_luma_segment(pl, xc, y0, qp_map, beta_off, tc_off,
+                                     vertical=True)
+    else:
+        for ri in range(edges.shape[0]):
+            yc = ri * 8
+            if yc == 0 or yc >= h or not edges[ri].any():
+                continue
+            for x0 in range(0, w, 4):
+                if not edges[ri, x0:x0 + 4].any():
+                    continue
+                _filter_luma_segment(pl, x0, yc, qp_map, beta_off, tc_off,
+                                     vertical=False)
+
+
+def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical):
+    """One 4-line luma deblock decision+filter (8.7.2.5.3), bS=2."""
+    h, w = pl.shape
+    if vertical:
+        if x < 4 or x + 3 >= w or y + 3 >= h:
+            return
+        blk = pl[y:y + 4, x - 4:x + 4]       # rows = lines
+    else:
+        if y < 4 or y + 3 >= h or x + 3 >= w:
+            return
+        blk = pl[y - 4:y + 4, x:x + 4].T.copy()
+    p = blk[:, 3::-1]                         # p0..p3 away from edge
+    q = blk[:, 4:]
+    qp_p = qp_map[(y if vertical else y - 1) // 4,
+                  (x - 1 if vertical else x) // 4]
+    qp_q = qp_map[y // 4, x // 4]
+    qp_l = (int(qp_p) + int(qp_q) + 1) >> 1
+    b_idx = min(max(qp_l + (beta_off << 1), 0), 51)
+    beta = BETA_TABLE[b_idx]
+    tc_idx = min(max(qp_l + 2 * (2 - 1) + (tc_off << 1), 0), 53)
+    tc = TC_TABLE[tc_idx]
+    if beta == 0:
+        return
+    dp0 = abs(int(p[0, 2]) - 2 * int(p[0, 1]) + int(p[0, 0]))
+    dp3 = abs(int(p[3, 2]) - 2 * int(p[3, 1]) + int(p[3, 0]))
+    dq0 = abs(int(q[0, 2]) - 2 * int(q[0, 1]) + int(q[0, 0]))
+    dq3 = abs(int(q[3, 2]) - 2 * int(q[3, 1]) + int(q[3, 0]))
+    d = dp0 + dq0 + dp3 + dq3
+    if d >= beta:
+        return
+    # strong/weak decision on lines 0 and 3
+    def strong(i):
+        return (2 * (dp0 + dq0 if i == 0 else dp3 + dq3) < (beta >> 2)
+                and abs(int(p[i, 3]) - int(p[i, 0]))
+                + abs(int(q[i, 0]) - int(q[i, 3])) < (beta >> 3)
+                and abs(int(p[i, 0]) - int(q[i, 0]))
+                < ((5 * tc + 1) >> 1))
+    use_strong = strong(0) and strong(3)
+    pi = p.astype(np.int64)
+    qi = q.astype(np.int64)
+    if use_strong:
+        np0 = (pi[:, 2] + 2 * pi[:, 1] + 2 * pi[:, 0] + 2 * qi[:, 0]
+               + qi[:, 1] + 4) >> 3
+        np1 = (pi[:, 2] + pi[:, 1] + pi[:, 0] + qi[:, 0] + 2) >> 2
+        np2 = (2 * pi[:, 3] + 3 * pi[:, 2] + pi[:, 1] + pi[:, 0]
+               + qi[:, 0] + 4) >> 3
+        nq0 = (qi[:, 2] + 2 * qi[:, 1] + 2 * qi[:, 0] + 2 * pi[:, 0]
+               + pi[:, 1] + 4) >> 3
+        nq1 = (qi[:, 2] + qi[:, 1] + qi[:, 0] + pi[:, 0] + 2) >> 2
+        nq2 = (2 * qi[:, 3] + 3 * qi[:, 2] + qi[:, 1] + qi[:, 0]
+               + pi[:, 0] + 4) >> 3
+        p[:, 0] = np.clip(np0, pi[:, 0] - 2 * tc, pi[:, 0] + 2 * tc)
+        p[:, 1] = np.clip(np1, pi[:, 1] - 2 * tc, pi[:, 1] + 2 * tc)
+        p[:, 2] = np.clip(np2, pi[:, 2] - 2 * tc, pi[:, 2] + 2 * tc)
+        q[:, 0] = np.clip(nq0, qi[:, 0] - 2 * tc, qi[:, 0] + 2 * tc)
+        q[:, 1] = np.clip(nq1, qi[:, 1] - 2 * tc, qi[:, 1] + 2 * tc)
+        q[:, 2] = np.clip(nq2, qi[:, 2] - 2 * tc, qi[:, 2] + 2 * tc)
+    else:
+        if tc == 0:
+            return
+        maxv = 255  # weak filter: 8-bit path (Main Still Picture)
+        delta = (9 * (qi[:, 0] - pi[:, 0])
+                 - 3 * (qi[:, 1] - pi[:, 1]) + 8) >> 4
+        act = np.abs(delta) < tc * 10
+        delta = np.clip(delta, -tc, tc)
+        dEp = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
+        dEq = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
+        p[:, 0] = np.where(act, np.clip(pi[:, 0] + delta, 0, maxv),
+                           p[:, 0])
+        q[:, 0] = np.where(act, np.clip(qi[:, 0] - delta, 0, maxv),
+                           q[:, 0])
+        if dEp:
+            dp = np.clip((((pi[:, 2] + pi[:, 0] + 1) >> 1)
+                          - pi[:, 1] + delta) >> 1, -(tc >> 1), tc >> 1)
+            p[:, 1] = np.where(act, np.clip(pi[:, 1] + dp, 0, maxv),
+                               p[:, 1])
+        if dEq:
+            dq = np.clip((((qi[:, 2] + qi[:, 0] + 1) >> 1)
+                          - qi[:, 1] + delta) >> 1, -(tc >> 1), tc >> 1)
+            q[:, 1] = np.where(act, np.clip(qi[:, 1] + dq, 0, maxv),
+                               q[:, 1])
+    # write back
+    if vertical:
+        pl[y:y + 4, x - 4:x] = p[:, ::-1]
+        pl[y:y + 4, x:x + 4] = q
+    else:
+        pl[y - 4:y, x:x + 4] = p[:, ::-1].T
+        pl[y:y + 4, x:x + 4] = q.T
+
+
+def _deblock_chroma(pic, beta_off, tc_off, vertical):
+    """Chroma deblock (8.7.2.5.5): bS=2 edges on the 16-luma grid."""
+    for c in (1, 2):
+        pl = pic.planes[c]
+        ch, cw = pl.shape
+        if vertical:
+            for xc in range(8, cw, 8):       # chroma 8 = luma 16
+                lx = xc * 2
+                if lx % 8 or lx // 8 >= pic.v_edges.shape[1]:
+                    continue
+                for y0 in range(0, ch, 4):
+                    if not pic.v_edges[y0 * 2:(y0 + 4) * 2, lx // 8].any():
+                        continue
+                    _filter_chroma_segment(pic, c, pl, xc, y0, tc_off,
+                                           True)
+        else:
+            for yc in range(8, ch, 8):
+                ly = yc * 2
+                if ly % 8 or ly // 8 >= pic.h_edges.shape[0]:
+                    continue
+                for x0 in range(0, cw, 4):
+                    if not pic.h_edges[ly // 8, x0 * 2:(x0 + 4) * 2].any():
+                        continue
+                    _filter_chroma_segment(pic, c, pl, x0, yc, tc_off,
+                                           False)
+
+
+def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical):
+    h, w = pl.shape
+    from ffpic_tpu.coding.hevc_consts import chroma_qp
+    if vertical:
+        if x < 2 or x + 1 >= w or y + 3 >= h:
+            return
+        p = pl[y:y + 4, x - 2:x][:, ::-1]
+        q = pl[y:y + 4, x:x + 2]
+        qp_a = pic.qp_map[y // 2, (x - 1) // 2]
+        qp_b = pic.qp_map[y // 2, x // 2]
+    else:
+        if y < 2 or y + 1 >= h or x + 3 >= w:
+            return
+        p = pl[y - 2:y, x:x + 4][::-1].T.copy()
+        q = pl[y:y + 2, x:x + 4].T.copy()
+        qp_a = pic.qp_map[(y - 1) // 2, x // 2]
+        qp_b = pic.qp_map[y // 2, x // 2]
+    # chroma QP offset (pps cb/cr offset folded into qp_map is luma QP)
+    qpc = chroma_qp(((int(qp_a) + int(qp_b) + 1) >> 1))
+    tc_idx = min(max(qpc + 2 + (tc_off << 1), 0), 53)
+    tc = TC_TABLE[tc_idx]
+    if tc == 0:
+        return
+    pi, qi = p.astype(np.int64), q.astype(np.int64)
+    delta = np.clip((((qi[:, 0] - pi[:, 0]) * 4) + pi[:, 1] - qi[:, 1]
+                     + 4) >> 3, -tc, tc)
+    maxv = (1 << pic.bd) - 1
+    p0 = np.clip(pi[:, 0] + delta, 0, maxv)
+    q0 = np.clip(qi[:, 0] - delta, 0, maxv)
+    if vertical:
+        pl[y:y + 4, x - 1] = p0
+        pl[y:y + 4, x] = q0
+    else:
+        pl[y - 1, x:x + 4] = p0
+        pl[y, x:x + 4] = q0
+
+
+def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0) -> None:
+    """8.7.2: vertical edges picture-wide, then horizontal."""
+    _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.v_edges,
+                       beta_off, tc_off, vertical=True)
+    if len(pic.planes) > 1:
+        _deblock_chroma(pic, beta_off, tc_off, vertical=True)
+    _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.h_edges,
+                       beta_off, tc_off, vertical=False)
+    if len(pic.planes) > 1:
+        _deblock_chroma(pic, beta_off, tc_off, vertical=False)
+
+
+# ---------------------------------------------------------------------------
+# SAO (8.7.3) — real implementation (reference force-disables it)
+# ---------------------------------------------------------------------------
+
+_EO_DIRS = {0: ((0, -1), (0, 1)), 1: ((-1, 0), (1, 0)),
+            2: ((-1, -1), (1, 1)), 3: ((-1, 1), (1, -1))}
+
+
+def apply_sao(pic: Picture) -> None:
+    if not pic.sao_params:
+        return
+    ctb = 1 << pic.sps.ctb_log2
+    maxv = (1 << pic.bd) - 1
+    src = [p.copy() for p in pic.planes]
+    for (cx, cy), prm in pic.sao_params.items():
+        for c in range(len(pic.planes)):
+            t = prm.type_idx[c]
+            if t == 0:
+                continue
+            sz = ctb if c == 0 else ctb // 2
+            x0, y0 = cx * sz, cy * sz
+            pl = pic.planes[c]
+            s = src[c]
+            h, w = pl.shape
+            x1, y1 = min(x0 + sz, w), min(y0 + sz, h)
+            if x0 >= w or y0 >= h:
+                continue
+            region = s[y0:y1, x0:x1]
+            offs = prm.offsets[c]
+            if t == 1:                       # band offset
+                shift = pic.bd - 5
+                bands = region >> shift
+                out = region.copy()
+                for k in range(4):
+                    b = (prm.band_pos[c] + k) & 31
+                    out = np.where(bands == b,
+                                   np.clip(region + offs[k], 0, maxv), out)
+                pl[y0:y1, x0:x1] = out
+            else:                            # edge offset
+                (dy0, dx0), (dy1, dx1) = _EO_DIRS[prm.eo_class[c]]
+                ya, xa = np.mgrid[y0:y1, x0:x1]
+                n0y, n0x = ya + dy0, xa + dx0
+                n1y, n1x = ya + dy1, xa + dx1
+                valid = ((n0y >= 0) & (n0y < h) & (n0x >= 0) & (n0x < w)
+                         & (n1y >= 0) & (n1y < h) & (n1x >= 0)
+                         & (n1x < w))
+                n0 = s[np.clip(n0y, 0, h - 1), np.clip(n0x, 0, w - 1)]
+                n1 = s[np.clip(n1y, 0, h - 1), np.clip(n1x, 0, w - 1)]
+                sign = (np.sign(region - n0) + np.sign(region - n1))
+                # edgeIdx mapping: -2->0(+off0) -1->1 0->none +1->2 +2->3
+                out = region.copy()
+                for sgn, k in ((-2, 0), (-1, 1), (1, 2), (2, 3)):
+                    out = np.where(valid & (sign == sgn),
+                                   np.clip(region + offs[k], 0, maxv),
+                                   out)
+                pl[y0:y1, x0:x1] = out
+
+
+# ---------------------------------------------------------------------------
+# op-list execution (pass 2)
+# ---------------------------------------------------------------------------
+
+def execute_ops(pic: Picture, ops) -> None:
+    """Run the recon op list from the syntax pass: per-TB intra
+    prediction (+ residual add).  Residuals are independent of
+    prediction; compute_residual calls here are the device-bucketing
+    seam (ops/hevc_kernels batches them per TU size)."""
+    maxv = (1 << pic.bd) - 1
+    for op in ops:
+        pred = predict_intra(pic, op.plane, op.x, op.y, op.n, op.mode)
+        if op.tu is not None:
+            res = compute_residual(op.tu, pic.bd)
+            pred = np.clip(pred + res, 0, maxv)
+        pic.planes[op.plane][op.y:op.y + op.n,
+                             op.x:op.x + op.n] = pred
+        pic.mark_decoded(op.plane, op.x, op.y, op.n)

@@ -1,0 +1,179 @@
+"""HEVC slice decoder conformance.
+
+Two oracles:
+1. Encoder round-trip: our encoder computes the reconstruction the
+   decoder must reproduce sample-exactly (any mismatch = a bug in one
+   side's syntax or math, both written independently against the spec).
+2. The compiled C reference decoder (refbuild-asan harness): our
+   encoded streams decoded by `parse_nalu` must match our recon
+   byte-exactly after the reference's own float BGRA conversion.
+   Configs use min_tb_log2=3 (no 4x4 luma TBs) because the reference's
+   4-pt DST deviates from H.265 8.6.4.2: idct.c:32 rounds with
+   `+ (bdShift-1)` where the spec requires `+ (1 << (bdShift-1))`.
+   Our DST path follows the spec (tests/test_hevc_transforms.py).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HARNESS = os.path.join(REPO, "refbuild-asan", "ref_hevc_harness")
+
+
+def _planes(W, H, seed, flat_chroma=False):
+    rng = np.random.default_rng(seed)
+    y = (np.kron(rng.integers(0, 256, (H // 8, W // 8)),
+                 np.ones((8, 8)))
+         + rng.integers(-20, 20, (H, W))).clip(0, 255).astype(np.int32)
+    if flat_chroma:
+        u = np.full((H // 2, W // 2), 128, np.int32)
+        v = u.copy()
+    else:
+        u = (np.kron(rng.integers(64, 192,
+                                  (max(1, H // 16), max(1, W // 16))),
+                     np.ones((8, 8)))[:H // 2, :W // 2]
+             + rng.integers(-10, 10, (H // 2, W // 2))
+             ).clip(0, 255).astype(np.int32)
+        v = (np.kron(rng.integers(64, 192,
+                                  (max(1, H // 16), max(1, W // 16))),
+                     np.ones((8, 8)))[:H // 2, :W // 2]
+             + rng.integers(-10, 10, (H // 2, W // 2))
+             ).clip(0, 255).astype(np.int32)
+    return y, u, v
+
+
+def _roundtrip(W, H, qp, pol, pps=None, sps_extra=None, seed=5):
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_idr_slice
+    sp = dict(width=W, height=H, ctb_log2=5)
+    if sps_extra:
+        sp.update(sps_extra)
+    enc = SliceEncoder(sp, pps or {}, qp, _planes(W, H, seed), pol)
+    nalu = enc.encode()
+    pic = decode_idr_slice(enc.sps, enc.pps, nalu)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            pic.planes[i], enc.pic.planes[i],
+            err_msg=f"plane {i} mismatch (qp={qp})")
+    return enc, nalu
+
+
+def _full_policy(**kw):
+    from ffpic_tpu.coding.hevc_enc import EncPolicy
+    d = dict(seed=2, split_prob=0.5, tt_split_prob=0.4, nxn_prob=0.5,
+             mode_candidates=tuple(range(35)))
+    d.update(kw)
+    return EncPolicy(**d)
+
+
+@pytest.mark.parametrize("qp", [0, 12, 30, 45, 51])
+def test_roundtrip_qp_sweep(qp):
+    _roundtrip(64, 64, qp, _full_policy())
+
+
+def test_roundtrip_ctb_unaligned():
+    _roundtrip(96, 64, 30, _full_policy())
+    _roundtrip(48, 48, 30, _full_policy())
+
+
+def test_roundtrip_sign_hiding():
+    _roundtrip(64, 64, 30, _full_policy(), pps=dict(sign_hiding=True))
+    _roundtrip(64, 64, 12, _full_policy(), pps=dict(sign_hiding=True))
+
+
+def test_roundtrip_transform_skip():
+    _roundtrip(64, 64, 30,
+               _full_policy(tt_split_prob=0.5, nxn_prob=0.6,
+                            transform_skip_prob=0.6),
+               pps=dict(transform_skip=True))
+
+
+def test_roundtrip_transquant_bypass():
+    _roundtrip(64, 64, 30, _full_policy(bypass_prob=0.5),
+               pps=dict(transquant_bypass=True))
+
+
+def test_roundtrip_cu_qp_delta():
+    _roundtrip(64, 64, 30, _full_policy(), pps=dict(cu_qp_delta_depth=1))
+
+
+def test_roundtrip_ctb_sizes():
+    _roundtrip(64, 64, 30, _full_policy(),
+               sps_extra=dict(ctb_log2=4, max_tb_log2=4))
+    _roundtrip(128, 128, 30, _full_policy(),
+               sps_extra=dict(ctb_log2=6, min_cb_log2=3))
+
+
+def test_roundtrip_chroma_offsets():
+    _roundtrip(64, 64, 30, _full_policy(),
+               pps=dict(cb_qp_offset=3, cr_qp_offset=-3))
+
+
+def test_roundtrip_all_features():
+    _roundtrip(96, 96, 27,
+               _full_policy(seed=9, split_prob=0.6, tt_split_prob=0.5,
+                            transform_skip_prob=0.3, bypass_prob=0.2),
+               pps=dict(sign_hiding=True, transform_skip=True,
+                        transquant_bypass=True, cu_qp_delta_depth=2,
+                        cb_qp_offset=2, cr_qp_offset=-2))
+
+
+# ---------------------------------------------------------------------------
+# differential vs the compiled C reference decoder
+# ---------------------------------------------------------------------------
+
+def _ref_decode(stream: bytes, W: int, H: int, tmp_path) -> np.ndarray:
+    p_in = tmp_path / "s.hevcs"
+    p_out = tmp_path / "s.bgra"
+    p_in.write_bytes(stream)
+    env = dict(os.environ)
+    env["ASAN_OPTIONS"] = "halt_on_error=0:detect_leaks=0"
+    r = subprocess.run([HARNESS, str(p_in), str(W), str(H), str(p_out)],
+                       capture_output=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    y_stride = ((W + 3) >> 2) << 2
+    pitch = ((y_stride * 32 + 31) >> 5) << 2
+    raw = np.frombuffer(p_out.read_bytes(), np.uint8)
+    return raw[:pitch * H].reshape(H, pitch // 4, 4)[:, :W, :]
+
+
+def _ref_color(pic) -> np.ndarray:
+    """Replicate the reference's float YUV420->BGRA
+    (colorspace.c:628-668: b=y+2.128u, g=y-0.215u-0.381v, r=y+1.280v,
+    double arithmetic, truncate on uint8 store)."""
+    H, W = pic.planes[0].shape
+    yy = pic.planes[0].astype(np.float64)
+    uu = np.repeat(np.repeat(pic.planes[1], 2, 0), 2, 1)[:H, :W] - 128.0
+    vv = np.repeat(np.repeat(pic.planes[2], 2, 0), 2, 1)[:H, :W] - 128.0
+
+    def cl(x):
+        return np.clip(x, 0, 255).astype(np.uint8)
+    return np.stack([cl(yy + 2.128 * uu),
+                     cl(yy - 0.215 * uu - 0.381 * vv),
+                     cl(yy + 1.280 * vv)], axis=-1)
+
+
+@pytest.mark.parametrize("qp,flat", [(12, True), (30, True), (45, True),
+                                     (30, False), (22, False)])
+def test_reference_decodes_our_stream(qp, flat, tmp_path):
+    if not os.path.exists(HARNESS):
+        pytest.skip("refbuild-asan harness not built "
+                    "(tools/build_ref_asan.sh)")
+    from ffpic_tpu.coding.hevc_enc import (SliceEncoder, make_nalu,
+                                           write_vps)
+    W = H = 64
+    # min_tb 8: avoid the reference's out-of-spec 4x4 DST rounding
+    enc = SliceEncoder(dict(width=W, height=H, ctb_log2=5,
+                            min_tb_log2=3),
+                       {}, qp, _planes(W, H, 7, flat_chroma=flat),
+                       _full_policy(nxn_prob=0.0))
+    idr = enc.encode()
+    nalus = [make_nalu(32, write_vps()), make_nalu(33, enc.sps_rbsp),
+             make_nalu(34, enc.pps_rbsp), idr]
+    stream = b"".join(len(n).to_bytes(4, "big") + n for n in nalus)
+    ref = _ref_decode(stream, W, H, tmp_path)
+    ours = _ref_color(enc.pic)
+    np.testing.assert_array_equal(ref[:, :, :3], ours)
