@@ -109,7 +109,8 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
               min_cb_log2: int = 3, min_tb_log2: int = 2,
               max_tb_log2: int = 5, max_trafo_depth: int = 2,
               sao: bool = False, strong_smoothing: bool = True,
-              chroma_format: int = 1) -> bytes:
+              chroma_format: int = 1,
+              conf_win: tuple = (0, 0, 0, 0)) -> bytes:
     w = BitWriter()
     w.write_bits(0, 4)          # vps_id
     w.write_bits(0, 3)          # max_sub_layers_minus1
@@ -119,7 +120,12 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
     write_ue(w, chroma_format)
     write_ue(w, width)
     write_ue(w, height)
-    w.write_bit(0)              # conformance_window (caller pads)
+    if any(conf_win):
+        w.write_bit(1)
+        for v in conf_win:      # left, right, top, bottom (chroma units)
+            write_ue(w, v)
+    else:
+        w.write_bit(0)
     write_ue(w, 0)              # bit_depth_luma_minus8
     write_ue(w, 0)              # bit_depth_chroma_minus8
     write_ue(w, 0)              # log2_max_poc_lsb_minus4

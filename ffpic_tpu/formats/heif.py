@@ -161,7 +161,8 @@ def _grid_layout(grid_bytes: bytes) -> dict:
     return dict(rows=rows, cols=cols, width=w, height=h)
 
 
-def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
+def load(data: bytes, skip_decode: bool = False,
+         mode: str = "bt601") -> list[Pic]:
     s = parse_structure(data)
     primary_id = s["primary"]
     items = s["items"]
@@ -209,9 +210,165 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
               meta=meta)
     if skip_decode:
         return [pic]
-    raise NotImplementedError(
-        "HEIF pixel decode requires the HEVC intra slice decoder "
-        "(in progress; structural metadata available via skip_decode)")
+
+    # ---- pixel decode: single hvc1 item or grid of tiles ----------------
+    if primary.get("type") == "grid":
+        rgba = _decode_grid(data, s, tile_ids, meta["grid"], mode)
+    elif primary.get("type") == "hvc1":
+        rgba = _decode_item_rgba(data, s, primary_id, mode)[:H, :W]
+    else:
+        raise NotImplementedError(
+            f"HEIF primary item type {primary.get('type')!r} "
+            "(only hvc1/grid decode to pixels)")
+
+    # auxiliary alpha plane (heif.c:347-388 blends; we fill the real
+    # alpha channel instead — strictly more information)
+    alpha_id = _find_alpha_item(s, primary_id, tile_ids)
+    if alpha_id is not None:
+        try:
+            a = _decode_alpha(data, s, alpha_id, meta, tile_ids,
+                              primary_id)
+            if a is not None and a.shape == rgba.shape[:2]:
+                rgba = rgba.copy()
+                rgba[:, :, 3] = a
+                meta["alpha"] = True
+        except (ValueError, NotImplementedError) as e:
+            log.warning("alpha aux item decode failed: %s", e)
+
+    pic.pixels = rgba
+    return [pic]
+
+
+def _decode_item_yuv(data, s, item_id):
+    """Decode one hvc1 item's NALUs to a reconstructed Picture
+    (heif.c decode_hvc1, heif.c:244-256 -> coding/hevc.c:7194)."""
+    item = s["items"][item_id]
+    props = item["properties"]
+    hvcc = props.get("hvcC")
+    if hvcc is None:
+        # tiles may share the first tile's hvcC via ipma; fall back
+        raise ValueError(f"item {item_id} has no hvcC")
+    sps_l = hvcc["nalus"].get("sps", [])
+    pps_l = hvcc["nalus"].get("pps", [])
+    if not sps_l or not pps_l:
+        raise ValueError("hvcC missing SPS/PPS")
+    sps = hevc.parse_sps(sps_l[0])
+    pps = hevc.parse_pps(pps_l[0])
+    blob = read_item(data, s, item_id)
+    pic = None
+    for nalu in hevc.split_nalus_length_prefixed(blob,
+                                                 hvcc["length_size"]):
+        t = hevc.nal_type(nalu)
+        if t == hevc.NAL_SPS:
+            sps = hevc.parse_sps(nalu)
+        elif t == hevc.NAL_PPS:
+            pps = hevc.parse_pps(nalu)
+        elif t in (hevc.NAL_IDR_W_RADL, hevc.NAL_IDR_N_LP):
+            pic = hevc.decode_idr_slice(sps, pps, nalu)
+        elif t == hevc.NAL_CRA:
+            raise NotImplementedError("CRA still slices")
+    if pic is None:
+        raise ValueError("no slice NALU in hvc1 item")
+    return pic, sps, props
+
+
+def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
+    """Crop + chroma upsample + color convert (device, like the JPEG
+    path — ops/jpeg_kernels.color_convert on TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ffpic_tpu.ops.jpeg_kernels import color_convert
+
+    out_w = min(out_w or sps.pic_width_cropped, pic.planes[0].shape[1])
+    out_h = min(out_h or sps.pic_height_cropped, pic.planes[0].shape[0])
+    yp = jnp.asarray(pic.planes[0].astype(np.int16))
+    if len(pic.planes) > 1:
+        up = jnp.asarray(pic.planes[1].astype(np.int16))
+        vp = jnp.asarray(pic.planes[2].astype(np.int16))
+        up = jnp.repeat(jnp.repeat(up, 2, 0), 2, 1)[:yp.shape[0],
+                                                    :yp.shape[1]]
+        vp = jnp.repeat(jnp.repeat(vp, 2, 0), 2, 1)[:yp.shape[0],
+                                                    :yp.shape[1]]
+    else:
+        up = vp = jnp.full_like(yp, 128)
+    rgba = color_convert(yp, up, vp, order="rgba", mode=mode)
+    return np.asarray(rgba)[:out_h, :out_w]
+
+
+def _decode_item_rgba(data, s, item_id, mode):
+    pic, sps, props = _decode_item_yuv(data, s, item_id)
+    return _yuv_pic_to_rgba(pic, sps, props.get("width"),
+                            props.get("height"), mode)
+
+
+def _decode_grid(data, s, tile_ids, grid, mode):
+    """Grid image: decode every dimg tile and paste row-major
+    (heif.c:273-312).  Each tile is an independent batch element —
+    the natural TPU batching seam."""
+    import numpy as np
+    W, H = grid["width"], grid["height"]
+    rows, cols = grid["rows"], grid["cols"]
+    canvas = np.zeros((H, W, 4), np.uint8)
+    canvas[:, :, 3] = 255
+    ty = th = 0
+    for idx, tid in enumerate(tile_ids):
+        r, c = divmod(idx, cols)
+        tile = _decode_item_rgba(data, s, tid, mode)
+        th, tw = tile.shape[:2]
+        y0, x0 = r * th, c * tw
+        if y0 >= H or x0 >= W:
+            continue
+        canvas[y0:y0 + th, x0:x0 + tw] = tile[:H - y0, :W - x0]
+    return canvas
+
+
+def _find_alpha_item(s, primary_id, tile_ids):
+    """auxl reference onto the primary (or its tiles) whose auxC urn
+    mentions alpha."""
+    targets = {primary_id, *tile_ids}
+    for rtype, frm, tos in s["refs"]:
+        if rtype == "auxl" and (primary_id in tos
+                                or any(t in targets for t in tos)):
+            it = s["items"].get(frm, {})
+            aux = it.get("properties", {}).get("aux_type", "")
+            # "urn:mpeg:hevc:2015:auxid:1" (ISO 23008-12) is the alpha
+            # aux type; libheif also writes urns containing "alpha"
+            if "alpha" in aux.lower() or aux.rstrip("\x00").endswith(
+                    "auxid:1"):
+                return frm
+    return None
+
+
+def _decode_alpha(data, s, alpha_id, meta, tile_ids, primary_id):
+    """Aux alpha image: mono or 4:2:0 luma; may itself be a grid."""
+    import numpy as np
+    item = s["items"][alpha_id]
+    if item.get("type") == "grid":
+        grid = _grid_layout(read_item(data, s, alpha_id))
+        a_tiles = []
+        for rtype, frm, tos in s["refs"]:
+            if rtype == "dimg" and frm == alpha_id:
+                a_tiles = tos
+        W, H = grid["width"], grid["height"]
+        canvas = np.zeros((H, W), np.uint8)
+        for idx, tid in enumerate(a_tiles):
+            r, c = divmod(idx, grid["cols"])
+            pic, sps, props = _decode_item_yuv(data, s, tid)
+            t = np.clip(pic.planes[0], 0, 255).astype(np.uint8)
+            th = min(props.get("height") or sps.pic_height_cropped,
+                     t.shape[0])
+            tw = min(props.get("width") or sps.pic_width_cropped,
+                     t.shape[1])
+            y0, x0 = r * th, c * tw
+            if y0 < H and x0 < W:
+                canvas[y0:y0 + th, x0:x0 + tw] = \
+                    t[:min(th, H - y0), :min(tw, W - x0)]
+        return canvas
+    pic, sps, props = _decode_item_yuv(data, s, alpha_id)
+    a = np.clip(pic.planes[0], 0, 255).astype(np.uint8)
+    h = min(props.get("height") or sps.pic_height_cropped, a.shape[0])
+    w = min(props.get("width") or sps.pic_width_cropped, a.shape[1])
+    return a[:h, :w]
 
 
 def info(pic: Pic) -> str:
@@ -233,5 +390,10 @@ def info(pic: Pic) -> str:
     return "\n".join(lines)
 
 
+def encode(pic: Pic, **options) -> bytes:
+    from ffpic_tpu.formats.heif_enc import encode_heif
+    return encode_heif(pic, **options)
+
+
 register(Codec(name="HEIF", alias="HEIC", probe=probe, load=load,
-               info=info))
+               info=info, encode=encode))
