@@ -39,6 +39,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("FFPIC_TRACE"):
+        from ffpic_tpu.utils import trace
+        trace.enable()
+
     path = "/tmp/ffpic_bench_1080p.jpg"
     ensure_jpeg(path)
     with open(path, "rb") as f:
@@ -128,6 +132,11 @@ def main():
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
+    if os.environ.get("FFPIC_TRACE"):
+        from ffpic_tpu.utils import trace
+        rep = {k: {kk: round(vv, 5) for kk, vv in d.items()}
+               for k, d in trace.report().items()}
+        print("trace:", json.dumps(rep), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ import numpy as np
 
 from ffpic_tpu.formats.pic import Pic, PixelFormat
 from ffpic_tpu.formats.registry import Codec, register
+from ffpic_tpu.utils import trace
 from ffpic_tpu.utils.checksum import crc32
 from ffpic_tpu.utils.vlog import get_logger
 
@@ -169,7 +170,8 @@ def load(data: bytes, skip_decode: bool = False,
 
     nch = _NCH[color_type]
     bpp = max(1, (bitdepth * nch) // 8)
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    with trace.stage("png.inflate"):
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
 
     def stride_of(width):
         return (width * nch * bitdepth + 7) // 8
@@ -181,7 +183,8 @@ def load(data: bytes, skip_decode: bool = False,
     trns_d = jnp.asarray(trns.astype(np.int32))
 
     if interlace == 0:
-        recon = _unfilter(raw, h, stride_of(w), bpp)
+        with trace.stage("png.unfilter"):
+            recon = _unfilter(raw, h, stride_of(w), bpp)
         rgba = np.asarray(assemble_rgba(jnp.asarray(recon), pal_d, trns_d,
                                         color_type, bitdepth, w, h))
     else:

@@ -24,6 +24,7 @@ import numpy as np
 from ffpic_tpu.formats.pic import Pic, PixelFormat
 from ffpic_tpu.formats.registry import Codec, register
 from ffpic_tpu.utils.vlog import get_logger
+from ffpic_tpu.utils import trace
 
 log = get_logger("webp")
 
@@ -158,7 +159,8 @@ def load(data: bytes, skip_decode: bool = False,
         if skip_decode:
             return [Pic(width=W, height=H, depth=32, pitch=W * 4,
                         codec="WEBP", meta=meta)]
-        Y, U, V = dec.decode()
+        with trace.stage("webp.vp8_decode"):
+            Y, U, V = dec.decode()
         meta["partitions"] = dec.hdr.n_partitions
         meta["filter"] = ("simple" if dec.hdr.filter_type
                           else "normal")

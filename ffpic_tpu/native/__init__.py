@@ -157,3 +157,22 @@ def png_unfilter(raw: np.ndarray, height: int, stride: int,
     if rc != 0:
         raise ValueError("invalid PNG filter type")
     return out.reshape(height, stride)
+
+
+def pack_nonzero(plane: np.ndarray):
+    """Pack nonzero coefficients of an int16 array into
+    (flat_idx int32[], val int16[]) — cuts host->HBM bytes ~3x for
+    typical baseline scans (85-90% zeros).  Returns (idx, val)."""
+    lib = _load()
+    assert lib is not None
+    flat = np.ascontiguousarray(plane.reshape(-1), np.int16)
+    n = flat.size
+    idx = np.empty(n, np.int32)
+    val = np.empty(n, np.int16)
+    fn = lib.ffpic_pack_nonzero
+    fn.restype = ctypes.c_long
+    nnz = fn(flat.ctypes.data_as(ctypes.c_void_p),
+             ctypes.c_long(n),
+             idx.ctypes.data_as(ctypes.c_void_p),
+             val.ctypes.data_as(ctypes.c_void_p))
+    return idx[:nnz], val[:nnz]

@@ -64,11 +64,18 @@ static int destuff(const uint8_t *src, long n, Destuffed *d) {
     d->seg_start[0] = 0;
     long i = 0;
     while (i < n) {
-        uint8_t c = src[i];
-        if (c != 0xFF) {
-            d->buf[w++] = c;
-            i++;
-            continue;
+        /* bulk-copy the run up to the next 0xFF (memchr is SIMD) */
+        const uint8_t *ff = (const uint8_t *)memchr(src + i, 0xFF, n - i);
+        if (ff == NULL) {
+            memcpy(d->buf + w, src + i, n - i);
+            w += n - i;
+            break;
+        }
+        long run = ff - (src + i);
+        if (run) {
+            memcpy(d->buf + w, src + i, run);
+            w += run;
+            i += run;
         }
         long p = i + 1;
         while (p < n && src[p] == 0xFF)
@@ -160,6 +167,10 @@ typedef struct {
     int maxlen;
     uint8_t *len;   /* [1<<maxlen] code length, 0 = invalid */
     int16_t *sym;   /* [1<<maxlen] decoded symbol */
+    /* two-level decode: 8-bit first level fits in L1 (512 B) while the
+     * flat full-length LUT above (up to 192 KiB per AC table) stays
+     * cold as the slow path for codes longer than 8 bits */
+    uint16_t fast[256];   /* (sym << 4) | len, 0 = use slow path */
 } HTable;
 
 static int htable_build(HTable *t, const uint8_t counts[16],
@@ -197,6 +208,20 @@ static int htable_build(HTable *t, const uint8_t counts[16],
         }
         code <<= 1;
     }
+    memset(t->fast, 0, sizeof(t->fast));
+    if (maxlen <= 8) {
+        for (int w = 0; w < 256; w++) {
+            int idx = w >> (8 - maxlen);
+            if (t->len[idx])
+                t->fast[w] = (uint16_t)((t->sym[idx] << 4) | t->len[idx]);
+        }
+    } else {
+        for (int w = 0; w < 256; w++) {
+            long idx = (long)w << (maxlen - 8);
+            if (t->len[idx] && t->len[idx] <= 8)
+                t->fast[w] = (uint16_t)((t->sym[idx] << 4) | t->len[idx]);
+        }
+    }
     return 0;
 }
 
@@ -229,19 +254,59 @@ static inline int extend(uint32_t v, int n) {
 
 /* blk points at the 64 int16 raster-order coefficients of one block */
 
+/* Fused refill + decode (libjpeg-turbo style): one ENSURE(32) per
+ * coefficient covers the worst case code(16) + magnitude(15) bits, so
+ * the symbol lookup and the magnitude read consume from the cache
+ * UNCHECKED.  Soundness: reads only touch the top `bits` accounted
+ * cache bits (16 + 15 <= 32 <= bits after ensure); `bits` never goes
+ * negative, so bs_fill's bookkeeping invariants hold.  The stray
+ * unaccounted low bits bs_fill leaves in the cache are the *same*
+ * stream bytes the next fill re-ORs at the same positions (pos is not
+ * advanced past them), so they are idempotent — this is the masking
+ * invariant the round-1 attempt missed (NEXT.md). */
 static inline int decode_block_baseline(BitSrc *b, int16_t *blk,
                                         const HTable *dc, const HTable *ac,
                                         int *pred) {
-    int s = decode_symbol(b, dc);
+    int dcshift = 16 - dc->maxlen;
+    int acshift = 16 - ac->maxlen;
+    if (b->bits < 32)
+        bs_fill(b);
+    int s;
+    uint16_t e = dc->fast[(uint32_t)(b->cache >> 56)];
+    if (e) {
+        s = e >> 4;
+        bs_consume(b, e & 15);
+    } else {
+        uint32_t w = (uint32_t)(b->cache >> 48) >> dcshift;
+        int l = dc->len[w];
+        if (l == 0)
+            return -1;
+        s = dc->sym[w];
+        bs_consume(b, l);
+    }
     if (s < 0 || s > 15)
         return -1;
-    *pred += extend(bs_get(b, s), s);
+    uint32_t v = s ? (uint32_t)(b->cache >> (64 - s)) : 0;
+    bs_consume(b, s);
+    *pred += extend(v, s);
     blk[0] = (int16_t)*pred;
     int k = 1;
     while (k <= 63) {
-        int rs = decode_symbol(b, ac);
-        if (rs < 0)
-            return -1;
+        if (b->bits < 32)
+            bs_fill(b);
+        int rs;
+        e = ac->fast[(uint32_t)(b->cache >> 56)];
+        if (e) {
+            rs = e >> 4;
+            bs_consume(b, e & 15);
+        } else {
+            uint32_t w = (uint32_t)(b->cache >> 48) >> acshift;
+            int l = ac->len[w];
+            if (l == 0)
+                return -1;
+            rs = ac->sym[w];
+            bs_consume(b, l);
+        }
         int r = rs >> 4, sz = rs & 15;
         if (sz == 0) {
             if (r != 15)
@@ -251,7 +316,9 @@ static inline int decode_block_baseline(BitSrc *b, int16_t *blk,
             k += r;
             if (k > 63)
                 return -1;
-            blk[ZZ[k]] = (int16_t)extend(bs_get(b, sz), sz);
+            v = (uint32_t)(b->cache >> (64 - sz));
+            bs_consume(b, sz);
+            blk[ZZ[k]] = (int16_t)extend(v, sz);
             k++;
         }
     }
@@ -494,3 +561,36 @@ FFPIC_API int ffpic_jpeg_decode_scan(
 }
 
 FFPIC_API const char *ffpic_native_version(void) { return "ffpic-native-2"; }
+
+/* ---------------- sparse coefficient packing ------------------------ */
+
+/* Pack nonzero coefficients of a plane into (flat_index, value) pairs.
+ * The e2e bottleneck on a 1-vCPU TPU-VM is host->HBM bytes through the
+ * tunnel; baseline-quality scans are ~85-90% zeros, so shipping
+ * (int32 idx, int16 val) pairs cuts transfer ~3x vs dense planes.
+ * Returns the number of nonzeros. */
+FFPIC_API long ffpic_pack_nonzero(const int16_t *plane, long n,
+                                  int32_t *idx, int16_t *val) {
+    long w = 0;
+    long i = 0;
+    /* scan 4-wide; the compiler vectorizes the zero test */
+    for (; i + 4 <= n; i += 4) {
+        if (!(plane[i] | plane[i + 1] | plane[i + 2] | plane[i + 3]))
+            continue;
+        for (int k = 0; k < 4; k++) {
+            if (plane[i + k]) {
+                idx[w] = (int32_t)(i + k);
+                val[w] = plane[i + k];
+                w++;
+            }
+        }
+    }
+    for (; i < n; i++) {
+        if (plane[i]) {
+            idx[w] = (int32_t)i;
+            val[w] = plane[i];
+            w++;
+        }
+    }
+    return w;
+}

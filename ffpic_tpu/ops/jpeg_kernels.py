@@ -227,3 +227,49 @@ def decode_batch_420(ycoef, ucoef, vcoef, yquant, cquant,
     up = jnp.repeat(jnp.repeat(up, 2, axis=1), 2, axis=2)[:, :H, :W]
     vp = jnp.repeat(jnp.repeat(vp, 2, axis=1), 2, axis=2)[:, :H, :W]
     return color_convert(yp, up, vp, order=order, mode=mode)
+
+
+def _bucket(n: int, quantum: int = 1 << 15) -> int:
+    """Round nnz up to a bucket so jit caches stay small."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _scatter_plane(idx, val, shape):
+    """Rebuild a dense coefficient tensor from packed (idx, val) pairs
+    on device.  Padding entries are (0, 0) and scatter-ADD zeros, so
+    they are harmless."""
+    flat = jnp.zeros(shape[0] * shape[1] * shape[2] * 64, jnp.int16)
+    flat = flat.at[idx].add(val)
+    return flat.reshape(shape[0], shape[1], shape[2], 8, 8)
+
+
+def pack_coeffs(plane: np.ndarray, quantum: int = 1 << 15):
+    """Host side of the sparse staging path: pack nonzeros (C kernel)
+    and pad to a bucket size for stable jit shapes."""
+    from ffpic_tpu import native
+    idx, val = native.pack_nonzero(plane)
+    n = _bucket(len(idx), quantum)
+    pidx = np.zeros(n, np.int32)
+    pval = np.zeros(n, np.int16)
+    pidx[:len(idx)] = idx
+    pval[:len(val)] = val
+    return pidx, pval
+
+
+def decode_batch_420_sparse(packed, shapes, yquant, cquant,
+                            order="rgba", mode="reference"):
+    """Sparse-staged batched 4:2:0 pipeline.
+
+    packed: ((yidx, yval), (uidx, uval), (vidx, vval)) from
+    pack_coeffs, each covering a (N, nby, nbx, 8, 8) tensor flattened;
+    shapes: ((N, nby, nbx), (N, nbc_y, nbc_x), same) static.  The
+    host->HBM transfer is the packed pairs (~3x smaller than dense);
+    the dense tensors are rebuilt on device by scatter-add.
+    """
+    (yi, yv), (ui, uv), (vi, vv) = packed
+    ycoef = _scatter_plane(jnp.asarray(yi), jnp.asarray(yv), shapes[0])
+    ucoef = _scatter_plane(jnp.asarray(ui), jnp.asarray(uv), shapes[1])
+    vcoef = _scatter_plane(jnp.asarray(vi), jnp.asarray(vv), shapes[2])
+    return decode_batch_420(ycoef, ucoef, vcoef, yquant, cquant,
+                            order=order, mode=mode)
