@@ -119,12 +119,33 @@ def main():
     h2d_dt = (time.perf_counter() - t0) / 5
     h2d_gbps = nbytes / h2d_dt / 1e9
 
+    # ---- WebP e2e (config 3): host entropy + native loop filter +
+    # device residual/color path -------------------------------------
+    webp_mps = None
+    wp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "corpus", "webp_512.webp")
+    if os.path.exists(wp):
+        import ffpic_tpu
+        os.environ["FFPIC_VP8_DEVICE"] = "1"
+        try:
+            with open(wp, "rb") as f:
+                wdata = f.read()
+            ffpic_tpu.load(wdata)      # warm (jit compiles)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                ffpic_tpu.load(wdata)
+            webp_dt = (time.perf_counter() - t0) / 3
+            webp_mps = 512 * 512 / 1e6 / webp_dt
+        finally:
+            os.environ.pop("FFPIC_VP8_DEVICE", None)
+
     result = {
         "metric": "jpeg_1080p_420_decode_end_to_end",
         "value": round(e2e_mps, 1),
         "unit": "MP/s/chip",
         "vs_baseline": round(e2e_mps / BASELINE_MPS, 4),
         "host_entropy_mps": round(host_mps, 1),
+        "webp_512_mps": round(webp_mps, 2) if webp_mps else None,
         "device_pipeline_mps": round(dev_mps, 1),
         "host_to_hbm_gbps": round(h2d_gbps, 2),
         "batch": BATCH,

@@ -372,8 +372,21 @@ class VP8Decoder:
     # ------------------------------------------------------------------
     def _residuals(self):
         """Batched: dequant -> Y2 IWHT -> DC scatter -> 4x4 IDCT for the
-        whole image (prediction-independent; device-mappable)."""
+        whole image (prediction-independent).  FFPIC_VP8_DEVICE=1 runs
+        it as one jitted TPU launch (ops/vp8_kernels — the reference's
+        accel-layer equivalent, sse2.c:49-182); default is the numpy
+        golden path (no per-geometry compile cost on CPU runs)."""
+        import os
         mbh, mbw = self.mbh, self.mbw
+        if os.environ.get("FFPIC_VP8_DEVICE"):
+            import numpy as _np
+            from ffpic_tpu.ops import vp8_kernels as vk
+            seg = (self.seg if self.hdr.seg_enabled
+                   else _np.zeros((mbh, mbw), _np.int32))
+            dq_mb = _np.array(self.dq, _np.int32)[seg]
+            self.residual = _np.asarray(vk.vp8_residuals(
+                self.levels, dq_mb, self.has_y2))
+            return
         lv = self.levels
         seg = (self.seg if self.hdr.seg_enabled
                else np.zeros((mbh, mbw), np.int32))

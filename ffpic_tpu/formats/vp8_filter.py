@@ -138,13 +138,24 @@ def _filter_levels(dec):
     return levels
 
 
-def loop_filter_frame(dec) -> None:
+def loop_filter_frame(dec, force_python: bool = False) -> None:
     h = dec.hdr
     if h.filter_level == 0:
         return
     levels = _filter_levels(dec)
     simple = h.filter_type == 1
     Y, U, V = dec.Y, dec.U, dec.V
+
+    if not force_python:
+        import os
+        if not os.environ.get("FFPIC_NO_NATIVE"):
+            from ffpic_tpu import native
+            if native.available():
+                inner = (dec.mb_has_coeffs.astype(bool)
+                         | (dec.ymode == B_PRED)).astype(np.uint8)
+                native.vp8_loop_filter(Y, U, V, levels, inner,
+                                       simple, h.sharpness)
+                return
 
     for my in range(dec.mbh):
         for mx in range(dec.mbw):

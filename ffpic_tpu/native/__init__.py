@@ -176,3 +176,23 @@ def pack_nonzero(plane: np.ndarray):
              idx.ctypes.data_as(ctypes.c_void_p),
              val.ctypes.data_as(ctypes.c_void_p))
     return idx[:nnz], val[:nnz]
+
+
+def vp8_loop_filter(Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                    levels: np.ndarray, inner: np.ndarray,
+                    simple: bool, sharpness: int) -> None:
+    """In-place VP8 loop filter over whole planes (host_vp8.c)."""
+    lib = _load()
+    assert lib is not None
+    mbh, mbw = levels.shape
+    fn = lib.ffpic_vp8_loop_filter
+    fn.restype = None
+    fn(Y.ctypes.data_as(ctypes.c_void_p),
+       U.ctypes.data_as(ctypes.c_void_p),
+       V.ctypes.data_as(ctypes.c_void_p),
+       ctypes.c_int(mbh), ctypes.c_int(mbw),
+       np.ascontiguousarray(levels, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(inner, np.uint8).ctypes
+         .data_as(ctypes.c_void_p),
+       ctypes.c_int(1 if simple else 0), ctypes.c_int(sharpness))

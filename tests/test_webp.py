@@ -135,3 +135,67 @@ def test_registry_probe_webp(rng):
     b = io.BytesIO()
     Image.fromarray(arr).save(b, "WEBP", lossless=False)
     assert ffpic_tpu.probe(b.getvalue()).name == "WEBP"
+
+
+def test_vp8_device_kernels_match_golden(rng):
+    """ops/vp8_kernels (device) vs ops/golden (numpy) bit-exact."""
+    import numpy as np
+    from ffpic_tpu.ops import golden, vp8_kernels as vk
+    blocks = rng.integers(-2000, 2000, (3, 4, 25, 4, 4)).astype(np.int16)
+    np.testing.assert_array_equal(
+        np.asarray(vk.vp8_idct4x4(blocks)), golden.vp8_idct4x4(blocks))
+    np.testing.assert_array_equal(
+        np.asarray(vk.vp8_iwht4x4(blocks[..., 0, :, :])),
+        golden.vp8_iwht4x4(blocks[..., 0, :, :]))
+
+
+def test_vp8_device_residuals_match_numpy(tmp_path, rng):
+    """Full residual stage: FFPIC_VP8_DEVICE path == numpy path on the
+    corpus WebP."""
+    import os
+    import numpy as np
+    import struct as st
+    from ffpic_tpu.formats.vp8 import VP8Decoder
+    path = os.path.join(REPO, "corpus", "webp_512.webp")
+    if not os.path.exists(path):
+        pytest.skip("corpus missing")
+    data = open(path, "rb").read()
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = st.unpack_from("<I", data, pos + 4)[0]
+        if tag == b"VP8 ":
+            vp8 = data[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+
+    def residuals(device):
+        d = VP8Decoder(vp8)
+        d._parse_control_partition()
+        d._dequant_tables()
+        d._parse_mb_headers()
+        d._parse_tokens()
+        if device:
+            os.environ["FFPIC_VP8_DEVICE"] = "1"
+        try:
+            d._residuals()
+        finally:
+            os.environ.pop("FFPIC_VP8_DEVICE", None)
+        return d.residual
+
+    np.testing.assert_array_equal(residuals(False), residuals(True))
+
+
+def test_vp8_device_color_matches_numpy(rng):
+    import numpy as np
+    from ffpic_tpu.formats.webp import _yuv_to_rgb_libwebp
+    from ffpic_tpu.ops.vp8_kernels import vp8_yuv_to_rgba
+    H = W = 40
+    Y = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    U = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    V = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    r, g, b = _yuv_to_rgb_libwebp(Y, U, V, H, W)
+    dev = np.asarray(vp8_yuv_to_rgba(Y, U, V, H, W))
+    np.testing.assert_array_equal(dev[..., 0], r)
+    np.testing.assert_array_equal(dev[..., 1], g)
+    np.testing.assert_array_equal(dev[..., 2], b)
