@@ -1,31 +1,108 @@
-"""Batched decode pipeline (placeholder wiring; fleshed out with the
-JPEG device pipeline). ``decode_batch`` is the model-facing entry:
-decode a list of images to one on-device uint8 tensor."""
+"""Model-facing batched decode pipeline (BASELINE.json config 5).
+
+``decode_batch`` turns a mixed list of image files into one on-device
+``(N, H, W, 4)`` uint8 tensor:
+
+1. Host pass: parse every input; baseline 4:2:0 3-component JPEGs are
+   *not* rendered — their coefficient tensors are collected and
+   bucketed by block geometry.
+2. One coalesced device launch per geometry bucket
+   (ops/jpeg_kernels.decode_batch_420 with per-image quant tables) —
+   the batch-data-parallel analog of the reference's per-MCU loop
+   (SURVEY.md §2.6(b)); every other codec decodes through the registry
+   per image.
+3. On-device resize to the common output size and reassembly in input
+   order.
+
+Pass ``mesh=`` (jax.sharding.Mesh with a "data" axis) to place the
+final batch sharded for a downstream model.
+"""
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
 
 
+def _read(src) -> bytes:
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return bytes(src)
+    with open(src, "rb") as f:
+        return f.read()
+
+
+def _jpeg_420_plan(data: bytes):
+    """Return the coefficient-plan for a baseline/progressive 4:2:0
+    3-component JPEG decoded by the native path, else None."""
+    from ffpic_tpu.formats import jpg
+    try:
+        j, _ = jpg.parse_and_decode(data)
+    except ValueError:
+        return None
+    if len(j.comps) != 3 or not j.coeffs_raster:
+        return None
+    samps = [(c.v, c.h) for c in j.comps]
+    if samps != [(2, 2), (1, 1), (1, 1)]:
+        return None
+    return j
+
+
 def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
-                 dtype="uint8"):
-    """Decode a batch of images to a single (N, H, W, 4) device array.
-
-    Images are decoded via the codec registry; if ``size`` is given, all
-    are resized on device to (H, W). Implemented fully once the JPEG
-    device pipeline lands; see ffpic_tpu/ops/jpeg_kernels.py.
-    """
-    from ffpic_tpu.formats import load
-    from ffpic_tpu.ops.resize import resize_batch_rgba
+                 dtype="uint8", mode: str = "bt601", mesh=None):
+    """Decode a batch of images to a single (N, H, W, 4) device array."""
+    import jax
     import jax.numpy as jnp
+    from ffpic_tpu.formats import registry
+    from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+    from ffpic_tpu.ops.resize import resize_rgba
 
-    pics = [load(s) for s in srcs]
+    n = len(srcs)
+    slots: list = [None] * n
+    buckets: dict[tuple, list] = {}
+
+    color_mode = "bt601" if mode == "bt601" else mode
+    for i, src in enumerate(srcs):
+        data = _read(src)
+        j = _jpeg_420_plan(data)
+        if j is not None:
+            key = (j.comps[0].nby, j.comps[0].nbx)
+            buckets.setdefault(key, []).append((i, j))
+        else:
+            pic = registry.load(data)
+            slots[i] = jnp.asarray(pic.to_rgba32())
+
+    # coalesced launches per geometry bucket, per-image quant tables
+    for (nby, nbx), members in buckets.items():
+        ycoef = np.stack([j.coeffs[0].reshape(nby, nbx, 8, 8)
+                          for _i, j in members])
+        ucoef = np.stack([j.coeffs[1].reshape(nby // 2, nbx // 2, 8, 8)
+                          for _i, j in members])
+        vcoef = np.stack([j.coeffs[2].reshape(nby // 2, nbx // 2, 8, 8)
+                          for _i, j in members])
+        yq = np.stack([j.dqt[j.comps[0].tq].reshape(8, 8)
+                       for _i, j in members])[:, None, None]
+        cq = np.stack([j.dqt[j.comps[1].tq].reshape(8, 8)
+                       for _i, j in members])[:, None, None]
+        out = decode_batch_420(jnp.asarray(ycoef), jnp.asarray(ucoef),
+                               jnp.asarray(vcoef), jnp.asarray(yq),
+                               jnp.asarray(cq), order="rgba",
+                               mode=color_mode)
+        for k, (i, j) in enumerate(members):
+            slots[i] = out[k, :j.height, :j.width]
+
     if size is None:
-        hs = {p.np_pixels().shape[:2] for p in pics}
-        if len(hs) != 1:
-            raise ValueError("mixed sizes: pass size=(H, W) to resize on device")
-        return jnp.stack([jnp.asarray(p.to_rgba32()) for p in pics])
-    return resize_batch_rgba([p.pixels if p.format == "RGBA32" else p.to_rgba32()
-                              for p in pics], size)
+        shapes = {tuple(s.shape) for s in slots}
+        if len(shapes) != 1:
+            raise ValueError(
+                "mixed sizes: pass size=(H, W) to resize on device")
+        batch = jnp.stack(slots)
+    else:
+        batch = jnp.stack([resize_rgba(s, tuple(size), "bilinear")
+                           for s in slots])
+
+    if mesh is not None:
+        from ffpic_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(mesh, np.asarray(batch))[:n]
+    return batch

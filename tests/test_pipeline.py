@@ -124,3 +124,37 @@ def test_sharded_ragged_batch(rng):
     q = np.full((8, 8), 8, np.int32)
     out = sharded_decode_420(mesh, ycoef, ucoef, vcoef, q, q)
     assert out.shape == (N, 32, 32, 4)
+
+
+def test_decode_batch_coalesces_same_geometry(tmp_path):
+    """Same-geometry JPEGs go through ONE coalesced launch and equal
+    their individual decodes."""
+    import jax.numpy as jnp
+    import ffpic_tpu
+    from ffpic_tpu.formats import jpg
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+        p = tmp_path / f"b{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=80 + 5 * i,
+                                  subsampling="4:2:0")
+        paths.append(str(p))
+    batch = np.asarray(ffpic_tpu.decode_batch(paths))
+    assert batch.shape == (3, 64, 80, 4)
+    for i, p in enumerate(paths):
+        single = jpg.load(open(p, "rb").read(), order="rgba",
+                          mode="bt601")[0].np_pixels()
+        np.testing.assert_array_equal(batch[i], single[:64, :80])
+
+
+def test_decode_batch_on_mesh(mixed_files):
+    import jax
+    import ffpic_tpu
+    from ffpic_tpu.parallel import make_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(model_parallel=1)
+    batch = ffpic_tpu.decode_batch(mixed_files, size=(32, 32), mesh=mesh)
+    assert batch.shape[0] == 3
+    assert len(batch.sharding.device_set) >= 1
