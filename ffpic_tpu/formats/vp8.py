@@ -248,17 +248,33 @@ class VP8Decoder:
             sizes.append(self.rest[pos] | (self.rest[pos + 1] << 8) |
                          (self.rest[pos + 2] << 16))
             pos += 3
-        parts = []
+        offs, lens = [], []
         p = pos
         for i in range(nparts):
             end = p + sizes[i] if i < nparts - 1 else len(self.rest)
             if end > len(self.rest) or p > len(self.rest):
                 raise ValueError("truncated VP8: token partition "
                                  f"{i} claims bytes past end of data")
-            parts.append(BoolDecoder(self.rest[p:end]))
+            offs.append(p)
+            lens.append(end - p)
             p = end
 
         mbw, mbh = self.mbw, self.mbh
+        self.has_y2 = (self.ymode != B_PRED)
+
+        import os
+        if not os.environ.get("FFPIC_NO_NATIVE"):
+            from ffpic_tpu import native
+            if native.available():
+                self.levels, self.nnz_total = native.vp8_tokens(
+                    self.rest, offs, lens, self.coeff_probs,
+                    self.skip.astype(np.uint8),
+                    self.has_y2.astype(np.uint8), mbh, mbw)
+                self.mb_has_coeffs = self.nnz_total.sum(axis=2) > 0
+                return
+
+        parts = [BoolDecoder(self.rest[o:o + n])
+                 for o, n in zip(offs, lens)]
         self.levels = np.zeros((mbh, mbw, 25, 16), np.int32)
         self.has_y2 = (self.ymode != B_PRED)
         self.nnz_total = np.zeros((mbh, mbw, 25), np.int32)
@@ -419,11 +435,21 @@ class VP8Decoder:
     # ------------------------------------------------------------------
     def _reconstruct(self):
         """Serial intra prediction + residual add (host wavefront)."""
+        import os
         mbh, mbw = self.mbh, self.mbw
         W, H = mbw * 16, mbh * 16
         Y = np.zeros((H, W), np.uint8)
         U = np.zeros((H // 2, W // 2), np.uint8)
         Vp = np.zeros((H // 2, W // 2), np.uint8)
+
+        if not os.environ.get("FFPIC_NO_NATIVE"):
+            from ffpic_tpu import native
+            if native.available():
+                native.vp8_recon(Y, U, Vp, self.residual, self.ymode,
+                                 self.bmodes, self.uvmode, mbh, mbw)
+                self.Y, self.U, self.V = Y, U, Vp
+                return
+
         res = self.residual.astype(np.int32)
 
         for my in range(mbh):

@@ -196,3 +196,58 @@ def vp8_loop_filter(Y: np.ndarray, U: np.ndarray, V: np.ndarray,
        np.ascontiguousarray(inner, np.uint8).ctypes
          .data_as(ctypes.c_void_p),
        ctypes.c_int(1 if simple else 0), ctypes.c_int(sharpness))
+
+
+def vp8_tokens(rest: bytes, part_off, part_len, probs: np.ndarray,
+               skip: np.ndarray, has_y2: np.ndarray,
+               mbh: int, mbw: int):
+    """Native VP8 token-partition decode (host_vp8.c).  Returns
+    (levels (mbh,mbw,25,16) int32, nnz_total (mbh,mbw,25) int32)."""
+    lib = _load()
+    assert lib is not None
+    levels = np.zeros((mbh, mbw, 25, 16), np.int32)
+    nnz = np.zeros((mbh, mbw, 25), np.int32)
+    rest_b = np.frombuffer(rest, np.uint8)
+    off = np.ascontiguousarray(part_off, np.int64)
+    ln = np.ascontiguousarray(part_len, np.int64)
+    fn = lib.ffpic_vp8_tokens
+    fn.restype = ctypes.c_int
+    rc = fn(rest_b.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(len(rest)),
+            off.ctypes.data_as(ctypes.c_void_p),
+            ln.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(len(off)),
+            np.ascontiguousarray(probs, np.uint8).ctypes
+              .data_as(ctypes.c_void_p),
+            np.ascontiguousarray(skip, np.uint8).ctypes
+              .data_as(ctypes.c_void_p),
+            np.ascontiguousarray(has_y2, np.uint8).ctypes
+              .data_as(ctypes.c_void_p),
+            ctypes.c_int(mbh), ctypes.c_int(mbw),
+            levels.ctypes.data_as(ctypes.c_void_p),
+            nnz.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"vp8 token decode failed ({rc})")
+    return levels, nnz
+
+
+def vp8_recon(Y, U, V, residual, ymode, bmodes, uvmode,
+              mbh: int, mbw: int) -> None:
+    """Native intra prediction + residual add (host_vp8.c), writing
+    the planes in place."""
+    lib = _load()
+    assert lib is not None
+    fn = lib.ffpic_vp8_recon
+    fn.restype = None
+    fn(Y.ctypes.data_as(ctypes.c_void_p),
+       U.ctypes.data_as(ctypes.c_void_p),
+       V.ctypes.data_as(ctypes.c_void_p),
+       np.ascontiguousarray(residual, np.int16).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(ymode, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(bmodes, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(uvmode, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       ctypes.c_int(mbh), ctypes.c_int(mbw))

@@ -166,3 +166,475 @@ FFPIC_API void ffpic_vp8_loop_filter(
         }
     }
 }
+
+/* ---------------- token-partition decoder ---------------------------
+ *
+ * RFC 6386 §13: the serial entropy hot path for lossy WebP.  Mirrors
+ * formats/vp8.py _parse_tokens exactly (differential-tested); the
+ * tables below are RFC 6386 protocol constants, identical to
+ * formats/vp8_tables.py.
+ */
+
+typedef struct {
+    const uint8_t *data;
+    long len;
+    long pos;
+    uint32_t value;
+    uint32_t range;
+    int bit_count;
+} VP8Bool;
+
+static void bd_init(VP8Bool *b, const uint8_t *data, long len) {
+    b->data = data;
+    b->len = len;
+    b->value = ((len > 0 ? data[0] : 0) << 8) | (len > 1 ? data[1] : 0);
+    b->pos = 2;
+    b->range = 255;
+    b->bit_count = 0;
+}
+
+static inline int bd_bool(VP8Bool *b, int prob) {
+    uint32_t split = 1 + (((b->range - 1) * (uint32_t)prob) >> 8);
+    uint32_t big = split << 8;
+    int ret;
+    if (b->value >= big) {
+        ret = 1;
+        b->range -= split;
+        b->value -= big;
+    } else {
+        ret = 0;
+        b->range = split;
+    }
+    while (b->range < 128) {
+        b->value <<= 1;
+        b->range <<= 1;
+        if (++b->bit_count == 8) {
+            b->bit_count = 0;
+            b->value |= (b->pos < b->len) ? b->data[b->pos] : 0;
+            b->pos++;
+        }
+    }
+    return ret;
+}
+
+static const int8_t TOK_TREE[22] = {
+    -11, 2, 0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6, 18,
+    20, -7, -8, -9, -10};
+static const uint8_t BANDS[16] = {0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6,
+                                  6, 6, 6, 7};
+static const uint8_t ZZ4[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10,
+                                7, 11, 14, 15};
+static const int CAT_BASE[6] = {5, 7, 11, 19, 35, 67};
+static const uint8_t CAT_PROBS[6][11] = {
+    {159}, {165, 145}, {173, 148, 140}, {176, 155, 140, 135},
+    {180, 157, 141, 134, 130},
+    {254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129}};
+static const int CAT_LEN[6] = {1, 2, 3, 4, 5, 11};
+#define DCT_EOB 11
+
+/* decode one 4x4 block's tokens; returns nz (last nonzero pos + 1) */
+static inline int vp8_block_tokens(VP8Bool *b, const uint8_t *probs,
+                                   int btype, int first, int ctx,
+                                   int32_t *blk) {
+    int nz = 0;
+    int c = ctx;
+    int start = 0;
+    for (int n = first; n < 16; n++) {
+        const uint8_t *pr = probs + ((btype * 8 + BANDS[n]) * 3 + c) * 11;
+        int i = start;
+        int tok;
+        for (;;) {
+            i = TOK_TREE[i + bd_bool(b, pr[i >> 1])];
+            if (i <= 0) {
+                tok = -i;
+                break;
+            }
+        }
+        if (tok == DCT_EOB)
+            break;
+        if (tok == 0) {
+            start = 2;
+            c = 0;
+            continue;
+        }
+        start = 0;
+        int val;
+        if (tok <= 4) {
+            val = tok;
+        } else {
+            int cat = tok - 5;
+            int extra = 0;
+            for (int k = 0; k < CAT_LEN[cat]; k++)
+                extra = (extra << 1) | bd_bool(b, CAT_PROBS[cat][k]);
+            val = CAT_BASE[cat] + extra;
+        }
+        c = val > 1 ? 2 : 1;
+        if (bd_bool(b, 128))
+            val = -val;
+        blk[ZZ4[n]] = val;
+        nz = n + 1;
+    }
+    return nz;
+}
+
+FFPIC_API int ffpic_vp8_tokens(
+    const uint8_t *rest, long rest_len,
+    const long *part_off, const long *part_len, int nparts,
+    const uint8_t *probs,           /* (4,8,3,11) */
+    const uint8_t *skip,            /* (mbh,mbw) */
+    const uint8_t *has_y2,          /* (mbh,mbw) */
+    int mbh, int mbw,
+    int32_t *levels,                /* (mbh,mbw,25,16) */
+    int32_t *nnz_total) {           /* (mbh,mbw,25) */
+    VP8Bool *parts = malloc(sizeof(VP8Bool) * nparts);
+    if (!parts)
+        return -1;
+    for (int i = 0; i < nparts; i++) {
+        if (part_off[i] + part_len[i] > rest_len) {
+            free(parts);
+            return -2;
+        }
+        bd_init(&parts[i], rest + part_off[i], part_len[i]);
+    }
+    int *above_nz = calloc((size_t)mbw * 9, sizeof(int));
+    int left_nz[9];
+    if (!above_nz) {
+        free(parts);
+        return -1;
+    }
+    for (int my = 0; my < mbh; my++) {
+        for (int k = 0; k < 9; k++)
+            left_nz[k] = 0;
+        VP8Bool *b = &parts[my % nparts];
+        for (int mx = 0; mx < mbw; mx++) {
+            long mb = (long)my * mbw + mx;
+            int hy2 = has_y2[mb];
+            int *anz = above_nz + (long)mx * 9;
+            if (skip[mb]) {
+                int lim = hy2 ? 9 : 8;
+                for (int k = 0; k < lim; k++) {
+                    anz[k] = 0;
+                    left_nz[k] = 0;
+                }
+                continue;
+            }
+            int32_t *lv = levels + mb * 25 * 16;
+            int32_t *nnz = nnz_total + mb * 25;
+            int ytype, yfirst;
+            if (hy2) {
+                int nz = vp8_block_tokens(b, probs, 1, 0,
+                                          anz[8] + left_nz[8],
+                                          lv + 24 * 16);
+                anz[8] = left_nz[8] = nz > 0;
+                nnz[24] = nz;
+                ytype = 0;
+                yfirst = 1;
+            } else {
+                ytype = 3;
+                yfirst = 0;
+            }
+            int nzy[4][4];
+            for (int sy = 0; sy < 4; sy++) {
+                for (int sx = 0; sx < 4; sx++) {
+                    int bi = sy * 4 + sx;
+                    int a = sy == 0 ? anz[sx] : nzy[sy - 1][sx];
+                    int l = sx == 0 ? left_nz[sy] : nzy[sy][sx - 1];
+                    int nz = vp8_block_tokens(b, probs, ytype, yfirst,
+                                              a + l, lv + bi * 16);
+                    nzy[sy][sx] = nz > 0;
+                    nnz[bi] = nz;
+                }
+            }
+            for (int sx = 0; sx < 4; sx++)
+                anz[sx] = nzy[3][sx];
+            for (int sy = 0; sy < 4; sy++)
+                left_nz[sy] = nzy[sy][3];
+            for (int ci = 0; ci < 2; ci++) {
+                int base = 16 + 4 * ci;
+                int nzc[2][2];
+                for (int sy = 0; sy < 2; sy++) {
+                    for (int sx = 0; sx < 2; sx++) {
+                        int bi = base + sy * 2 + sx;
+                        int a = sy == 0 ? anz[4 + 2 * ci + sx]
+                                        : nzc[sy - 1][sx];
+                        int l = sx == 0 ? left_nz[4 + 2 * ci + sy]
+                                        : nzc[sy][sx - 1];
+                        int nz = vp8_block_tokens(b, probs, 2, 0, a + l,
+                                                  lv + bi * 16);
+                        nzc[sy][sx] = nz > 0;
+                        nnz[bi] = nz;
+                    }
+                }
+                for (int sx = 0; sx < 2; sx++)
+                    anz[4 + 2 * ci + sx] = nzc[1][sx];
+                for (int sy = 0; sy < 2; sy++)
+                    left_nz[4 + 2 * ci + sy] = nzc[sy][1];
+            }
+        }
+    }
+    free(above_nz);
+    free(parts);
+    return 0;
+}
+
+/* ---------------- intra prediction + reconstruction -----------------
+ *
+ * RFC 6386 §12 (10 B-modes, DC/V/H/TM whole-block modes, 127/129 edge
+ * defaults incl. the interior-right-column top-right quirk) with
+ * residual add — mirror of formats/vp8.py _reconstruct/_pred_b4
+ * (pixel-exact vs libwebp), the serial left/top wavefront stage.
+ */
+
+static inline int cl255(int x) { return x < 0 ? 0 : (x > 255 ? 255 : x); }
+static inline int avg2(int a, int b) { return (a + b + 1) >> 1; }
+static inline int avg3(int a, int b, int c) { return (a + 2 * b + c + 2) >> 2; }
+
+enum { M_DC = 0, M_V, M_H, M_TM, M_BPRED };
+enum { B_DC = 0, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU };
+
+static void pred_whole(const uint8_t *plane, long stride, long y0,
+                       long x0, int size, int mode, int pred[16][16]) {
+    int has_top = y0 > 0, has_left = x0 > 0;
+    int top[17], left[16];
+    for (int i = 0; i < size + 1; i++)
+        top[i] = 127;
+    if (has_top) {
+        for (int i = 0; i < size; i++)
+            top[1 + i] = plane[(y0 - 1) * stride + x0 + i];
+        top[0] = has_left ? plane[(y0 - 1) * stride + x0 - 1] : 129;
+    }
+    for (int i = 0; i < size; i++)
+        left[i] = has_left ? plane[(y0 + i) * stride + x0 - 1] : 129;
+
+    if (mode == M_DC) {
+        int dc = 128;
+        if (has_top && has_left) {
+            int s = size;
+            for (int i = 0; i < size; i++)
+                s += top[1 + i] + left[i];
+            dc = s >> (size == 8 ? 4 : 5);
+        } else if (has_top) {
+            int s = size / 2;
+            for (int i = 0; i < size; i++)
+                s += top[1 + i];
+            dc = s >> (size == 8 ? 3 : 4);
+        } else if (has_left) {
+            int s = size / 2;
+            for (int i = 0; i < size; i++)
+                s += left[i];
+            dc = s >> (size == 8 ? 3 : 4);
+        }
+        for (int r = 0; r < size; r++)
+            for (int c = 0; c < size; c++)
+                pred[r][c] = dc;
+    } else if (mode == M_V) {
+        for (int r = 0; r < size; r++)
+            for (int c = 0; c < size; c++)
+                pred[r][c] = top[1 + c];
+    } else if (mode == M_H) {
+        for (int r = 0; r < size; r++)
+            for (int c = 0; c < size; c++)
+                pred[r][c] = left[r];
+    } else {  /* TM */
+        for (int r = 0; r < size; r++)
+            for (int c = 0; c < size; c++)
+                pred[r][c] = cl255(left[r] + top[1 + c] - top[0]);
+    }
+}
+
+static void pred_b4(const uint8_t *Y, long stride, long W, long by,
+                    long bx, int my, int mx, int sy, int sx, int mode,
+                    int o[4][4]) {
+    int has_top = by > 0, has_left = bx > 0;
+    int t[9], left[4];
+    for (int i = 0; i < 9; i++)
+        t[i] = 127;
+    if (has_top) {
+        for (int i = 0; i < 4; i++)
+            t[1 + i] = Y[(by - 1) * stride + bx + i];
+        t[0] = has_left ? Y[(by - 1) * stride + bx - 1] : 129;
+        if (sy == 0 || sx < 3) {
+            if (bx + 4 < W)
+                for (int i = 0; i < 4; i++)
+                    t[5 + i] = Y[(by - 1) * stride + bx + 4 + i];
+            else if (sy == 0)
+                for (int i = 0; i < 4; i++)
+                    t[5 + i] = Y[(by - 1) * stride + W - 1];
+            else
+                for (int i = 0; i < 4; i++)
+                    t[5 + i] = Y[(by - 1) * stride + bx + 4 + i];
+        } else {
+            long ty = (long)my * 16 - 1;
+            if (ty >= 0) {
+                long txe = (long)mx * 16 + 16;
+                if (txe + 4 <= W)
+                    for (int i = 0; i < 4; i++)
+                        t[5 + i] = Y[ty * stride + txe + i];
+                else
+                    for (int i = 0; i < 4; i++)
+                        t[5 + i] = Y[ty * stride + W - 1];
+            }
+        }
+    }
+    for (int i = 0; i < 4; i++)
+        left[i] = has_left ? Y[(by + i) * stride + bx - 1] : 129;
+
+    int X = t[0], A = t[1], B = t[2], C = t[3], D = t[4];
+    int E = t[5], F = t[6], G = t[7], Hh = t[8];
+    int I = left[0], J = left[1], K = left[2], L = left[3];
+
+    switch (mode) {
+    case B_DC: {
+        int dc = (A + B + C + D + I + J + K + L + 4) >> 3;
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                o[r][c] = dc;
+        break;
+    }
+    case B_TM:
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                o[r][c] = cl255(left[r] + t[1 + c] - X);
+        break;
+    case B_VE: {
+        int row[4] = {avg3(X, A, B), avg3(A, B, C), avg3(B, C, D),
+                      avg3(C, D, E)};
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                o[r][c] = row[c];
+        break;
+    }
+    case B_HE: {
+        int col[4] = {avg3(X, I, J), avg3(I, J, K), avg3(J, K, L),
+                      avg3(K, L, L)};
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                o[r][c] = col[r];
+        break;
+    }
+    case B_LD: {
+        int s[7] = {avg3(A, B, C), avg3(B, C, D), avg3(C, D, E),
+                    avg3(D, E, F), avg3(E, F, G), avg3(F, G, Hh),
+                    avg3(G, Hh, Hh)};
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                o[r][c] = s[r + c];
+        break;
+    }
+    case B_RD:
+        o[3][0] = avg3(J, K, L);
+        o[3][1] = o[2][0] = avg3(I, J, K);
+        o[3][2] = o[2][1] = o[1][0] = avg3(X, I, J);
+        o[3][3] = o[2][2] = o[1][1] = o[0][0] = avg3(A, X, I);
+        o[2][3] = o[1][2] = o[0][1] = avg3(B, A, X);
+        o[1][3] = o[0][2] = avg3(C, B, A);
+        o[0][3] = avg3(D, C, B);
+        break;
+    case B_VR:
+        o[0][0] = o[2][1] = avg2(X, A);
+        o[0][1] = o[2][2] = avg2(A, B);
+        o[0][2] = o[2][3] = avg2(B, C);
+        o[0][3] = avg2(C, D);
+        o[3][0] = avg3(K, J, I);
+        o[2][0] = avg3(J, I, X);
+        o[1][0] = o[3][1] = avg3(I, X, A);
+        o[1][1] = o[3][2] = avg3(X, A, B);
+        o[1][2] = o[3][3] = avg3(A, B, C);
+        o[1][3] = avg3(B, C, D);
+        break;
+    case B_VL:
+        o[0][0] = avg2(A, B);
+        o[0][1] = o[2][0] = avg2(B, C);
+        o[0][2] = o[2][1] = avg2(C, D);
+        o[0][3] = o[2][2] = avg2(D, E);
+        o[1][0] = avg3(A, B, C);
+        o[1][1] = o[3][0] = avg3(B, C, D);
+        o[1][2] = o[3][1] = avg3(C, D, E);
+        o[1][3] = o[3][2] = avg3(D, E, F);
+        o[2][3] = avg3(E, F, G);
+        o[3][3] = avg3(F, G, Hh);
+        break;
+    case B_HD:
+        o[0][0] = o[1][2] = avg2(I, X);
+        o[1][0] = o[2][2] = avg2(J, I);
+        o[2][0] = o[3][2] = avg2(K, J);
+        o[3][0] = avg2(L, K);
+        o[0][3] = avg3(A, B, C);
+        o[0][2] = avg3(X, A, B);
+        o[0][1] = o[1][3] = avg3(I, X, A);
+        o[1][1] = o[2][3] = avg3(X, I, J);
+        o[2][1] = o[3][3] = avg3(I, J, K);
+        o[3][1] = avg3(J, K, L);
+        break;
+    default:  /* B_HU */
+        o[0][0] = avg2(I, J);
+        o[0][1] = avg3(I, J, K);
+        o[0][2] = o[1][0] = avg2(J, K);
+        o[0][3] = o[1][1] = avg3(J, K, L);
+        o[1][2] = o[2][0] = avg2(K, L);
+        o[1][3] = o[2][1] = avg3(K, L, L);
+        o[2][2] = o[2][3] = L;
+        o[3][0] = o[3][1] = o[3][2] = o[3][3] = L;
+        break;
+    }
+}
+
+FFPIC_API void ffpic_vp8_recon(
+    uint8_t *Y, uint8_t *U, uint8_t *V,
+    const int16_t *residual,      /* (mbh,mbw,24,4,4) */
+    const int32_t *ymode, const int32_t *bmodes,  /* (mbh,mbw,16) */
+    const int32_t *uvmode, int mbh, int mbw) {
+    long ys = (long)mbw * 16, cs = (long)mbw * 8;
+    for (int my = 0; my < mbh; my++) {
+        for (int mx = 0; mx < mbw; mx++) {
+            long mb = (long)my * mbw + mx;
+            const int16_t *res = residual + mb * 24 * 16;
+            long y0 = (long)my * 16, x0 = (long)mx * 16;
+            int ym = ymode[mb];
+            if (ym != M_BPRED) {
+                int pred[16][16];
+                pred_whole(Y, ys, y0, x0, 16, ym, pred);
+                for (int b = 0; b < 16; b++) {
+                    const int16_t *r = res + b * 16;
+                    int by = (b >> 2) * 4, bx = (b & 3) * 4;
+                    for (int i = 0; i < 4; i++)
+                        for (int j = 0; j < 4; j++)
+                            Y[(y0 + by + i) * ys + x0 + bx + j] =
+                                (uint8_t)cl255(pred[by + i][bx + j]
+                                               + r[i * 4 + j]);
+                }
+            } else {
+                for (int b = 0; b < 16; b++) {
+                    int sy = b >> 2, sx = b & 3;
+                    long by = y0 + sy * 4, bx = x0 + sx * 4;
+                    int o[4][4];
+                    pred_b4(Y, ys, ys, by, bx, my, mx, sy, sx,
+                            bmodes[mb * 16 + b], o);
+                    const int16_t *r = res + b * 16;
+                    for (int i = 0; i < 4; i++)
+                        for (int j = 0; j < 4; j++)
+                            Y[(by + i) * ys + bx + j] =
+                                (uint8_t)cl255(o[i][j] + r[i * 4 + j]);
+                }
+            }
+            /* chroma */
+            int uvm = uvmode[mb];
+            long cy0 = (long)my * 8, cx0 = (long)mx * 8;
+            uint8_t *planes[2] = {U, V};
+            for (int pi = 0; pi < 2; pi++) {
+                int pred[16][16];
+                pred_whole(planes[pi], cs, cy0, cx0, 8, uvm, pred);
+                const int16_t *cres = res + (16 + 4 * pi) * 16;
+                for (int b = 0; b < 4; b++) {
+                    const int16_t *r = cres + b * 16;
+                    int by = (b >> 1) * 4, bx = (b & 1) * 4;
+                    for (int i = 0; i < 4; i++)
+                        for (int j = 0; j < 4; j++)
+                            planes[pi][(cy0 + by + i) * cs + cx0 + bx + j]
+                                = (uint8_t)cl255(pred[by + i][bx + j]
+                                                 + r[i * 4 + j]);
+                }
+            }
+        }
+    }
+}

@@ -199,3 +199,20 @@ def test_vp8_device_color_matches_numpy(rng):
     np.testing.assert_array_equal(dev[..., 0], r)
     np.testing.assert_array_equal(dev[..., 1], g)
     np.testing.assert_array_equal(dev[..., 2], b)
+
+
+def test_native_pipeline_matches_python(tmp_path):
+    """Full decode with native token/recon/filter kernels equals the
+    pure-Python path bit-exactly."""
+    import os
+    import ffpic_tpu
+    path = os.path.join(REPO, "corpus", "webp_512.webp")
+    if not os.path.exists(path):
+        pytest.skip("corpus missing")
+    native_px = ffpic_tpu.load(path).np_pixels()
+    os.environ["FFPIC_NO_NATIVE"] = "1"
+    try:
+        py_px = ffpic_tpu.load(path).np_pixels()
+    finally:
+        os.environ.pop("FFPIC_NO_NATIVE", None)
+    np.testing.assert_array_equal(native_px, py_px)
