@@ -273,26 +273,57 @@ def _decode_item_yuv(data, s, item_id):
 
 
 def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
-    """Crop + chroma upsample + color convert (device, like the JPEG
-    path — ops/jpeg_kernels.color_convert on TPU)."""
+    """Crop + chroma upsample + color convert.
+
+    Host numpy by default: HEVC stills arrive host-side (CABAC+recon)
+    and the conversion is a few ms, while a per-geometry device jit
+    costs tens of seconds over the TPU tunnel.  Set
+    FFPIC_HEIF_DEVICE_COLOR=1 to route through the device kernel
+    (ops/jpeg_kernels.color_convert) when feeding a device pipeline
+    with stable geometries.
+    """
+    import os
     import numpy as np
-    import jax.numpy as jnp
-    from ffpic_tpu.ops.jpeg_kernels import color_convert
 
     out_w = min(out_w or sps.pic_width_cropped, pic.planes[0].shape[1])
     out_h = min(out_h or sps.pic_height_cropped, pic.planes[0].shape[0])
-    yp = jnp.asarray(pic.planes[0].astype(np.int16))
+
+    if os.environ.get("FFPIC_HEIF_DEVICE_COLOR"):
+        import jax.numpy as jnp
+        from ffpic_tpu.ops.jpeg_kernels import color_convert
+        yp = jnp.asarray(pic.planes[0].astype(np.int16))
+        if len(pic.planes) > 1:
+            up = jnp.asarray(pic.planes[1].astype(np.int16))
+            vp = jnp.asarray(pic.planes[2].astype(np.int16))
+            up = jnp.repeat(jnp.repeat(up, 2, 0), 2, 1)[:yp.shape[0],
+                                                        :yp.shape[1]]
+            vp = jnp.repeat(jnp.repeat(vp, 2, 0), 2, 1)[:yp.shape[0],
+                                                        :yp.shape[1]]
+        else:
+            up = vp = jnp.full_like(yp, 128)
+        rgba = color_convert(yp, up, vp, order="rgba", mode=mode)
+        return np.asarray(rgba)[:out_h, :out_w]
+
+    yy = pic.planes[0].astype(np.float32)
     if len(pic.planes) > 1:
-        up = jnp.asarray(pic.planes[1].astype(np.int16))
-        vp = jnp.asarray(pic.planes[2].astype(np.int16))
-        up = jnp.repeat(jnp.repeat(up, 2, 0), 2, 1)[:yp.shape[0],
-                                                    :yp.shape[1]]
-        vp = jnp.repeat(jnp.repeat(vp, 2, 0), 2, 1)[:yp.shape[0],
-                                                    :yp.shape[1]]
+        uu = np.repeat(np.repeat(pic.planes[1], 2, 0), 2, 1)
+        vv = np.repeat(np.repeat(pic.planes[2], 2, 0), 2, 1)
+        uu = uu[:yy.shape[0], :yy.shape[1]].astype(np.float32) - 128.0
+        vv = vv[:yy.shape[0], :yy.shape[1]].astype(np.float32) - 128.0
     else:
-        up = vp = jnp.full_like(yp, 128)
-    rgba = color_convert(yp, up, vp, order="rgba", mode=mode)
-    return np.asarray(rgba)[:out_h, :out_w]
+        uu = vv = np.zeros_like(yy)
+    if mode == "reference":
+        r = np.trunc(yy + 1.280 * vv)
+        g = np.trunc(yy - 0.215 * uu - 0.381 * vv)
+        b = np.trunc(yy + 2.128 * uu)
+    else:  # bt601 round-half-up, same formulas as the device kernel
+        r = np.floor(yy + 1.402 * vv + 0.5)
+        g = np.floor(yy - 0.344136 * uu - 0.714136 * vv + 0.5)
+        b = np.floor(yy + 1.772 * uu + 0.5)
+    rgba = np.stack([np.clip(r, 0, 255), np.clip(g, 0, 255),
+                     np.clip(b, 0, 255),
+                     np.full_like(yy, 255)], axis=-1).astype(np.uint8)
+    return rgba[:out_h, :out_w]
 
 
 def _decode_item_rgba(data, s, item_id, mode):

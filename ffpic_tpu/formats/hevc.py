@@ -292,6 +292,8 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
                                              parse_slice_header)
     from ffpic_tpu.formats import hevc_recon
 
+    import os
+
     rbsp = unescape(nalu)
     r = BitReader(rbsp)
     nut = (rbsp[0] >> 1) & 0x3F
@@ -299,12 +301,81 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
     hdr = parse_slice_header(r, nut, sps, pps)
     data = rbsp[hdr.data_bit_offset // 8:]
     pic = hevc_recon.Picture(sps)
-    sd = SliceDecoder(sps, pps, hdr, data, pic)
-    ops = sd.decode_slice_data()
+
+    ops = None
+    if (not os.environ.get("FFPIC_NO_NATIVE")
+            and sps.bit_depth_luma == 8 and not sps.pcm_enabled
+            and not pps.tiles_enabled and not pps.entropy_coding_sync):
+        from ffpic_tpu import native
+        if native.available():
+            ops = _decode_slice_native(sps, pps, hdr, data, pic)
+    if ops is None:
+        sd = SliceDecoder(sps, pps, hdr, data, pic)
+        ops = sd.decode_slice_data()
+        pic.sao_params = sd.sao_out
     hevc_recon.execute_ops(pic, ops)
-    pic.sao_params = sd.sao_out
     if not hdr.deblocking_disabled:
         hevc_recon.deblock(pic, hdr.beta_offset_div2, hdr.tc_offset_div2)
     if hdr.sao_luma or hdr.sao_chroma:
         hevc_recon.apply_sao(pic)
     return pic
+
+
+def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
+    """Drive the native slice-syntax decoder (native/host_hevc.c) and
+    convert its flat outputs to the recon op list."""
+    import numpy as np
+    from ffpic_tpu import native
+    from ffpic_tpu.coding.hevc_slice import _CTX_SET, Contexts, PredOp, TU
+    from ffpic_tpu.formats.hevc_recon import SaoParam
+
+    ctx = Contexts(hdr.qp)
+    states, mps = [], []
+    for name, count in _CTX_SET:
+        for cm in ctx.m[name][:count]:
+            states.append(cm.state)
+            mps.append(cm.mps)
+    params = [
+        sps.width, sps.height, sps.ctb_log2, sps.log2_min_cb,
+        sps.log2_min_tb, sps.log2_min_tb + sps.log2_diff_max_min_tb,
+        sps.max_transform_hierarchy_depth_intra, sps.chroma_format,
+        int(pps.transquant_bypass), int(pps.transform_skip_enabled),
+        int(pps.sign_data_hiding), int(pps.cu_qp_delta_enabled),
+        pps.diff_cu_qp_delta_depth, pps.cb_qp_offset, pps.cr_qp_offset,
+        hdr.qp, int(hdr.sao_luma), int(hdr.sao_chroma),
+        hdr.cb_qp_offset, hdr.cr_qp_offset,
+    ]
+    (ops_a, tu_a, levels, sao, _ctd, _lm, qp_map,
+     bypass_map) = native.hevc_decode_slice(
+        data, params, np.array(states, np.uint8),
+        np.array(mps, np.uint8))
+
+    tus = []
+    off = 0
+    for x, y, n, c_idx, skip, bypass, qp, dst in tu_a:
+        lv = levels[off:off + n * n].astype(np.int32).reshape(n, n)
+        off += n * n
+        tus.append(TU(x=int(x), y=int(y), n=int(n), c_idx=int(c_idx),
+                      levels=lv, qp=int(qp), skip=bool(skip),
+                      bypass=bool(bypass), dst=bool(dst)))
+    ops = []
+    for plane, x, y, n, mode, tu in ops_a:
+        ops.append(PredOp(int(plane), int(x), int(y), int(n), int(mode),
+                          tus[tu] if tu >= 0 else None))
+        if plane == 0:
+            pic.mark_edges(int(x), int(y), int(n))
+    pic.qp_map[:qp_map.shape[0], :qp_map.shape[1]] = qp_map
+    pic.bypass_map[:bypass_map.shape[0], :bypass_map.shape[1]] = \
+        bypass_map.astype(bool)
+    ctbs_x = (sps.width + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2
+    for idx in range(sao.shape[0]):
+        row = sao[idx]
+        if not row[:3].any():
+            continue
+        pic.sao_params[(idx % ctbs_x, idx // ctbs_x)] = SaoParam(
+            type_idx=tuple(int(v) for v in row[:3]),
+            offsets=tuple(tuple(int(v) for v in row[3 + 4 * k:7 + 4 * k])
+                          for k in range(3)),
+            band_pos=tuple(int(v) for v in row[15:18]),
+            eo_class=tuple(int(v) for v in row[18:21]))
+    return ops

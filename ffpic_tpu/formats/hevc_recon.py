@@ -96,31 +96,27 @@ def _gather_reference(pic: Picture, plane: int, x: int, y: int,
     ph, pw = pl.shape
     bd_mid = 1 << (pic.bd - 1)
 
-    # availability per 4-sample group along each border
-    def avail(sx, sy):
-        if sx < 0 or sy < 0 or sx >= pw or sy >= ph:
-            return False
-        return bool(mask[sy // 4, sx // 4])
-
     total = 4 * n + 1
     vals = np.empty(total, np.int64)     # scan: bottom-left .. top-right
     ok = np.zeros(total, bool)
     # left column bottom-up: p[-1][y+2n-1] .. p[-1][y]
-    for i in range(2 * n):
-        sy = y + 2 * n - 1 - i
-        if avail(x - 1, sy):
-            vals[i] = pl[sy, x - 1]
-            ok[i] = True
+    if x > 0:
+        sy = np.arange(y + 2 * n - 1, y - 1, -1)
+        valid = sy < ph
+        syc = np.minimum(sy, ph - 1)
+        ok[:2 * n] = valid & mask[syc // 4, (x - 1) // 4]
+        vals[:2 * n] = np.where(ok[:2 * n], pl[syc, x - 1], 0)
     # corner
-    if avail(x - 1, y - 1):
+    if x > 0 and y > 0 and mask[(y - 1) // 4, (x - 1) // 4]:
         vals[2 * n] = pl[y - 1, x - 1]
         ok[2 * n] = True
     # top row left-to-right: p[x][-1] .. p[x+2n-1][-1]
-    for i in range(2 * n):
-        sx = x + i
-        if avail(sx, y - 1):
-            vals[2 * n + 1 + i] = pl[y - 1, min(sx, pw - 1)]
-            ok[2 * n + 1 + i] = True
+    if y > 0:
+        sx = np.arange(x, x + 2 * n)
+        valid = sx < pw
+        sxc = np.minimum(sx, pw - 1)
+        ok[2 * n + 1:] = valid & mask[(y - 1) // 4, sxc // 4]
+        vals[2 * n + 1:] = np.where(ok[2 * n + 1:], pl[y - 1, sxc], 0)
 
     if not ok.any():
         vals[:] = bd_mid

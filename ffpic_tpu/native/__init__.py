@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c"]
 _lib = None
 _tried = False
 
@@ -251,3 +251,56 @@ def vp8_recon(Y, U, V, residual, ymode, bmodes, uvmode,
        np.ascontiguousarray(uvmode, np.int32).ctypes
          .data_as(ctypes.c_void_p),
        ctypes.c_int(mbh), ctypes.c_int(mbw))
+
+
+def hevc_decode_slice(data: bytes, params, init_state: np.ndarray,
+                      init_mps: np.ndarray):
+    """Native HEVC I-slice syntax decode (host_hevc.c).  Returns
+    (ops (n,6) int32, tu_meta (m,8) int32, levels int16 packed,
+    sao (ctbs,21) int32, ct_depth, luma_mode, qp_map int8 maps,
+    bypass_map uint8)."""
+    lib = _load()
+    assert lib is not None
+    w, h, ctb_log2 = params[0], params[1], params[2]
+    mw, mh = (w + 3) // 4, (h + 3) // 4
+    ctbs = (((w + (1 << ctb_log2) - 1) >> ctb_log2)
+            * ((h + (1 << ctb_log2) - 1) >> ctb_log2))
+    n44 = mw * mh
+    ops = np.zeros((3 * n44 + 64, 6), np.int32)
+    tu_meta = np.zeros((3 * n44 + 64, 8), np.int32)
+    levels = np.zeros(2 * w * h + 4096, np.int16)
+    sao = np.zeros((ctbs, 21), np.int32)
+    ct_depth = np.zeros(n44, np.int8)
+    luma_mode = np.zeros(n44, np.int8)
+    qp_map = np.zeros(n44, np.int8)
+    bypass_map = np.zeros(n44, np.uint8)
+    n_tus = np.zeros(1, np.int64)
+    buf = np.frombuffer(data, np.uint8)
+    prm = np.ascontiguousarray(params, np.int32)
+    fn = lib.ffpic_hevc_decode_slice
+    fn.restype = ctypes.c_long
+    n_ops = fn(buf.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(data)),
+               prm.ctypes.data_as(ctypes.c_void_p),
+               np.ascontiguousarray(init_state, np.uint8).ctypes
+                 .data_as(ctypes.c_void_p),
+               np.ascontiguousarray(init_mps, np.uint8).ctypes
+                 .data_as(ctypes.c_void_p),
+               ops.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(ops)),
+               tu_meta.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(tu_meta)),
+               levels.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(levels)),
+               sao.ctypes.data_as(ctypes.c_void_p),
+               ct_depth.ctypes.data_as(ctypes.c_void_p),
+               luma_mode.ctypes.data_as(ctypes.c_void_p),
+               qp_map.ctypes.data_as(ctypes.c_void_p),
+               bypass_map.ctypes.data_as(ctypes.c_void_p),
+               n_tus.ctypes.data_as(ctypes.c_void_p))
+    if n_ops < 0:
+        raise ValueError(f"hevc native slice decode failed ({n_ops})")
+    m = int(n_tus[0])
+    return (ops[:n_ops], tu_meta[:m], levels, sao,
+            ct_depth.reshape(mh, mw), luma_mode.reshape(mh, mw),
+            qp_map.reshape(mh, mw), bypass_map.reshape(mh, mw))

@@ -1,0 +1,940 @@
+/* host_hevc.c — native HEVC I-slice CABAC syntax decoder.
+ *
+ * Exact port of coding/hevc_slice.py SliceDecoder (the Python oracle,
+ * which is dual-validated: encoder-roundtrip sample-exact and byte-
+ * exact against the compiled C reference decoder).  Python keeps the
+ * slice-header parse and the reconstruction pass; this covers the
+ * per-bin hot path: CTU loop, SAO syntax, quadtree, intra CUs + MPM,
+ * transform tree, residual coding, QP prediction.
+ *
+ * The CABAC engine is the spec 9-bit formulation (same as
+ * coding/cabac.py, itself torture-tested bin-exact vs the reference's
+ * engine); state tables are H.265 Table 9-52/9-53 constants.
+ *
+ * Outputs are flat arrays the Python side turns into PredOps/TUs.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define FFPIC_API __attribute__((visibility("default")))
+
+/* ---------------- CABAC engine (9.3.4.3) ---------------------------- */
+
+static const uint8_t LPS[64][4] = {
+    {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
+    {123, 150, 178, 205}, {116, 142, 169, 195}, {111, 135, 160, 185},
+    {105, 128, 152, 175}, {100, 122, 144, 166}, {95, 116, 137, 158},
+    {90, 110, 130, 150}, {85, 104, 123, 142}, {81, 99, 117, 135},
+    {77, 94, 111, 128}, {73, 89, 105, 122}, {69, 85, 100, 116},
+    {66, 80, 95, 110}, {62, 76, 90, 104}, {59, 72, 86, 99},
+    {56, 69, 81, 94}, {53, 65, 77, 89}, {51, 62, 73, 85},
+    {48, 59, 69, 80}, {46, 56, 66, 76}, {43, 53, 63, 72},
+    {41, 50, 59, 69}, {39, 48, 56, 65}, {37, 45, 54, 62},
+    {35, 43, 51, 59}, {33, 41, 48, 56}, {32, 39, 46, 53},
+    {30, 37, 43, 50}, {29, 35, 41, 48}, {27, 33, 39, 45},
+    {26, 31, 37, 43}, {24, 30, 35, 41}, {23, 28, 33, 39},
+    {22, 27, 32, 37}, {21, 26, 30, 35}, {20, 24, 29, 33},
+    {19, 23, 27, 31}, {18, 22, 26, 30}, {17, 21, 25, 28},
+    {16, 20, 23, 27}, {15, 19, 22, 25}, {14, 18, 21, 24},
+    {14, 17, 20, 23}, {13, 16, 19, 22}, {12, 15, 18, 21},
+    {12, 14, 17, 20}, {11, 14, 16, 19}, {11, 13, 15, 18},
+    {10, 12, 15, 17}, {10, 12, 14, 16}, {9, 11, 13, 15},
+    {9, 11, 12, 14}, {8, 10, 12, 14}, {8, 9, 11, 13},
+    {7, 9, 11, 12}, {7, 9, 10, 12}, {7, 8, 10, 11},
+    {6, 8, 9, 11}, {6, 7, 9, 10}, {6, 7, 8, 9}, {2, 2, 2, 2}};
+static const uint8_t NMPS[64] = {
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36,
+    37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53,
+    54, 55, 56, 57, 58, 59, 60, 61, 62, 62, 63};
+static const uint8_t NLPS[64] = {
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
+    16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24, 24, 25, 26, 26, 27,
+    27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34, 35, 35,
+    35, 36, 36, 36, 37, 37, 37, 38, 38, 63};
+
+#define NCTX 137
+/* flat context layout (must match coding/hevc_slice.py _CTX_SET) */
+enum {
+    C_SAO_MERGE = 0, C_SAO_TYPE = 1, C_SPLIT_CU = 2, C_TQ_BYPASS = 5,
+    C_PART_MODE = 6, C_PREV_INTRA = 7, C_CHROMA_MODE = 8,
+    C_SPLIT_TT = 9, C_CBF_LUMA = 12, C_CBF_C = 14, C_TSKIP = 19,
+    C_LASTX = 21, C_LASTY = 39, C_CSBF = 57, C_SIG = 61, C_GT1 = 105,
+    C_GT2 = 129, C_QPD = 135,
+};
+
+typedef struct {
+    const uint8_t *data;
+    long len;
+    long bitpos;
+    uint32_t range, offset;
+    uint8_t state[NCTX], mps[NCTX];
+    int err;
+} Cabac;
+
+static inline int rd_bit(Cabac *c) {
+    if (c->bitpos >= c->len * 8)
+        return 0;
+    int b = (c->data[c->bitpos >> 3] >> (7 - (c->bitpos & 7))) & 1;
+    c->bitpos++;
+    return b;
+}
+
+static void cb_init(Cabac *c, const uint8_t *data, long len,
+                    const uint8_t *st, const uint8_t *mp) {
+    c->data = data;
+    c->len = len;
+    c->bitpos = 0;
+    c->range = 510;
+    c->offset = 0;
+    c->err = 0;
+    for (int i = 0; i < 9; i++)
+        c->offset = (c->offset << 1) | rd_bit(c);
+    memcpy(c->state, st, NCTX);
+    memcpy(c->mps, mp, NCTX);
+}
+
+static inline void renorm(Cabac *c) {
+    while (c->range < 256) {
+        c->range <<= 1;
+        c->offset = ((c->offset << 1) | rd_bit(c)) & 0xFFFF;
+    }
+}
+
+static inline int dec_bin(Cabac *c, int id) {
+    int st = c->state[id];
+    uint32_t lps = LPS[st][(c->range >> 6) & 3];
+    c->range -= lps;
+    int bin;
+    if (c->offset >= c->range) {
+        bin = 1 - c->mps[id];
+        c->offset -= c->range;
+        c->range = lps;
+        if (st == 0)
+            c->mps[id] = 1 - c->mps[id];
+        c->state[id] = NLPS[st];
+    } else {
+        bin = c->mps[id];
+        c->state[id] = NMPS[st];
+    }
+    renorm(c);
+    return bin;
+}
+
+static inline int dec_bypass(Cabac *c) {
+    c->offset = ((c->offset << 1) | rd_bit(c)) & 0xFFFF;
+    if (c->offset >= c->range) {
+        c->offset -= c->range;
+        return 1;
+    }
+    return 0;
+}
+
+static inline uint32_t dec_bypass_n(Cabac *c, int n) {
+    uint32_t v = 0;
+    while (n--)
+        v = (v << 1) | dec_bypass(c);
+    return v;
+}
+
+static inline int dec_term(Cabac *c) {
+    c->range -= 2;
+    if (c->offset >= c->range)
+        return 1;
+    renorm(c);
+    return 0;
+}
+
+static inline int dec_egk(Cabac *c, int k) {
+    int pre = 0;
+    while (pre < 32 && dec_bypass(c))
+        pre++;
+    int len = pre + k;
+    int v = ((1 << pre) - 1) << k;
+    if (len)
+        v += dec_bypass_n(c, len);
+    return v;
+}
+
+/* ---------------- scan orders + sig ctx map -------------------------- */
+
+static const uint8_t SIG4[16] = {0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8,
+                                 7, 7, 8, 8};
+
+/* up-right diagonal scan for n x n (n <= 8): (x, y) pairs */
+static void diag_scan(int n, uint8_t *sx, uint8_t *sy) {
+    int i = 0, x = 0, y = 0;
+    while (i < n * n) {
+        while (y >= 0) {
+            if (x < n && y < n) {
+                sx[i] = x;
+                sy[i] = y;
+                i++;
+            }
+            y--;
+            x++;
+        }
+        y = x;
+        x = 0;
+    }
+}
+
+static void make_scan(int n, int idx, uint8_t *sx, uint8_t *sy) {
+    if (idx == 0) {
+        diag_scan(n, sx, sy);
+    } else if (idx == 1) {
+        int i = 0;
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                sx[i] = x;
+                sy[i] = y;
+                i++;
+            }
+    } else {
+        int i = 0;
+        for (int x = 0; x < n; x++)
+            for (int y = 0; y < n; y++) {
+                sx[i] = x;
+                sy[i] = y;
+                i++;
+            }
+    }
+}
+
+static const uint8_t CHROMA_QP[14] = {29, 30, 31, 32, 33, 33, 34, 34,
+                                      35, 35, 36, 36, 37, 37};
+static int chroma_qp(int q) {
+    if (q < 30)
+        return q;
+    if (q > 43)
+        return q - 6;
+    return CHROMA_QP[q - 30];
+}
+
+/* ---------------- decoder state -------------------------------------- */
+
+typedef struct {
+    /* params (from Python) */
+    int w, h, ctb_log2, min_cb, min_tb, max_tb, max_td_intra;
+    int chroma_format, tq_bypass_en, tskip_en, sdh_en;
+    int cuqp_en, cuqp_depth, cb_off, cr_off, slice_qp;
+    int sao_luma, sao_chroma;
+    int slice_cb_off, slice_cr_off;
+    /* derived */
+    int mw, mh;                   /* 4x4 map dims */
+    int ctbs_x, ctbs_y;
+    Cabac cb;
+    /* maps */
+    int8_t *ct_depth, *luma_mode, *qp_map;
+    uint8_t *bypass_map;
+    /* outputs */
+    int32_t *ops;       /* (cap,6): plane,x,y,n,mode,tu */
+    long n_ops, ops_cap;
+    int32_t *tu_meta;   /* (cap,8): x,y,n,cidx,skip,bypass,qp,dst */
+    long n_tus, tu_cap;
+    int16_t *levels;    /* packed */
+    long lv_pos, lv_cap;
+    int32_t *sao;       /* (n_ctbs, 21) */
+    /* CU/QG state */
+    int cu_bypass, cu_part_nxn, cu_max_td, cu_chroma_mode;
+    int cu_x0, cu_y0, cu_log2;
+    int cu_modes[2][2];
+    long cu_first_tu;
+    int qp_coded, cu_qp_delta, qg_x, qg_y, qg_qp_prev, qp_prev;
+    int log2_qg;
+} Dec;
+
+static void emit_op(Dec *d, int plane, int x, int y, int n, int mode,
+                    long tu) {
+    if (d->n_ops >= d->ops_cap) {
+        d->cb.err = -10;
+        return;
+    }
+    int32_t *o = d->ops + d->n_ops * 6;
+    o[0] = plane;
+    o[1] = x;
+    o[2] = y;
+    o[3] = n;
+    o[4] = mode;
+    o[5] = (int32_t)tu;
+    d->n_ops++;
+}
+
+/* ---------------- residual coding (7.3.8.11) ------------------------- */
+
+static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
+                     int pred_mode) {
+    Cabac *c = &d->cb;
+    int n = 1 << log2;
+    if (d->n_tus >= d->tu_cap || d->lv_pos + n * n > d->lv_cap) {
+        c->err = -11;
+        return -1;
+    }
+    long tu = d->n_tus++;
+    int16_t *lv = d->levels + d->lv_pos;
+    memset(lv, 0, sizeof(int16_t) * n * n);
+    d->lv_pos += n * n;
+
+    int skip = 0;
+    if (d->tskip_en && !d->cu_bypass && log2 == 2)
+        skip = dec_bin(c, C_TSKIP + (c_idx ? 1 : 0));
+
+    int scan_idx = 0;
+    if (log2 == 2 || (log2 == 3 && c_idx == 0)) {
+        if (pred_mode >= 6 && pred_mode <= 14)
+            scan_idx = 2;
+        else if (pred_mode >= 22 && pred_mode <= 30)
+            scan_idx = 1;
+    }
+
+    /* last significant coefficient (9.3.4.2.3) */
+    int off, shift;
+    if (c_idx == 0) {
+        off = 3 * (log2 - 2) + ((log2 - 1) >> 2);
+        shift = (log2 + 1) >> 2;
+    } else {
+        off = 15;
+        shift = log2 - 2;
+    }
+    int c_max = (log2 << 1) - 1;
+    int px = 0, py = 0;
+    while (px < c_max && dec_bin(c, C_LASTX + (px >> shift) + off))
+        px++;
+    while (py < c_max && dec_bin(c, C_LASTY + (py >> shift) + off))
+        py++;
+    int last_x, last_y;
+    if (px <= 3)
+        last_x = px;
+    else {
+        int nb = (px >> 1) - 1;
+        last_x = (2 + (px & 1)) * (1 << nb) + dec_bypass_n(c, nb);
+    }
+    if (py <= 3)
+        last_y = py;
+    else {
+        int nb = (py >> 1) - 1;
+        last_y = (2 + (py & 1)) * (1 << nb) + dec_bypass_n(c, nb);
+    }
+    if (scan_idx == 2) {
+        int t = last_x;
+        last_x = last_y;
+        last_y = t;
+    }
+
+    int n_sub = 1 << (log2 - 2);
+    uint8_t ssx[64], ssy[64], csx[16], csy[16];
+    make_scan(n_sub, scan_idx, ssx, ssy);
+    make_scan(4, scan_idx, csx, csy);
+
+    int last_sb = -1, last_pos = -1;
+    int sxt = last_x >> 2, syt = last_y >> 2;
+    for (int i = 0; i < n_sub * n_sub; i++)
+        if (ssx[i] == sxt && ssy[i] == syt) {
+            last_sb = i;
+            break;
+        }
+    int pxt = last_x & 3, pyt = last_y & 3;
+    for (int i = 0; i < 16; i++)
+        if (csx[i] == pxt && csy[i] == pyt) {
+            last_pos = i;
+            break;
+        }
+    if (last_sb < 0 || last_pos < 0) {
+        c->err = -12;
+        return tu;
+    }
+
+    int8_t csbf[8][8];
+    memset(csbf, 0, sizeof(csbf));
+    int gt1_cont = 1;
+
+    for (int i = last_sb; i >= 0; i--) {
+        int sxx = ssx[i], syy = ssy[i];
+        int infer_dc = 0;
+        if (i < last_sb && i > 0) {
+            int right = sxx + 1 < n_sub ? csbf[syy][sxx + 1] : 0;
+            int below = syy + 1 < n_sub ? csbf[syy + 1][sxx] : 0;
+            int inc = (right + below > 0 ? 1 : 0) + (c_idx ? 2 : 0);
+            csbf[syy][sxx] = dec_bin(c, C_CSBF + inc);
+            infer_dc = 1;
+        } else {
+            csbf[syy][sxx] = 1;
+        }
+        if (!csbf[syy][sxx])
+            continue;
+
+        int8_t sig[16];
+        memset(sig, 0, 16);
+        int start_n = (i == last_sb) ? last_pos - 1 : 15;
+        if (i == last_sb)
+            sig[last_pos] = 1;
+        for (int nn = start_n; nn >= 0; nn--) {
+            int xp = csx[nn], yp = csy[nn];
+            int xc = (sxx << 2) + xp, yc = (syy << 2) + yp;
+            if (nn > 0 || !infer_dc) {
+                int sc;
+                if (log2 == 2) {
+                    sc = SIG4[(yc << 2) + xc];
+                } else if (xc == 0 && yc == 0) {
+                    sc = 0;
+                } else {
+                    int right = sxx + 1 < n_sub ? csbf[syy][sxx + 1] : 0;
+                    int below = syy + 1 < n_sub ? csbf[syy + 1][sxx] : 0;
+                    int prev = right + 2 * below;
+                    if (prev == 0)
+                        sc = xp + yp == 0 ? 2 : (xp + yp < 3 ? 1 : 0);
+                    else if (prev == 1)
+                        sc = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
+                    else if (prev == 2)
+                        sc = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
+                    else
+                        sc = 2;
+                    if (c_idx == 0) {
+                        if (sxx || syy)
+                            sc += 3;
+                        sc += (log2 == 3) ? (scan_idx == 0 ? 9 : 15)
+                                          : 21;
+                    } else {
+                        sc += (log2 == 3) ? 9 : 12;
+                    }
+                }
+                sig[nn] = dec_bin(c, C_SIG + sc + (c_idx ? 27 : 0));
+                if (sig[nn])
+                    infer_dc = 0;
+            } else {
+                sig[nn] = 1;
+            }
+        }
+        int sig_pos[16], n_sig = 0;
+        for (int nn = 15; nn >= 0; nn--)
+            if (sig[nn])
+                sig_pos[n_sig++] = nn;
+        if (!n_sig)
+            continue;
+
+        int ctx_set = (i == 0 || c_idx > 0) ? 0 : 2;
+        if (gt1_cont == 0)
+            ctx_set++;
+        int c1 = 1;
+        int8_t gt1[16];
+        memset(gt1, 0, 16);
+        int ngt1 = n_sig < 8 ? n_sig : 8;
+        for (int k = 0; k < ngt1; k++) {
+            int inc = ctx_set * 4 + (c1 < 3 ? c1 : 3)
+                + (c_idx ? 16 : 0);
+            int f = dec_bin(c, C_GT1 + inc);
+            gt1[sig_pos[k]] = f;
+            if (f)
+                c1 = 0;
+            else if (c1 > 0 && c1 < 3)
+                c1++;
+        }
+        gt1_cont = c1;
+        int first_gt1 = -1;
+        for (int k = 0; k < ngt1; k++)
+            if (gt1[sig_pos[k]]) {
+                first_gt1 = sig_pos[k];
+                break;
+            }
+        int gt2v = 0;
+        if (first_gt1 >= 0)
+            gt2v = dec_bin(c, C_GT2 + ctx_set + (c_idx ? 4 : 0));
+
+        int sign_hidden = d->sdh_en && !d->cu_bypass
+            && (sig_pos[0] - sig_pos[n_sig - 1]) > 3;
+        int8_t signs[16];
+        memset(signs, 0, 16);
+        for (int k = 0; k < n_sig; k++) {
+            if (sign_hidden && k == n_sig - 1)
+                continue;
+            signs[sig_pos[k]] = dec_bypass(c);
+        }
+
+        int rice = 0;
+        long total = 0;
+        int vals[16];
+        for (int k = 0; k < n_sig; k++) {
+            int nn = sig_pos[k];
+            int base = 1;
+            if (k < 8) {
+                base += gt1[nn];
+                if (nn == first_gt1)
+                    base += gt2v;
+            }
+            int threshold = (k < 8 && nn == first_gt1) ? 3
+                : (k < 8 ? 2 : 1);
+            int lvl = base;
+            if (base == threshold) {
+                int prefix = 0;
+                while (prefix < 32 && dec_bypass(c))
+                    prefix++;
+                int rem;
+                if (prefix < 3) {
+                    rem = (prefix << rice)
+                        + (rice ? (int)dec_bypass_n(c, rice) : 0);
+                } else {
+                    int nb = prefix - 3 + rice;
+                    rem = (((1 << (prefix - 3)) + 2) << rice)
+                        + (nb ? (int)dec_bypass_n(c, nb) : 0);
+                }
+                lvl = base + rem;
+                if (lvl > (3 << rice) && rice < 4)
+                    rice++;
+            }
+            vals[k] = lvl;
+            total += lvl;
+        }
+        for (int k = 0; k < n_sig; k++) {
+            int nn = sig_pos[k];
+            int lvl = vals[k];
+            int s = (sign_hidden && k == n_sig - 1) ? (int)(total & 1)
+                                                    : signs[nn];
+            if (s)
+                lvl = -lvl;
+            int xp = csx[nn], yp = csy[nn];
+            lv[((syy << 2) + yp) * n + (sxx << 2) + xp] = (int16_t)lvl;
+        }
+    }
+
+    int32_t *m = d->tu_meta + tu * 8;
+    m[0] = c_idx ? (x0 >> 1) : x0;
+    m[1] = c_idx ? (y0 >> 1) : y0;
+    m[2] = n;
+    m[3] = c_idx;
+    m[4] = skip;
+    m[5] = d->cu_bypass;
+    m[6] = 0; /* qp stamped at CU end */
+    m[7] = (c_idx == 0 && log2 == 2);
+    return tu;
+}
+
+/* ---------------- cu_qp_delta (7.3.8.10) ------------------------------ */
+
+static void parse_cu_qp_delta(Dec *d) {
+    Cabac *c = &d->cb;
+    int prefix = 0;
+    if (dec_bin(c, C_QPD)) {
+        prefix = 1;
+        while (prefix < 5 && dec_bin(c, C_QPD + 1))
+            prefix++;
+    }
+    int val = prefix;
+    if (prefix == 5)
+        val = 5 + dec_egk(c, 0);
+    if (val && dec_bypass(c))
+        val = -val;
+    d->cu_qp_delta = val;
+    d->qp_coded = 1;
+}
+
+/* ---------------- transform tree / unit ------------------------------- */
+
+static void transform_unit(Dec *d, int x0, int y0, int xb, int yb,
+                           int log2, int depth, int blk_idx,
+                           int cbf_luma, int cbf_cb, int cbf_cr) {
+    int has_chroma = d->chroma_format && (log2 > 2 || blk_idx == 3);
+    int cx, cy, clog2;
+    if (log2 > 2) {
+        cx = x0;
+        cy = y0;
+        clog2 = log2 - 1;
+    } else {
+        cx = xb;
+        cy = yb;
+        clog2 = 2;
+    }
+    int cbf_chroma = has_chroma && (cbf_cb || cbf_cr);
+    if ((cbf_luma || cbf_chroma) && d->cuqp_en && !d->qp_coded)
+        parse_cu_qp_delta(d);
+    int size = 1 << log2;
+    int mode = d->luma_mode[(y0 / 4) * d->mw + x0 / 4];
+    long tu = -1;
+    if (cbf_luma)
+        tu = residual(d, x0, y0, log2, 0, mode);
+    emit_op(d, 0, x0, y0, size, mode, tu);
+    if (has_chroma) {
+        int csize = 1 << clog2;
+        int cmode = d->cu_chroma_mode;
+        long tu_cb = -1, tu_cr = -1;
+        if (cbf_cb)
+            tu_cb = residual(d, cx, cy, clog2, 1, cmode);
+        if (cbf_cr)
+            tu_cr = residual(d, cx, cy, clog2, 2, cmode);
+        emit_op(d, 1, cx >> 1, cy >> 1, csize, cmode, tu_cb);
+        emit_op(d, 2, cx >> 1, cy >> 1, csize, cmode, tu_cr);
+    }
+}
+
+static void transform_tree(Dec *d, int x0, int y0, int xb, int yb,
+                           int log2, int depth, int blk_idx,
+                           int cbf_cb_par, int cbf_cr_par) {
+    Cabac *c = &d->cb;
+    if (c->err)
+        return;
+    int intra_split = d->cu_part_nxn;
+    int split;
+    if (log2 <= d->max_tb && log2 > d->min_tb
+        && depth < d->cu_max_td && !(intra_split && depth == 0)) {
+        split = dec_bin(c, C_SPLIT_TT + 5 - log2);
+    } else {
+        split = (log2 > d->max_tb)
+            || (intra_split && depth == 0 && log2 > d->min_tb);
+    }
+    int cbf_cb = cbf_cb_par, cbf_cr = cbf_cr_par;
+    if (d->chroma_format && log2 > 2) {
+        cbf_cb = (depth == 0 || cbf_cb_par)
+            ? dec_bin(c, C_CBF_C + depth) : 0;
+        cbf_cr = (depth == 0 || cbf_cr_par)
+            ? dec_bin(c, C_CBF_C + depth) : 0;
+    }
+    if (split) {
+        int half = 1 << (log2 - 1);
+        transform_tree(d, x0, y0, x0, y0, log2 - 1, depth + 1, 0,
+                       cbf_cb, cbf_cr);
+        transform_tree(d, x0 + half, y0, x0, y0, log2 - 1, depth + 1,
+                       1, cbf_cb, cbf_cr);
+        transform_tree(d, x0, y0 + half, x0, y0, log2 - 1, depth + 1,
+                       2, cbf_cb, cbf_cr);
+        transform_tree(d, x0 + half, y0 + half, x0, y0, log2 - 1,
+                       depth + 1, 3, cbf_cb, cbf_cr);
+        return;
+    }
+    int cbf_luma = dec_bin(c, C_CBF_LUMA + (depth == 0 ? 1 : 0));
+    transform_unit(d, x0, y0, xb, yb, log2, depth, blk_idx, cbf_luma,
+                   cbf_cb, cbf_cr);
+}
+
+/* ---------------- intra modes (8.4.2) --------------------------------- */
+
+static int cand_mode(Dec *d, int nx, int ny, int yp, int above) {
+    if (nx < 0 || ny < 0)
+        return 1;
+    if (above && (ny >> d->ctb_log2) != (yp >> d->ctb_log2))
+        return 1;
+    int m = d->luma_mode[(ny / 4) * d->mw + nx / 4];
+    return m < 0 ? 1 : m;
+}
+
+static int derive_luma_mode(Dec *d, int xp, int yp, int prev, int val) {
+    int a = cand_mode(d, xp - 1, yp, yp, 0);
+    int b = cand_mode(d, xp, yp - 1, yp, 1);
+    int mpm[3];
+    if (a == b) {
+        if (a < 2) {
+            mpm[0] = 0;
+            mpm[1] = 1;
+            mpm[2] = 26;
+        } else {
+            mpm[0] = a;
+            mpm[1] = 2 + ((a + 29) % 32);
+            mpm[2] = 2 + ((a - 2 + 1) % 32);
+        }
+    } else {
+        mpm[0] = a;
+        mpm[1] = b;
+        if (a != 0 && b != 0)
+            mpm[2] = 0;
+        else if (a != 1 && b != 1)
+            mpm[2] = 1;
+        else
+            mpm[2] = 26;
+    }
+    if (prev)
+        return mpm[val];
+    /* sort ascending */
+    for (int i = 0; i < 2; i++)
+        for (int j = 0; j < 2 - i; j++)
+            if (mpm[j] > mpm[j + 1]) {
+                int t = mpm[j];
+                mpm[j] = mpm[j + 1];
+                mpm[j + 1] = t;
+            }
+    int mode = val;
+    for (int i = 0; i < 3; i++)
+        if (mode >= mpm[i])
+            mode++;
+    return mode;
+}
+
+/* ---------------- QP prediction (8.6.1) -------------------------------- */
+
+static int derive_qp(Dec *d) {
+    int xqg = d->qg_x, yqg = d->qg_y;
+    int ctb_mask = ~((1 << d->ctb_log2) - 1);
+    int qa = d->qg_qp_prev, qb = d->qg_qp_prev;
+    if (xqg > 0 && ((xqg - 1) & ctb_mask) == (xqg & ctb_mask)
+        && d->ct_depth[(yqg / 4) * d->mw + (xqg - 1) / 4] >= 0)
+        qa = d->qp_map[(yqg / 4) * d->mw + (xqg - 1) / 4];
+    if (yqg > 0 && ((yqg - 1) & ctb_mask) == (yqg & ctb_mask)
+        && d->ct_depth[((yqg - 1) / 4) * d->mw + xqg / 4] >= 0)
+        qb = d->qp_map[((yqg - 1) / 4) * d->mw + xqg / 4];
+    int pred = (qa + qb + 1) >> 1;
+    return (pred + d->cu_qp_delta + 52) % 52;
+}
+
+/* ---------------- coding unit (7.3.8.5) -------------------------------- */
+
+static void coding_unit(Dec *d, int x0, int y0, int log2, int depth) {
+    Cabac *c = &d->cb;
+    int size = 1 << log2;
+    d->cu_bypass = 0;
+    if (d->tq_bypass_en)
+        d->cu_bypass = dec_bin(c, C_TQ_BYPASS);
+    int part_nxn = 0;
+    if (log2 == d->min_cb)
+        part_nxn = !dec_bin(c, C_PART_MODE);
+    int n_pu = part_nxn ? 2 : 1;
+    int pb = size >> (part_nxn ? 1 : 0);
+    int prev[4], mval[4];
+    for (int k = 0; k < n_pu * n_pu; k++)
+        prev[k] = dec_bin(c, C_PREV_INTRA);
+    for (int k = 0; k < n_pu * n_pu; k++) {
+        if (prev[k]) {
+            int v = 0;
+            if (dec_bypass(c))
+                v = dec_bypass(c) ? 2 : 1;
+            mval[k] = v;
+        } else {
+            mval[k] = dec_bypass_n(c, 5);
+        }
+    }
+    for (int j = 0; j < n_pu; j++)
+        for (int i = 0; i < n_pu; i++) {
+            int k = j * n_pu + i;
+            int xp = x0 + i * pb, yp = y0 + j * pb;
+            int mode = derive_luma_mode(d, xp, yp, prev[k], mval[k]);
+            d->cu_modes[j][i] = mode;
+            for (int yy = yp / 4; yy < (yp + pb) / 4; yy++)
+                for (int xx = xp / 4; xx < (xp + pb) / 4; xx++)
+                    d->luma_mode[yy * d->mw + xx] = (int8_t)mode;
+        }
+    d->cu_chroma_mode = 0;
+    if (d->chroma_format) {
+        if (dec_bin(c, C_CHROMA_MODE)) {
+            static const int CAND[4] = {0, 26, 10, 1};
+            int idx = dec_bypass_n(c, 2);
+            int cd = CAND[idx];
+            d->cu_chroma_mode = (cd == d->cu_modes[0][0]) ? 34 : cd;
+        } else {
+            d->cu_chroma_mode = d->cu_modes[0][0];
+        }
+    }
+    for (int yy = y0 / 4; yy < (y0 + size) / 4; yy++)
+        for (int xx = x0 / 4; xx < (x0 + size) / 4; xx++)
+            d->ct_depth[yy * d->mw + xx] = (int8_t)depth;
+
+    d->cu_part_nxn = part_nxn;
+    d->cu_max_td = d->max_td_intra + (part_nxn ? 1 : 0);
+    d->cu_first_tu = d->n_tus;
+    transform_tree(d, x0, y0, x0, y0, log2, 0, 0, 1, 1);
+
+    int qp_y = d->cuqp_en ? derive_qp(d) : d->slice_qp;
+    d->qp_prev = qp_y;
+    for (int yy = y0 / 4; yy < (y0 + size) / 4; yy++)
+        for (int xx = x0 / 4; xx < (x0 + size) / 4; xx++) {
+            d->qp_map[yy * d->mw + xx] = (int8_t)qp_y;
+            if (d->cu_bypass)
+                d->bypass_map[yy * d->mw + xx] = 1;
+        }
+    for (long t = d->cu_first_tu; t < d->n_tus; t++) {
+        int32_t *m = d->tu_meta + t * 8;
+        if (m[3] == 0) {
+            m[6] = qp_y;
+        } else {
+            int offt = (m[3] == 1) ? d->cb_off + d->slice_cb_off
+                                   : d->cr_off + d->slice_cr_off;
+            int q = qp_y + offt;
+            if (q < 0)
+                q = 0;
+            if (q > 57)
+                q = 57;
+            m[6] = chroma_qp(q);
+        }
+    }
+}
+
+/* ---------------- quadtree (7.3.8.4) ----------------------------------- */
+
+static void quadtree(Dec *d, int x0, int y0, int log2, int depth) {
+    Cabac *c = &d->cb;
+    if (c->err)
+        return;
+    int size = 1 << log2;
+    int inside = (x0 + size <= d->w) && (y0 + size <= d->h);
+    int split;
+    if (inside && log2 > d->min_cb) {
+        int inc = 0;
+        if (x0 > 0 && d->ct_depth[(y0 / 4) * d->mw + (x0 - 1) / 4]
+            > depth)
+            inc++;
+        if (y0 > 0 && d->ct_depth[((y0 - 1) / 4) * d->mw + x0 / 4]
+            > depth)
+            inc++;
+        split = dec_bin(c, C_SPLIT_CU + inc);
+    } else {
+        split = log2 > d->min_cb;
+    }
+    if (d->cuqp_en && log2 >= d->log2_qg) {
+        d->qp_coded = 0;
+        d->cu_qp_delta = 0;
+        d->qg_x = x0;
+        d->qg_y = y0;
+        d->qg_qp_prev = d->qp_prev;
+    }
+    if (split) {
+        int half = size >> 1;
+        static const int DX[4] = {0, 1, 0, 1}, DY[4] = {0, 0, 1, 1};
+        for (int k = 0; k < 4; k++) {
+            int x1 = x0 + DX[k] * half, y1 = y0 + DY[k] * half;
+            if (x1 < d->w && y1 < d->h)
+                quadtree(d, x1, y1, log2 - 1, depth + 1);
+        }
+    } else {
+        coding_unit(d, x0, y0, log2, depth);
+    }
+}
+
+/* ---------------- SAO syntax (7.3.8.3) ---------------------------------- */
+
+static void parse_sao(Dec *d, int cx, int cy) {
+    Cabac *c = &d->cb;
+    int32_t *out = d->sao + ((long)cy * d->ctbs_x + cx) * 21;
+    int merge_left = 0, merge_up = 0;
+    if (cx > 0)
+        merge_left = dec_bin(c, C_SAO_MERGE);
+    if (cy > 0 && !merge_left)
+        merge_up = dec_bin(c, C_SAO_MERGE);
+    if (merge_left) {
+        memcpy(out, out - 21, 21 * sizeof(int32_t));
+        return;
+    }
+    if (merge_up) {
+        memcpy(out, out - (long)d->ctbs_x * 21, 21 * sizeof(int32_t));
+        return;
+    }
+    memset(out, 0, 21 * sizeof(int32_t));
+    int n_comp = d->chroma_format ? 3 : 1;
+    for (int comp = 0; comp < n_comp; comp++) {
+        if (comp == 0 && !d->sao_luma)
+            continue;
+        if (comp == 1 && !d->sao_chroma)
+            break;
+        if (comp <= 1) {
+            int t = 0;
+            if (dec_bin(c, C_SAO_TYPE))
+                t = dec_bypass(c) ? 2 : 1;
+            out[comp] = t;
+            if (comp == 1)
+                out[2] = t;
+        }
+        if (out[comp] == 0)
+            continue;
+        int offs[4];
+        for (int k = 0; k < 4; k++) {
+            /* TR cMax=7 bypass */
+            int v = 0;
+            while (v < 7 && dec_bypass(c))
+                v++;
+            offs[k] = v;
+        }
+        if (out[comp] == 1) {
+            for (int k = 0; k < 4; k++)
+                if (offs[k] && dec_bypass(c))
+                    offs[k] = -offs[k];
+            out[15 + comp] = dec_bypass_n(c, 5);   /* band pos */
+        } else {
+            offs[2] = -offs[2];
+            offs[3] = -offs[3];
+            if (comp <= 1) {
+                int eo = dec_bypass_n(c, 2);
+                out[18 + comp] = eo;
+                if (comp == 1)
+                    out[20] = eo;
+            }
+        }
+        for (int k = 0; k < 4; k++)
+            out[3 + comp * 4 + k] = offs[k];
+    }
+}
+
+/* ---------------- entry ------------------------------------------------- */
+
+FFPIC_API long ffpic_hevc_decode_slice(
+    const uint8_t *data, long len,
+    const int32_t *params,          /* see Dec field order below */
+    const uint8_t *init_state, const uint8_t *init_mps,
+    int32_t *ops, long ops_cap,
+    int32_t *tu_meta, long tu_cap,
+    int16_t *levels, long lv_cap,
+    int32_t *sao_out,
+    int8_t *ct_depth, int8_t *luma_mode, int8_t *qp_map,
+    uint8_t *bypass_map,
+    long *n_tus_out) {
+    Dec d;
+    memset(&d, 0, sizeof(d));
+    const int32_t *p = params;
+    d.w = p[0];
+    d.h = p[1];
+    d.ctb_log2 = p[2];
+    d.min_cb = p[3];
+    d.min_tb = p[4];
+    d.max_tb = p[5];
+    d.max_td_intra = p[6];
+    d.chroma_format = p[7];
+    d.tq_bypass_en = p[8];
+    d.tskip_en = p[9];
+    d.sdh_en = p[10];
+    d.cuqp_en = p[11];
+    d.cuqp_depth = p[12];
+    d.cb_off = p[13];
+    d.cr_off = p[14];
+    d.slice_qp = p[15];
+    d.sao_luma = p[16];
+    d.sao_chroma = p[17];
+    d.slice_cb_off = p[18];
+    d.slice_cr_off = p[19];
+
+    d.mw = (d.w + 3) / 4;
+    d.mh = (d.h + 3) / 4;
+    d.ctbs_x = (d.w + (1 << d.ctb_log2) - 1) >> d.ctb_log2;
+    d.ctbs_y = (d.h + (1 << d.ctb_log2) - 1) >> d.ctb_log2;
+    d.log2_qg = d.ctb_log2 - d.cuqp_depth;
+    d.qp_prev = d.slice_qp;
+    d.qg_qp_prev = d.slice_qp;
+
+    d.ops = ops;
+    d.ops_cap = ops_cap;
+    d.tu_meta = tu_meta;
+    d.tu_cap = tu_cap;
+    d.levels = levels;
+    d.lv_cap = lv_cap;
+    d.sao = sao_out;
+    d.ct_depth = ct_depth;
+    d.luma_mode = luma_mode;
+    d.qp_map = qp_map;
+    d.bypass_map = bypass_map;
+    memset(ct_depth, -1, (size_t)d.mw * d.mh);
+    memset(luma_mode, -1, (size_t)d.mw * d.mh);
+    memset(bypass_map, 0, (size_t)d.mw * d.mh);
+
+    cb_init(&d.cb, data, len, init_state, init_mps);
+
+    for (int cy = 0; cy < d.ctbs_y; cy++) {
+        for (int cx = 0; cx < d.ctbs_x; cx++) {
+            if (d.sao_luma || d.sao_chroma)
+                parse_sao(&d, cx, cy);
+            quadtree(&d, (long)cx << d.ctb_log2, (long)cy << d.ctb_log2,
+                     d.ctb_log2, 0);
+            if (d.cb.err)
+                return d.cb.err;
+            int end = dec_term(&d.cb);
+            int last = (cy == d.ctbs_y - 1 && cx == d.ctbs_x - 1);
+            if (end != last)
+                return -20;
+        }
+    }
+    *n_tus_out = d.n_tus;
+    return d.n_ops;
+}
