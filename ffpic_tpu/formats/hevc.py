@@ -350,20 +350,6 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
         data, params, np.array(states, np.uint8),
         np.array(mps, np.uint8))
 
-    tus = []
-    off = 0
-    for x, y, n, c_idx, skip, bypass, qp, dst in tu_a:
-        lv = levels[off:off + n * n].astype(np.int32).reshape(n, n)
-        off += n * n
-        tus.append(TU(x=int(x), y=int(y), n=int(n), c_idx=int(c_idx),
-                      levels=lv, qp=int(qp), skip=bool(skip),
-                      bypass=bool(bypass), dst=bool(dst)))
-    ops = []
-    for plane, x, y, n, mode, tu in ops_a:
-        ops.append(PredOp(int(plane), int(x), int(y), int(n), int(mode),
-                          tus[tu] if tu >= 0 else None))
-        if plane == 0:
-            pic.mark_edges(int(x), int(y), int(n))
     pic.qp_map[:qp_map.shape[0], :qp_map.shape[1]] = qp_map
     pic.bypass_map[:bypass_map.shape[0], :bypass_map.shape[1]] = \
         bypass_map.astype(bool)
@@ -378,4 +364,31 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
                           for k in range(3)),
             band_pos=tuple(int(v) for v in row[15:18]),
             eo_class=tuple(int(v) for v in row[18:21]))
+    # deblocking edge flags from the luma TB list (vectorized-ish)
+    luma = ops_a[ops_a[:, 0] == 0]
+    for x, y, n in zip(luma[:, 1], luma[:, 2], luma[:, 3]):
+        pic.mark_edges(int(x), int(y), int(n))
+
+    # native recon end-to-end (prediction + residual add in C)
+    import os as _os
+    if not _os.environ.get("FFPIC_NO_NATIVE_RECON"):
+        native.hevc_recon(pic.planes, sps.bit_depth_luma,
+                          getattr(sps, "strong_intra_smoothing", False),
+                          ops_a, tu_a, levels)
+        for p in range(len(pic.planes)):
+            pic.masks[p][:] = True
+        return []
+
+    tus = []
+    off = 0
+    for x, y, n, c_idx, skip, bypass, qp, dst in tu_a:
+        lv = levels[off:off + n * n].astype(np.int32).reshape(n, n)
+        off += n * n
+        tus.append(TU(x=int(x), y=int(y), n=int(n), c_idx=int(c_idx),
+                      levels=lv, qp=int(qp), skip=bool(skip),
+                      bypass=bool(bypass), dst=bool(dst)))
+    ops = []
+    for plane, x, y, n, mode, tu in ops_a:
+        ops.append(PredOp(int(plane), int(x), int(y), int(n), int(mode),
+                          tus[tu] if tu >= 0 else None))
     return ops

@@ -304,3 +304,34 @@ def hevc_decode_slice(data: bytes, params, init_state: np.ndarray,
     return (ops[:n_ops], tu_meta[:m], levels, sao,
             ct_depth.reshape(mh, mw), luma_mode.reshape(mh, mw),
             qp_map.reshape(mh, mw), bypass_map.reshape(mh, mw))
+
+
+def hevc_recon(planes, bd: int, strong: bool, ops: np.ndarray,
+               tu_meta: np.ndarray, levels: np.ndarray) -> None:
+    """Native HEVC reconstruction (host_hevc.c): runs the op list
+    (prediction + residual add) in place on int32 planes."""
+    lib = _load()
+    assert lib is not None
+    Y = planes[0]
+    U = planes[1] if len(planes) > 1 else np.zeros((1, 1), np.int32)
+    V = planes[2] if len(planes) > 1 else np.zeros((1, 1), np.int32)
+    assert Y.dtype == np.int32 and Y.flags.c_contiguous
+    fn = lib.ffpic_hevc_recon
+    fn.restype = ctypes.c_int
+    rc = fn(Y.ctypes.data_as(ctypes.c_void_p),
+            U.ctypes.data_as(ctypes.c_void_p),
+            V.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(Y.shape[1]), ctypes.c_int(Y.shape[0]),
+            ctypes.c_int(U.shape[1]), ctypes.c_int(U.shape[0]),
+            ctypes.c_int(len(planes)), ctypes.c_int(bd),
+            ctypes.c_int(1 if strong else 0),
+            np.ascontiguousarray(ops, np.int32).ctypes
+              .data_as(ctypes.c_void_p),
+            ctypes.c_long(len(ops)),
+            np.ascontiguousarray(tu_meta, np.int32).ctypes
+              .data_as(ctypes.c_void_p),
+            ctypes.c_long(len(tu_meta)),
+            np.ascontiguousarray(levels, np.int16).ctypes
+              .data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"hevc native recon failed ({rc})")

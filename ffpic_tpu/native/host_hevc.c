@@ -938,3 +938,370 @@ FFPIC_API long ffpic_hevc_decode_slice(
     *n_tus_out = d.n_tus;
     return d.n_ops;
 }
+
+/* ---------------- reconstruction (8.4.4.2 + 8.6) ---------------------
+ *
+ * Native mirror of formats/hevc_recon.py: per-TB intra prediction
+ * (reference gather + substitution + smoothing + planar/DC/35-angular
+ * with boundary filters), dequant + 4/8/16/32-pt inverse transforms /
+ * 4-pt DST / transform-skip / bypass, residual add.  Deblock + SAO
+ * stay in numpy (whole-plane vectorized).  8-bit path.
+ */
+
+static const int16_t DCT_BASE[33] = {
+    64, 90, 90, 90, 89, 88, 87, 85, 83, 82, 80, 78, 75, 73, 70, 67,
+    64, 61, 57, 54, 50, 46, 43, 38, 36, 31, 25, 22, 18, 13, 9, 4, 0};
+static const int16_t DST4M[4][4] = {{29, 55, 74, 84},
+                                    {74, 74, 0, -74},
+                                    {84, -29, -74, 55},
+                                    {55, -84, 74, -29}};
+static const int LEVEL_SCALE[6] = {40, 45, 51, 57, 64, 72};
+static const int8_t ANGLE_T[33] = {
+    32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26,
+    -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26,
+    32};
+static const int16_t INV_ANGLE_T[15] = {
+    -4096, -1638, -910, -630, -482, -390, -315, -256, -315, -390,
+    -482, -630, -910, -1638, -4096};
+
+static int dct_m(int row, int col, int n) {
+    int step = 32 / n;
+    int k = row * step;
+    if (k == 0)
+        return 64;
+    int a = (k * (2 * col + 1)) % 128;
+    if (a > 64)
+        a = 128 - a;
+    return a > 32 ? -DCT_BASE[64 - a] : DCT_BASE[a];
+}
+
+typedef struct {
+    int32_t *pl[3];
+    uint8_t *mask[3];     /* 4x4 availability, per plane */
+    int pw[3], ph[3], mw[3];
+    int bd, strong;
+} Recon;
+
+static void r_gather(Recon *rc, int plane, int x, int y, int n,
+                     int64_t *vals /* 4n+1 */) {
+    int32_t *pl = rc->pl[plane];
+    uint8_t *mask = rc->mask[plane];
+    int pw = rc->pw[plane], ph = rc->ph[plane], mw = rc->mw[plane];
+    int total = 4 * n + 1;
+    uint8_t ok[129];
+    memset(ok, 0, total);
+    if (x > 0) {
+        for (int i = 0; i < 2 * n; i++) {
+            int sy = y + 2 * n - 1 - i;
+            if (sy < ph && mask[(sy / 4) * mw + (x - 1) / 4]) {
+                vals[i] = pl[(long)sy * pw + x - 1];
+                ok[i] = 1;
+            }
+        }
+    }
+    if (x > 0 && y > 0 && mask[((y - 1) / 4) * mw + (x - 1) / 4]) {
+        vals[2 * n] = pl[(long)(y - 1) * pw + x - 1];
+        ok[2 * n] = 1;
+    }
+    if (y > 0) {
+        for (int i = 0; i < 2 * n; i++) {
+            int sx = x + i;
+            if (sx < pw && mask[((y - 1) / 4) * mw + sx / 4]) {
+                vals[2 * n + 1 + i] = pl[(long)(y - 1) * pw + sx];
+                ok[2 * n + 1 + i] = 1;
+            }
+        }
+    }
+    int any = 0;
+    for (int i = 0; i < total; i++)
+        if (ok[i]) {
+            any = 1;
+            break;
+        }
+    if (!any) {
+        int64_t mid = 1 << (rc->bd - 1);
+        for (int i = 0; i < total; i++)
+            vals[i] = mid;
+        return;
+    }
+    if (!ok[0]) {
+        int f = 0;
+        while (!ok[f])
+            f++;
+        vals[0] = vals[f];
+        ok[0] = 1;
+    }
+    for (int i = 1; i < total; i++)
+        if (!ok[i])
+            vals[i] = vals[i - 1];
+}
+
+/* predict one nxn TB into pred[n*n] */
+static void r_predict(Recon *rc, int plane, int x, int y, int n,
+                      int mode, int32_t *pred) {
+    int64_t vals[129];
+    r_gather(rc, plane, x, y, n, vals);
+    /* left[i] = vals[2n-1-i], corner = vals[2n], top[i] = vals[2n+1+i] */
+    int64_t top[65], left[65];
+    for (int i = 0; i < 2 * n; i++) {
+        left[i] = vals[2 * n - 1 - i];
+        top[i] = vals[2 * n + 1 + i];
+    }
+    int64_t corner = vals[2 * n];
+    int bd = rc->bd, maxv = (1 << bd) - 1;
+
+    if (plane == 0 && mode != 1 && n != 4) {
+        int md = mode - 26;
+        if (md < 0)
+            md = -md;
+        int md2 = mode - 10;
+        if (md2 < 0)
+            md2 = -md2;
+        int mind = md < md2 ? md : md2;
+        int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
+        if (mode == 0 || mind > thres) {
+            int64_t ft[65], fl[65];
+            if (n == 32 && rc->strong) {
+                int64_t dt = corner + top[2 * n - 1] - 2 * top[n - 1];
+                int64_t dl = corner + left[2 * n - 1] - 2 * left[n - 1];
+                if (dt < 0)
+                    dt = -dt;
+                if (dl < 0)
+                    dl = -dl;
+                if (dt < (1 << (bd - 5)) && dl < (1 << (bd - 5))) {
+                    for (int i = 0; i < 2 * n - 1; i++) {
+                        ft[i] = ((63 - i) * corner
+                                 + (i + 1) * top[2 * n - 1] + 32) >> 6;
+                        fl[i] = ((63 - i) * corner
+                                 + (i + 1) * left[2 * n - 1] + 32) >> 6;
+                    }
+                    ft[2 * n - 1] = top[2 * n - 1];
+                    fl[2 * n - 1] = left[2 * n - 1];
+                    memcpy(top, ft, sizeof(int64_t) * 2 * n);
+                    memcpy(left, fl, sizeof(int64_t) * 2 * n);
+                    goto predict;
+                }
+            }
+            ft[0] = (corner + 2 * top[0] + top[1] + 2) >> 2;
+            fl[0] = (corner + 2 * left[0] + left[1] + 2) >> 2;
+            for (int i = 1; i < 2 * n - 1; i++) {
+                ft[i] = (top[i - 1] + 2 * top[i] + top[i + 1] + 2) >> 2;
+                fl[i] = (left[i - 1] + 2 * left[i] + left[i + 1] + 2)
+                    >> 2;
+            }
+            ft[2 * n - 1] = top[2 * n - 1];
+            fl[2 * n - 1] = left[2 * n - 1];
+            int64_t fc = (left[0] + 2 * corner + top[0] + 2) >> 2;
+            memcpy(top, ft, sizeof(int64_t) * 2 * n);
+            memcpy(left, fl, sizeof(int64_t) * 2 * n);
+            corner = fc;
+        }
+    }
+predict:;
+    int log2n = 2;
+    while ((1 << log2n) < n)
+        log2n++;
+    if (mode == 0) {                          /* planar */
+        for (int r = 0; r < n; r++)
+            for (int c = 0; c < n; c++)
+                pred[r * n + c] = (int32_t)(
+                    ((n - 1 - c) * left[r] + (c + 1) * top[n]
+                     + (n - 1 - r) * top[c] + (r + 1) * left[n] + n)
+                    >> (log2n + 1));
+        return;
+    }
+    if (mode == 1) {                          /* DC */
+        int64_t s = n;
+        for (int i = 0; i < n; i++)
+            s += top[i] + left[i];
+        int dc = (int)(s >> (log2n + 1));
+        for (int i = 0; i < n * n; i++)
+            pred[i] = dc;
+        if (plane == 0 && n < 32) {
+            pred[0] = (int32_t)((left[0] + 2 * dc + top[0] + 2) >> 2);
+            for (int c = 1; c < n; c++)
+                pred[c] = (int32_t)((top[c] + 3 * dc + 2) >> 2);
+            for (int r = 1; r < n; r++)
+                pred[r * n] = (int32_t)((left[r] + 3 * dc + 2) >> 2);
+        }
+        return;
+    }
+    /* angular */
+    int angle = ANGLE_T[mode - 2];
+    int64_t *main_a = mode >= 18 ? top : left;
+    int64_t *side_a = mode >= 18 ? left : top;
+    int64_t ref[129];                         /* index offset n */
+    for (int i = 0; i < 3 * n + 1; i++)
+        ref[i] = 0;
+    ref[n] = corner;
+    for (int i = 0; i < 2 * n; i++)
+        ref[n + 1 + i] = main_a[i];
+    if (angle < 0) {
+        int last = (n * angle) >> 5;
+        if (last < -1) {
+            int inv = INV_ANGLE_T[mode - 11];
+            for (int i = -1; i >= last; i--) {
+                int idx = ((i * inv + 128) >> 8) - 1;
+                ref[n + i] = idx >= 0 ? side_a[idx] : corner;
+            }
+        }
+    }
+    for (int d = 0; d < n; d++) {             /* distance from edge */
+        int pos = (d + 1) * angle;
+        int ii = pos >> 5, ff = pos & 31;
+        for (int c = 0; c < n; c++) {
+            int base = n + 1 + ii + c;
+            int64_t a = ref[base];
+            int64_t b = ff ? ref[base + 1] : a;
+            int v = (int)(((32 - ff) * a + ff * b + 16) >> 5);
+            if (mode >= 18)
+                pred[d * n + c] = v;          /* rows = y */
+            else
+                pred[c * n + d] = v;          /* transpose */
+        }
+    }
+    if (plane == 0 && n < 32) {
+        if (mode == 26) {
+            for (int r = 0; r < n; r++) {
+                int v = (int)(top[0] + ((left[r] - corner) >> 1));
+                pred[r * n] = v < 0 ? 0 : (v > maxv ? maxv : v);
+            }
+        } else if (mode == 10) {
+            for (int c = 0; c < n; c++) {
+                int v = (int)(left[0] + ((top[c] - corner) >> 1));
+                pred[c] = v < 0 ? 0 : (v > maxv ? maxv : v);
+            }
+        }
+    }
+}
+
+/* dequant + inverse transform into res[n*n] ([y][x]) */
+static void r_residual(const int16_t *lv, int n, int qp, int skip,
+                       int bypass, int dst, int bd, int32_t *res) {
+    if (bypass) {
+        for (int i = 0; i < n * n; i++)
+            res[i] = lv[i];
+        return;
+    }
+    int log2n = 2;
+    while ((1 << log2n) < n)
+        log2n++;
+    int bd_shift = bd + log2n - 5;
+    int64_t scale = (int64_t)16 * LEVEL_SCALE[qp % 6] << (qp / 6);
+    int32_t d[1024];
+    for (int i = 0; i < n * n; i++) {
+        int64_t v = ((int64_t)lv[i] * scale + (1LL << (bd_shift - 1)))
+            >> bd_shift;
+        d[i] = v < -32768 ? -32768 : (v > 32767 ? 32767 : (int32_t)v);
+    }
+    if (skip) {
+        int shift2 = 20 - bd;
+        for (int i = 0; i < n * n; i++) {
+            int64_t v = (((int64_t)d[i] << 7) + (1LL << (shift2 - 1)))
+                >> shift2;
+            res[i] = v < -32768 ? -32768 : (v > 32767 ? 32767
+                                                      : (int32_t)v);
+        }
+        return;
+    }
+    /* stage 1 (columns): e[i][x] = sum_j M[j][i] * d[j][x], >>7 clip */
+    int32_t e[1024];
+    for (int i = 0; i < n; i++) {
+        for (int xx = 0; xx < n; xx++) {
+            int64_t s = 0;
+            for (int j = 0; j < n; j++) {
+                int m = dst ? DST4M[j][i] : dct_m(j, i, n);
+                if (m)
+                    s += (int64_t)m * d[j * n + xx];
+            }
+            s = (s + 64) >> 7;
+            e[i * n + xx] = s < -32768 ? -32768
+                : (s > 32767 ? 32767 : (int32_t)s);
+        }
+    }
+    /* stage 2 (rows): r[y][i] = sum_j M[j][i] * e[y][j], >>(20-bd) */
+    int shift2 = 20 - bd;
+    for (int yy = 0; yy < n; yy++) {
+        for (int i = 0; i < n; i++) {
+            int64_t s = 0;
+            for (int j = 0; j < n; j++) {
+                int m = dst ? DST4M[j][i] : dct_m(j, i, n);
+                if (m)
+                    s += (int64_t)m * e[yy * n + j];
+            }
+            s = (s + (1LL << (shift2 - 1))) >> shift2;
+            res[yy * n + i] = s < -32768 ? -32768
+                : (s > 32767 ? 32767 : (int32_t)s);
+        }
+    }
+}
+
+FFPIC_API int ffpic_hevc_recon(
+    int32_t *Y, int32_t *U, int32_t *V,
+    int w, int h, int cw, int ch, int n_planes, int bd, int strong,
+    const int32_t *ops, long n_ops,
+    const int32_t *tu_meta, long n_tus,
+    const int16_t *levels) {
+    Recon rc;
+    rc.pl[0] = Y;
+    rc.pl[1] = U;
+    rc.pl[2] = V;
+    rc.pw[0] = w;
+    rc.ph[0] = h;
+    rc.pw[1] = rc.pw[2] = cw;
+    rc.ph[1] = rc.ph[2] = ch;
+    rc.bd = bd;
+    rc.strong = strong;
+    long msz[3];
+    for (int p = 0; p < n_planes; p++) {
+        rc.mw[p] = (rc.pw[p] + 3) / 4;
+        msz[p] = (long)rc.mw[p] * ((rc.ph[p] + 3) / 4);
+        rc.mask[p] = calloc(msz[p], 1);
+        if (!rc.mask[p])
+            return -1;
+    }
+    /* per-TU level offsets */
+    long *tu_off = malloc(sizeof(long) * (n_tus + 1));
+    if (!tu_off)
+        return -1;
+    tu_off[0] = 0;
+    for (long t = 0; t < n_tus; t++) {
+        int n = tu_meta[t * 8 + 2];
+        tu_off[t + 1] = tu_off[t] + (long)n * n;
+    }
+    int32_t pred[1024], res[1024];
+    int maxv = (1 << bd) - 1;
+    for (long o = 0; o < n_ops; o++) {
+        const int32_t *op = ops + o * 6;
+        int plane = op[0], x = op[1], y = op[2], n = op[3],
+            mode = op[4];
+        long tu = op[5];
+        if (plane >= n_planes)
+            continue;
+        r_predict(&rc, plane, x, y, n, mode, pred);
+        if (tu >= 0) {
+            const int32_t *m = tu_meta + tu * 8;
+            r_residual(levels + tu_off[tu], n, m[6], m[4], m[5], m[7],
+                       bd, res);
+            for (int i = 0; i < n * n; i++) {
+                int v = pred[i] + res[i];
+                pred[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
+            }
+        }
+        int32_t *pl = rc.pl[plane];
+        int pw = rc.pw[plane], phh = rc.ph[plane];
+        for (int r = 0; r < n && y + r < phh; r++)
+            for (int c = 0; c < n && x + c < pw; c++)
+                pl[(long)(y + r) * pw + x + c] = pred[r * n + c];
+        /* mark decoded */
+        int mw = rc.mw[plane];
+        int mhh = (phh + 3) / 4;
+        for (int r = y / 4; r < (y + n + 3) / 4 && r < mhh; r++)
+            for (int c = x / 4; c < (x + n + 3) / 4 && c < mw; c++)
+                rc.mask[plane][(long)r * mw + c] = 1;
+    }
+    free(tu_off);
+    for (int p = 0; p < n_planes; p++)
+        free(rc.mask[p]);
+    return 0;
+}

@@ -177,3 +177,28 @@ def test_reference_decodes_our_stream(qp, flat, tmp_path):
     ref = _ref_decode(stream, W, H, tmp_path)
     ours = _ref_color(enc.pic)
     np.testing.assert_array_equal(ref[:, :, :3], ours)
+
+
+def test_native_recon_matches_python_recon():
+    """C recon (host_hevc.c ffpic_hevc_recon) == numpy recon == the
+    encoder's reconstruction, on an all-features stream."""
+    import os
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_idr_slice
+    enc = SliceEncoder(dict(width=96, height=96, ctb_log2=5), 
+                       dict(sign_hiding=True, transform_skip=True,
+                            cu_qp_delta_depth=2),
+                       27, _planes(96, 96, 9),
+                       _full_policy(seed=9, transform_skip_prob=0.3))
+    nalu = enc.encode()
+    pic_native = decode_idr_slice(enc.sps, enc.pps, nalu)
+    os.environ["FFPIC_NO_NATIVE_RECON"] = "1"
+    try:
+        pic_py = decode_idr_slice(enc.sps, enc.pps, nalu)
+    finally:
+        os.environ.pop("FFPIC_NO_NATIVE_RECON", None)
+    for i in range(3):
+        np.testing.assert_array_equal(pic_native.planes[i],
+                                      pic_py.planes[i])
+        np.testing.assert_array_equal(pic_native.planes[i],
+                                      enc.pic.planes[i])
