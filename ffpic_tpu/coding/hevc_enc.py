@@ -109,7 +109,7 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
               min_cb_log2: int = 3, min_tb_log2: int = 2,
               max_tb_log2: int = 5, max_trafo_depth: int = 2,
               sao: bool = False, strong_smoothing: bool = True,
-              chroma_format: int = 1,
+              chroma_format: int = 1, bit_depth: int = 8,
               conf_win: tuple = (0, 0, 0, 0)) -> bytes:
     w = BitWriter()
     w.write_bits(0, 4)          # vps_id
@@ -126,8 +126,8 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
             write_ue(w, v)
     else:
         w.write_bit(0)
-    write_ue(w, 0)              # bit_depth_luma_minus8
-    write_ue(w, 0)              # bit_depth_chroma_minus8
+    write_ue(w, bit_depth - 8)  # bit_depth_luma_minus8
+    write_ue(w, bit_depth - 8)  # bit_depth_chroma_minus8
     write_ue(w, 0)              # log2_max_poc_lsb_minus4
     w.write_bit(0)              # sub_layer_ordering_info_present
     write_ue(w, 0)
@@ -537,7 +537,7 @@ class SliceEncoder:
         """Predict/transform/quant/recon one TB; returns dict with
         levels + metadata (cbf inferred from levels)."""
         n = 1 << log2
-        bd = 8
+        bd = self.pic.bd
         pred = hevc_recon.predict_intra(self.pic, plane, x, y, n, mode)
         src = self.src[plane][y:y + n, x:x + n]
         res = (src - pred).astype(np.int32)
@@ -548,14 +548,14 @@ class SliceEncoder:
         if self.cu_bypass:
             levels = res.copy()
         elif skip:
-            # forward mirror of the decoder's skip path (r = d >> 5 for
-            # 8-bit 4x4): coefficient domain = residual << 5
-            coef = np.clip(res.astype(np.int64) << 5, -32768,
+            # forward mirror of the decoder's skip path: coefficient
+            # domain = residual << (13 - bd)
+            coef = np.clip(res.astype(np.int64) << (13 - bd), -32768,
                            32767).astype(np.int32)
-            levels = quantize(coef, qp)
+            levels = quantize(coef, qp, bit_depth=bd)
         else:
             coef = forward_transform(res, dst=dst, bit_depth=bd)
-            levels = quantize(coef, qp)
+            levels = quantize(coef, qp, bit_depth=bd)
         # sign-data-hiding parity fix per 4x4 sub-block
         if (self.pps.sign_data_hiding and not self.cu_bypass
                 and levels.any()):
@@ -564,7 +564,8 @@ class SliceEncoder:
                 skip=skip, bypass=self.cu_bypass, dst=dst)
         resid = hevc_recon.compute_residual(tu, bd) if levels.any() \
             else None
-        out = pred if resid is None else np.clip(pred + resid, 0, 255)
+        out = pred if resid is None else np.clip(pred + resid, 0,
+                                                  (1 << bd) - 1)
         self.pic.planes[plane][y:y + n, x:x + n] = out
         self.pic.mark_decoded(plane, x, y, n)
         return {"levels": levels, "skip": skip, "mode": mode,

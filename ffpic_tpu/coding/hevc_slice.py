@@ -204,8 +204,8 @@ class SliceDecoder:
             raise NotImplementedError("tiles")
         if pps.entropy_coding_sync:
             raise NotImplementedError("WPP")
-        if sps.bit_depth_luma != 8:
-            raise NotImplementedError("only 8-bit supported")
+        if sps.bit_depth_luma > 10:
+            raise NotImplementedError("bit depth > 10")
         self.ctx = Contexts(header.qp)
         self.dec = CabacDecoder(BitReader(data))
         # syntax-state maps at 4x4 granularity

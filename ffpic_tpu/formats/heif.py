@@ -7,12 +7,12 @@ idat and multi-extent items (heif.c:212-242), grid tiling
 (heif.c:273-312), auxiliary alpha items, Exif items, and moov/trak
 image sequences.
 
-Pixel decode requires the HEVC intra slice decoder (the long pole,
-SURVEY.md §7 step 8). This round parses parameter sets for full
-structural metadata (dimensions, bit depth, chroma format, tiers) and
-exposes the decode plan (grid layout, per-tile NALUs) the slice
-decoder will consume; ``load`` raises a clear NotImplementedError for
-pixels unless skip_decode is used.
+Pixel decode is FULL: hvc1 items run through the HEVC Main/Main-Still
+slice decoder (native C syntax + recon, coding/hevc_slice.py oracle) —
+single items, grids, auxiliary alpha, 8- and 10-bit (Main10), with
+real deblocking and SAO (the reference stubs/disables those).
+``encode`` writes HEIC (formats/heif_enc.py) — single item, grid
+tiles, alpha aux; the reference has no HEIF encoder.
 """
 
 from __future__ import annotations
@@ -304,12 +304,17 @@ def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
         rgba = color_convert(yp, up, vp, order="rgba", mode=mode)
         return np.asarray(rgba)[:out_h, :out_w]
 
-    yy = pic.planes[0].astype(np.float32)
+    bd = pic.bd
+    sc = 255.0 / ((1 << bd) - 1)      # 10-bit planes -> 8-bit RGB
+    mid = float(1 << (bd - 1))
+    yy = pic.planes[0].astype(np.float32) * sc
     if len(pic.planes) > 1:
         uu = np.repeat(np.repeat(pic.planes[1], 2, 0), 2, 1)
         vv = np.repeat(np.repeat(pic.planes[2], 2, 0), 2, 1)
-        uu = uu[:yy.shape[0], :yy.shape[1]].astype(np.float32) - 128.0
-        vv = vv[:yy.shape[0], :yy.shape[1]].astype(np.float32) - 128.0
+        uu = (uu[:yy.shape[0], :yy.shape[1]].astype(np.float32)
+              - mid) * sc
+        vv = (vv[:yy.shape[0], :yy.shape[1]].astype(np.float32)
+              - mid) * sc
     else:
         uu = vv = np.zeros_like(yy)
     if mode == "reference":

@@ -304,7 +304,7 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
 
     ops = None
     if (not os.environ.get("FFPIC_NO_NATIVE")
-            and sps.bit_depth_luma == 8 and not sps.pcm_enabled
+            and sps.bit_depth_luma in (8, 9, 10) and not sps.pcm_enabled
             and not pps.tiles_enabled and not pps.entropy_coding_sync):
         from ffpic_tpu import native
         if native.available():

@@ -274,7 +274,8 @@ def compute_residual(tu, bd: int) -> np.ndarray:
 # deblocking filter (8.7.2) — real implementation (reference stubs it)
 # ---------------------------------------------------------------------------
 
-def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical):
+def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
+                       bd=8):
     """Filter all bS=2 (intra) luma edges in one direction, in 4-line
     segments along each 8-aligned edge."""
     h, w = pl.shape
@@ -286,8 +287,8 @@ def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical):
             for y0 in range(0, h, 4):
                 if not edges[y0:y0 + 4, ci].any():
                     continue
-                _filter_luma_segment(pl, xc, y0, qp_map, beta_off, tc_off,
-                                     vertical=True)
+                _filter_luma_segment(pl, xc, y0, qp_map, beta_off,
+                                     tc_off, True, bd)
     else:
         for ri in range(edges.shape[0]):
             yc = ri * 8
@@ -296,12 +297,14 @@ def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical):
             for x0 in range(0, w, 4):
                 if not edges[ri, x0:x0 + 4].any():
                     continue
-                _filter_luma_segment(pl, x0, yc, qp_map, beta_off, tc_off,
-                                     vertical=False)
+                _filter_luma_segment(pl, x0, yc, qp_map, beta_off,
+                                     tc_off, False, bd)
 
 
-def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical):
-    """One 4-line luma deblock decision+filter (8.7.2.5.3), bS=2."""
+def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
+                         bd=8):
+    """One 4-line luma deblock decision+filter (8.7.2.5.3), bS=2.
+    beta/tc scale by 1 << (bd - 8) per 8.7.2.5.3."""
     h, w = pl.shape
     if vertical:
         if x < 4 or x + 3 >= w or y + 3 >= h:
@@ -318,9 +321,9 @@ def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical):
     qp_q = qp_map[y // 4, x // 4]
     qp_l = (int(qp_p) + int(qp_q) + 1) >> 1
     b_idx = min(max(qp_l + (beta_off << 1), 0), 51)
-    beta = BETA_TABLE[b_idx]
+    beta = BETA_TABLE[b_idx] << (bd - 8)
     tc_idx = min(max(qp_l + 2 * (2 - 1) + (tc_off << 1), 0), 53)
-    tc = TC_TABLE[tc_idx]
+    tc = TC_TABLE[tc_idx] << (bd - 8)
     if beta == 0:
         return
     dp0 = abs(int(p[0, 2]) - 2 * int(p[0, 1]) + int(p[0, 0]))
@@ -360,7 +363,7 @@ def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical):
     else:
         if tc == 0:
             return
-        maxv = 255  # weak filter: 8-bit path (Main Still Picture)
+        maxv = (1 << bd) - 1
         delta = (9 * (qi[:, 0] - pi[:, 0])
                  - 3 * (qi[:, 1] - pi[:, 1]) + 8) >> 4
         act = np.abs(delta) < tc * 10
@@ -437,7 +440,7 @@ def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical):
     # chroma QP offset (pps cb/cr offset folded into qp_map is luma QP)
     qpc = chroma_qp(((int(qp_a) + int(qp_b) + 1) >> 1))
     tc_idx = min(max(qpc + 2 + (tc_off << 1), 0), 53)
-    tc = TC_TABLE[tc_idx]
+    tc = TC_TABLE[tc_idx] << (pic.bd - 8)
     if tc == 0:
         return
     pi, qi = p.astype(np.int64), q.astype(np.int64)
@@ -457,11 +460,11 @@ def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical):
 def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0) -> None:
     """8.7.2: vertical edges picture-wide, then horizontal."""
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.v_edges,
-                       beta_off, tc_off, vertical=True)
+                       beta_off, tc_off, True, pic.bd)
     if len(pic.planes) > 1:
         _deblock_chroma(pic, beta_off, tc_off, vertical=True)
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.h_edges,
-                       beta_off, tc_off, vertical=False)
+                       beta_off, tc_off, False, pic.bd)
     if len(pic.planes) > 1:
         _deblock_chroma(pic, beta_off, tc_off, vertical=False)
 

@@ -202,3 +202,34 @@ def test_native_recon_matches_python_recon():
                                       pic_py.planes[i])
         np.testing.assert_array_equal(pic_native.planes[i],
                                       enc.pic.planes[i])
+
+
+def test_roundtrip_10bit_main10():
+    """Main10: 10-bit planes through both native and python paths."""
+    import os
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_idr_slice
+    rng = np.random.default_rng(5)
+    W = H = 64
+    y = (np.kron(rng.integers(0, 1024, (8, 8)), np.ones((8, 8)))
+         + rng.integers(-60, 60, (H, W))).clip(0, 1023).astype(np.int32)
+    u = (np.kron(rng.integers(0, 1024, (4, 4)), np.ones((8, 8)))
+         + rng.integers(-40, 40, (32, 32))).clip(0, 1023).astype(np.int32)
+    v = (np.kron(rng.integers(0, 1024, (4, 4)), np.ones((8, 8)))
+         + rng.integers(-40, 40, (32, 32))).clip(0, 1023).astype(np.int32)
+    enc = SliceEncoder(dict(width=W, height=H, ctb_log2=5, bit_depth=10),
+                       dict(sign_hiding=True), 27, (y, u, v),
+                       _full_policy())
+    nalu = enc.encode()
+    assert enc.sps.bit_depth_luma == 10
+    for force_py in (False, True):
+        if force_py:
+            os.environ["FFPIC_NO_NATIVE"] = "1"
+        try:
+            pic = decode_idr_slice(enc.sps, enc.pps, nalu)
+        finally:
+            os.environ.pop("FFPIC_NO_NATIVE", None)
+        for i in range(3):
+            np.testing.assert_array_equal(pic.planes[i],
+                                          enc.pic.planes[i])
+    assert pic.planes[0].max() > 255
