@@ -45,6 +45,29 @@ def _parse_header(data: bytes, pos: int):
     return attrs, pos + 1
 
 
+def _rle_decode(blob: bytes, want: int) -> bytes:
+    """OpenEXR RLE (ImfRle): signed count byte — negative = literal
+    run of -count bytes, else repeat the next byte count+1 times; the
+    output then goes through the same predictor+deinterleave transform
+    as ZIP (beyond the reference, which only reads uncompressed)."""
+    out = bytearray()
+    i = 0
+    n = len(blob)
+    while i < n and len(out) < want:
+        c = blob[i]
+        i += 1
+        if c > 127:               # signed char < 0: literal run
+            cnt = 256 - c
+            out += blob[i:i + cnt]
+            i += cnt
+        else:
+            if i >= n:
+                break
+            out += bytes((blob[i],)) * (c + 1)
+            i += 1
+    return bytes(out)
+
+
 def _parse_channels(blob: bytes):
     chans = []
     pos = 0
@@ -103,10 +126,10 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
                     meta=meta)]
     if tiled:
         raise ValueError("tiled EXR unsupported")
-    if comp not in (0, 2, 3):
+    if comp not in (0, 1, 2, 3):
         raise ValueError(f"unsupported EXR compression {comp}")
 
-    lines_per_block = 1 if comp in (0, 2) else 16
+    lines_per_block = 1 if comp in (0, 2, 1) else 16
     nblocks = (h + lines_per_block - 1) // lines_per_block
     offsets = struct.unpack_from(f"<{nblocks}Q", data, pos)
 
@@ -120,9 +143,11 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
         nlines = min(lines_per_block, h - ystart)
         want = w * pixsz * nlines
         if comp == 0 or len(blob) >= want:
-            # ZIP blocks whose compressed size is not smaller are stored
+            # blocks whose compressed size is not smaller are stored
             # raw per the EXR spec
             raw = blob[:want]
+        elif comp == 1:
+            raw = _zip_reconstruct(_rle_decode(blob, want))[:want]
         else:
             raw = _zip_reconstruct(zlib.decompress(blob))[:want]
         # channels are stored per scanline, sorted by name, plane-major

@@ -2,7 +2,8 @@
 byte orders), strip-based reads, compression none/LZW/PackBits,
 horizontal predictor, bilevel/gray/palette/RGB photometrics, multi-IFD
 files as multiple pictures. Adds zlib (Deflate, tag 8/32946) support
-the reference lacks; tiles remain unsupported (as in the reference)."""
+the reference lacks; tiled organization supported (beyond the
+reference's strips-only tiff.c:188-226)."""
 
 from __future__ import annotations
 
@@ -99,24 +100,54 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
     if not isinstance(counts, list):
         counts = [counts]
 
-    stride = (w * spp * bps + 7) // 8
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip = data[off:off + cnt]
-        nrows = min(rows_per_strip, h - len(raw) // stride)
-        want = stride * nrows
+    def _decomp(blob: bytes, want: int) -> bytes:
         if comp == 1:
-            raw += strip[:want]
-        elif comp == 5:
-            raw += lzw_decode_tiff(strip, want)
-        elif comp == 32773:
-            raw += _packbits(strip, want)
-        elif comp in (8, 32946):
-            raw += zlib.decompress(strip)[:want]
-        else:
-            raise ValueError(f"unsupported TIFF compression {comp}")
-    raw = bytes(raw[:stride * h]).ljust(stride * h, b"\0")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+            return blob[:want]
+        if comp == 5:
+            return lzw_decode_tiff(blob, want)
+        if comp == 32773:
+            return _packbits(blob, want)
+        if comp in (8, 32946):
+            return zlib.decompress(blob)[:want]
+        raise ValueError(f"unsupported TIFF compression {comp}")
+
+    stride = (w * spp * bps + 7) // 8
+    tile_w = _first(tags, 322, 0)
+    tile_h = _first(tags, 323, 0)
+    if tile_w and tile_h:
+        # tiled organization (beyond the reference, tiff.c is
+        # strips-only): decode each tile and paste into the raster
+        t_offsets = tags.get(324, [])
+        t_counts = tags.get(325, [])
+        if not isinstance(t_offsets, list):
+            t_offsets = [t_offsets]
+        if not isinstance(t_counts, list):
+            t_counts = [t_counts]
+        tiles_x = -(-w // tile_w)
+        t_stride = (tile_w * spp * bps + 7) // 8
+        rows_buf = np.zeros((h, stride), np.uint8)
+        for idx, (off, cnt) in enumerate(zip(t_offsets, t_counts)):
+            want = t_stride * tile_h
+            td = _decomp(data[off:off + cnt], want)
+            td = bytes(td[:want]).ljust(want, b"\0")
+            tarr = np.frombuffer(td, np.uint8).reshape(tile_h, t_stride)
+            ty, tx = divmod(idx, tiles_x)
+            y0t, x0t = ty * tile_h, tx * tile_w
+            hh = min(tile_h, h - y0t)
+            bw = min(t_stride, stride - x0t * spp * bps // 8)
+            if hh <= 0 or bw <= 0:
+                continue
+            rows_buf[y0t:y0t + hh,
+                     x0t * spp * bps // 8:x0t * spp * bps // 8 + bw] \
+                = tarr[:hh, :bw]
+        rows = rows_buf
+    else:
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, h - len(raw) // stride)
+            raw += _decomp(data[off:off + cnt], stride * nrows)
+        raw = bytes(raw[:stride * h]).ljust(stride * h, b"\0")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
 
     if bps == 1:
         bitsarr = np.unpackbits(rows, axis=1)[:, :w]
@@ -146,8 +177,8 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
             rgba = px[..., :4].copy()
     elif bps == 16:
         bo_np = "<" if bo == "<" else ">"
-        px = np.frombuffer(raw, bo_np + "u2").reshape(h, -1)[:, :w * spp] \
-            .reshape(h, w, spp)
+        px = np.frombuffer(rows.tobytes(), bo_np + "u2") \
+            .reshape(h, -1)[:, :w * spp].reshape(h, w, spp)
         if predictor == 2:
             px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint16)
         px8 = (px >> 8).astype(np.uint8)

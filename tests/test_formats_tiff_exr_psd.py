@@ -190,3 +190,141 @@ def test_psd_rle_via_pil_written_file(rng):
     np.testing.assert_array_equal(pic.to_rgba32()[..., :3], arr)
     pil = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
     np.testing.assert_array_equal(pic.to_rgba32()[..., :3], pil)
+
+
+def test_tiff_tiled(tmp_path):
+    """Hand-built tiled TIFF (PIL writes strips only): 2x2 tiles of
+    16x16, uncompressed RGB."""
+    import struct as st
+    rng = np.random.default_rng(7)
+    W = H = 24
+    TW = TH = 16
+    img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            t = np.zeros((TH, TW, 3), np.uint8)
+            sub = img[ty * TH:(ty + 1) * TH, tx * TW:(tx + 1) * TW]
+            t[:sub.shape[0], :sub.shape[1]] = sub
+            tiles.append(t.tobytes())
+    # IFD
+    hdr = b"II*\x00" + st.pack("<I", 8)
+    ntags = 10
+    ifd_off = 8
+    data_off = ifd_off + 2 + ntags * 12 + 4
+    bps_off = data_off
+    t_off_off = bps_off + 6
+    t_cnt_off = t_off_off + 16
+    tile_data_off = t_cnt_off + 16
+    entries = []
+    def tag(tid, typ, cnt, val):
+        entries.append(st.pack("<HHI4s", tid, typ, cnt, val))
+    tag(256, 3, 1, st.pack("<HH", W, 0))          # width
+    tag(257, 3, 1, st.pack("<HH", H, 0))          # height
+    tag(258, 3, 3, st.pack("<I", bps_off))        # bits per sample
+    tag(259, 3, 1, st.pack("<HH", 1, 0))          # compression none
+    tag(262, 3, 1, st.pack("<HH", 2, 0))          # RGB
+    tag(277, 3, 1, st.pack("<HH", 3, 0))          # spp
+    tag(322, 3, 1, st.pack("<HH", TW, 0))         # tile width
+    tag(323, 3, 1, st.pack("<HH", TH, 0))         # tile length
+    tag(324, 4, 4, st.pack("<I", t_off_off))      # tile offsets
+    tag(325, 4, 4, st.pack("<I", t_cnt_off))      # tile byte counts
+    ifd = st.pack("<H", ntags) + b"".join(entries) + st.pack("<I", 0)
+    body = st.pack("<HHH", 8, 8, 8)
+    offs = []
+    pos = tile_data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    body += st.pack("<4I", *offs)
+    body += st.pack("<4I", *(len(t) for t in tiles))
+    blob = hdr + ifd + body + b"".join(tiles)
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(blob)
+    import ffpic_tpu
+    pic = ffpic_tpu.load(str(p))
+    out = pic.np_pixels()[:, :, :3]
+    np.testing.assert_array_equal(out, img)
+
+
+def test_exr_rle(tmp_path):
+    """Hand-encoded RLE EXR scanlines decode exactly (the reference
+    reads only uncompressed EXR)."""
+    from ffpic_tpu.formats import exr as exr_mod
+
+    def rle_encode(raw: bytes) -> bytes:
+        # simple encoder: runs of >=3 as repeats, else literals
+        out = bytearray()
+        i = 0
+        n = len(raw)
+        while i < n:
+            run = 1
+            while i + run < n and raw[i + run] == raw[i] and run < 127:
+                run += 1
+            if run >= 3:
+                out.append(run - 1)
+                out.append(raw[i])
+                i += run
+            else:
+                lit = i
+                while (i < n and i - lit < 127
+                       and not (i + 2 < n and raw[i] == raw[i + 1]
+                                == raw[i + 2])):
+                    i += 1
+                out.append(256 - (i - lit))
+                out += raw[lit:i]
+        return bytes(out)
+
+    # EXR "reconstruct" transform inverse: interleave + delta-encode
+    def zip_forward(raw: bytes) -> bytes:
+        arr = np.frombuffer(raw, np.uint8)
+        half = (len(arr) + 1) // 2
+        inter = np.zeros_like(arr)
+        inter[0::2] = arr[:half]
+        inter[1::2] = arr[half:half + len(arr) // 2]
+        out = inter.astype(np.int32).copy()
+        out[1:] = (inter[1:].astype(np.int32)
+                   - inter[:-1].astype(np.int32) + 128 + 256) % 256
+        return bytes(out.astype(np.uint8))
+
+    rng = np.random.default_rng(3)
+    W, H = 16, 8
+    vals = (rng.random((H, W)).astype(np.float32) * 4).round() / 4
+    import struct as st
+    hdr = b"\x76\x2f\x31\x01" + st.pack("<I", 2)
+    def attr(name, typ, payload):
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + st.pack("<I", len(payload)) + payload)
+    chan = b"G\0" + st.pack("<i", 2) + b"\0\0\0\0" + st.pack("<ii", 1, 1)
+    chans = chan + b"\0"
+    body = attr("channels", "chlist", chans)
+    body += attr("compression", "compression", b"\x01")   # RLE
+    body += attr("dataWindow", "box2i", st.pack("<4i", 0, 0, W - 1,
+                                                H - 1))
+    body += attr("displayWindow", "box2i", st.pack("<4i", 0, 0, W - 1,
+                                                   H - 1))
+    body += attr("lineOrder", "lineOrder", b"\x00")
+    body += attr("pixelAspectRatio", "float", st.pack("<f", 1.0))
+    body += attr("screenWindowCenter", "v2f", st.pack("<ff", 0, 0))
+    body += attr("screenWindowWidth", "float", st.pack("<f", 1.0))
+    body += b"\0"
+    table_pos = len(hdr) + len(body)
+    blocks = []
+    offs = []
+    pos = table_pos + 8 * H
+    for y in range(H):
+        raw = vals[y].astype("<f4").tobytes()
+        enc = rle_encode(zip_forward(raw))
+        if len(enc) >= len(raw):
+            enc = raw
+        blk = st.pack("<iI", y, len(enc)) + enc
+        offs.append(pos)
+        blocks.append(blk)
+        pos += len(blk)
+    blob = (hdr + body + st.pack(f"<{H}Q", *offs) + b"".join(blocks))
+    p = tmp_path / "rle.exr"
+    p.write_bytes(blob)
+    import ffpic_tpu
+    pic = ffpic_tpu.load(str(p))
+    assert pic.meta["compression"] == 1
+    assert pic.np_pixels().shape == (H, W, 4)
