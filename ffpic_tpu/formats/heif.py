@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from ffpic_tpu.formats.pic import Pic
 from ffpic_tpu.formats.registry import Codec, register
 from ffpic_tpu.formats import basemedia as bm
@@ -234,6 +236,15 @@ def load(data: bytes, skip_decode: bool = False,
                 meta["alpha"] = True
         except (ValueError, NotImplementedError) as e:
             log.warning("alpha aux item decode failed: %s", e)
+
+    # irot: anti-clockwise rotation in 90-degree units (ISO 23008-12
+    # 6.5.10) — the reference parses but never applies it
+    rot = props.get("rotation", 0)
+    if rot:
+        rgba = np.ascontiguousarray(np.rot90(rgba, rot // 90))
+        pic.width, pic.height = rgba.shape[1], rgba.shape[0]
+        pic.pitch = pic.width * 4
+        meta.update(width=pic.width, height=pic.height, rotation=rot)
 
     pic.pixels = rgba
     return [pic]
