@@ -247,7 +247,16 @@ def load(data: bytes, skip_decode: bool = False,
         meta.update(width=pic.width, height=pic.height, rotation=rot)
 
     pic.pixels = rgba
-    return [pic]
+    pics = [pic]
+    if s["sequence"]:
+        boxes = bm.parse_boxes(data, 0, len(data))
+        for frame in _decode_sequence(data, boxes, mode):
+            fh, fw = frame.shape[:2]
+            pics.append(Pic(width=fw, height=fh, depth=32,
+                            pitch=fw * 4, codec="HEIF",
+                            pixels=frame, meta=dict(width=fw,
+                                                    height=fh)))
+    return pics
 
 
 def _decode_item_yuv(data, s, item_id):
@@ -444,3 +453,96 @@ def encode(pic: Pic, **options) -> bytes:
 
 register(Codec(name="HEIF", alias="HEIC", probe=probe, load=load,
                info=info, encode=encode))
+
+
+# ---------------------------------------------------------------------------
+# image sequences (moov/trak, heif.c:431-462)
+# ---------------------------------------------------------------------------
+
+def _decode_sequence(data: bytes, boxes, mode: str) -> list:
+    """Decode hvc1 track samples to frames.  Like the reference, only
+    intra (IDR) samples decode; non-IDR samples are skipped (intra-only
+    framework — the reference's decoder is intra-only too)."""
+    import numpy as np
+    moov = bm.find_box(boxes, "moov")
+    if moov is None:
+        return []
+    frames = []
+    for trak in [b for b in moov.children if b.type == "trak"]:
+        stbl = bm.find_box(trak.children, "mdia/minf/stbl")
+        if stbl is None:
+            continue
+        stsd = bm.find_box(stbl.children, "stsd")
+        stsz = bm.find_box(stbl.children, "stsz")
+        stco = bm.find_box(stbl.children, "stco")
+        stsc = bm.find_box(stbl.children, "stsc")
+        if not (stsd and stsz and stco and stsc):
+            continue
+        # stsd -> first hvc1 visual sample entry -> hvcC child box
+        p = stsd.start + 8
+        entry_size, entry_type = struct.unpack_from(">I4s", data, p)
+        if entry_type != b"hvc1":
+            continue
+        hvcc_pos = p + 86
+        hb = bm.parse_boxes(data, hvcc_pos, p + entry_size)
+        hvcc_box = bm.find_box(hb, "hvcC")
+        if hvcc_box is None:
+            continue
+        hvcc = _parse_hvcc(data, hvcc_box)
+        sps_l = hvcc["nalus"].get("sps", [])
+        pps_l = hvcc["nalus"].get("pps", [])
+        if not sps_l or not pps_l:
+            continue
+        sps = hevc.parse_sps(sps_l[0])
+        pps = hevc.parse_pps(pps_l[0])
+        # sample sizes
+        v = struct.unpack_from(">I", data, stsz.start)[0] & 0xFFFFFF
+        uniform = struct.unpack_from(">I", data, stsz.start + 4)[0]
+        n_samples = struct.unpack_from(">I", data, stsz.start + 8)[0]
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(struct.unpack_from(f">{n_samples}I", data,
+                                            stsz.start + 12))
+        n_chunks = struct.unpack_from(">I", data, stco.start + 4)[0]
+        chunk_off = struct.unpack_from(f">{n_chunks}I", data,
+                                       stco.start + 8)
+        n_stsc = struct.unpack_from(">I", data, stsc.start + 4)[0]
+        stsc_e = [struct.unpack_from(">III", data, stsc.start + 8
+                                     + 12 * k) for k in range(n_stsc)]
+        # expand samples-per-chunk runs
+        spc = []
+        for k in range(n_chunks):
+            cur = 1
+            for first, per, _desc in stsc_e:
+                if first <= k + 1:
+                    cur = per
+            spc.append(cur)
+        si = 0
+        for ci in range(n_chunks):
+            off = chunk_off[ci]
+            for _ in range(spc[ci]):
+                if si >= n_samples:
+                    break
+                blob = data[off:off + sizes[si]]
+                off += sizes[si]
+                si += 1
+                try:
+                    pic = None
+                    for nalu in hevc.split_nalus_length_prefixed(
+                            blob, hvcc["length_size"]):
+                        t = hevc.nal_type(nalu)
+                        if t == hevc.NAL_SPS:
+                            sps = hevc.parse_sps(nalu)
+                        elif t == hevc.NAL_PPS:
+                            pps = hevc.parse_pps(nalu)
+                        elif t in (hevc.NAL_IDR_W_RADL,
+                                   hevc.NAL_IDR_N_LP):
+                            pic = hevc.decode_idr_slice(sps, pps, nalu)
+                    if pic is None:
+                        continue      # non-intra sample: skip
+                    rgba = _yuv_pic_to_rgba(pic, sps, None, None, mode)
+                    frames.append(rgba)
+                except (ValueError, NotImplementedError) as e:
+                    log.warning("sequence sample %d skipped: %s", si, e)
+    return frames

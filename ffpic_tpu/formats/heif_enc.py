@@ -253,3 +253,56 @@ def _assemble(items, refs, primary_id) -> bytes:
     assert len(meta) == len(probe_meta)
     mdat = _box("mdat", mdat_payload)
     return ftyp + meta + mdat
+
+
+def encode_heif_sequence(pics, qp: int = 27) -> bytes:
+    """Write a HEIC with a still primary item (first frame) plus a
+    moov/trak hvc1 image sequence carrying every frame — the container
+    shape heif.c:431-462 reads.  Minimal sample tables (stsd/stsc/
+    stsz/stco), one chunk."""
+    first = pics[0]
+    base = encode_heif(first, qp=qp)
+
+    policy = EncPolicy(seed=0, split_prob=0.35, tt_split_prob=0.25,
+                       nxn_prob=0.15,
+                       mode_candidates=tuple(range(0, 35, 2)) + (1,))
+    samples = []
+    sps_r = pps_r = None
+    for p in pics:
+        rgba = np.asarray(p.pixels)
+        y, u, v = rgb_to_yuv420(rgba)
+        y, u, v, _, _ = _pad_planes(y, u, v)
+        idr, sps_r, pps_r = _encode_tile((y, u, v), qp, policy)
+        samples.append(struct.pack(">I", len(idr)) + idr)
+
+    sample_entry = (struct.pack(">I4s", 0, b"hvc1") + bytes(6)
+                    + struct.pack(">H", 1) + bytes(16)
+                    + struct.pack(">HH", rgba.shape[1], rgba.shape[0])
+                    + struct.pack(">II", 0x480000, 0x480000)
+                    + bytes(4) + struct.pack(">H", 1) + bytes(32)
+                    + struct.pack(">Hh", 24, -1)
+                    + _box("hvcC", _hvcc(sps_r, pps_r)))
+    sample_entry = (struct.pack(">I", len(sample_entry))
+                    + sample_entry[4:])
+    stsd = _full("stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stsc = _full("stsc", 0, 0,
+                 struct.pack(">IIII", 1, 1, len(samples), 1))
+    stsz = _full("stsz", 0, 0,
+                 struct.pack(">II", 0, len(samples))
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+    # stco offset resolved after sizing
+    payload = b"".join(samples)
+
+    def build_moov(chunk_off):
+        stco = _full("stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        stbl = _box("stbl", stsd + stsc + stsz + stco)
+        minf = _box("minf", stbl)
+        mdia = _box("mdia", minf)
+        trak = _box("trak", mdia)
+        return _box("moov", trak)
+
+    probe_moov = build_moov(0)
+    chunk_off = len(base) + len(probe_moov) + 8   # + mdat header
+    moov = build_moov(chunk_off)
+    assert len(moov) == len(probe_moov)
+    return base + moov + _box("mdat", payload)

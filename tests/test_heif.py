@@ -117,3 +117,22 @@ def test_heif_irot_rotation(tmp_path):
     dec = np.asarray(out.pixels)
     assert dec.shape[:2] == (64, 32)          # rotated dims
     assert out.meta.get("rotation") == 90
+
+
+def test_heif_image_sequence():
+    """moov/trak hvc1 sequences decode to frames (heif.c:431-462
+    parity; frames hang off pic.frames via the registry)."""
+    from ffpic_tpu.formats.heif_enc import encode_heif_sequence
+    frames_in = []
+    rng = np.random.default_rng(8)
+    for k in range(3):
+        pic, _ = _pic(48, 32, seed=10 + k)
+        frames_in.append(pic)
+    heic = encode_heif_sequence(frames_in, qp=22)
+    out = ffpic_tpu.load(heic)
+    assert out.meta["sequence"] is True
+    assert out.n_frames >= 3 or len(out.frames or []) == 3
+    for k, fr in enumerate(out.frames[:3]):
+        dec = np.asarray(fr.pixels)[:, :, :3]
+        src = np.asarray(frames_in[k].pixels)[:, :, :3]
+        assert _psnr(dec[:32, :48], src) > 34
