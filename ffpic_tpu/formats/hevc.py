@@ -1,11 +1,12 @@
 """HEVC (H.265) bitstream layer — parameter sets and NALU handling.
 
-This module covers the header side of the reference's coding/hevc.c
-(NALU unescape + dispatch hevc.c:7300-7376, profile-tier-level
-hevc.c:312, SPS/PPS field parse hevc.c:744-1165): enough to drive the
-HEIF container (dimensions, bit depth, chroma format, CTB geometry)
-and to feed the full CABAC slice decoder as it lands (the long pole,
-SURVEY.md §7 step 8 — tracked for the next round).
+NALU handling + parameter sets (reference coding/hevc.c:7300-7376
+dispatch, profile-tier-level :312, SPS/PPS :744-1165) and the
+``decode_idr_slice`` driver that runs the full pixel path: CABAC
+slice syntax (native/host_hevc.c with coding/hevc_slice.py as the
+Python oracle) -> reconstruction (native or formats/hevc_recon.py) ->
+real deblocking + SAO (the reference stubs/disables those,
+hevc.c:7173-7192).  8- and 10-bit (Main/Main Still/Main10).
 """
 
 from __future__ import annotations
