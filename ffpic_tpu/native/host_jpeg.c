@@ -171,6 +171,11 @@ typedef struct {
      * flat full-length LUT above (up to 192 KiB per AC table) stays
      * cold as the slow path for codes longer than 8 bits */
     uint16_t fast[256];   /* (sym << 4) | len, 0 = use slow path */
+    /* fully-combined lookup (libjpeg-turbo style): when code length +
+     * magnitude bits fit in the same 8-bit window, one load yields the
+     * EXTENDed value, the zero-run and the total consume count.
+     * entry = (consume << 24) | (run << 16) | (uint16)value; 0 = slow */
+    uint32_t full[256];
 } HTable;
 
 static int htable_build(HTable *t, const uint8_t counts[16],
@@ -222,6 +227,22 @@ static int htable_build(HTable *t, const uint8_t counts[16],
                 t->fast[w] = (uint16_t)((t->sym[idx] << 4) | t->len[idx]);
         }
     }
+    memset(t->full, 0, sizeof(t->full));
+    for (int w = 0; w < 256; w++) {
+        uint16_t e = t->fast[w];
+        if (!e)
+            continue;
+        int l = e & 15;
+        int sym = e >> 4;
+        int sz = sym & 15;
+        if (sz == 0 || l + sz > 8)
+            continue;                 /* EOB/ZRL/long: slow path */
+        uint32_t mag = ((uint32_t)w >> (8 - l - sz)) & ((1u << sz) - 1);
+        int val = (mag < (1u << (sz - 1)))
+            ? (int)mag - (1 << sz) + 1 : (int)mag;
+        t->full[w] = ((uint32_t)(l + sz) << 24)
+            | ((uint32_t)(sym >> 4) << 16) | (uint16_t)(int16_t)val;
+    }
     return 0;
 }
 
@@ -271,31 +292,49 @@ static inline int decode_block_baseline(BitSrc *b, int16_t *blk,
     int acshift = 16 - ac->maxlen;
     if (b->bits < 32)
         bs_fill(b);
-    int s;
-    uint16_t e = dc->fast[(uint32_t)(b->cache >> 56)];
-    if (e) {
-        s = e >> 4;
-        bs_consume(b, e & 15);
+    uint32_t dfe = dc->full[(uint32_t)(b->cache >> 56)];
+    if (dfe) {
+        bs_consume(b, dfe >> 24);
+        *pred += (int16_t)(uint16_t)dfe;
     } else {
-        uint32_t w = (uint32_t)(b->cache >> 48) >> dcshift;
-        int l = dc->len[w];
-        if (l == 0)
+        int s;
+        uint16_t de = dc->fast[(uint32_t)(b->cache >> 56)];
+        if (de) {
+            s = de >> 4;
+            bs_consume(b, de & 15);
+        } else {
+            uint32_t w = (uint32_t)(b->cache >> 48) >> dcshift;
+            int l = dc->len[w];
+            if (l == 0)
+                return -1;
+            s = dc->sym[w];
+            bs_consume(b, l);
+        }
+        if (s < 0 || s > 15)
             return -1;
-        s = dc->sym[w];
-        bs_consume(b, l);
+        uint32_t v = s ? (uint32_t)(b->cache >> (64 - s)) : 0;
+        bs_consume(b, s);
+        *pred += extend(v, s);
     }
-    if (s < 0 || s > 15)
-        return -1;
-    uint32_t v = s ? (uint32_t)(b->cache >> (64 - s)) : 0;
-    bs_consume(b, s);
-    *pred += extend(v, s);
     blk[0] = (int16_t)*pred;
     int k = 1;
     while (k <= 63) {
         if (b->bits < 32)
             bs_fill(b);
+        uint32_t w8 = (uint32_t)(b->cache >> 56);
+        uint32_t fe = ac->full[w8];
+        if (fe) {
+            /* combined code+magnitude hit: one lookup, one consume */
+            k += (fe >> 16) & 0xFF;
+            if (k > 63)
+                return -1;
+            bs_consume(b, fe >> 24);
+            blk[ZZ[k]] = (int16_t)(uint16_t)fe;
+            k++;
+            continue;
+        }
         int rs;
-        e = ac->fast[(uint32_t)(b->cache >> 56)];
+        uint16_t e = ac->fast[w8];
         if (e) {
             rs = e >> 4;
             bs_consume(b, e & 15);
@@ -316,7 +355,7 @@ static inline int decode_block_baseline(BitSrc *b, int16_t *blk,
             k += r;
             if (k > 63)
                 return -1;
-            v = (uint32_t)(b->cache >> (64 - sz));
+            uint32_t v = (uint32_t)(b->cache >> (64 - sz));
             bs_consume(b, sz);
             blk[ZZ[k]] = (int16_t)extend(v, sz);
             k++;
