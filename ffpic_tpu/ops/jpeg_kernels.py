@@ -229,9 +229,13 @@ def decode_batch_420(ycoef, ucoef, vcoef, yquant, cquant,
     return color_convert(yp, up, vp, order=order, mode=mode)
 
 
-def _bucket(n: int, quantum: int = 1 << 15) -> int:
-    """Round nnz up to a bucket so jit caches stay small."""
-    return max(quantum, -(-n // quantum) * quantum)
+def _bucket(n: int, minimum: int = 2048) -> int:
+    """Round nnz up to the next power of two (min 2048): few distinct
+    jit shapes, padding bounded at 2x."""
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -244,12 +248,12 @@ def _scatter_plane(idx, val, shape):
     return flat.reshape(shape[0], shape[1], shape[2], 8, 8)
 
 
-def pack_coeffs(plane: np.ndarray, quantum: int = 1 << 15):
+def pack_coeffs(plane: np.ndarray, minimum: int = 2048):
     """Host side of the sparse staging path: pack nonzeros (C kernel)
-    and pad to a bucket size for stable jit shapes."""
+    and pad to a power-of-two bucket for stable jit shapes."""
     from ffpic_tpu import native
     idx, val = native.pack_nonzero(plane)
-    n = _bucket(len(idx), quantum)
+    n = _bucket(len(idx), minimum)
     pidx = np.zeros(n, np.int32)
     pval = np.zeros(n, np.int16)
     pidx[:len(idx)] = idx

@@ -158,3 +158,30 @@ def test_decode_batch_on_mesh(mixed_files):
     batch = ffpic_tpu.decode_batch(mixed_files, size=(32, 32), mesh=mesh)
     assert batch.shape[0] == 3
     assert len(batch.sharding.device_set) >= 1
+
+
+def test_decode_batch_sparse_staging(tmp_path):
+    """Smooth (photo-like) JPEGs trigger the packed-coefficient staging
+    path; result equals the individual dense decodes exactly."""
+    import ffpic_tpu
+    from ffpic_tpu.formats import jpg
+    rng = np.random.default_rng(4)
+    # smooth gradient -> very sparse coefficients
+    gx = np.linspace(0, 255, 128, dtype=np.float64)
+    base = (gx[None, :, None] * np.ones((96, 1, 3))).astype(np.uint8)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"s{i}.jpg"
+        Image.fromarray(np.roll(base, 7 * i, axis=1)).save(
+            p, "JPEG", quality=85, subsampling="4:2:0")
+        paths.append(str(p))
+    batch = np.asarray(ffpic_tpu.decode_batch(paths))
+    for i, p in enumerate(paths):
+        single = jpg.load(open(p, "rb").read(), order="rgba",
+                          mode="bt601")[0].np_pixels()
+        np.testing.assert_array_equal(batch[i], single[:96, :128])
+    # confirm the sparse branch is actually the chosen one here
+    from ffpic_tpu.ops.jpeg_kernels import pack_coeffs
+    j, _ = jpg.parse_and_decode(open(paths[0], "rb").read())
+    idx, val = pack_coeffs(j.coeffs[0])
+    assert (idx.nbytes + val.nbytes) < j.coeffs[0].nbytes * 0.7 * 3
