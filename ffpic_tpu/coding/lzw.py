@@ -14,6 +14,11 @@ from __future__ import annotations
 def lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytearray:
     """GIF LZW: codes packed LSB-first; code size grows 'late'
     (after the table fills 2^n)."""
+    import os
+    if not os.environ.get("FFPIC_NO_NATIVE"):
+        from ffpic_tpu import native
+        if native.available():
+            return native.lzw_gif(bytes(data), min_code_size, max_out)
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -87,6 +92,11 @@ def lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytearray:
 def lzw_decode_tiff(data: bytes, max_out: int) -> bytearray:
     """TIFF LZW: 8-bit symbols, codes packed MSB-first, with
     early-change (code size grows one code earlier than GIF)."""
+    import os
+    if not os.environ.get("FFPIC_NO_NATIVE"):
+        from ffpic_tpu import native
+        if native.available():
+            return native.lzw_tiff(bytes(data), max_out)
     CLEAR, EOI = 256, 257
     out = bytearray()
     prefix = [-1] * 4096

@@ -185,8 +185,11 @@ def load(data: bytes, skip_decode: bool = False,
     if interlace == 0:
         with trace.stage("png.unfilter"):
             recon = _unfilter(raw, h, stride_of(w), bpp)
-        rgba = np.asarray(assemble_rgba(jnp.asarray(recon), pal_d, trns_d,
-                                        color_type, bitdepth, w, h))
+        # pixels STAY on device (like the JPEG path): pulling them back
+        # here cost a full tunnel round-trip per image; np_pixels()
+        # transfers lazily only when a host consumer asks
+        rgba = assemble_rgba(jnp.asarray(recon), pal_d, trns_d,
+                             color_type, bitdepth, w, h)
     else:
         # Adam7: each pass is an independently filtered sub-image
         # (reference only prints the flag, png.c:707 — no deinterlace)

@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c"]
 _lib = None
 _tried = False
 
@@ -335,3 +335,32 @@ def hevc_recon(planes, bd: int, strong: bool, ops: np.ndarray,
               .data_as(ctypes.c_void_p))
     if rc != 0:
         raise ValueError(f"hevc native recon failed ({rc})")
+
+
+def lzw_gif(data: bytes, min_code_size: int, max_out: int) -> bytearray:
+    lib = _load()
+    assert lib is not None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(max_out, np.uint8)
+    fn = lib.ffpic_lzw_gif
+    fn.restype = ctypes.c_long
+    n = fn(src.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(data)),
+           ctypes.c_int(min_code_size),
+           out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(max_out))
+    if n < 0:
+        raise ValueError("corrupt LZW stream")
+    return bytearray(out[:n].tobytes())
+
+
+def lzw_tiff(data: bytes, max_out: int) -> bytearray:
+    lib = _load()
+    assert lib is not None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(max_out, np.uint8)
+    fn = lib.ffpic_lzw_tiff
+    fn.restype = ctypes.c_long
+    n = fn(src.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(data)),
+           out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(max_out))
+    if n < 0:
+        raise ValueError("corrupt LZW stream")
+    return bytearray(out[:n].tobytes())
