@@ -126,18 +126,14 @@ def main():
                       "corpus", "webp_512.webp")
     if os.path.exists(wp):
         import ffpic_tpu
-        os.environ["FFPIC_VP8_DEVICE"] = "1"
-        try:
-            with open(wp, "rb") as f:
-                wdata = f.read()
-            ffpic_tpu.load(wdata)      # warm (jit compiles)
-            t0 = time.perf_counter()
-            for _ in range(3):
-                ffpic_tpu.load(wdata)
-            webp_dt = (time.perf_counter() - t0) / 3
-            webp_mps = 512 * 512 / 1e6 / webp_dt
-        finally:
-            os.environ.pop("FFPIC_VP8_DEVICE", None)
+        with open(wp, "rb") as f:
+            wdata = f.read()
+        ffpic_tpu.load(wdata)          # warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            ffpic_tpu.load(wdata)
+        webp_dt = (time.perf_counter() - t0) / 3
+        webp_mps = 512 * 512 / 1e6 / webp_dt
 
     result = {
         "metric": "jpeg_1080p_420_decode_end_to_end",
