@@ -192,11 +192,25 @@ class VP8Decoder:
 
     # ------------------------------------------------------------------
     def _parse_mb_headers(self):
+        import os
         h = self.hdr
         br = self.br0
         mbw = (h.width + 15) // 16
         mbh = (h.height + 15) // 16
         self.mbw, self.mbh = mbw, mbh
+
+        if not os.environ.get("FFPIC_NO_NATIVE"):
+            from ffpic_tpu import native
+            if native.available():
+                state = (br.pos, br.value, br.range, br.bit_count)
+                (self.seg, self.skip, self.ymode, self.uvmode,
+                 self.bmodes) = native.vp8_mb_headers(
+                    bytes(br.data), state, mbh, mbw,
+                    h.seg_enabled and h.seg_update_map,
+                    np.asarray(h.seg_tree_probs, np.uint8),
+                    h.mb_no_skip, h.prob_skip,
+                    np.asarray(T.KF_BMODE_PROBS, np.uint8))
+                return
 
         self.seg = np.zeros((mbh, mbw), np.int32)
         self.skip = np.zeros((mbh, mbw), np.int32)

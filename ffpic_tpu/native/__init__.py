@@ -364,3 +364,37 @@ def lzw_tiff(data: bytes, max_out: int) -> bytearray:
     if n < 0:
         raise ValueError("corrupt LZW stream")
     return bytearray(out[:n].tobytes())
+
+
+def vp8_mb_headers(part0: bytes, state, mbh: int, mbw: int,
+                   seg_update: bool, seg_probs, mb_no_skip: bool,
+                   prob_skip: int, kf_bmode_probs: np.ndarray):
+    """Native VP8 MB-header parse resuming a bool-decoder state
+    (pos, value, range, bit_count).  Returns (seg, skip, ymode,
+    uvmode, bmodes(mbh,mbw,4,4)) int32 arrays."""
+    lib = _load()
+    assert lib is not None
+    pos, value, rng, bit_count = state
+    seg = np.zeros((mbh, mbw), np.int32)
+    skip = np.zeros((mbh, mbw), np.int32)
+    ymode = np.zeros((mbh, mbw), np.int32)
+    uvmode = np.zeros((mbh, mbw), np.int32)
+    bmodes = np.zeros((mbh, mbw, 16), np.int32)
+    buf = np.frombuffer(part0, np.uint8)
+    fn = lib.ffpic_vp8_mb_headers
+    fn.restype = None
+    fn(buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(part0)),
+       ctypes.c_long(pos), ctypes.c_uint32(value), ctypes.c_uint32(rng),
+       ctypes.c_int(bit_count), ctypes.c_int(mbh), ctypes.c_int(mbw),
+       ctypes.c_int(1 if seg_update else 0),
+       np.ascontiguousarray(seg_probs, np.uint8).ctypes
+         .data_as(ctypes.c_void_p),
+       ctypes.c_int(1 if mb_no_skip else 0), ctypes.c_int(prob_skip),
+       np.ascontiguousarray(kf_bmode_probs, np.uint8).ctypes
+         .data_as(ctypes.c_void_p),
+       seg.ctypes.data_as(ctypes.c_void_p),
+       skip.ctypes.data_as(ctypes.c_void_p),
+       ymode.ctypes.data_as(ctypes.c_void_p),
+       uvmode.ctypes.data_as(ctypes.c_void_p),
+       bmodes.ctypes.data_as(ctypes.c_void_p))
+    return seg, skip, ymode, uvmode, bmodes.reshape(mbh, mbw, 4, 4)

@@ -638,3 +638,91 @@ FFPIC_API void ffpic_vp8_recon(
         }
     }
 }
+
+/* ---------------- MB-header parse (RFC 6386 §11) ---------------------
+ *
+ * Continues the first-partition bool decoder from the state Python's
+ * control parse left it in; mirrors formats/vp8.py _parse_mb_headers
+ * (segment ids, skip flags, kf y/uv modes, B_PRED sub-modes with
+ * above/left context).
+ */
+
+static inline int bd_tree(VP8Bool *b, const int8_t *tree,
+                          const uint8_t *probs) {
+    int i = 0;
+    for (;;) {
+        i = tree[i + bd_bool(b, probs[i >> 1])];
+        if (i <= 0)
+            return -i;
+    }
+}
+
+static const int8_t KF_YMODE_TREE[8] = {-4, 2, 4, 6, 0, -1, -2, -3};
+static const uint8_t KF_YMODE_PROBS[4] = {145, 156, 163, 128};
+static const int8_t BMODE_TREE[18] = {0, 2, -1, 4, -2, 6, 8, 12, -3,
+                                      10, -4, -5, -6, 14, -7, 16, -8,
+                                      -9};
+static const int8_t UV_MODE_TREE[6] = {0, 2, -1, 4, -2, -3};
+static const uint8_t KF_UV_MODE_PROBS[3] = {142, 114, 183};
+static const int8_t SEGMENT_TREE[6] = {2, 4, 0, -1, -2, -3};
+static const int8_t MODE2B[4] = {0, 2, 3, 1};   /* DC,V,H,TM -> B_* */
+#define VP8_B_PRED 4
+
+FFPIC_API void ffpic_vp8_mb_headers(
+    const uint8_t *part0, long len,
+    long pos, uint32_t value, uint32_t range, int bit_count,
+    int mbh, int mbw,
+    int seg_update, const uint8_t *seg_probs,
+    int mb_no_skip, int prob_skip,
+    const uint8_t *kf_bmode_probs,       /* (10,10,9) */
+    int32_t *seg, int32_t *skip, int32_t *ymode, int32_t *uvmode,
+    int32_t *bmodes) {                   /* (mbh,mbw,16) */
+    VP8Bool b;
+    b.data = part0;
+    b.len = len;
+    b.pos = pos;
+    b.value = value;
+    b.range = range;
+    b.bit_count = bit_count;
+
+    int32_t *above_b = malloc(sizeof(int32_t) * mbw * 4);
+    int32_t left_b[4];
+    for (int i = 0; i < mbw * 4; i++)
+        above_b[i] = 0;                  /* B_DC */
+    for (int my = 0; my < mbh; my++) {
+        for (int i = 0; i < 4; i++)
+            left_b[i] = 0;
+        for (int mx = 0; mx < mbw; mx++) {
+            long mb = (long)my * mbw + mx;
+            if (seg_update)
+                seg[mb] = bd_tree(&b, SEGMENT_TREE, seg_probs);
+            if (mb_no_skip)
+                skip[mb] = bd_bool(&b, prob_skip);
+            int ym = bd_tree(&b, KF_YMODE_TREE, KF_YMODE_PROBS);
+            ymode[mb] = ym;
+            int32_t *bm = bmodes + mb * 16;
+            if (ym == VP8_B_PRED) {
+                for (int sy = 0; sy < 4; sy++) {
+                    for (int sx = 0; sx < 4; sx++) {
+                        int a = sy == 0 ? above_b[mx * 4 + sx]
+                                        : bm[(sy - 1) * 4 + sx];
+                        int l = sx == 0 ? left_b[sy]
+                                        : bm[sy * 4 + sx - 1];
+                        bm[sy * 4 + sx] = bd_tree(
+                            &b, BMODE_TREE,
+                            kf_bmode_probs + (a * 10 + l) * 9);
+                    }
+                }
+            } else {
+                for (int i = 0; i < 16; i++)
+                    bm[i] = MODE2B[ym];
+            }
+            for (int sx = 0; sx < 4; sx++)
+                above_b[mx * 4 + sx] = bm[12 + sx];
+            for (int sy = 0; sy < 4; sy++)
+                left_b[sy] = bm[sy * 4 + 3];
+            uvmode[mb] = bd_tree(&b, UV_MODE_TREE, KF_UV_MODE_PROBS);
+        }
+    }
+    free(above_b);
+}
