@@ -118,8 +118,22 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
         raise NotImplementedError("only I slices (stills) supported")
     if pps.output_flag_present:
         r.read_bit()
-    if nal_unit_type not in (19, 20):    # not IDR: poc + rps
-        raise NotImplementedError("non-IDR still slices")
+    if nal_unit_type not in (19, 20):
+        # CRA/BLA stills (16-18, 21): poc lsb + (empty) short-term RPS
+        # — intra decode is otherwise identical to IDR
+        if not (16 <= nal_unit_type <= 21):
+            raise NotImplementedError("non-IRAP slices")
+        r.read_bits(sps.log2_max_pic_order_cnt)   # slice_pic_order_cnt
+        if not r.read_bit():                       # st_rps_sps_flag
+            # inline short_term_ref_pic_set(0) with no prior sets:
+            # no inter_rps prediction fields present
+            n_neg = read_ue(r)
+            n_pos = read_ue(r)
+            for _ in range(n_neg + n_pos):
+                read_ue(r)                         # delta_poc_minus1
+                r.read_bit()                       # used_by_curr_pic
+        # sps long_term / temporal_mvp are off for stills (parse_sps
+        # reads them; both gate further fields we do not expect)
     if sps.sample_adaptive_offset:
         h.sao_luma = bool(r.read_bit())
         h.sao_chroma = bool(r.read_bit())

@@ -233,3 +233,46 @@ def test_roundtrip_10bit_main10():
             np.testing.assert_array_equal(pic.planes[i],
                                           enc.pic.planes[i])
     assert pic.planes[0].max() > 255
+
+
+def test_cra_still_slice():
+    """CRA (nal 21) stills decode like IDR; the slice header's extra
+    poc/RPS fields parse correctly."""
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.coding.cabac_enc import BitSink
+    from ffpic_tpu.coding.hevc_enc import make_nalu, write_ue
+    from ffpic_tpu.formats.hevc import decode_idr_slice
+    from ffpic_tpu.utils.bitstream import BitWriter
+
+    enc = SliceEncoder(dict(width=64, height=64, ctb_log2=5), {}, 30,
+                       _planes(64, 64, 5), _full_policy())
+    idr = enc.encode()
+    # rebuild the same slice as a CRA NALU: new header with poc fields,
+    # same CABAC payload
+    from ffpic_tpu.formats.hevc import unescape
+    rbsp = unescape(idr)
+    # find the old header length to extract the entropy payload
+    from ffpic_tpu.coding.hevc_slice import parse_slice_header
+    from ffpic_tpu.utils.bitstream import BitReader
+    r = BitReader(rbsp)
+    r.skip_bits(16)
+    hdr = parse_slice_header(r, 19, enc.sps, enc.pps)
+    payload = rbsp[hdr.data_bit_offset // 8:]
+
+    w = BitWriter()
+    w.write_bit(1)                      # first_slice
+    w.write_bit(0)                      # no_output_of_prior_pics (CRA<=21)
+    write_ue(w, 0)                      # pps id
+    write_ue(w, 2)                      # slice_type I
+    w.write_bits(0, enc.sps.log2_max_pic_order_cnt)  # poc lsb
+    w.write_bit(0)                      # st_rps_sps_flag -> inline rps
+    write_ue(w, 0)                      # num_negative
+    write_ue(w, 0)                      # num_positive
+    from ffpic_tpu.coding.hevc_enc import write_se
+    write_se(w, 0)                      # slice_qp_delta
+    w.write_bit(1)
+    w.align_byte(0)
+    cra = make_nalu(21, w.getvalue() + payload)
+    pic = decode_idr_slice(enc.sps, enc.pps, cra)
+    for i in range(3):
+        np.testing.assert_array_equal(pic.planes[i], enc.pic.planes[i])
