@@ -138,6 +138,8 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
         h.sao_luma = bool(r.read_bit())
         h.sao_chroma = bool(r.read_bit())
     h.qp = 26 + (pps.init_qp - 26) + read_se(r)
+    if not (0 <= h.qp <= 51):
+        raise ValueError("corrupt slice header: QP out of range")
     if pps.slice_chroma_qp_offsets_present:
         h.cb_qp_offset = read_se(r)
         h.cr_qp_offset = read_se(r)

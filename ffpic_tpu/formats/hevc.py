@@ -295,6 +295,7 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
 
     import os
 
+    _validate_params(sps, pps)
     rbsp = unescape(nalu)
     r = BitReader(rbsp)
     nut = (rbsp[0] >> 1) & 0x3F
@@ -320,6 +321,33 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
     if hdr.sao_luma or hdr.sao_chroma:
         hevc_recon.apply_sao(pic)
     return pic
+
+
+def _validate_params(sps: SPS, pps: PPS) -> None:
+    """Reject corrupt parameter sets before they reach the decoders
+    (spec constraints: A.1 ranges + dimension alignment)."""
+    min_cb = 1 << sps.log2_min_cb
+    if not (3 <= sps.log2_min_cb <= sps.ctb_log2 <= 6):
+        raise ValueError("corrupt SPS: CTB/CB geometry out of range")
+    if not (2 <= sps.log2_min_tb < sps.log2_min_cb):
+        raise ValueError("corrupt SPS: TB geometry out of range")
+    if not (sps.log2_min_tb + sps.log2_diff_max_min_tb <= 5):
+        raise ValueError("corrupt SPS: max TB size out of range")
+    if sps.max_transform_hierarchy_depth_intra > 4:
+        raise ValueError("corrupt SPS: transform hierarchy depth")
+    if not (0 < sps.width < 65536 and 0 < sps.height < 65536):
+        raise ValueError("corrupt SPS: picture dimensions")
+    if sps.width % min_cb or sps.height % min_cb:
+        raise ValueError("corrupt SPS: dimensions not multiples of "
+                         "the minimum CB size")
+    if sps.chroma_format > 3:
+        raise ValueError("corrupt SPS: chroma format")
+    if not (0 <= pps.init_qp <= 51):
+        raise ValueError("corrupt PPS: init QP out of range")
+    if pps.diff_cu_qp_delta_depth > sps.ctb_log2 - sps.log2_min_cb:
+        raise ValueError("corrupt PPS: cu_qp_delta depth")
+    if abs(pps.cb_qp_offset) > 12 or abs(pps.cr_qp_offset) > 12:
+        raise ValueError("corrupt PPS: chroma QP offsets")
 
 
 def _decode_slice_native(sps, pps, hdr, data: bytes, pic):

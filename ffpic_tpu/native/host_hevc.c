@@ -706,8 +706,10 @@ static void coding_unit(Dec *d, int x0, int y0, int log2, int depth) {
             int xp = x0 + i * pb, yp = y0 + j * pb;
             int mode = derive_luma_mode(d, xp, yp, prev[k], mval[k]);
             d->cu_modes[j][i] = mode;
-            for (int yy = yp / 4; yy < (yp + pb) / 4; yy++)
-                for (int xx = xp / 4; xx < (xp + pb) / 4; xx++)
+            for (int yy = yp / 4; yy < (yp + pb) / 4 && yy < d->mh;
+                 yy++)
+                for (int xx = xp / 4; xx < (xp + pb) / 4 && xx < d->mw;
+                     xx++)
                     d->luma_mode[yy * d->mw + xx] = (int8_t)mode;
         }
     d->cu_chroma_mode = 0;
@@ -721,8 +723,8 @@ static void coding_unit(Dec *d, int x0, int y0, int log2, int depth) {
             d->cu_chroma_mode = d->cu_modes[0][0];
         }
     }
-    for (int yy = y0 / 4; yy < (y0 + size) / 4; yy++)
-        for (int xx = x0 / 4; xx < (x0 + size) / 4; xx++)
+    for (int yy = y0 / 4; yy < (y0 + size) / 4 && yy < d->mh; yy++)
+        for (int xx = x0 / 4; xx < (x0 + size) / 4 && xx < d->mw; xx++)
             d->ct_depth[yy * d->mw + xx] = (int8_t)depth;
 
     d->cu_part_nxn = part_nxn;
@@ -731,9 +733,14 @@ static void coding_unit(Dec *d, int x0, int y0, int log2, int depth) {
     transform_tree(d, x0, y0, x0, y0, log2, 0, 0, 1, 1);
 
     int qp_y = d->cuqp_en ? derive_qp(d) : d->slice_qp;
+    if (qp_y < 0)
+        qp_y = 0;
+    if (qp_y > 51)
+        qp_y = 51;
     d->qp_prev = qp_y;
-    for (int yy = y0 / 4; yy < (y0 + size) / 4; yy++)
-        for (int xx = x0 / 4; xx < (x0 + size) / 4; xx++) {
+    for (int yy = y0 / 4; yy < (y0 + size) / 4 && yy < d->mh; yy++)
+        for (int xx = x0 / 4; xx < (x0 + size) / 4 && xx < d->mw;
+             xx++) {
             d->qp_map[yy * d->mw + xx] = (int8_t)qp_y;
             if (d->cu_bypass)
                 d->bypass_map[yy * d->mw + xx] = 1;

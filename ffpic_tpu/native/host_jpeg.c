@@ -201,6 +201,14 @@ static int htable_build(HTable *t, const uint8_t counts[16],
     int k = 0;
     for (int bitlen = 1; bitlen <= 16; bitlen++) {
         for (int i = 0; i < counts[bitlen - 1]; i++) {
+            /* corrupt DHT: canonical code space overflow */
+            if (code >= (1u << bitlen)) {
+                free(t->len);
+                free(t->sym);
+                t->len = NULL;
+                t->sym = NULL;
+                return -1;
+            }
             int shift = maxlen - bitlen;
             long base = (long)code << shift;
             long span = 1L << shift;
@@ -495,6 +503,26 @@ FFPIC_API int ffpic_jpeg_decode_scan(
                     htable_free(&tables[k]);
                 return -12;
             }
+        }
+    }
+    /* a corrupt scan may select absent/empty DHT slots; every table
+     * the scan references must exist or the decode loop would deref
+     * NULL LUTs */
+    for (int si = 0; si < ns; si++) {
+        if (sc_dc[si] < 0 || sc_dc[si] > 3 || sc_ac[si] < 0
+            || sc_ac[si] > 3 || sc_comp[si] < 0
+            || sc_comp[si] >= ncomps) {
+            for (int k = 0; k < 8; k++)
+                htable_free(&tables[k]);
+            return -13;
+        }
+        int need_dc = (ss == 0 && ah == 0) || (ss == 0 && se == 63);
+        int need_ac = se > 0;
+        if ((need_dc && tables[sc_dc[si]].len == NULL)
+            || (need_ac && tables[4 + sc_ac[si]].len == NULL)) {
+            for (int k = 0; k < 8; k++)
+                htable_free(&tables[k]);
+            return -13;
         }
     }
 
