@@ -208,6 +208,16 @@ def _decode_entropy_image(r: LsbReader, w: int, h: int,
                           allow_meta: bool) -> np.ndarray:
     """Decode a (sub-)image of ARGB pixels (spec 6.2.4). Returns
     (h, w, 4) uint8 [A, R, G, B]."""
+    import os
+    if not os.environ.get("FFPIC_NO_NATIVE"):
+        from ffpic_tpu import native
+        if native.available():
+            out, pos, bit = native.vp8l_entropy(
+                bytes(r.data), r.pos, r.bit, w, h, allow_meta,
+                np.asarray(CLCL_ORDER, np.uint8),
+                np.asarray(DIST_MAP, np.int16))
+            r.pos, r.bit = pos, bit
+            return out
     cache_bits = 0
     if r.read(1):
         cache_bits = r.read(4)

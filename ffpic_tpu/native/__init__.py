@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c"]
 _lib = None
 _tried = False
 
@@ -398,3 +398,29 @@ def vp8_mb_headers(part0: bytes, state, mbh: int, mbw: int,
        uvmode.ctypes.data_as(ctypes.c_void_p),
        bmodes.ctypes.data_as(ctypes.c_void_p))
     return seg, skip, ymode, uvmode, bmodes.reshape(mbh, mbw, 4, 4)
+
+
+def vp8l_entropy(data: bytes, pos: int, bit: int, w: int, h: int,
+                 allow_meta: bool, clcl_order, dist_map):
+    """Native VP8L entropy-image decode.  Returns (argb (h,w,4) uint8,
+    new_pos, new_bit)."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty((h, w, 4), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    p = ctypes.c_long(pos)
+    b = ctypes.c_int(bit)
+    fn = lib.ffpic_vp8l_entropy
+    fn.restype = ctypes.c_int
+    rc = fn(buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(data)),
+            ctypes.byref(p), ctypes.byref(b),
+            ctypes.c_int(w), ctypes.c_int(h),
+            ctypes.c_int(1 if allow_meta else 0),
+            np.ascontiguousarray(clcl_order, np.uint8).ctypes
+              .data_as(ctypes.c_void_p),
+            np.ascontiguousarray(dist_map, np.int16).ctypes
+              .data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"corrupt VP8L stream ({rc})")
+    return out, p.value, b.value
