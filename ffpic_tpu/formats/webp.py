@@ -3,8 +3,9 @@
 Parity with the reference's format/webp.c RIFF layer: VP8 (lossy key
 frame, full decode via ffpic_tpu.formats.vp8), VP8X extended files,
 ALPH chunk (we actually decode the alpha plane — the reference parses
-but ignores it, webp.c:2031-2039), EXIF/XMP metadata; VP8L is parsed
-to header level (stub, as in the reference).
+but ignores it, webp.c:2031-2039), EXIF/XMP metadata; VP8L lossless is
+FULLY decoded (native C entropy path; the reference stubs it,
+webp.c:1928-1999).
 
 Color output modes:
 * "libwebp": BT.601 limited-range with libwebp's exact fixed-point
