@@ -326,7 +326,11 @@ class SliceEncoder:
         if self.pps.transquant_bypass:
             self.enc.decision(
                 self.ctx["cu_transquant_bypass_flag", 0], int(bypass))
+        # NxN needs TUs at half the CB size; illegal when that would
+        # undershoot the minimum TB size (A.1 also requires
+        # minTb < minCb, enforced in write_sps callers)
         part_nxn = bool(log2 == self.min_cb
+                        and log2 - 1 >= self.min_tb
                         and self.rng.random() < pol.nxn_prob)
         if log2 == self.min_cb:
             self.enc.decision(self.ctx["part_mode", 0],

@@ -167,7 +167,7 @@ def test_reference_decodes_our_stream(qp, flat, tmp_path):
     W = H = 64
     # min_tb 8: avoid the reference's out-of-spec 4x4 DST rounding
     enc = SliceEncoder(dict(width=W, height=H, ctb_log2=5,
-                            min_tb_log2=3),
+                            min_cb_log2=4, min_tb_log2=3),
                        {}, qp, _planes(W, H, 7, flat_chroma=flat),
                        _full_policy(nxn_prob=0.0))
     idr = enc.encode()
