@@ -276,3 +276,49 @@ def test_cra_still_slice():
     pic = decode_idr_slice(enc.sps, enc.pps, cra)
     for i in range(3):
         np.testing.assert_array_equal(pic.planes[i], enc.pic.planes[i])
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_randomized_config_campaign(trial):
+    """Randomized geometry/feature/bit-depth configs (noise content),
+    sample-exact through both the native and Python paths — the
+    in-suite slice of the 30-config campaign."""
+    import os
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder, EncPolicy
+    from ffpic_tpu.formats.hevc import decode_idr_slice
+    rng0 = np.random.default_rng(1000 + trial)
+    ctb = int(rng0.choice([4, 5, 6]))
+    min_cb = int(rng0.choice([3, 4]))
+    min_tb = 2 if min_cb == 3 else int(rng0.choice([2, 3]))
+    bd = int(rng0.choice([8, 10]))
+    qp = int(rng0.integers(0, 52))
+    W = H = max(48 - 48 % (1 << min_cb), 1 << min_cb)
+    maxv = (1 << bd) - 1
+    rng = np.random.default_rng(trial)
+    y = rng.integers(0, maxv + 1, (H, W)).astype(np.int32)
+    u = rng.integers(0, maxv + 1, (H // 2, W // 2)).astype(np.int32)
+    v = rng.integers(0, maxv + 1, (H // 2, W // 2)).astype(np.int32)
+    pol = EncPolicy(seed=trial, split_prob=float(rng0.random()),
+                    tt_split_prob=float(rng0.random() * 0.6),
+                    nxn_prob=float(rng0.random()),
+                    mode_candidates=tuple(range(35)),
+                    transform_skip_prob=float(rng0.random() * 0.5),
+                    bypass_prob=float(rng0.random() * 0.3))
+    enc = SliceEncoder(dict(width=W, height=H, ctb_log2=ctb,
+                            min_cb_log2=min_cb, min_tb_log2=min_tb,
+                            bit_depth=bd),
+                       dict(sign_hiding=bool(rng0.integers(2)),
+                            transform_skip=True,
+                            transquant_bypass=True),
+                       qp, (y, u, v), pol)
+    nalu = enc.encode()
+    for force_py in (False, True):
+        if force_py:
+            os.environ["FFPIC_NO_NATIVE"] = "1"
+        try:
+            pic = decode_idr_slice(enc.sps, enc.pps, nalu)
+        finally:
+            os.environ.pop("FFPIC_NO_NATIVE", None)
+        for i in range(3):
+            np.testing.assert_array_equal(pic.planes[i],
+                                          enc.pic.planes[i])
