@@ -87,7 +87,17 @@ def _item_properties(data, boxes, item_id, ipma, ipco_children):
             elif b.type == "irot":
                 props["rotation"] = (data[b.start] & 3) * 90
             elif b.type == "colr":
-                props["colr"] = data[b.start:b.start + 4]
+                ctype = data[b.start:b.start + 4]
+                props["colr"] = ctype
+                if ctype == b"nclx" and b.size >= 11:
+                    props["nclx"] = dict(
+                        primaries=struct.unpack_from(
+                            ">H", data, b.start + 4)[0],
+                        transfer=struct.unpack_from(
+                            ">H", data, b.start + 6)[0],
+                        matrix=struct.unpack_from(
+                            ">H", data, b.start + 8)[0],
+                        full_range=bool(data[b.start + 10] >> 7))
             elif b.type == "pixi":
                 n = data[b.start + 4]
                 props["bits_per_channel"] = list(
@@ -207,6 +217,16 @@ def load(data: bytes, skip_decode: bool = False,
             if not W:
                 W, H = sps.pic_width_cropped, sps.pic_height_cropped
 
+    # colr/nclx override: wild HEICs are usually BT.709 limited range;
+    # only the default mode is overridden (explicit modes win)
+    if mode == "bt601":
+        nclx = props.get("nclx")
+        if nclx is None and tile_ids:
+            nclx = items[tile_ids[0]]["properties"].get("nclx")
+        if nclx is not None and (nclx.get("matrix", 5) not in (5, 6)
+                                 or not nclx.get("full_range", True)):
+            mode = nclx
+
     meta.update(width=W, height=H)
     pic = Pic(width=W, height=H, depth=32, pitch=W * 4, codec="HEIF",
               meta=meta)
@@ -308,7 +328,8 @@ def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
     out_w = min(out_w or sps.pic_width_cropped, pic.planes[0].shape[1])
     out_h = min(out_h or sps.pic_height_cropped, pic.planes[0].shape[0])
 
-    if os.environ.get("FFPIC_HEIF_DEVICE_COLOR"):
+    if os.environ.get("FFPIC_HEIF_DEVICE_COLOR") \
+            and not isinstance(mode, dict):   # nclx path is host-only
         import jax.numpy as jnp
         from ffpic_tpu.ops.jpeg_kernels import color_convert
         yp = jnp.asarray(pic.planes[0].astype(np.int16))
@@ -327,6 +348,7 @@ def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
     bd = pic.bd
     sc = 255.0 / ((1 << bd) - 1)      # 10-bit planes -> 8-bit RGB
     mid = float(1 << (bd - 1))
+    nclx = mode if isinstance(mode, dict) else None
     yy = pic.planes[0].astype(np.float32) * sc
     if len(pic.planes) > 1:
         uu = np.repeat(np.repeat(pic.planes[1], 2, 0), 2, 1)
@@ -337,7 +359,23 @@ def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
               - mid) * sc
     else:
         uu = vv = np.zeros_like(yy)
-    if mode == "reference":
+    if nclx is not None:
+        # honor the colr/nclx box (wild HEICs are typically BT.709 or
+        # BT.2020 limited range; the reference ignores colr entirely)
+        kr, kb = {1: (0.2126, 0.0722),    # BT.709
+                  9: (0.2627, 0.0593),    # BT.2020 NCL
+                  10: (0.2627, 0.0593),   # BT.2020 CL (approx as NCL)
+                  }.get(nclx.get("matrix", 5), (0.299, 0.114))
+        if not nclx.get("full_range", True):
+            yy = (yy - 16.0) * (255.0 / 219.0)
+            uu = uu * (255.0 / 224.0)
+            vv = vv * (255.0 / 224.0)
+        kg = 1.0 - kr - kb
+        r = np.floor(yy + 2 * (1 - kr) * vv + 0.5)
+        b = np.floor(yy + 2 * (1 - kb) * uu + 0.5)
+        g = np.floor(yy - (2 * kb * (1 - kb) / kg) * uu
+                     - (2 * kr * (1 - kr) / kg) * vv + 0.5)
+    elif mode == "reference":
         r = np.trunc(yy + 1.280 * vv)
         g = np.trunc(yy - 0.215 * uu - 0.381 * vv)
         b = np.trunc(yy + 2.128 * uu)

@@ -97,6 +97,12 @@ def _ispe(w: int, h: int) -> bytes:
     return _full("ispe", 0, 0, struct.pack(">II", w, h))
 
 
+def _colr_601_full() -> bytes:
+    """nclx declaring what rgb_to_yuv420 actually produces: BT.601
+    matrix (5), sRGB primaries/transfer (1/13), full range."""
+    return _box("colr", b"nclx" + struct.pack(">HHHB", 1, 13, 5, 0x80))
+
+
 def _infe(item_id: int, item_type: bytes, hidden: bool = False) -> bytes:
     return _full("infe", 2, 1 if hidden else 0,
                  struct.pack(">HH", item_id, 0) + item_type + b"\0")
@@ -168,7 +174,7 @@ def encode_heif(pic, quality: int = 75, tile: int | None = None,
         payload = struct.pack(">I", len(idr)) + idr
         items.append((1, b"hvc1", payload, [
             (_box("hvcC", _hvcc(sps_r, pps_r)), True),
-            (_ispe(W, H), False)]))
+            (_ispe(W, H), False), (_colr_601_full(), False)]))
         next_id = 2
 
     if has_alpha:

@@ -136,3 +136,40 @@ def test_heif_image_sequence():
         dec = np.asarray(fr.pixels)[:, :, :3]
         src = np.asarray(frames_in[k].pixels)[:, :, :3]
         assert _psnr(dec[:32, :48], src) > 34
+
+
+def test_heif_colr_nclx_written_and_parsed():
+    # encoder declares what rgb_to_yuv420 produces: BT.601 full range
+    pic, _ = _pic(48, 32, seed=9)
+    data = ffpic_tpu.encode(pic, "heif", qp=22)
+    from ffpic_tpu.formats import heif
+    s = heif.parse_structure(data)
+    props = s["items"][s["primary"]]["properties"]
+    assert props["nclx"] == dict(primaries=1, transfer=13, matrix=5,
+                                 full_range=True)
+
+
+def test_heif_colr_bt709_limited_applied():
+    # patch the colr box to BT.709 limited range (the wild-HEIC norm)
+    # and check load() applies the 709 limited-range conversion
+    import struct
+    from ffpic_tpu.formats import heif
+    pic, _ = _pic(48, 32, seed=10)
+    data = ffpic_tpu.encode(pic, "heif", qp=20)
+    old = b"nclx" + struct.pack(">HHHB", 1, 13, 5, 0x80)
+    new = b"nclx" + struct.pack(">HHHB", 1, 1, 1, 0x00)
+    assert data.count(old) == 1
+    patched = data.replace(old, new)
+
+    got = ffpic_tpu.load(patched).np_pixels()
+
+    s = heif.parse_structure(patched)
+    ypic, sps, _ = heif._decode_item_yuv(patched, s, s["primary"])
+    nclx = dict(primaries=1, transfer=1, matrix=1, full_range=False)
+    want = heif._yuv_pic_to_rgba(ypic, sps, 48, 32, nclx)
+    np.testing.assert_array_equal(got, want)
+
+    # and it must differ from the naive full-range-601 interpretation
+    naive = ffpic_tpu.load(data).np_pixels()
+    assert np.abs(got[..., :3].astype(int)
+                  - naive[..., :3].astype(int)).max() > 4
