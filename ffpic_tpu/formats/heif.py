@@ -305,8 +305,10 @@ def _decode_item_yuv(data, s, item_id):
             pps = hevc.parse_pps(nalu)
         elif t in (hevc.NAL_IDR_W_RADL, hevc.NAL_IDR_N_LP):
             pic = hevc.decode_idr_slice(sps, pps, nalu)
-        elif t == hevc.NAL_CRA:
-            raise NotImplementedError("CRA still slices")
+        elif t == hevc.NAL_CRA or 16 <= t <= 18:
+            # CRA/BLA stills (the wild-iPhone norm) decode like IDR;
+            # parse_slice_header handles the extra poc/RPS fields
+            pic = hevc.decode_idr_slice(sps, pps, nalu)
     if pic is None:
         raise ValueError("no slice NALU in hvc1 item")
     return pic, sps, props

@@ -173,3 +173,52 @@ def test_heif_colr_bt709_limited_applied():
     naive = ffpic_tpu.load(data).np_pixels()
     assert np.abs(got[..., :3].astype(int)
                   - naive[..., :3].astype(int)).max() > 4
+
+
+def test_heif_cra_item_decodes():
+    # wild iPhone HEICs carry CRA (nal 21) slices, not IDR: rebuild a
+    # container whose hvc1 item is the same slice rewritten as CRA
+    import struct
+    from ffpic_tpu.formats import heif_enc, hevc
+    from ffpic_tpu.coding.hevc_enc import (EncPolicy, make_nalu,
+                                           write_ue, write_se)
+    from ffpic_tpu.coding.hevc_slice import parse_slice_header
+    from ffpic_tpu.utils.bitstream import BitReader, BitWriter
+
+    _, rgba = _pic(64, 64, seed=11)
+    y, u, v = heif_enc.rgb_to_yuv420(rgba)
+    y, u, v, _, _ = heif_enc._pad_planes(y, u, v)
+    policy = EncPolicy(seed=0, split_prob=0.35, tt_split_prob=0.25,
+                       nxn_prob=0.3)
+    idr, sps_r, pps_r = heif_enc._encode_tile((y, u, v), 22, policy)
+    sps = hevc.parse_sps(make_nalu(33, sps_r))
+    pps = hevc.parse_pps(make_nalu(34, pps_r))
+
+    rbsp = hevc.unescape(idr)
+    r = BitReader(rbsp)
+    r.skip_bits(16)
+    hdr = parse_slice_header(r, 19, sps, pps)
+    payload = rbsp[hdr.data_bit_offset // 8:]
+    w = BitWriter()
+    w.write_bit(1)                                   # first_slice
+    w.write_bit(0)                                   # no_output_of_prior
+    write_ue(w, 0)                                   # pps id
+    write_ue(w, 2)                                   # slice_type I
+    w.write_bits(0, sps.log2_max_pic_order_cnt)      # poc lsb
+    w.write_bit(0)                                   # inline rps
+    write_ue(w, 0)
+    write_ue(w, 0)
+    write_se(w, hdr.qp - pps.init_qp)                # slice_qp_delta
+    w.write_bit(1)
+    w.align_byte(0)
+    cra = make_nalu(21, w.getvalue() + payload)
+
+    def container(nalu):
+        items = [(1, b"hvc1", struct.pack(">I", len(nalu)) + nalu, [
+            (heif_enc._box("hvcC", heif_enc._hvcc(sps_r, pps_r)), True),
+            (heif_enc._ispe(64, 64), False)])]
+        return heif_enc._assemble(items, [], 1)
+
+    got = ffpic_tpu.load(container(cra)).np_pixels()
+    want = ffpic_tpu.load(container(idr)).np_pixels()
+    np.testing.assert_array_equal(got, want)
