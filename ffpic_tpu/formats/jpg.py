@@ -37,6 +37,7 @@ log = get_logger("jpg")
 SOI, EOI, SOS, DQT, DHT, DRI, COM = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xFE
 SOF_MARKERS = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive"}
 APP0 = 0xE0
+APP1 = 0xE1
 
 
 def _align8(x: int) -> int:
@@ -64,6 +65,7 @@ class JpegFile:
     restart_interval: int = 0
     comment: bytes = b""
     app0: dict = field(default_factory=dict)
+    exif: dict = field(default_factory=dict)
     scans: list = field(default_factory=list)        # scan metadata for info()
     coeffs: list = field(default_factory=list)       # per-comp (nby,nbx,64)
     coeffs_raster: bool = False  # True: natural order (native path);
@@ -185,6 +187,11 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
             (j.restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == COM:
             j.comment = seg
+        elif m == APP1 and seg[:6] == b"Exif\x00\x00":
+            try:
+                j.exif = _parse_exif(seg[6:])
+            except Exception:
+                pass                     # malformed EXIF is non-fatal
         elif m == APP0 and seg[:5] == b"JFIF\x00":
             maj, mnr, unit, xd, yd = struct.unpack_from(">BBBHH", seg, 5)
             j.app0 = dict(version=f"{maj}.{mnr}", unit=unit,
@@ -267,6 +274,45 @@ def to_pic(j: JpegFile, order: str = "rgba", mode: str = "reference",
                meta=_meta(j))
 
 
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+              0x0131: "software", 0x0132: "datetime",
+              0x829A: "exposure_time", 0x829D: "f_number",
+              0x8827: "iso", 0x920A: "focal_length",
+              0x9003: "datetime_original",
+              0xA002: "pixel_x", 0xA003: "pixel_y"}
+
+
+def _parse_exif(blob: bytes) -> dict:
+    """EXIF = a TIFF structure (IFD0 + ExifIFD sub-directory); reuse
+    the TIFF tag walker.  The reference only logs the segment
+    (jpg.c:837); we surface orientation + camera tags."""
+    from ffpic_tpu.formats.tiff import _read_ifd, _first
+    if blob[:2] == b"II":
+        bo = "<"
+    elif blob[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF header in EXIF")
+    pos = struct.unpack_from(bo + "I", blob, 4)[0]
+    tags, _ = _read_ifd(blob, pos, bo)
+    sub = _first(tags, 0x8769)
+    if isinstance(sub, int) and 0 < sub < len(blob):
+        try:
+            tags.update(_read_ifd(blob, sub, bo)[0])
+        except Exception:
+            pass
+    out = {}
+    for tag, name in _EXIF_TAGS.items():
+        v = _first(tags, tag)
+        if v is None:
+            continue
+        if isinstance(v, tuple) and len(v) == 2:   # rational
+            out[name] = v[0] / v[1] if v[1] else 0.0
+        else:
+            out[name] = v
+    return out
+
+
 def _meta(j: JpegFile) -> dict:
     return dict(
         width=j.width, height=j.height, precision=j.precision, mode=j.mode,
@@ -276,7 +322,7 @@ def _meta(j: JpegFile) -> dict:
              for (tc, th), (counts, _s) in j.dht_raw.items()},
         restart_interval=j.restart_interval,
         comment=j.comment.decode("latin1", "replace") if j.comment else "",
-        app0=j.app0, scans=j.scans,
+        app0=j.app0, exif=j.exif, scans=j.scans,
     )
 
 
@@ -320,6 +366,9 @@ def info(pic: Pic) -> str:
         a = m["app0"]
         lines.append(f"\tAPP0: JFIF version {a['version']} "
                      f"xdensity {a['xdensity']} ydensity {a['ydensity']}")
+    if m.get("exif"):
+        kv = " ".join(f"{k}={v}" for k, v in sorted(m["exif"].items()))
+        lines.append(f"\tEXIF: {kv}")
     for tid, tbl in m["dqt"].items():
         lines.append(f"\tDQT {tid}: " + " ".join(map(str, tbl[:8])) + " ...")
     if m["restart_interval"]:

@@ -49,6 +49,39 @@ class Pic:
         """Pixels as a host numpy array (device→host copy if needed)."""
         return np.asarray(self.pixels)
 
+    def exif_transpose(self) -> "Pic":
+        """Return a Pic with EXIF orientation applied to the pixels
+        (meta orientation reset to 1).  No-op without pixels or when
+        orientation is absent/1.  Opt-in, matching PIL's
+        ImageOps.exif_transpose — decoders never auto-rotate, so
+        conformance comparisons stay byte-stable."""
+        import numpy as np
+        o = (self.meta or {}).get("exif", {}).get("orientation", 1)
+        if self.pixels is None or o in (0, 1):
+            return self
+        px = self.np_pixels()
+        if o == 2:
+            px = px[:, ::-1]
+        elif o == 3:
+            px = px[::-1, ::-1]
+        elif o == 4:
+            px = px[::-1]
+        elif o == 5:
+            px = np.rot90(px, 3)[:, ::-1]
+        elif o == 6:
+            px = np.rot90(px, 3)
+        elif o == 7:
+            px = np.rot90(px, 1)[:, ::-1]
+        elif o == 8:
+            px = np.rot90(px, 1)
+        px = np.ascontiguousarray(px)
+        h, w = px.shape[:2]
+        meta = dict(self.meta or {})
+        meta["exif"] = dict(meta.get("exif", {}), orientation=1)
+        import dataclasses
+        return dataclasses.replace(self, pixels=px, width=w, height=h,
+                                   pitch=w * (self.depth // 8), meta=meta)
+
     def to_rgba32(self) -> np.ndarray:
         px = self.np_pixels()
         if self.format == PixelFormat.BGRA32:

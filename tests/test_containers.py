@@ -9,6 +9,7 @@ import pytest
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.path.join(REPO, "corpus")
 
 
 def test_avif_structure(rng):
@@ -174,3 +175,63 @@ def test_truncated_files_raise_valueerror(tmp_path):
         p.write_bytes(open(src, "rb").read()[:cut])
         with pytest.raises((ValueError, NotImplementedError)):
             ffpic_tpu.load(str(p))
+
+
+def _exif_app1(orientation, bo="<"):
+    """Minimal EXIF APP1 segment: TIFF header + IFD0 with orientation,
+    make, and an ExifIFD holding pixel_x."""
+    import struct
+    e = "<" if bo == "<" else ">"
+    make = b"ffpictest\0"
+    # layout: hdr(8) ifd0(2+3*12+4=42 @8) make str @50, exififd @60
+    ifd0 = struct.pack(e + "H", 3)
+    ifd0 += struct.pack(e + "HHI", 0x010F, 2, len(make)) + \
+        struct.pack(e + "I", 50)
+    ifd0 += struct.pack(e + "HHIHH", 0x0112, 3, 1, orientation, 0)
+    ifd0 += struct.pack(e + "HHII", 0x8769, 4, 1, 60)
+    ifd0 += struct.pack(e + "I", 0)
+    exif_ifd = struct.pack(e + "H", 1) + \
+        struct.pack(e + "HHII", 0xA002, 4, 1, 512) + \
+        struct.pack(e + "I", 0)
+    tiff = (b"II*\0" if bo == "<" else b"MM\0*") + \
+        struct.pack(e + "I", 8) + ifd0 + make + exif_ifd
+    payload = b"Exif\0\0" + tiff
+    return b"\xFF\xE1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_jpeg_exif_parse(bo):
+    import ffpic_tpu
+    path = os.path.join(CORPUS, "jpeg_512_420.jpg")
+    data = open(path, "rb").read()
+    patched = data[:2] + _exif_app1(6, bo) + data[2:]
+    pic = ffpic_tpu.load(patched)
+    ex = pic.meta["exif"]
+    assert ex["orientation"] == 6
+    assert ex["make"] == "ffpictest"
+    assert ex["pixel_x"] == 512
+    from ffpic_tpu.formats import jpg
+    assert "EXIF:" in jpg.info(pic)
+    # pixels themselves are untouched (decoders never auto-rotate)
+    base = ffpic_tpu.load(data)
+    np.testing.assert_array_equal(pic.np_pixels(), base.np_pixels())
+
+
+@pytest.mark.parametrize("orientation", range(1, 9))
+def test_exif_transpose_matches_pil(orientation):
+    from PIL import Image, ImageOps
+    from ffpic_tpu.formats.pic import Pic
+    rng = np.random.default_rng(orientation)
+    arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    im = Image.fromarray(arr)
+    ex = im.getexif()
+    ex[0x0112] = orientation
+    want = np.asarray(ImageOps.exif_transpose(im))
+
+    rgba = np.concatenate([arr, np.full((6, 9, 1), 255, np.uint8)], -1)
+    pic = Pic(pixels=rgba, width=9, height=6, depth=32, pitch=36,
+              codec="JPG", meta={"exif": {"orientation": orientation}})
+    out = pic.exif_transpose()
+    np.testing.assert_array_equal(out.np_pixels()[..., :3], want)
+    assert (out.width, out.height) == (want.shape[1], want.shape[0])
+    assert out.meta["exif"]["orientation"] == 1
