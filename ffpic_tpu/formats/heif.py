@@ -217,6 +217,24 @@ def load(data: bytes, skip_decode: bool = False,
             if not W:
                 W, H = sps.pic_width_cropped, sps.pic_height_cropped
 
+    # EXIF metadata item (item_type 'Exif', cdsc-linked): payload is a
+    # u32 tiff-header offset, then usually "Exif\0\0" + TIFF — reuse
+    # the JPEG APP1 parser (the reference ignores Exif items entirely)
+    for iid, it in items.items():
+        if it.get("type") != "Exif":
+            continue
+        try:
+            from ffpic_tpu.formats.jpg import _parse_exif
+            raw = read_item(data, s, iid)
+            off = struct.unpack_from(">I", raw, 0)[0]
+            body = raw[4 + off:] if 4 + off < len(raw) else raw[4:]
+            if body[:6] == b"Exif\x00\x00":
+                body = body[6:]
+            meta["exif"] = _parse_exif(body)
+        except Exception:
+            pass                         # malformed EXIF is non-fatal
+        break
+
     # colr/nclx override: wild HEICs are usually BT.709 limited range;
     # only the default mode is overridden (explicit modes win)
     if mode == "bt601":

@@ -222,3 +222,28 @@ def test_heif_cra_item_decodes():
     got = ffpic_tpu.load(container(cra)).np_pixels()
     want = ffpic_tpu.load(container(idr)).np_pixels()
     np.testing.assert_array_equal(got, want)
+
+
+def test_heif_exif_item_exposed():
+    import struct
+    from ffpic_tpu.formats import heif_enc, heif
+    from test_containers import _exif_app1
+    _, rgba = _pic(48, 32, seed=12)
+    y, u, v = heif_enc.rgb_to_yuv420(rgba)
+    y, u, v, _, _ = heif_enc._pad_planes(y, u, v)
+    from ffpic_tpu.coding.hevc_enc import EncPolicy
+    pol = EncPolicy(seed=0, split_prob=0.35, tt_split_prob=0.25,
+                    nxn_prob=0.3)
+    idr, sps_r, pps_r = heif_enc._encode_tile((y, u, v), 24, pol)
+    exif_payload = _exif_app1(8)[4:]          # strip marker+len -> Exif\0\0+TIFF
+    items = [
+        (1, b"hvc1", struct.pack(">I", len(idr)) + idr, [
+            (heif_enc._box("hvcC", heif_enc._hvcc(sps_r, pps_r)), True),
+            (heif_enc._ispe(48, 32), False)]),
+        (2, b"Exif", struct.pack(">I", 0) + exif_payload, []),
+    ]
+    data = heif_enc._assemble(items, [("cdsc", 2, [1])], 1)
+    pic = ffpic_tpu.load(data)
+    assert pic.meta["exif"]["orientation"] == 8
+    assert pic.meta["exif"]["make"] == "ffpictest"
+    assert pic.exif_transpose().np_pixels().shape[:2] == (48, 32)
