@@ -232,11 +232,42 @@ def info(pic: Pic) -> str:
     return "\n".join(lines)
 
 
+def _filter_rows(px: np.ndarray) -> np.ndarray:
+    """Adaptive per-row filter selection (None/Sub/Up/Average/Paeth)
+    by the minimum-sum-of-absolute-differences heuristic, fully
+    vectorized.  The filters are exact inverses of _unfilter_py and
+    are covered by the decode roundtrip tests."""
+    h, stride = px.shape
+    src = px.astype(np.int32)
+    left = np.zeros_like(src)
+    left[:, 4:] = src[:, :-4]                      # bpp = 4 (RGBA)
+    up = np.zeros_like(src)
+    up[1:] = src[:-1]
+    ul = np.zeros_like(src)
+    ul[1:, 4:] = src[:-1, :-4]
+
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    pred = np.where((pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, ul))
+    cands = np.stack([src,
+                      (src - left) & 255,
+                      (src - up) & 255,
+                      (src - ((left + up) >> 1)) & 255,
+                      (src - pred) & 255])          # (5, h, stride)
+    # SAD heuristic: treat filtered bytes as signed, smaller is better
+    signed = np.where(cands < 128, cands, 256 - cands)
+    best = signed.sum(axis=2).argmin(axis=0)        # (h,)
+    rows = np.zeros((h, stride + 1), np.uint8)
+    rows[:, 0] = best
+    rows[:, 1:] = cands[best, np.arange(h)].astype(np.uint8)
+    return rows
+
+
 def encode(pic: Pic, level: int = 6, **options) -> bytes:
     rgba = pic.to_rgba32()
     h, w = rgba.shape[:2]
-    rows = np.zeros((h, w * 4 + 1), np.uint8)
-    rows[:, 1:] = rgba.reshape(h, -1)
+    rows = _filter_rows(rgba.reshape(h, -1))
     comp = zlib.compress(rows.tobytes(), level)
 
     def chunk(name: bytes, payload: bytes) -> bytes:

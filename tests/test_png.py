@@ -152,3 +152,31 @@ def test_png_corpus_1080p():
     pic = _decode_ours(open(path, "rb").read())
     want = np.array(Image.open(path).convert("RGBA"))
     np.testing.assert_array_equal(pic.to_rgba32(), want)
+
+
+def test_png_adaptive_filtering_compresses_and_roundtrips():
+    """Encoder picks per-row filters (None/Sub/Up/Avg/Paeth): smooth
+    content must compress far better than filter-None, and both PIL
+    and our decoder must roundtrip byte-exact."""
+    import io
+    import zlib
+    from PIL import Image
+    import ffpic_tpu
+    from ffpic_tpu.formats.pic import Pic
+
+    grad = (np.add.outer(np.arange(128), np.arange(128)) % 256)
+    rgba = np.stack([grad, grad[::-1], grad.T,
+                     np.full((128, 128), 255)], -1).astype(np.uint8)
+    pic = Pic(pixels=rgba, width=128, height=128, depth=32,
+              pitch=512, codec="raw")
+    data = ffpic_tpu.encode(pic, "png")
+
+    none_rows = np.zeros((128, 513), np.uint8)
+    none_rows[:, 1:] = rgba.reshape(128, -1)
+    none_size = len(zlib.compress(none_rows.tobytes(), 6))
+    assert len(data) < none_size // 2      # filters must pay off
+
+    out = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+    np.testing.assert_array_equal(out, rgba)
+    np.testing.assert_array_equal(ffpic_tpu.load(data).np_pixels(),
+                                  rgba)
