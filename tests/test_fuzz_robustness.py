@@ -15,7 +15,9 @@ CORPUS = os.path.join(REPO, "corpus")
 
 @pytest.mark.parametrize("name", ["jpeg_512_420.jpg",
                                   "jpeg_prog_512_420.jpg",
-                                  "gif_512.gif", "webp_512.webp"])
+                                  "gif_512.gif", "webp_512.webp",
+                                  "png_512_rgba.png", "bmp_512.bmp",
+                                  "ppm_512.ppm", "tga_512.tga"])
 def test_byte_corruption_never_crashes(name):
     import ffpic_tpu
     path = os.path.join(CORPUS, name)
