@@ -165,4 +165,177 @@ def info(pic: Pic) -> str:
     return "\n".join(lines)
 
 
-register(Codec(name="GIF", probe=probe, load=load, info=info))
+
+
+# ---------------------------------------------------------------------------
+# Encoder (the reference format/gif.c is decode-only): median-cut
+# palette quantization + GIF-variant LZW (LSB packing, late change —
+# the exact inverse of the native decoder, native/host_lzw.c:15-89),
+# single images and animations (pic.frames + delay_ms, NETSCAPE loop).
+
+
+def _median_cut(colors: np.ndarray, counts: np.ndarray,
+                budget: int) -> np.ndarray:
+    """Weighted median-cut over unique colors -> palette index per
+    unique color.  Returns (palette (K,3) uint8, assign (n,) int)."""
+    boxes = [np.arange(len(colors))]
+    while len(boxes) < budget:
+        # split the most populous box along its widest channel
+        weights = [counts[b].sum() if len(b) > 1 else -1 for b in boxes]
+        k = int(np.argmax(weights))
+        if weights[k] <= 0:
+            break
+        b = boxes[k]
+        spans = colors[b].max(0) - colors[b].min(0)
+        ch = int(np.argmax(spans))
+        order = b[np.argsort(colors[b, ch], kind="stable")]
+        csum = np.cumsum(counts[order])
+        cut = int(np.searchsorted(csum, csum[-1] / 2)) + 1
+        cut = min(max(cut, 1), len(order) - 1)
+        boxes[k] = order[:cut]
+        boxes.append(order[cut:])
+    palette = np.zeros((len(boxes), 3), np.uint8)
+    assign = np.zeros(len(colors), np.int32)
+    for i, b in enumerate(boxes):
+        wsum = counts[b].astype(np.float64)
+        palette[i] = np.round((colors[b] * wsum[:, None]).sum(0)
+                              / wsum.sum()).astype(np.uint8)
+        assign[b] = i
+    return palette, assign
+
+
+def _quantize(rgba: np.ndarray) -> tuple:
+    """RGBA -> (palette (<=256,3), index map (H,W), transparent_idx)."""
+    h, w = rgba.shape[:2]
+    rgb = rgba[..., :3].reshape(-1, 3).astype(np.uint32)
+    transparent = rgba[..., 3].reshape(-1) < 128
+    packed = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+    uniq, inv, counts = np.unique(packed, return_inverse=True,
+                                  return_counts=True)
+    colors = np.stack([uniq >> 16, (uniq >> 8) & 255, uniq & 255],
+                      -1).astype(np.int64)
+    budget = 255 if transparent.any() else 256
+    if len(uniq) <= budget:
+        palette = colors.astype(np.uint8)
+        assign = np.arange(len(uniq), dtype=np.int32)
+    else:
+        palette, assign = _median_cut(colors, counts, budget)
+    idx = assign[inv]
+    tidx = -1
+    if transparent.any():
+        tidx = len(palette)
+        palette = np.vstack([palette, np.zeros((1, 3), np.uint8)])
+        idx = np.where(transparent, tidx, idx)
+    return palette, idx.reshape(h, w).astype(np.int32), tidx
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF LZW: LSB bit packing, late code-size change — state machine
+    mirrors the decoder (host_lzw.c:27-87) exactly."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bits = 0
+
+    def emit(code, size):
+        nonlocal bitbuf, bits
+        bitbuf |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(bitbuf & 255)
+            bitbuf >>= 8
+            bits -= 8
+
+    code_size = min_code_size + 1
+    table = {}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    seq = indices.ravel().tolist()
+    prev = seq[0]
+    for k in seq[1:]:
+        key = (prev, k)
+        got = table.get(key)
+        if got is not None:
+            prev = got
+            continue
+        emit(prev, code_size)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            # late change, seen from the encoder: the decoder adds its
+            # copy of each entry one code LATER than we do, so the
+            # size bump lands one emission after ours would
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table.clear()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        prev = k
+    emit(prev, code_size)
+    # the decoder adds one more entry after reading that final code,
+    # which can bump the size it reads EOI with
+    if next_code == (1 << code_size) and code_size < 12:
+        code_size += 1
+    emit(eoi, code_size)
+    if bits:
+        out.append(bitbuf & 255)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode(pic: Pic, loops: int = 0, **options) -> bytes:
+    frames = [pic] + list(pic.frames or [])
+    w, h = pic.width, pic.height
+    out = bytearray(b"GIF89a")
+
+    encoded = []
+    for fr in frames:
+        rgba = fr.to_rgba32()
+        palette, idx, tidx = _quantize(rgba)
+        nbits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+        pal = np.zeros((1 << nbits, 3), np.uint8)
+        pal[:len(palette)] = palette
+        encoded.append((pal, nbits, idx, tidx,
+                        getattr(fr, "delay_ms", 0) or 0))
+
+    # first frame's palette doubles as the (mandatory-for-us) GCT
+    pal0, nbits0 = encoded[0][0], encoded[0][1]
+    out += struct.pack("<HHBBB", w, h, 0x80 | (nbits0 - 1), 0, 0)
+    out += pal0.tobytes()
+
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0"
+        out += _sub_blocks(struct.pack("<BH", 1, loops))
+
+    for fi, (pal, nbits, idx, tidx, delay) in enumerate(encoded):
+        if tidx >= 0 or len(frames) > 1:
+            flags = (0x01 if tidx >= 0 else 0) | (2 << 2)  # restore-bg
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, flags,
+                               delay // 10, max(tidx, 0), 0)
+        lct = fi > 0 and not np.array_equal(pal, pal0)
+        fh, fw = idx.shape
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, fw, fh,
+                           (0x80 | (nbits - 1)) if lct else 0)
+        if lct:
+            out += pal.tobytes()
+        mcs = nbits
+        out.append(mcs)
+        out += _sub_blocks(_lzw_encode_gif(idx, mcs))
+    out.append(0x3B)
+    return bytes(out)
+
+
+register(Codec(name="GIF", probe=probe, load=load, info=info,
+               encode=encode))

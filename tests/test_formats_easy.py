@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+import ffpic_tpu
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = os.path.join(REPO, "corpus")
 
@@ -136,3 +138,74 @@ def test_lzw_tiff_via_pil(rng):
     # decoded later by our TIFF codec test; here just ensure our LZW
     # decodes PIL's GIF LZW streams (covered in gif tests) — placeholder
     assert data[:2] in (b"II", b"MM")
+
+
+def test_gif_encoder_lossless_roundtrip(rng):
+    """<=256-color content roundtrips losslessly through our encoder,
+    verified by BOTH PIL and our own decoder (format/gif.c has no
+    encoder)."""
+    import io
+    from PIL import Image
+    from ffpic_tpu.formats.pic import Pic
+    base = np.kron(rng.integers(0, 5, (8, 8)),
+                   np.ones((16, 16))).astype(np.uint8) * 50
+    rgba = np.stack([base, base // 2, 255 - base,
+                     np.full_like(base, 255)], -1)
+    pic = Pic(pixels=rgba, width=128, height=128, depth=32, pitch=512,
+              codec="raw")
+    g = ffpic_tpu.encode(pic, "gif")
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(io.BytesIO(g)).convert("RGBA")), rgba)
+    np.testing.assert_array_equal(ffpic_tpu.load(g).np_pixels(), rgba)
+
+
+def test_gif_encoder_quantize_transparency_animation(rng):
+    import io
+    from PIL import Image
+    from ffpic_tpu.formats.pic import Pic
+    # >256 colors: median-cut quantization keeps PSNR sane
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    rgba = np.concatenate([img, np.full((64, 64, 1), 255, np.uint8)],
+                          -1)
+    g = ffpic_tpu.encode(Pic(pixels=rgba, width=64, height=64,
+                             depth=32, pitch=256, codec="raw"), "gif")
+    got = np.asarray(Image.open(io.BytesIO(g)).convert("RGB"))
+    err = (got.astype(float) - img.astype(float)) ** 2
+    assert 10 * np.log10(255 ** 2 / err.mean()) > 20
+
+    # transparency maps to a GIF transparent index
+    rgba_t = rgba.copy()
+    rgba_t[:32, :, 3] = 0
+    g = ffpic_tpu.encode(Pic(pixels=rgba_t, width=64, height=64,
+                             depth=32, pitch=256, codec="raw"), "gif")
+    a = np.asarray(Image.open(io.BytesIO(g)).convert("RGBA"))[..., 3]
+    assert (a[:32] == 0).all() and (a[32:] == 255).all()
+
+    # animation: frames + delays + NETSCAPE loop
+    frames = [Pic(pixels=np.roll(rgba, 16 * k, axis=1), width=64,
+                  height=64, depth=32, pitch=256, codec="raw",
+                  delay_ms=40) for k in (1, 2)]
+    anim = Pic(pixels=rgba, width=64, height=64, depth=32, pitch=256,
+               codec="raw", frames=frames, delay_ms=40)
+    g = ffpic_tpu.encode(anim, "gif", loops=0)
+    im = Image.open(io.BytesIO(g))
+    assert im.n_frames == 3
+    assert im.info.get("duration") == 40
+    back = ffpic_tpu.load(g)
+    assert 1 + len(back.frames or []) == 3
+
+
+def test_gif_lzw_encode_differential(rng):
+    """Encoder LZW vs the native decoder across code-size growth and
+    the clear-on-full path."""
+    from ffpic_tpu.formats.gif import _lzw_encode_gif
+    from ffpic_tpu import native
+    if not native.available():
+        pytest.skip("native unavailable")
+    for n, maxsym in [(1, 4), (3, 2), (1000, 4), (40000, 256),
+                      (300000, 3)]:
+        idx = rng.integers(0, maxsym, n).astype(np.int32)
+        mcs = max(2, int(np.ceil(np.log2(max(maxsym, 2)))))
+        enc = _lzw_encode_gif(idx, mcs)
+        dec = np.frombuffer(native.lzw_gif(enc, mcs, n), np.uint8)
+        np.testing.assert_array_equal(dec.astype(np.int32), idx)
