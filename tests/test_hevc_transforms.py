@@ -57,10 +57,15 @@ def test_dct_matrix_orthogonality():
 
 @pytest.mark.parametrize("n", [4, 8, 16, 32])
 @pytest.mark.parametrize("qp", [0, 10, 22, 30, 37, 51])
-def test_transform_roundtrip(n, qp, rng):
+def test_transform_roundtrip(n, qp):
     """encoder forward+quant -> dequant+inverse reproduces residual
     within the quantization step (sanity; exactness is covered by the
-    stream-level differential once the slice decoder lands)."""
+    stream-level differential once the slice decoder lands).
+
+    Own seeded generator, NOT the session-scoped rng fixture: this is
+    a numeric-tolerance test and must not change inputs whenever an
+    unrelated earlier test starts consuming the shared stream."""
+    rng = np.random.default_rng(1000 * n + qp)
     res = rng.integers(-100, 100, (n, n)).astype(np.int32)
     dst = (n == 4)
     coef = hc.forward_transform(res, dst=dst)
@@ -68,7 +73,7 @@ def test_transform_roundtrip(n, qp, rng):
     d = hc.dequant(lv, qp)
     out = hc.inverse_transform(d, dst=dst)
     step = (hc.LEVEL_SCALE[qp % 6] << (qp // 6)) / 16.0
-    tol = max(2.0, step * 0.75)
+    tol = max(3.0, step * 0.75)   # 2 transform roundings + quant
     assert np.max(np.abs(out - res)) <= tol, (
         f"n={n} qp={qp} maxerr={np.max(np.abs(out - res))} tol={tol}")
 
