@@ -248,6 +248,8 @@ def to_pic(j: JpegFile, order: str = "rgba", mode: str = "reference",
     import jax.numpy as jnp
     from ffpic_tpu.ops import jpeg_kernels
 
+    if len(j.comps) == 3 and tuple(c.cid for c in j.comps) == (82, 71, 66):
+        mode = "rgb"     # component ids 'R','G','B': no YCbCr transform
     hmax = max(c.h for c in j.comps)
     vmax = max(c.v for c in j.comps)
     out_w = _align8(j.width)      # reference p->width convention (jpg.c:792)

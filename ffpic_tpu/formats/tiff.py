@@ -100,6 +100,9 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
     if not isinstance(counts, list):
         counts = [counts]
 
+    if comp == 7 and photo == 6:
+        photo = 2        # the embedded JPEG decoder already outputs RGB
+
     def _decomp(blob: bytes, want: int) -> bytes:
         if comp == 1:
             return blob[:want]
@@ -109,6 +112,24 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
             return _packbits(blob, want)
         if comp in (8, 32946):
             return zlib.decompress(blob)[:want]
+        if comp == 7:
+            # JPEG-in-TIFF (TIFF/EP style): each strip/tile is an
+            # abbreviated JPEG stream; tag 347 (JPEGTables) holds the
+            # shared DQT/DHT wrapped in its own SOI...EOI — splice its
+            # body after the strip's SOI (the reference's tiff.c stops
+            # at LZW/PackBits/deflate)
+            from ffpic_tpu.formats import jpg as _jpg
+            stream = blob
+            tables = tags.get(347)
+            if isinstance(tables, (bytes, bytearray)) \
+                    and len(tables) > 4 and stream[:2] == b"\xff\xd8":
+                stream = stream[:2] + bytes(tables[2:-2]) + stream[2:]
+            px = _jpg.load(stream, mode="bt601")[0].np_pixels()
+            if spp == 1:
+                out = px[..., 0]
+            else:
+                out = px[..., :spp]
+            return np.ascontiguousarray(out).tobytes()[:want]
         raise ValueError(f"unsupported TIFF compression {comp}")
 
     stride = (w * spp * bps + 7) // 8

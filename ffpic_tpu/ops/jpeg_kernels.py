@@ -134,7 +134,20 @@ def color_convert(yp, up, vp, order: str = "bgra", mode: str = "reference"):
     mode="bt601": standard JFIF/BT.601 with round-half-up
     (the "correct" path the reference comments out,
     colorspace.c:153-155).
+    mode="rgb": the planes already ARE R,G,B (Adobe transform=0 /
+    TIFF-EP photometric-RGB JPEG; component ids 'R','G','B') — no
+    matrix, just clip.
     """
+    if mode == "rgb":
+        r = jnp.clip(yp, 0, 255).astype(jnp.uint8)
+        g = jnp.clip(up, 0, 255).astype(jnp.uint8)
+        b = jnp.clip(vp, 0, 255).astype(jnp.uint8)
+        a = jnp.full_like(r, 255)
+        if order == "bgra":
+            return jnp.stack([b, g, r, a], axis=-1)
+        if order == "rgba":
+            return jnp.stack([r, g, b, a], axis=-1)
+        raise ValueError(order)
     yy = yp.astype(jnp.float32)
     uu = up.astype(jnp.float32) - 128.0
     vv = vp.astype(jnp.float32) - 128.0

@@ -328,3 +328,28 @@ def test_exr_rle(tmp_path):
     pic = ffpic_tpu.load(str(p))
     assert pic.meta["compression"] == 1
     assert pic.np_pixels().shape == (H, W, 4)
+
+
+def test_tiff_jpeg_compression_vs_pil(rng):
+    """JPEG-in-TIFF (compression 7 + JPEGTables tag 347): PIL writes
+    it, both decoders must agree within JPEG color-convert rounding."""
+    import io
+    from PIL import Image
+    import ffpic_tpu
+    arr = np.kron(rng.integers(0, 256, (8, 8, 3)),
+                  np.ones((16, 16, 1))).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "TIFF", compression="jpeg", quality=90)
+    data = b.getvalue()
+    ours = ffpic_tpu.load(data).np_pixels()[..., :3].astype(int)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")) \
+        .astype(int)
+    assert np.abs(ours - pil).max() <= 1
+
+    gb = io.BytesIO()
+    Image.fromarray(arr[..., 0]).save(gb, "TIFF", compression="jpeg",
+                                      quality=85)
+    ours_g = ffpic_tpu.load(gb.getvalue()).np_pixels()[..., 0] \
+        .astype(int)
+    pil_g = np.asarray(Image.open(gb).convert("L")).astype(int)
+    assert np.abs(ours_g - pil_g).max() <= 1
