@@ -61,6 +61,13 @@ def main():
     mp = H * W / 1e6
     host_mps = mp / host_dt
 
+    # packed-emission host stage (the production fast path)
+    jp_, _ = jpg.parse_and_decode(data, packed=True)
+    t0 = time.perf_counter()
+    for _ in range(n_host):
+        jp_, _ = jpg.parse_and_decode(data, packed=True)
+    host_packed_mps = mp / ((time.perf_counter() - t0) / n_host)
+
     # ---- device pipeline stage ---------------------------------------
     assert j.coeffs_raster, "native decoder required for bench"
     yc = j.coeffs[0].reshape(j.comps[0].nby, j.comps[0].nbx, 8, 8)
@@ -73,22 +80,27 @@ def main():
     cq_d = jnp.asarray(cq)
 
     # ---- end-to-end FIRST (fresh device queue): measured pipelined
-    # loop — host entropy -> stage -> device pipeline, async dispatch
-    # chaining across frames
-    warm = decode_batch_420(jnp.asarray(yc[None]), jnp.asarray(uc[None]),
-                            jnp.asarray(vc[None]), yq_d, cq_d)
+    # loop — packed host entropy emission -> ~2.4x-smaller staging ->
+    # fused unpack|dequant|IDCT|upsample|color launch per frame
+    from ffpic_tpu.ops.jpeg_kernels import decode_frame_420_packed
+    jp, _ = jpg.parse_and_decode(data, packed=True)
+    shapes = tuple((c.nby, c.nbx) for c in jp.comps)
+    bmap = jpg.packed_block_map(jp)
+    cnts, kss, vls, _nnz = jp.packed
+    warm = decode_frame_420_packed(jnp.asarray(cnts), jnp.asarray(kss),
+                                   jnp.asarray(vls), bmap, yq_d, cq_d,
+                                   shapes)
     warm.block_until_ready()
     del warm
     K = 12
     t0 = time.perf_counter()
     outs = []
     for _ in range(K):
-        jj, _ = jpg.parse_and_decode(data)
-        y = jj.coeffs[0].reshape(1, *yc.shape)
-        u = jj.coeffs[1].reshape(1, *uc.shape)
-        v = jj.coeffs[2].reshape(1, *vc.shape)
-        outs.append(decode_batch_420(jnp.asarray(y), jnp.asarray(u),
-                                     jnp.asarray(v), yq_d, cq_d))
+        jj, _ = jpg.parse_and_decode(data, packed=True)
+        cnts, kss, vls, _nnz = jj.packed
+        outs.append(decode_frame_420_packed(
+            jnp.asarray(cnts), jnp.asarray(kss), jnp.asarray(vls),
+            bmap, yq_d, cq_d, shapes))
     jax.block_until_ready(outs)
     e2e_mps = K * mp / (time.perf_counter() - t0)
     del outs
@@ -141,6 +153,7 @@ def main():
         "unit": "MP/s/chip",
         "vs_baseline": round(e2e_mps / BASELINE_MPS, 4),
         "host_entropy_mps": round(host_mps, 1),
+        "host_entropy_packed_mps": round(host_packed_mps, 1),
         "webp_512_mps": round(webp_mps, 2) if webp_mps else None,
         "device_pipeline_mps": round(dev_mps, 1),
         "host_to_hbm_gbps": round(h2d_gbps, 2),

@@ -70,8 +70,15 @@ class JpegFile:
     coeffs: list = field(default_factory=list)       # per-comp (nby,nbx,64)
     coeffs_raster: bool = False  # True: natural order (native path);
     #                              False: zigzag order (python oracle)
+    packed: tuple | None = None  # (counts, ks, vals, nnz) fast path
     mcus_x: int = 0
     mcus_y: int = 0
+
+
+class PackedIneligible(Exception):
+    """Raised by parse_and_decode(packed=True) when the file is not a
+    single-interleaved-scan baseline JPEG (or native is unavailable);
+    the caller retries on the dense path."""
 
 
 def probe(data: bytes) -> bool:
@@ -99,7 +106,8 @@ def _find_scan_end(data: bytes, pos: int) -> int:
 
 
 def parse_and_decode(data: bytes, skip_decode: bool = False,
-                     start: int = 0, quirks: bool = False) -> tuple[JpegFile, int]:
+                     start: int = 0, quirks: bool = False,
+                     packed: bool = False) -> tuple[JpegFile, int]:
     """Parse one JPEG image starting at ``start``; runs entropy decode
     for each scan unless skip_decode. Returns (JpegFile, next_offset).
 
@@ -107,9 +115,18 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
     bit-parity conformance testing: its scan reader drops the final
     entropy byte of every scan (format/jpg.c:601-633 computes
     ``last-2`` then never appends the trailing ``prev`` byte).
+
+    packed=True takes the packed-emission fast path for
+    single-interleaved-scan baseline files: no dense coefficient
+    planes are built; instead ``j.packed = (counts, ks, vals, nnz)``
+    in MCU decode order (see native.jpeg_decode_scan_packed), staged
+    to the device ~2.4x smaller.  Raises PackedIneligible when the
+    file needs the general path.
     """
     j = JpegFile()
     n = len(data)
+    if packed and not _native_ok():
+        raise PackedIneligible("native decoder unavailable")
     if start + 2 > n or data[start] != 0xFF or data[start + 1] != SOI:
         raise ValueError("missing SOI")
     i = start + 2
@@ -152,8 +169,9 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                 comp_h = -(-j.height * c.v // vmax)
                 c.nbx_actual = -(-comp_w // 8)
                 c.nby_actual = -(-comp_h // 8)
-            j.coeffs = [np.zeros((c.nby, c.nbx, 64), np.int16)
-                        for c in j.comps]
+            if not packed:
+                j.coeffs = [np.zeros((c.nby, c.nbx, 64), np.int16)
+                            for c in j.comps]
             j.coeffs_raster = _native_ok()
         elif m == DQT:
             p = 0
@@ -213,7 +231,16 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
                 scan_data = data[nxt:scan_end]
                 if quirks and len(scan_data) > 1:
                     scan_data = scan_data[:-1]  # reference drops last byte
-                if j.coeffs_raster:
+                if packed:
+                    if (j.mode != "baseline" or ns != len(j.comps)
+                            or j.packed is not None):
+                        raise PackedIneligible(
+                            "needs the general (dense) scan path")
+                    from ffpic_tpu import native
+                    j.packed = native.jpeg_decode_scan_packed(
+                        scan_data, j.dht_raw, j.comps, scan_comps,
+                        j.restart_interval, j.mcus_x, j.mcus_y)
+                elif j.coeffs_raster:
                     from ffpic_tpu import native
                     native.jpeg_decode_scan(
                         scan_data, j.dht_raw, j.comps, scan_comps,
@@ -233,6 +260,19 @@ def parse_and_decode(data: bytes, skip_decode: bool = False,
             nxt = scan_end
         i = nxt
     return j, i
+
+
+def packed_block_map(j: JpegFile):
+    """Device-resident block map for ``j.packed`` (see
+    ops.jpeg_kernels.mcu_block_map); single-component files use the
+    non-interleaved raster layout the packed scan emits."""
+    from ffpic_tpu.ops.jpeg_kernels import mcu_block_map
+    samps = tuple((c.v, c.h) for c in j.comps)
+    if len(j.comps) == 1:
+        c = j.comps[0]
+        return mcu_block_map(samps, j.mcus_x, j.mcus_y,
+                             actual=(c.nby_actual, c.nbx_actual))
+    return mcu_block_map(samps, j.mcus_x, j.mcus_y)
 
 
 def to_pic(j: JpegFile, order: str = "rgba", mode: str = "reference",

@@ -141,6 +141,97 @@ def jpeg_decode_scan(scan: bytes, dht: dict, frame_comps, scan_comps,
         raise ValueError(f"native jpeg scan decode failed rc={rc}")
 
 
+_packed_scratch: dict = {}
+
+
+def jpeg_decode_scan_packed(scan: bytes, dht: dict, frame_comps,
+                            scan_comps, restart_interval: int,
+                            mcus_x: int, mcus_y: int):
+    """Packed-emission decode of ONE interleaved baseline scan.
+
+    Returns (counts uint8[G], ks uint8[N], vals int16[N]) in MCU decode
+    order — see host_jpeg.c ffpic_jpeg_decode_scan_packed.  The static
+    block-order -> plane-flat-index map comes from
+    ffpic_tpu.ops.jpeg_kernels.mcu_block_map (pure geometry).
+    """
+    lib = _load()
+    assert lib is not None
+    counts = np.zeros((8, 16), np.uint8)
+    syms = np.zeros((8, 256), np.uint8)
+    present = np.zeros(8, np.int32)
+    for (tc, th), (cnt, sy) in dht.items():
+        if th > 3:
+            raise ValueError("huffman table id > 3")
+        slot = tc * 4 + th
+        counts[slot, :] = cnt
+        syms[slot, :len(sy)] = sy
+        present[slot] = 1
+    ncomps = len(frame_comps)
+    ch = np.array([c.h for c in frame_comps], np.int32)
+    cv = np.array([c.v for c in frame_comps], np.int32)
+    nbxa = np.array([c.nbx_actual for c in frame_comps], np.int32)
+    nbya = np.array([c.nby_actual for c in frame_comps], np.int32)
+    ns = len(scan_comps)
+    sc_comp = np.array([s.comp_idx for s in scan_comps], np.int32)
+    sc_dc = np.array([s.dc_tbl for s in scan_comps], np.int32)
+    sc_ac = np.array([s.ac_tbl for s in scan_comps], np.int32)
+    if ns > 1:
+        blocks_per_mcu = int(sum(c.h * c.v for c in frame_comps))
+        G = mcus_x * mcus_y * blocks_per_mcu
+    else:
+        c0 = frame_comps[scan_comps[0].comp_idx]
+        G = c0.nbx_actual * c0.nby_actual
+    cap = G * 64
+    # reused scratch: fresh multi-MB allocations per frame cause
+    # page-fault/madvise churn that costs more than the decode itself
+    # on this host.  The returned arrays are views — each call
+    # invalidates the previous call's result (callers stage to device
+    # or copy immediately).
+    sc = _packed_scratch
+    if sc.get("cap", 0) < cap:
+        sc["counts"] = np.empty(cap // 64, np.uint8)
+        sc["ks"] = np.empty(cap, np.uint8)
+        sc["vals"] = np.empty(cap, np.int16)
+        sc["cap"] = cap
+    out_counts = sc["counts"][:G]
+    out_ks = sc["ks"]
+    out_vals = sc["vals"]
+    scan_buf = np.frombuffer(scan, np.uint8)
+    fn = lib.ffpic_jpeg_decode_scan_packed
+    fn.restype = ctypes.c_long
+    n = fn(scan_buf.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_long(len(scan)),
+           counts.ctypes.data_as(ctypes.c_void_p),
+           syms.ctypes.data_as(ctypes.c_void_p),
+           present.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int(ncomps),
+           ch.ctypes.data_as(ctypes.c_void_p),
+           cv.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int(mcus_x), ctypes.c_int(mcus_y),
+           nbxa.ctypes.data_as(ctypes.c_void_p),
+           nbya.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int(ns),
+           sc_comp.ctypes.data_as(ctypes.c_void_p),
+           sc_dc.ctypes.data_as(ctypes.c_void_p),
+           sc_ac.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int(restart_interval),
+           out_counts.ctypes.data_as(ctypes.c_void_p),
+           out_ks.ctypes.data_as(ctypes.c_void_p),
+           out_vals.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        raise ValueError(f"native packed jpeg scan decode failed rc={n}")
+    # pad to a power-of-two bucket for stable jit shapes: the tail is
+    # zeroed in place (zigzag pos 0 / value 0 scatter-adds nothing), no
+    # reallocation or copy of the payload
+    cap2 = 2048
+    while cap2 < n:
+        cap2 <<= 1
+    cap2 = min(cap2, cap)
+    out_ks[n:cap2] = 0
+    out_vals[n:cap2] = 0
+    return out_counts, out_ks[:cap2], out_vals[:cap2], int(n)
+
+
 def png_unfilter(raw: np.ndarray, height: int, stride: int,
                  bpp: int) -> np.ndarray:
     """Reconstruct PNG scanlines. raw: height*(stride+1) bytes of

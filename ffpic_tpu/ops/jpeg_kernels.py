@@ -242,6 +242,90 @@ def decode_batch_420(ycoef, ucoef, vcoef, yquant, cquant,
     return color_convert(yp, up, vp, order=order, mode=mode)
 
 
+@functools.lru_cache(maxsize=32)
+def mcu_block_map(samplings, mcus_x: int, mcus_y: int, actual=None):
+    """Static geometry map for the packed host-emission path: the g-th
+    block in MCU decode order (components in frame order, v*h blocks
+    raster within the MCU) -> flat GLOBAL block index into the
+    concatenated per-component coefficient space.  Returned as a
+    device-resident jnp.int32[G] (constant across frames of one
+    geometry, so it is staged to HBM exactly once).
+
+    Single-component scans are NON-interleaved (ITU-T81 A.2.2): pass
+    ``actual=(nby_actual, nbx_actual)`` and the map is a raster walk
+    of the actual block grid with the padded plane stride."""
+    import jax.numpy as jnp_
+    if len(samplings) == 1 and actual is not None:
+        v, h = samplings[0]
+        nbx = mcus_x * h
+        nbya, nbxa = actual
+        by, bx = np.mgrid[0:nbya, 0:nbxa]
+        return jnp_.asarray((by * nbx + bx).reshape(-1).astype(np.int32))
+    maps = []
+    base = 0
+    per_comp = []
+    for (v, h) in samplings:
+        nby, nbx = mcus_y * v, mcus_x * h
+        per_comp.append((base, nby, nbx, v, h))
+        base += nby * nbx
+    my, mx = np.mgrid[0:mcus_y, 0:mcus_x]
+    for (cbase, nby, nbx, v, h) in per_comp:
+        # (mcus_y, mcus_x, v, h) block indices for this component
+        vi, hi = np.mgrid[0:v, 0:h]
+        by = my[:, :, None, None] * v + vi[None, None]
+        bx = mx[:, :, None, None] * h + hi[None, None]
+        maps.append((cbase + by * nbx + bx).reshape(mcus_y, mcus_x, v * h))
+    # interleave per MCU: comp-major within each MCU
+    g = np.concatenate(maps, axis=2).reshape(-1)
+    return jnp_.asarray(g.astype(np.int32))
+
+
+def _zz_dev():
+    """zigzag position k -> raster position within the 8x8 block
+    (converted per call: inside a jit trace this becomes a baked
+    constant; caching the converted array would leak a tracer)."""
+    from ffpic_tpu.ops.golden import ZIGZAG
+    return jnp.asarray(np.asarray(ZIGZAG, np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("shapes",))
+def _unpack_coeffs(counts, ks, vals, block_map, shapes):
+    """Rebuild dense per-component coefficient tensors from the packed
+    host emission (counts/ks/vals, see host_jpeg.c) with one
+    scatter-add over the concatenated coefficient space."""
+    counts = counts.astype(jnp.int32)
+    starts = jnp.cumsum(counts) - counts          # start offset per block
+    n = ks.shape[0]
+    # block id per nonzero: +1 at each later block's start (zero-count
+    # blocks collapse onto the same offset and accumulate — cumsum
+    # still lands on the right id); starts beyond n (trailing empties)
+    # are dropped.
+    marks = jnp.zeros(n, jnp.int32).at[starts[1:]].add(1, mode="drop")
+    ids = jnp.cumsum(marks)
+    flat_idx = block_map[ids] * 64 + _zz_dev()[ks.astype(jnp.int32)]
+    total = sum(nby * nbx for nby, nbx in shapes) * 64
+    flat = jnp.zeros(total, jnp.int16).at[flat_idx].add(vals, mode="drop")
+    out = []
+    base = 0
+    for (nby, nbx) in shapes:
+        out.append(flat[base:base + nby * nbx * 64]
+                   .reshape(nby, nbx, 8, 8))
+        base += nby * nbx * 64
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "order", "mode"))
+def decode_frame_420_packed(counts, ks, vals, block_map, yquant, cquant,
+                            shapes, order="rgba", mode="reference"):
+    """Packed-staging single-frame 4:2:0 pipeline: host ships ~2.4x
+    fewer bytes than dense planes (u8 count/pos + i16 value per
+    nonzero); the dense rebuild, dequant+IDCT, upsample and color all
+    fuse into this one launch."""
+    y, u, v = _unpack_coeffs(counts, ks, vals, block_map, shapes)
+    return decode_batch_420(y[None], u[None], v[None], yquant, cquant,
+                            order=order, mode=mode)[0]
+
+
 def _bucket(n: int, minimum: int = 2048) -> int:
     """Round nnz up to the next power of two (min 2048): few distinct
     jit shapes, padding bounded at 2x."""

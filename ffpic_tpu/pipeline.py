@@ -35,13 +35,23 @@ def _read(src) -> bytes:
 
 def _jpeg_420_plan(data: bytes):
     """Return the coefficient-plan for a baseline/progressive 4:2:0
-    3-component JPEG decoded by the native path, else None."""
+    3-component JPEG decoded by the native path, else None.  Prefers
+    the packed-emission fast path (j.packed set, ~2.4x smaller
+    staging); falls back to dense coefficient planes for progressive /
+    multi-scan files."""
     from ffpic_tpu.formats import jpg
     try:
-        j, _ = jpg.parse_and_decode(data)
+        j, _ = jpg.parse_and_decode(data, packed=True)
+    except jpg.PackedIneligible:
+        try:
+            j, _ = jpg.parse_and_decode(data)
+        except ValueError:
+            return None
+        if not j.coeffs_raster:
+            return None
     except ValueError:
         return None
-    if len(j.comps) != 3 or not j.coeffs_raster:
+    if len(j.comps) != 3:
         return None
     samps = [(c.v, c.h) for c in j.comps]
     if samps != [(2, 2), (1, 1), (1, 1)]:
@@ -67,6 +77,13 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
         data = _read(src)
         j = _jpeg_420_plan(data)
         if j is not None:
+            if j.packed is not None:
+                # stage now with a forced copy: the packed emission
+                # lives in a shared scratch the next parse overwrites,
+                # and jnp.asarray is zero-copy on the CPU backend
+                c, k, v, nnz = j.packed
+                j.packed = (jnp.array(c), jnp.array(k),
+                            jnp.array(v), nnz)
             key = (j.comps[0].nby, j.comps[0].nbx)
             buckets.setdefault(key, []).append((i, j))
         else:
@@ -78,8 +95,25 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     # sparse enough to cut host->HBM bytes (~3x on photo-like content,
     # break-even at ~1/3 nonzero), dense planes otherwise
     from ffpic_tpu.ops.jpeg_kernels import (decode_batch_420_sparse,
+                                            decode_frame_420_packed,
                                             pack_coeffs)
-    for (nby, nbx), members in buckets.items():
+    for (nby, nbx), allmembers in buckets.items():
+        # packed-emission members: fused per-frame unpack|decode launch
+        pmembers = [(i, j) for i, j in allmembers if j.packed is not None]
+        for i, j in pmembers:
+            shapes = tuple((c.nby, c.nbx) for c in j.comps)
+            from ffpic_tpu.formats.jpg import packed_block_map
+            bmap = packed_block_map(j)
+            yq1 = jnp.asarray(j.dqt[j.comps[0].tq].reshape(8, 8))
+            cq1 = jnp.asarray(j.dqt[j.comps[1].tq].reshape(8, 8))
+            c, k, v, _nnz = j.packed
+            out1 = decode_frame_420_packed(c, k, v, bmap, yq1, cq1,
+                                           shapes, order="rgba",
+                                           mode=color_mode)
+            slots[i] = out1[:j.height, :j.width]
+        members = [(i, j) for i, j in allmembers if j.packed is None]
+        if not members:
+            continue
         ycoef = np.stack([j.coeffs[0].reshape(nby, nbx, 8, 8)
                           for _i, j in members])
         ucoef = np.stack([j.coeffs[1].reshape(nby // 2, nbx // 2, 8, 8)
