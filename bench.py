@@ -51,22 +51,38 @@ def main():
     from ffpic_tpu.formats import jpg
     from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
 
+    def best_of(fn, trials=3):
+        """Best wall-clock of N trials: the machine shares a noisy
+        tunnel + 1 vCPU with other tenants, and the minimum is the
+        standard low-variance estimator for that regime (observed up
+        to 8x swing on the device stage between identical runs —
+        PARITY.md 'measurement variance')."""
+        best = float("inf")
+        for _ in range(trials):
+            best = min(best, fn())
+        return best
+
     # ---- host entropy stage ------------------------------------------
     j, _ = jpg.parse_and_decode(data)          # warm (also builds tables)
     n_host = 6
-    t0 = time.perf_counter()
-    for _ in range(n_host):
-        j, _ = jpg.parse_and_decode(data)
-    host_dt = (time.perf_counter() - t0) / n_host
     mp = H * W / 1e6
-    host_mps = mp / host_dt
+
+    def host_trial():
+        t0 = time.perf_counter()
+        for _ in range(n_host):
+            jpg.parse_and_decode(data)
+        return (time.perf_counter() - t0) / n_host
+    host_mps = mp / best_of(host_trial)
 
     # packed-emission host stage (the production fast path)
     jp_, _ = jpg.parse_and_decode(data, packed=True)
-    t0 = time.perf_counter()
-    for _ in range(n_host):
-        jp_, _ = jpg.parse_and_decode(data, packed=True)
-    host_packed_mps = mp / ((time.perf_counter() - t0) / n_host)
+
+    def host_packed_trial():
+        t0 = time.perf_counter()
+        for _ in range(n_host):
+            jpg.parse_and_decode(data, packed=True)
+        return (time.perf_counter() - t0) / n_host
+    host_packed_mps = mp / best_of(host_packed_trial)
 
     # ---- device pipeline stage ---------------------------------------
     assert j.coeffs_raster, "native decoder required for bench"
@@ -93,17 +109,19 @@ def main():
     warm.block_until_ready()
     del warm
     K = 12
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(K):
-        jj, _ = jpg.parse_and_decode(data, packed=True)
-        cnts, kss, vls, _nnz = jj.packed
-        outs.append(decode_frame_420_packed(
-            jnp.asarray(cnts), jnp.asarray(kss), jnp.asarray(vls),
-            bmap, yq_d, cq_d, shapes))
-    jax.block_until_ready(outs)
-    e2e_mps = K * mp / (time.perf_counter() - t0)
-    del outs
+
+    def e2e_trial():
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(K):
+            jj, _ = jpg.parse_and_decode(data, packed=True)
+            cnts_, kss_, vls_, _n = jj.packed
+            outs.append(decode_frame_420_packed(
+                jnp.asarray(cnts_), jnp.asarray(kss_), jnp.asarray(vls_),
+                bmap, yq_d, cq_d, shapes))
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / K
+    e2e_mps = mp / best_of(e2e_trial)
 
     # ---- device pipeline stage (batched) -----------------------------
     ycb = np.broadcast_to(yc, (BATCH, *yc.shape)).copy()
@@ -116,12 +134,15 @@ def main():
 
     out = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)  # warm/compile
     out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)
-    out.block_until_ready()
-    dev_dt = (time.perf_counter() - t0) / ITERS
-    dev_mps = BATCH * mp / dev_dt
+
+    def dev_trial():
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(ITERS):
+            o = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)
+        o.block_until_ready()
+        return (time.perf_counter() - t0) / ITERS
+    dev_mps = BATCH * mp / best_of(dev_trial)
 
     # ---- host->HBM staging -------------------------------------------
     nbytes = ycb.nbytes + ucb.nbytes + vcb.nbytes
@@ -140,12 +161,14 @@ def main():
         import ffpic_tpu
         with open(wp, "rb") as f:
             wdata = f.read()
-        ffpic_tpu.load(wdata)          # warm
-        t0 = time.perf_counter()
-        for _ in range(3):
-            ffpic_tpu.load(wdata)
-        webp_dt = (time.perf_counter() - t0) / 3
-        webp_mps = 512 * 512 / 1e6 / webp_dt
+        jax.block_until_ready(ffpic_tpu.load(wdata).pixels)   # warm
+
+        def webp_trial():
+            t0 = time.perf_counter()
+            outs = [ffpic_tpu.load(wdata).pixels for _ in range(5)]
+            jax.block_until_ready(outs)
+            return (time.perf_counter() - t0) / 5
+        webp_mps = 512 * 512 / 1e6 / best_of(webp_trial)
 
     result = {
         "metric": "jpeg_1080p_420_decode_end_to_end",

@@ -149,14 +149,27 @@ class VP8Decoder:
 
         br.get_bit()  # refresh_entropy_probs (ignored for stills)
 
-        self.coeff_probs = T.DEFAULT_COEFF_PROBS.copy()
+        self.coeff_probs = np.ascontiguousarray(
+            T.DEFAULT_COEFF_PROBS.copy(), np.uint8)
         upd = T.COEFF_UPDATE_PROBS
-        for t in range(4):
-            for b in range(8):
-                for c in range(3):
-                    for p in range(11):
-                        if br.get_bool(int(upd[t, b, c, p])):
-                            self.coeff_probs[t, b, c, p] = br.get_literal(8)
+        import os
+        native_ok = False
+        if not os.environ.get("FFPIC_NO_NATIVE"):
+            from ffpic_tpu import native
+            native_ok = native.available()
+        if native_ok:
+            from ffpic_tpu import native
+            native.vp8_coeff_probs(bytes(br.data), br,
+                                   np.ascontiguousarray(upd, np.uint8),
+                                   self.coeff_probs)
+        else:
+            for t in range(4):
+                for b in range(8):
+                    for c in range(3):
+                        for p in range(11):
+                            if br.get_bool(int(upd[t, b, c, p])):
+                                self.coeff_probs[t, b, c, p] = \
+                                    br.get_literal(8)
 
         h.mb_no_skip = bool(br.get_bit())
         if h.mb_no_skip:
@@ -417,6 +430,15 @@ class VP8Decoder:
             self.residual = _np.asarray(vk.vp8_residuals(
                 self.levels, dq_mb, self.has_y2))
             return
+        if not os.environ.get("FFPIC_NO_NATIVE"):
+            from ffpic_tpu import native
+            if native.available():
+                self.residual = native.vp8_residuals(
+                    self.levels, self.nnz_total,
+                    np.array(self.dq, np.int32),
+                    self.seg if self.hdr.seg_enabled else None,
+                    self.has_y2.astype(np.uint8), mbh, mbw)
+                return
         lv = self.levels
         seg = (self.seg if self.hdr.seg_enabled
                else np.zeros((mbh, mbw), np.int32))
@@ -667,12 +689,35 @@ class VP8Decoder:
 
     # ------------------------------------------------------------------
     def decode(self):
+        import os
         self._parse_control_partition()
         self._dequant_tables()
         self._parse_mb_headers()
         self._parse_tokens()
-        self._residuals()
-        self._reconstruct()
+        fused = not (os.environ.get("FFPIC_VP8_DEVICE")
+                     or os.environ.get("FFPIC_NO_NATIVE"))
+        if fused:
+            from ffpic_tpu import native
+            fused = native.available()
+        if fused:
+            # single MB walk: dequant+IWHT+IDCT into a stack buffer,
+            # then prediction + residual add (no whole-image residual
+            # intermediate)
+            from ffpic_tpu import native
+            mbh, mbw = self.mbh, self.mbw
+            Y = np.zeros((mbh * 16, mbw * 16), np.uint8)
+            U = np.zeros((mbh * 8, mbw * 8), np.uint8)
+            Vp = np.zeros((mbh * 8, mbw * 8), np.uint8)
+            native.vp8_recon_fused(
+                Y, U, Vp, self.levels, self.nnz_total,
+                np.array(self.dq, np.int32),
+                self.seg if self.hdr.seg_enabled else None,
+                self.has_y2.astype(np.uint8),
+                self.ymode, self.bmodes, self.uvmode, mbh, mbw)
+            self.Y, self.U, self.V = Y, U, Vp
+        else:
+            self._residuals()
+            self._reconstruct()
         from ffpic_tpu.formats.vp8_filter import loop_filter_frame
         loop_filter_frame(self)
         return self.Y, self.U, self.V

@@ -118,24 +118,20 @@ class _Edge:
 
 
 def _filter_levels(dec):
+    """Per-MB loop-filter level (RFC 6386 15.3), vectorized."""
     h = dec.hdr
-    levels = np.zeros((dec.mbh, dec.mbw), np.int32)
-    for my in range(dec.mbh):
-        for mx in range(dec.mbw):
-            if h.seg_enabled:
-                s = dec.seg[my, mx]
-                lvl = h.seg_lf[s] if h.seg_abs else \
-                    h.filter_level + h.seg_lf[s]
-            else:
-                lvl = h.filter_level
-            lvl = max(0, min(63, lvl))
-            if h.lf_delta_enabled:
-                lvl += h.ref_lf_deltas[0]          # intra frame
-                if dec.ymode[my, mx] == B_PRED:
-                    lvl += h.mode_lf_deltas[0]
-                lvl = max(0, min(63, lvl))
-            levels[my, mx] = lvl
-    return levels
+    if h.seg_enabled:
+        seg_lf = np.asarray(h.seg_lf, np.int32)[dec.seg]
+        lvl = seg_lf if h.seg_abs else h.filter_level + seg_lf
+    else:
+        lvl = np.full((dec.mbh, dec.mbw), h.filter_level, np.int32)
+    lvl = np.clip(lvl, 0, 63)
+    if h.lf_delta_enabled:
+        lvl = lvl + h.ref_lf_deltas[0]             # intra frame
+        lvl = np.where(dec.ymode == B_PRED,
+                       lvl + h.mode_lf_deltas[0], lvl)
+        lvl = np.clip(lvl, 0, 63)
+    return lvl.astype(np.int32)
 
 
 def loop_filter_frame(dec, force_python: bool = False) -> None:

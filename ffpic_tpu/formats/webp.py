@@ -166,14 +166,31 @@ def load(data: bytes, skip_decode: bool = False,
         meta["filter"] = ("simple" if dec.hdr.filter_type
                           else "normal")
         meta["quant_yac"] = dec.hdr.q_yac
+        a = _decode_alpha(chunks.get("ALPH", b""), H, W)
         if mode == "libwebp":
-            r, g, b = _yuv_to_rgb_libwebp(Y, U, V, H, W)
+            import os
+            if os.environ.get("FFPIC_HOST_COLOR"):
+                r, g, b = _yuv_to_rgb_libwebp(Y, U, V, H, W)
+                if a is None:
+                    a = np.full((H, W), 255, np.uint8)
+                rgba = np.dstack([r, g, b, a])
+            else:
+                # default: fancy upsample + fixed-point color matrix as
+                # one device launch (ops/vp8_kernels.vp8_yuv_to_rgba,
+                # bit-exact vs the host path — tests/test_webp.py);
+                # this is the VP8 analog of the reference's accel-layer
+                # dispatch (webp.c:1868 -> colorspace.c:291)
+                with trace.stage("webp.device_color"):
+                    from ffpic_tpu.ops.vp8_kernels import vp8_yuv_to_rgba
+                    rgba = vp8_yuv_to_rgba(Y, U, V, H, W)
+                    if a is not None:
+                        import jax.numpy as jnp
+                        rgba = rgba.at[:, :, 3].set(jnp.asarray(a))
         else:
             r, g, b = _yuv_to_rgb_reference(Y, U, V, H, W)
-        a = _decode_alpha(chunks.get("ALPH", b""), H, W)
-        if a is None:
-            a = np.full((H, W), 255, np.uint8)
-        rgba = np.dstack([r, g, b, a])
+            if a is None:
+                a = np.full((H, W), 255, np.uint8)
+            rgba = np.dstack([r, g, b, a])
         return [Pic(pixels=rgba, width=W, height=H, depth=32,
                     pitch=W * 4, format=PixelFormat.RGBA32, codec="WEBP",
                     meta=meta)]

@@ -322,6 +322,88 @@ def vp8_tokens(rest: bytes, part_off, part_len, probs: np.ndarray,
     return levels, nnz
 
 
+def vp8_residuals(levels: np.ndarray, nnz: np.ndarray, dq: np.ndarray,
+                  seg, has_y2: np.ndarray, mbh: int, mbw: int) -> np.ndarray:
+    """Native dequant + Y2 IWHT + 4x4 IDCT over the whole image with
+    zero/DC-only block fast paths (host_vp8.c).  Returns
+    (mbh, mbw, 24, 4, 4) int16 residuals."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty((mbh, mbw, 24, 4, 4), np.int16)
+    fn = lib.ffpic_vp8_residuals
+    fn.restype = None
+    seg_ptr = (np.ascontiguousarray(seg, np.int32).ctypes
+               .data_as(ctypes.c_void_p) if seg is not None else None)
+    fn(np.ascontiguousarray(levels, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(nnz, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(dq, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       seg_ptr,
+       np.ascontiguousarray(has_y2, np.uint8).ctypes
+         .data_as(ctypes.c_void_p),
+       ctypes.c_int(mbh), ctypes.c_int(mbw),
+       out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def vp8_coeff_probs(part0: bytes, br, update_probs: np.ndarray,
+                    probs: np.ndarray) -> None:
+    """Native RFC 6386 §13.4 coefficient-probability update parse;
+    resumes the Python BoolDecoder ``br`` in place and updates
+    ``probs`` (4,8,3,11) in place."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(part0, np.uint8)
+    pos = ctypes.c_long(br.pos)
+    value = ctypes.c_uint32(br.value)
+    rng = ctypes.c_uint32(br.range)
+    bc = ctypes.c_int(br.bit_count)
+    fn = lib.ffpic_vp8_coeff_probs
+    fn.restype = None
+    assert probs.dtype == np.uint8 and probs.flags.c_contiguous
+    fn(buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(part0)),
+       ctypes.byref(pos), ctypes.byref(value), ctypes.byref(rng),
+       ctypes.byref(bc),
+       np.ascontiguousarray(update_probs, np.uint8).ctypes
+         .data_as(ctypes.c_void_p),
+       probs.ctypes.data_as(ctypes.c_void_p))
+    br.pos, br.value, br.range, br.bit_count = (
+        pos.value, value.value, rng.value, bc.value)
+
+
+def vp8_recon_fused(Y, U, V, levels, nnz, dq, seg, has_y2,
+                    ymode, bmodes, uvmode, mbh: int, mbw: int) -> None:
+    """Fused native residual transform + intra recon (host_vp8.c):
+    one MB walk, no whole-image residual intermediate."""
+    lib = _load()
+    assert lib is not None
+    fn = lib.ffpic_vp8_recon_fused
+    fn.restype = None
+    seg_ptr = (np.ascontiguousarray(seg, np.int32).ctypes
+               .data_as(ctypes.c_void_p) if seg is not None else None)
+    fn(Y.ctypes.data_as(ctypes.c_void_p),
+       U.ctypes.data_as(ctypes.c_void_p),
+       V.ctypes.data_as(ctypes.c_void_p),
+       np.ascontiguousarray(levels, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(nnz, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(dq, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       seg_ptr,
+       np.ascontiguousarray(has_y2, np.uint8).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(ymode, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(bmodes, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       np.ascontiguousarray(uvmode, np.int32).ctypes
+         .data_as(ctypes.c_void_p),
+       ctypes.c_int(mbh), ctypes.c_int(mbw))
+
+
 def vp8_recon(Y, U, V, residual, ymode, bmodes, uvmode,
               mbh: int, mbw: int) -> None:
     """Native intra prediction + residual add (host_vp8.c), writing

@@ -17,6 +17,10 @@
 
 #define FFPIC_API __attribute__((visibility("default")))
 
+static void mb_residual(const int32_t *lv, const int32_t *nz,
+                        const int32_t *d, int hy2, int16_t res[24 * 16]);
+
+
 static inline int c8(int x) { return x < -128 ? -128 : (x > 127 ? 127 : x); }
 static inline int iabs(int x) { return x < 0 ? -x : x; }
 
@@ -205,16 +209,83 @@ static inline int bd_bool(VP8Bool *b, int prob) {
         ret = 0;
         b->range = split;
     }
-    while (b->range < 128) {
-        b->value <<= 1;
-        b->range <<= 1;
-        if (++b->bit_count == 8) {
-            b->bit_count = 0;
-            b->value |= (b->pos < b->len) ? b->data[b->pos] : 0;
+    if (b->range < 128) {
+        /* batched renorm: range in [1,127] -> shift in [1,7]; at most
+         * one byte boundary can be crossed, insert it at the right
+         * position (equivalent to the bit-at-a-time loop) */
+        int shift = __builtin_clz(b->range) - 24;
+        b->range <<= shift;
+        int k = 8 - b->bit_count;      /* steps until the byte insert */
+        if (shift < k) {
+            b->value <<= shift;
+            b->bit_count += shift;
+        } else {
+            uint32_t byte = (b->pos < b->len) ? b->data[b->pos] : 0;
             b->pos++;
+            b->value = ((b->value << k) | byte) << (shift - k);
+            b->bit_count = shift - k;
         }
     }
     return ret;
+}
+
+/* Fast bool decoder for the token hot path: 64-bit left-justified
+ * value cache with clz renormalization (the libvpx/dboolhuff
+ * formulation; the reference's booldec.c:95-119 uses the same
+ * `7 ^ log2floor(range)` renorm idea).  Arithmetic is identical to
+ * the RFC window decoder above — used only where the state starts
+ * fresh (token partitions), so no state conversion is ever needed. */
+typedef struct {
+    const uint8_t *data;
+    long len;
+    long pos;        /* next byte to load */
+    uint64_t value;  /* left-justified: top (count+8) bits valid */
+    int count;
+    uint32_t range;
+} VP8BoolF;
+
+static void bdf_fill(VP8BoolF *b) {
+    int shift = 64 - 8 - (b->count + 8);
+    while (shift >= 0) {
+        if (b->pos >= b->len) {
+            /* past EOF the stream reads as zeros: just account bits */
+            b->count += 8;
+            shift -= 8;
+            continue;
+        }
+        b->value |= (uint64_t)b->data[b->pos++] << shift;
+        b->count += 8;
+        shift -= 8;
+    }
+}
+
+static void bdf_init(VP8BoolF *b, const uint8_t *data, long len) {
+    b->data = data;
+    b->len = len;
+    b->pos = 0;
+    b->value = 0;
+    b->count = -8;
+    b->range = 255;
+    bdf_fill(b);
+}
+
+static inline int bdf_bool(VP8BoolF *b, int prob) {
+    uint32_t split = 1 + (((b->range - 1) * (uint32_t)prob) >> 8);
+    if (b->count < 0)
+        bdf_fill(b);
+    uint64_t bigsplit = (uint64_t)split << 56;
+    uint32_t range = split;
+    int bit = 0;
+    if (b->value >= bigsplit) {
+        range = b->range - split;
+        b->value -= bigsplit;
+        bit = 1;
+    }
+    int shift = __builtin_clz(range) - 24;   /* range in [1,255] */
+    b->range = range << shift;
+    b->value <<= shift;
+    b->count -= shift;
+    return bit;
 }
 
 static const int8_t TOK_TREE[22] = {
@@ -232,47 +303,65 @@ static const uint8_t CAT_PROBS[6][11] = {
 static const int CAT_LEN[6] = {1, 2, 3, 4, 5, 11};
 #define DCT_EOB 11
 
-/* decode one 4x4 block's tokens; returns nz (last nonzero pos + 1) */
-static inline int vp8_block_tokens(VP8Bool *b, const uint8_t *probs,
+/* decode one 4x4 block's tokens; returns nz (last nonzero pos + 1).
+ * The RFC 6386 token tree is unrolled libwebp-GetCoeffs-style: the
+ * common paths (EOB check, zero run, |v|=1) take 1-3 predictable
+ * branches instead of a data-dependent table walk. */
+static inline int vp8_block_tokens(VP8BoolF *b, const uint8_t *probs,
                                    int btype, int first, int ctx,
                                    int32_t *blk) {
     int nz = 0;
     int c = ctx;
-    int start = 0;
-    for (int n = first; n < 16; n++) {
-        const uint8_t *pr = probs + ((btype * 8 + BANDS[n]) * 3 + c) * 11;
-        int i = start;
-        int tok;
-        for (;;) {
-            i = TOK_TREE[i + bd_bool(b, pr[i >> 1])];
-            if (i <= 0) {
-                tok = -i;
-                break;
+    const uint8_t *pr = probs + ((btype * 8 + BANDS[first]) * 3 + c) * 11;
+    for (int n = first; n < 16; ) {
+        if (!bdf_bool(b, pr[0]))        /* EOB */
+            break;
+        while (!bdf_bool(b, pr[1])) {   /* DCT_0: zero run */
+            if (++n == 16)
+                return nz;
+            /* after a zero, ctx = 0 and the EOB branch is skipped */
+            pr = probs + ((btype * 8 + BANDS[n]) * 3 + 0) * 11;
+        }
+        int val;
+        if (!bdf_bool(b, pr[2])) {      /* DCT_1 */
+            val = 1;
+            c = 1;
+        } else {
+            c = 2;
+            if (!bdf_bool(b, pr[3])) {
+                /* DCT_2 / DCT_3 / DCT_4 */
+                if (!bdf_bool(b, pr[4]))
+                    val = 2;
+                else
+                    val = 3 + bdf_bool(b, pr[5]);
+            } else if (!bdf_bool(b, pr[6])) {
+                /* cat1 / cat2 */
+                if (!bdf_bool(b, pr[7])) {
+                    val = 5 + bdf_bool(b, 159);
+                } else {
+                    val = 7 + 2 * bdf_bool(b, 165);
+                    val += bdf_bool(b, 145);
+                }
+            } else {
+                /* cat3..cat6 */
+                int cat;
+                if (!bdf_bool(b, pr[8]))
+                    cat = 2 + bdf_bool(b, pr[9]);
+                else
+                    cat = 4 + bdf_bool(b, pr[10]);
+                int extra = 0;
+                for (int k = 0; k < CAT_LEN[cat]; k++)
+                    extra = (extra << 1) | bdf_bool(b, CAT_PROBS[cat][k]);
+                val = CAT_BASE[cat] + extra;
             }
         }
-        if (tok == DCT_EOB)
-            break;
-        if (tok == 0) {
-            start = 2;
-            c = 0;
-            continue;
-        }
-        start = 0;
-        int val;
-        if (tok <= 4) {
-            val = tok;
-        } else {
-            int cat = tok - 5;
-            int extra = 0;
-            for (int k = 0; k < CAT_LEN[cat]; k++)
-                extra = (extra << 1) | bd_bool(b, CAT_PROBS[cat][k]);
-            val = CAT_BASE[cat] + extra;
-        }
-        c = val > 1 ? 2 : 1;
-        if (bd_bool(b, 128))
+        if (bdf_bool(b, 128))
             val = -val;
         blk[ZZ4[n]] = val;
-        nz = n + 1;
+        nz = ++n;
+        if (n == 16)
+            break;
+        pr = probs + ((btype * 8 + BANDS[n]) * 3 + c) * 11;
     }
     return nz;
 }
@@ -286,7 +375,7 @@ FFPIC_API int ffpic_vp8_tokens(
     int mbh, int mbw,
     int32_t *levels,                /* (mbh,mbw,25,16) */
     int32_t *nnz_total) {           /* (mbh,mbw,25) */
-    VP8Bool *parts = malloc(sizeof(VP8Bool) * nparts);
+    VP8BoolF *parts = malloc(sizeof(VP8BoolF) * nparts);
     if (!parts)
         return -1;
     for (int i = 0; i < nparts; i++) {
@@ -294,7 +383,7 @@ FFPIC_API int ffpic_vp8_tokens(
             free(parts);
             return -2;
         }
-        bd_init(&parts[i], rest + part_off[i], part_len[i]);
+        bdf_init(&parts[i], rest + part_off[i], part_len[i]);
     }
     int *above_nz = calloc((size_t)mbw * 9, sizeof(int));
     int left_nz[9];
@@ -305,7 +394,7 @@ FFPIC_API int ffpic_vp8_tokens(
     for (int my = 0; my < mbh; my++) {
         for (int k = 0; k < 9; k++)
             left_nz[k] = 0;
-        VP8Bool *b = &parts[my % nparts];
+        VP8BoolF *b = &parts[my % nparts];
         for (int mx = 0; mx < mbw; mx++) {
             long mb = (long)my * mbw + mx;
             int hy2 = has_y2[mb];
@@ -579,18 +668,13 @@ static void pred_b4(const uint8_t *Y, long stride, long W, long by,
     }
 }
 
-FFPIC_API void ffpic_vp8_recon(
-    uint8_t *Y, uint8_t *U, uint8_t *V,
-    const int16_t *residual,      /* (mbh,mbw,24,4,4) */
-    const int32_t *ymode, const int32_t *bmodes,  /* (mbh,mbw,16) */
-    const int32_t *uvmode, int mbh, int mbw) {
-    long ys = (long)mbw * 16, cs = (long)mbw * 8;
-    for (int my = 0; my < mbh; my++) {
-        for (int mx = 0; mx < mbw; mx++) {
-            long mb = (long)my * mbw + mx;
-            const int16_t *res = residual + mb * 24 * 16;
+static void recon_mb(uint8_t *Y, uint8_t *U, uint8_t *V,
+                     long ys, long cs, int my, int mx,
+                     const int16_t *res, int ym,
+                     const int32_t *bm, int uvm) {
+    {
+        {
             long y0 = (long)my * 16, x0 = (long)mx * 16;
-            int ym = ymode[mb];
             if (ym != M_BPRED) {
                 int pred[16][16];
                 pred_whole(Y, ys, y0, x0, 16, ym, pred);
@@ -609,7 +693,7 @@ FFPIC_API void ffpic_vp8_recon(
                     long by = y0 + sy * 4, bx = x0 + sx * 4;
                     int o[4][4];
                     pred_b4(Y, ys, ys, by, bx, my, mx, sy, sx,
-                            bmodes[mb * 16 + b], o);
+                            bm[b], o);
                     const int16_t *r = res + b * 16;
                     for (int i = 0; i < 4; i++)
                         for (int j = 0; j < 4; j++)
@@ -618,7 +702,6 @@ FFPIC_API void ffpic_vp8_recon(
                 }
             }
             /* chroma */
-            int uvm = uvmode[mb];
             long cy0 = (long)my * 8, cx0 = (long)mx * 8;
             uint8_t *planes[2] = {U, V};
             for (int pi = 0; pi < 2; pi++) {
@@ -636,6 +719,201 @@ FFPIC_API void ffpic_vp8_recon(
                 }
             }
         }
+    }
+}
+
+FFPIC_API void ffpic_vp8_recon(
+    uint8_t *Y, uint8_t *U, uint8_t *V,
+    const int16_t *residual,      /* (mbh,mbw,24,4,4) */
+    const int32_t *ymode, const int32_t *bmodes,  /* (mbh,mbw,16) */
+    const int32_t *uvmode, int mbh, int mbw) {
+    long ys = (long)mbw * 16, cs = (long)mbw * 8;
+    for (int my = 0; my < mbh; my++)
+        for (int mx = 0; mx < mbw; mx++) {
+            long mb = (long)my * mbw + mx;
+            recon_mb(Y, U, V, ys, cs, my, mx, residual + mb * 24 * 16,
+                     ymode[mb], bmodes + mb * 16, uvmode[mb]);
+        }
+}
+
+/* Fused residual-transform + reconstruction: one MB walk, residuals
+ * in a stack buffer, no whole-image int16 intermediate. */
+FFPIC_API void ffpic_vp8_recon_fused(
+    uint8_t *Y, uint8_t *U, uint8_t *V,
+    const int32_t *levels,        /* (mbh,mbw,25,16) raw levels */
+    const int32_t *nnz,           /* (mbh,mbw,25) */
+    const int32_t *dq,            /* (4,6) */
+    const int32_t *seg,           /* (mbh,mbw) or NULL */
+    const uint8_t *has_y2,
+    const int32_t *ymode, const int32_t *bmodes,
+    const int32_t *uvmode, int mbh, int mbw) {
+    long ys = (long)mbw * 16, cs = (long)mbw * 8;
+    for (int my = 0; my < mbh; my++)
+        for (int mx = 0; mx < mbw; mx++) {
+            long mb = (long)my * mbw + mx;
+            int16_t res[24 * 16];
+            mb_residual(levels + mb * 25 * 16, nnz + mb * 25,
+                        dq + (seg ? seg[mb] : 0) * 6, has_y2[mb], res);
+            recon_mb(Y, U, V, ys, cs, my, mx, res,
+                     ymode[mb], bmodes + mb * 16, uvmode[mb]);
+        }
+}
+
+/* ---------------- residual stage: dequant + IWHT + 4x4 IDCT ----------
+ *
+ * Exact mirror of ops/golden.py vp8_idct4x4 / vp8_iwht4x4 (themselves
+ * ports of utils/idct.c:121-150 and format/webp.c:1067-1096) with the
+ * zero-block and DC-only fast paths libwebp uses: blocks with no
+ * coded coefficients skip the transform entirely, DC-only blocks
+ * flat-fill (dc+4)>>3.  This replaces the whole-image numpy transform
+ * (~10 ms/512²) on the default host path; the jitted device variant
+ * (ops/vp8_kernels.py) is the batched alternative.
+ */
+
+static inline int16_t w16(int32_t x) { return (int16_t)(uint16_t)(uint32_t)x; }
+
+static void vp8_idct4x4_c(const int32_t in[16], int16_t out[16]) {
+    int32_t tmp[16];
+    const int32_t c1 = 20091, c2 = 35468;
+    for (int x = 0; x < 4; x++) {
+        int32_t i0 = in[x], i1 = in[4 + x], i2 = in[8 + x], i3 = in[12 + x];
+        int32_t a0 = i0 + i2;
+        int32_t a1 = i0 - i2;
+        int32_t a2 = ((i1 * c2) >> 16) - i3 - ((i3 * c1) >> 16);
+        int32_t a3 = i1 + ((i1 * c1) >> 16) + ((i3 * c2) >> 16);
+        tmp[x] = w16(a0 + a3);
+        tmp[12 + x] = w16(a0 - a3);
+        tmp[4 + x] = w16(a1 + a2);
+        tmp[8 + x] = w16(a1 - a2);
+    }
+    for (int r = 0; r < 4; r++) {
+        int32_t j0 = tmp[r * 4], j1 = tmp[r * 4 + 1], j2 = tmp[r * 4 + 2],
+                j3 = tmp[r * 4 + 3];
+        int32_t a0 = j0 + j2;
+        int32_t a1 = j0 - j2;
+        int32_t a2 = ((j1 * c2) >> 16) - j3 - ((j3 * c1) >> 16);
+        int32_t a3 = j1 + ((j1 * c1) >> 16) + ((j3 * c2) >> 16);
+        out[r * 4] = w16((a0 + a3 + 4) >> 3);
+        out[r * 4 + 3] = w16((a0 - a3 + 4) >> 3);
+        out[r * 4 + 1] = w16((a1 + a2 + 4) >> 3);
+        out[r * 4 + 2] = w16((a1 - a2 + 4) >> 3);
+    }
+}
+
+static void vp8_iwht4x4_c(const int32_t in[16], int32_t out[16]) {
+    int32_t tmp[16];
+    for (int x = 0; x < 4; x++) {
+        int32_t a1 = in[x] + in[12 + x];
+        int32_t b1 = in[4 + x] + in[8 + x];
+        int32_t c1 = in[4 + x] - in[8 + x];
+        int32_t d1 = in[x] - in[12 + x];
+        tmp[x] = a1 + b1;
+        tmp[4 + x] = c1 + d1;
+        tmp[8 + x] = a1 - b1;
+        tmp[12 + x] = d1 - c1;
+    }
+    for (int r = 0; r < 4; r++) {
+        int32_t j0 = tmp[r * 4], j1 = tmp[r * 4 + 1], j2 = tmp[r * 4 + 2],
+                j3 = tmp[r * 4 + 3];
+        int32_t a1 = j0 + j3;
+        int32_t b1 = j1 + j2;
+        int32_t c1 = j1 - j2;
+        int32_t d1 = j0 - j3;
+        out[r * 4] = w16((a1 + b1 + 3) >> 3);
+        out[r * 4 + 1] = w16((c1 + d1 + 3) >> 3);
+        out[r * 4 + 2] = w16((a1 - b1 + 3) >> 3);
+        out[r * 4 + 3] = w16((d1 - c1 + 3) >> 3);
+    }
+}
+
+FFPIC_API void ffpic_vp8_residuals(
+    const int32_t *levels,        /* (mbh,mbw,25,16) raw levels */
+    const int32_t *nnz,           /* (mbh,mbw,25) */
+    const int32_t *dq,            /* (4,6) y1dc,y1ac,y2dc,y2ac,uvdc,uvac */
+    const int32_t *seg,           /* (mbh,mbw) or NULL when !seg_enabled */
+    const uint8_t *has_y2,        /* (mbh,mbw) */
+    int mbh, int mbw,
+    int16_t *out) {               /* (mbh,mbw,24,4,4) */
+    for (long mb = 0; mb < (long)mbh * mbw; mb++)
+        mb_residual(levels + mb * 25 * 16, nnz + mb * 25,
+                    dq + (seg ? seg[mb] : 0) * 6, has_y2[mb],
+                    out + mb * 24 * 16);
+}
+
+/* ---------------- coefficient-probability update parse ---------------
+ *
+ * RFC 6386 §13.4: 4*8*3*11 conditional 8-bit updates at the start of
+ * the first partition — ~1000 bool reads that dominate the Python
+ * control-partition parse.  Resumes/returns the bool-decoder state
+ * like ffpic_vp8_mb_headers.
+ */
+FFPIC_API void ffpic_vp8_coeff_probs(
+    const uint8_t *part0, long len,
+    long *pos, uint32_t *value, uint32_t *range, int *bit_count,
+    const uint8_t *update_probs,   /* (4,8,3,11) */
+    uint8_t *probs) {              /* (4,8,3,11) in/out */
+    VP8Bool b;
+    b.data = part0;
+    b.len = len;
+    b.pos = *pos;
+    b.value = *value;
+    b.range = *range;
+    b.bit_count = *bit_count;
+    for (int i = 0; i < 4 * 8 * 3 * 11; i++) {
+        if (bd_bool(&b, update_probs[i])) {
+            int v = 0;
+            for (int k = 0; k < 8; k++)
+                v = (v << 1) | bd_bool(&b, 128);
+            probs[i] = (uint8_t)v;
+        }
+    }
+    *pos = b.pos;
+    *value = b.value;
+    *range = b.range;
+    *bit_count = b.bit_count;
+}
+
+/* Per-MB residual transform into a stack buffer (same math as
+ * ffpic_vp8_residuals, fused into the recon walk below to skip the
+ * whole-image int16 intermediate). */
+static void mb_residual(const int32_t *lv, const int32_t *nz,
+                        const int32_t *d, int hy2, int16_t res[24 * 16]) {
+    int32_t dc16[16];
+    if (hy2) {
+        int32_t y2[16];
+        y2[0] = lv[24 * 16] * d[2];
+        for (int i = 1; i < 16; i++)
+            y2[i] = lv[24 * 16 + i] * d[3];
+        if (nz[24] > 0 || y2[0] != 0) {
+            vp8_iwht4x4_c(y2, dc16);
+        } else {
+            for (int i = 0; i < 16; i++)
+                dc16[i] = 0;
+        }
+    }
+    for (int b = 0; b < 24; b++) {
+        const int32_t *l = lv + b * 16;
+        int16_t *r = res + b * 16;
+        int is_y = b < 16;
+        int32_t dcq = is_y ? d[0] : d[4];
+        int32_t acq = is_y ? d[1] : d[5];
+        int32_t blk[16];
+        int32_t dc = (is_y && hy2) ? dc16[b] : l[0] * dcq;
+        if (nz[b] <= 1) {
+            if (dc == 0) {
+                for (int i = 0; i < 16; i++)
+                    r[i] = 0;
+            } else {
+                int16_t v = w16(((int32_t)w16(dc) + 4) >> 3);
+                for (int i = 0; i < 16; i++)
+                    r[i] = v;
+            }
+            continue;
+        }
+        blk[0] = dc;
+        for (int i = 1; i < 16; i++)
+            blk[i] = l[i] * acq;
+        vp8_idct4x4_c(blk, r);
     }
 }
 
