@@ -9,10 +9,11 @@ formats/hevc_recon.py executes; residual transforms have no feedback
 dependency so they batch per TU-size bucket (device-offloadable),
 while prediction runs as a host wavefront.
 
-Scope: Main / Main Still Picture intra decoding — 8-bit 4:2:0/4:0:0,
-all CTB/TB sizes, NxN partitions, transform skip, transquant bypass,
-sign data hiding, cu_qp_delta, SAO parsing.  Not yet: tiles, WPP
-entry points, PCM, scaling lists, 10-bit (validated gates below).
+Scope: Main / Main10 / Main Still Picture intra decoding — 8/10-bit
+4:2:0/4:0:0, all CTB/TB sizes, NxN partitions, transform skip,
+transquant bypass, sign data hiding, cu_qp_delta, SAO parsing.
+Not yet: tiles, WPP entry points, PCM, scaling lists (validated
+gates below).
 
 Reference parity anchors: slice header hevc.c:2660, CTU loop
 hevc.c:6934-7047, quadtree hevc.c:6852, CU hevc.c:6467, transform tree

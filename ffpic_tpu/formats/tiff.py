@@ -103,7 +103,7 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
     if comp == 7 and photo == 6:
         photo = 2        # the embedded JPEG decoder already outputs RGB
 
-    def _decomp(blob: bytes, want: int) -> bytes:
+    def _decomp(blob: bytes, want: int, row_w: int = 0) -> bytes:
         if comp == 1:
             return blob[:want]
         if comp == 5:
@@ -125,6 +125,11 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
                     and len(tables) > 4 and stream[:2] == b"\xff\xd8":
                 stream = stream[:2] + bytes(tables[2:-2]) + stream[2:]
             px = _jpg.load(stream, mode="bt601")[0].np_pixels()
+            if row_w:
+                # the JPEG decoder pads rows to the MCU width; crop to
+                # the strip/tile raster width or rows after the first
+                # are skewed for widths not a multiple of the MCU size
+                px = px[:, :row_w]
             if spp == 1:
                 out = px[..., 0]
             else:
@@ -149,7 +154,7 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
         rows_buf = np.zeros((h, stride), np.uint8)
         for idx, (off, cnt) in enumerate(zip(t_offsets, t_counts)):
             want = t_stride * tile_h
-            td = _decomp(data[off:off + cnt], want)
+            td = _decomp(data[off:off + cnt], want, row_w=tile_w)
             td = bytes(td[:want]).ljust(want, b"\0")
             tarr = np.frombuffer(td, np.uint8).reshape(tile_h, t_stride)
             ty, tx = divmod(idx, tiles_x)
@@ -166,7 +171,7 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
         raw = bytearray()
         for off, cnt in zip(offsets, counts):
             nrows = min(rows_per_strip, h - len(raw) // stride)
-            raw += _decomp(data[off:off + cnt], stride * nrows)
+            raw += _decomp(data[off:off + cnt], stride * nrows, row_w=w)
         raw = bytes(raw[:stride * h]).ljust(stride * h, b"\0")
         rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
 
