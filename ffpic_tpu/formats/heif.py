@@ -369,6 +369,28 @@ def _yuv_pic_to_rgba(pic, sps, out_w, out_h, mode):
     sc = 255.0 / ((1 << bd) - 1)      # 10-bit planes -> 8-bit RGB
     mid = float(1 << (bd - 1))
     nclx = mode if isinstance(mode, dict) else None
+
+    if not os.environ.get("FFPIC_NO_NATIVE"):
+        from ffpic_tpu import native
+        if native.available():
+            if nclx is not None:
+                kr, kb = {1: (0.2126, 0.0722), 9: (0.2627, 0.0593),
+                          10: (0.2627, 0.0593)}.get(
+                    nclx.get("matrix", 5), (0.299, 0.114))
+                kg = 1.0 - kr - kb
+                coeffs = (2 * (1 - kr), -(2 * kb * (1 - kb) / kg),
+                          -(2 * kr * (1 - kr) / kg), 2 * (1 - kb))
+                limited = not nclx.get("full_range", True)
+                trunc = False
+            elif mode == "reference":
+                coeffs = (1.280, -0.215, -0.381, 2.128)
+                limited, trunc = False, True
+            else:
+                coeffs = (1.402, -0.344136, -0.714136, 1.772)
+                limited, trunc = False, False
+            rgba = native.hevc_color(pic.planes, bd, coeffs, limited,
+                                     trunc)
+            return rgba[:out_h, :out_w]
     yy = pic.planes[0].astype(np.float32) * sc
     if len(pic.planes) > 1:
         uu = np.repeat(np.repeat(pic.planes[1], 2, 0), 2, 1)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ffpic_tpu.utils.bitstream import BitReader
 from ffpic_tpu.coding.golomb import read_ue, read_se
 
@@ -22,19 +24,22 @@ NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_CRA = 19, 20, 21
 
 def unescape(data: bytes) -> bytes:
     """Remove emulation-prevention bytes 00 00 03 -> 00 00
-    (hevc.c NALU unescape)."""
-    out = bytearray()
-    i = 0
-    n = len(data)
-    while i < n:
-        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and \
-                data[i + 2] == 3:
-            out += data[i:i + 2]
-            i += 3
-        else:
-            out.append(data[i])
-            i += 1
-    return bytes(out)
+    (hevc.c NALU unescape).
+
+    Vectorized: a position i is an escape iff data[i]==3 preceded by
+    exactly the bytes 00 00.  This matches the sequential scanner
+    (zero-run resets after a removed 03 or any nonzero byte cannot
+    create or destroy a candidate: a removed 03 means data[i-1]==3,
+    never 0), so candidate positions are independent.
+    """
+    if b"\x00\x00\x03" not in data:
+        return data
+    b = np.frombuffer(data, np.uint8)
+    esc = np.flatnonzero((b[2:] == 3) & (b[1:-1] == 0)
+                         & (b[:-2] == 0)) + 2
+    if esc.size == 0:
+        return data
+    return np.delete(b, esc).tobytes()
 
 
 def split_nalus_length_prefixed(data: bytes, length_size: int = 4):
@@ -393,10 +398,9 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
                           for k in range(3)),
             band_pos=tuple(int(v) for v in row[15:18]),
             eo_class=tuple(int(v) for v in row[18:21]))
-    # deblocking edge flags from the luma TB list (vectorized-ish)
+    # deblocking edge flags from the luma TB list (vectorized)
     luma = ops_a[ops_a[:, 0] == 0]
-    for x, y, n in zip(luma[:, 1], luma[:, 2], luma[:, 3]):
-        pic.mark_edges(int(x), int(y), int(n))
+    pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
 
     # native recon end-to-end (prediction + residual add in C)
     import os as _os

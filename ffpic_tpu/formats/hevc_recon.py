@@ -79,6 +79,28 @@ class Picture:
         if y % 8 == 0 and y > 0:
             self.h_edges[y // 8, x:x + size] = True
 
+    def mark_edges_batch(self, xs, ys, ns) -> None:
+        """Vectorized mark_edges over TB arrays (one fancy-index write
+        per distinct TB size instead of a Python loop per TB)."""
+        xs = np.asarray(xs, np.int64)
+        ys = np.asarray(ys, np.int64)
+        ns = np.asarray(ns, np.int64)
+        for n in np.unique(ns):
+            sel = ns == n
+            x, y = xs[sel], ys[sel]
+            v = (x % 8 == 0) & (x > 0)
+            if v.any():
+                rows = (y[v][:, None] + np.arange(n)).ravel()
+                cols = np.repeat(x[v] // 8, n)
+                ok = rows < self.v_edges.shape[0]
+                self.v_edges[rows[ok], cols[ok]] = True
+            hm = (y % 8 == 0) & (y > 0)
+            if hm.any():
+                cols = (x[hm][:, None] + np.arange(n)).ravel()
+                rows = np.repeat(y[hm] // 8, n)
+                ok = cols < self.h_edges.shape[1]
+                self.h_edges[rows[ok], cols[ok]] = True
+
 
 # ---------------------------------------------------------------------------
 # intra prediction (8.4.4.2)

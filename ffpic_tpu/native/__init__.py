@@ -510,6 +510,37 @@ def hevc_recon(planes, bd: int, strong: bool, ops: np.ndarray,
         raise ValueError(f"hevc native recon failed ({rc})")
 
 
+def hevc_color(planes, bd: int, coeffs, limited: bool,
+               trunc: bool) -> np.ndarray:
+    """Native YUV420/400 int32 planes -> RGBA uint8 (host_hevc.c
+    ffpic_yuv_to_rgba); bit-identical to the numpy float32 path in
+    formats/heif.py (same op order/constants)."""
+    lib = _load()
+    assert lib is not None
+    Y = planes[0]
+    mono = len(planes) < 2
+    U = planes[1] if not mono else np.zeros((1, 1), np.int32)
+    V = planes[2] if not mono else np.zeros((1, 1), np.int32)
+    assert Y.dtype == np.int32 and Y.flags.c_contiguous
+    h, w = Y.shape
+    out = np.empty((h, w, 4), np.uint8)
+    a_rv, a_gu, a_gv, a_bu = coeffs
+    fn = lib.ffpic_yuv_to_rgba
+    fn.restype = None
+    fn(Y.ctypes.data_as(ctypes.c_void_p),
+       U.ctypes.data_as(ctypes.c_void_p),
+       V.ctypes.data_as(ctypes.c_void_p),
+       ctypes.c_int(w), ctypes.c_int(h),
+       ctypes.c_int(U.shape[1]), ctypes.c_int(U.shape[0]),
+       ctypes.c_int(1 if mono else 0), ctypes.c_int(bd),
+       ctypes.c_float(a_rv), ctypes.c_float(a_gu),
+       ctypes.c_float(a_gv), ctypes.c_float(a_bu),
+       ctypes.c_int(1 if limited else 0),
+       ctypes.c_int(1 if trunc else 0),
+       out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
 def lzw_gif(data: bytes, min_code_size: int, max_out: int) -> bytearray:
     lib = _load()
     assert lib is not None

@@ -68,39 +68,51 @@ enum {
 typedef struct {
     const uint8_t *data;
     long len;
-    long bitpos;
+    long bytepos;
+    uint64_t cache;      /* next bits in the low `nbits` bits, MSB-first */
+    int nbits;
     uint32_t range, offset;
     uint8_t state[NCTX], mps[NCTX];
     int err;
 } Cabac;
 
-static inline int rd_bit(Cabac *c) {
-    if (c->bitpos >= c->len * 8)
-        return 0;
-    int b = (c->data[c->bitpos >> 3] >> (7 - (c->bitpos & 7))) & 1;
-    c->bitpos++;
-    return b;
+static inline void refill(Cabac *c) {
+    while (c->nbits <= 56) {
+        uint64_t b = c->bytepos < c->len ? c->data[c->bytepos] : 0;
+        c->bytepos++;
+        c->cache = (c->cache << 8) | b;
+        c->nbits += 8;
+    }
+}
+
+static inline uint32_t rd_bits(Cabac *c, int n) {   /* 0 <= n <= 24 */
+    if (c->nbits < n)
+        refill(c);
+    c->nbits -= n;
+    return (uint32_t)((c->cache >> c->nbits) & ((1ULL << n) - 1));
 }
 
 static void cb_init(Cabac *c, const uint8_t *data, long len,
                     const uint8_t *st, const uint8_t *mp) {
     c->data = data;
     c->len = len;
-    c->bitpos = 0;
+    c->bytepos = 0;
+    c->cache = 0;
+    c->nbits = 0;
     c->range = 510;
-    c->offset = 0;
     c->err = 0;
-    for (int i = 0; i < 9; i++)
-        c->offset = (c->offset << 1) | rd_bit(c);
+    c->offset = rd_bits(c, 9);
     memcpy(c->state, st, NCTX);
     memcpy(c->mps, mp, NCTX);
 }
 
 static inline void renorm(Cabac *c) {
-    while (c->range < 256) {
-        c->range <<= 1;
-        c->offset = ((c->offset << 1) | rd_bit(c)) & 0xFFFF;
-    }
+    if (c->range >= 256)
+        return;
+    /* smallest s with range << s >= 256 (range in [2, 255]) */
+    int s = __builtin_clz(c->range) - 23;
+    c->range <<= s;
+    c->offset = (c->offset << s) | rd_bits(c, s);
 }
 
 static inline int dec_bin(Cabac *c, int id) {
@@ -124,7 +136,7 @@ static inline int dec_bin(Cabac *c, int id) {
 }
 
 static inline int dec_bypass(Cabac *c) {
-    c->offset = ((c->offset << 1) | rd_bit(c)) & 0xFFFF;
+    c->offset = (c->offset << 1) | rd_bits(c, 1);
     if (c->offset >= c->range) {
         c->offset -= c->range;
         return 1;
@@ -132,10 +144,24 @@ static inline int dec_bypass(Cabac *c) {
     return 0;
 }
 
+/* n bypass bins at once: the bit-serial recurrence
+ * (off = 2*off + b; out_i = off >= range; off -= out_i*range) is long
+ * division of (off << n | bits) by range, since off < range */
+static inline uint32_t dec_bypass_chunk(Cabac *c, int n) { /* n <= 16 */
+    uint64_t ext = ((uint64_t)c->offset << n) | rd_bits(c, n);
+    uint32_t q = (uint32_t)(ext / c->range);
+    c->offset = (uint32_t)(ext - (uint64_t)q * c->range);
+    return q;
+}
+
 static inline uint32_t dec_bypass_n(Cabac *c, int n) {
     uint32_t v = 0;
-    while (n--)
-        v = (v << 1) | dec_bypass(c);
+    while (n > 16) {
+        v = (v << 16) | dec_bypass_chunk(c, 16);
+        n -= 16;
+    }
+    if (n)
+        v = (v << n) | dec_bypass_chunk(c, n);
     return v;
 }
 
@@ -201,6 +227,39 @@ static void make_scan(int n, int idx, uint8_t *sx, uint8_t *sy) {
                 i++;
             }
     }
+}
+
+/* precomputed scan tables: [log2(n)][scan_idx] for n = 1,2,4,8, plus
+ * inverse (y*n+x -> scan position) and per-scan sig-ctx lookups so the
+ * residual loop is table-driven */
+static uint8_t SCAN_SX[4][3][64], SCAN_SY[4][3][64], SCAN_INV[4][3][64];
+static uint8_t SIG4_SCAN[3][16];      /* log2==2: SIG4 in scan order */
+static uint8_t SCTX_SCAN[3][4][16];   /* [scan][prev_csbf][scan pos] */
+static int scan_ready = 0;
+
+static void scan_init(void) {
+    if (scan_ready)
+        return;
+    for (int ln = 0; ln < 4; ln++) {
+        int n = 1 << ln;
+        for (int idx = 0; idx < 3; idx++) {
+            make_scan(n, idx, SCAN_SX[ln][idx], SCAN_SY[ln][idx]);
+            for (int i = 0; i < n * n; i++)
+                SCAN_INV[ln][idx][SCAN_SY[ln][idx][i] * n
+                                  + SCAN_SX[ln][idx][i]] = (uint8_t)i;
+        }
+    }
+    for (int idx = 0; idx < 3; idx++)
+        for (int i = 0; i < 16; i++) {
+            int xp = SCAN_SX[2][idx][i], yp = SCAN_SY[2][idx][i];
+            SIG4_SCAN[idx][i] = SIG4[(yp << 2) + xp];
+            SCTX_SCAN[idx][0][i] = xp + yp == 0 ? 2
+                : (xp + yp < 3 ? 1 : 0);
+            SCTX_SCAN[idx][1][i] = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
+            SCTX_SCAN[idx][2][i] = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
+            SCTX_SCAN[idx][3][i] = 2;
+        }
+    scan_ready = 1;
 }
 
 static const uint8_t CHROMA_QP[14] = {29, 30, 31, 32, 33, 33, 34, 34,
@@ -323,28 +382,22 @@ static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
         last_y = t;
     }
 
-    int n_sub = 1 << (log2 - 2);
-    uint8_t ssx[64], ssy[64], csx[16], csy[16];
-    make_scan(n_sub, scan_idx, ssx, ssy);
-    make_scan(4, scan_idx, csx, csy);
+    scan_init();
+    int lns = log2 - 2;
+    int n_sub = 1 << lns;
+    const uint8_t *ssx = SCAN_SX[lns][scan_idx];
+    const uint8_t *ssy = SCAN_SY[lns][scan_idx];
+    const uint8_t *csx = SCAN_SX[2][scan_idx];
+    const uint8_t *csy = SCAN_SY[2][scan_idx];
 
-    int last_sb = -1, last_pos = -1;
-    int sxt = last_x >> 2, syt = last_y >> 2;
-    for (int i = 0; i < n_sub * n_sub; i++)
-        if (ssx[i] == sxt && ssy[i] == syt) {
-            last_sb = i;
-            break;
-        }
-    int pxt = last_x & 3, pyt = last_y & 3;
-    for (int i = 0; i < 16; i++)
-        if (csx[i] == pxt && csy[i] == pyt) {
-            last_pos = i;
-            break;
-        }
-    if (last_sb < 0 || last_pos < 0) {
+    if (last_x >= n || last_y >= n) {
         c->err = -12;
         return tu;
     }
+    int sxt = last_x >> 2, syt = last_y >> 2;
+    int last_sb = SCAN_INV[lns][scan_idx][syt * n_sub + sxt];
+    int last_pos = SCAN_INV[2][scan_idx][(last_y & 3) * 4
+                                         + (last_x & 3)];
 
     int8_t csbf[8][8];
     memset(csbf, 0, sizeof(csbf));
@@ -370,37 +423,28 @@ static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
         int start_n = (i == last_sb) ? last_pos - 1 : 15;
         if (i == last_sb)
             sig[last_pos] = 1;
+        /* subblock-invariant sig-ctx pieces, hoisted out of the
+         * per-coefficient loop */
+        int cbase = C_SIG + (c_idx ? 27 : 0);
+        const uint8_t *sct = NULL;
+        int sadd = 0, dc_special = 0;
+        if (log2 == 2) {
+            sct = SIG4_SCAN[scan_idx];
+        } else {
+            int right = sxx + 1 < n_sub ? csbf[syy][sxx + 1] : 0;
+            int below = syy + 1 < n_sub ? csbf[syy + 1][sxx] : 0;
+            sct = SCTX_SCAN[scan_idx][right + 2 * below];
+            if (c_idx == 0)
+                sadd = (sxx || syy ? 3 : 0)
+                    + (log2 == 3 ? (scan_idx == 0 ? 9 : 15) : 21);
+            else
+                sadd = log2 == 3 ? 9 : 12;
+            dc_special = (sxx == 0 && syy == 0);   /* (0,0) -> ctx 0 */
+        }
         for (int nn = start_n; nn >= 0; nn--) {
-            int xp = csx[nn], yp = csy[nn];
-            int xc = (sxx << 2) + xp, yc = (syy << 2) + yp;
             if (nn > 0 || !infer_dc) {
-                int sc;
-                if (log2 == 2) {
-                    sc = SIG4[(yc << 2) + xc];
-                } else if (xc == 0 && yc == 0) {
-                    sc = 0;
-                } else {
-                    int right = sxx + 1 < n_sub ? csbf[syy][sxx + 1] : 0;
-                    int below = syy + 1 < n_sub ? csbf[syy + 1][sxx] : 0;
-                    int prev = right + 2 * below;
-                    if (prev == 0)
-                        sc = xp + yp == 0 ? 2 : (xp + yp < 3 ? 1 : 0);
-                    else if (prev == 1)
-                        sc = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
-                    else if (prev == 2)
-                        sc = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
-                    else
-                        sc = 2;
-                    if (c_idx == 0) {
-                        if (sxx || syy)
-                            sc += 3;
-                        sc += (log2 == 3) ? (scan_idx == 0 ? 9 : 15)
-                                          : 21;
-                    } else {
-                        sc += (log2 == 3) ? 9 : 12;
-                    }
-                }
-                sig[nn] = dec_bin(c, C_SIG + sc + (c_idx ? 27 : 0));
+                int sc = (dc_special && nn == 0) ? 0 : sct[nn] + sadd;
+                sig[nn] = dec_bin(c, cbase + sc);
                 if (sig[nn])
                     infer_dc = 0;
             } else {
@@ -1182,6 +1226,44 @@ predict:;
     }
 }
 
+/* transposed transform matrices MT[i][j] = M[j][i], precomputed once
+ * per size so the N^3 stages are table-driven (dct_m has a modulo per
+ * element; it was the recon hot spot) */
+static int16_t DCT_MT4[4][4], DCT_MT8[8][8], DCT_MT16[16][16],
+    DCT_MT32[32][32], DST_MT4[4][4];
+static int mt_ready = 0;
+
+static void mt_init(void) {
+    if (mt_ready)
+        return;
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++) {
+            DCT_MT4[i][j] = (int16_t)dct_m(j, i, 4);
+            DST_MT4[i][j] = DST4M[j][i];
+        }
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++)
+            DCT_MT8[i][j] = (int16_t)dct_m(j, i, 8);
+    for (int i = 0; i < 16; i++)
+        for (int j = 0; j < 16; j++)
+            DCT_MT16[i][j] = (int16_t)dct_m(j, i, 16);
+    for (int i = 0; i < 32; i++)
+        for (int j = 0; j < 32; j++)
+            DCT_MT32[i][j] = (int16_t)dct_m(j, i, 32);
+    mt_ready = 1;
+}
+
+static const int16_t *mt_for(int n, int dst) {
+    if (dst)
+        return &DST_MT4[0][0];
+    switch (n) {
+    case 4: return &DCT_MT4[0][0];
+    case 8: return &DCT_MT8[0][0];
+    case 16: return &DCT_MT16[0][0];
+    default: return &DCT_MT32[0][0];
+    }
+}
+
 /* dequant + inverse transform into res[n*n] ([y][x]) */
 static void r_residual(const int16_t *lv, int n, int qp, int skip,
                        int bypass, int dst, int bd, int32_t *res) {
@@ -1196,13 +1278,30 @@ static void r_residual(const int16_t *lv, int n, int qp, int skip,
     int bd_shift = bd + log2n - 5;
     int64_t scale = (int64_t)16 * LEVEL_SCALE[qp % 6] << (qp / 6);
     int32_t d[1024];
-    for (int i = 0; i < n * n; i++) {
-        int64_t v = ((int64_t)lv[i] * scale + (1LL << (bd_shift - 1)))
-            >> bd_shift;
-        d[i] = v < -32768 ? -32768 : (v > 32767 ? 32767 : (int32_t)v);
+    int last_row = -1;                 /* last row with any nonzero */
+    for (int r = 0; r < n; r++) {
+        int any = 0;
+        for (int c = 0; c < n; c++) {
+            int16_t l = lv[r * n + c];
+            if (l) {
+                int64_t v = ((int64_t)l * scale
+                             + (1LL << (bd_shift - 1))) >> bd_shift;
+                d[r * n + c] = v < -32768 ? -32768
+                    : (v > 32767 ? 32767 : (int32_t)v);
+                any = 1;
+            } else
+                d[r * n + c] = 0;
+        }
+        if (any)
+            last_row = r;
+    }
+    int shift2 = 20 - bd;
+    if (last_row < 0) {
+        for (int i = 0; i < n * n; i++)
+            res[i] = 0;
+        return;
     }
     if (skip) {
-        int shift2 = 20 - bd;
         for (int i = 0; i < n * n; i++) {
             int64_t v = (((int64_t)d[i] << 7) + (1LL << (shift2 - 1)))
                 >> shift2;
@@ -1211,31 +1310,51 @@ static void r_residual(const int16_t *lv, int n, int qp, int skip,
         }
         return;
     }
-    /* stage 1 (columns): e[i][x] = sum_j M[j][i] * d[j][x], >>7 clip */
+    /* DC-only fast path: both stages collapse to constants */
+    if (last_row == 0 && !dst) {
+        int dc_only = 1;
+        for (int c = 1; c < n; c++)
+            if (d[c]) {
+                dc_only = 0;
+                break;
+            }
+        if (dc_only) {
+            int64_t s = ((int64_t)64 * d[0] + 64) >> 7;
+            if (s < -32768) s = -32768;
+            if (s > 32767) s = 32767;
+            int64_t v = (64 * s + (1LL << (shift2 - 1))) >> shift2;
+            int32_t r0 = v < -32768 ? -32768
+                : (v > 32767 ? 32767 : (int32_t)v);
+            for (int i = 0; i < n * n; i++)
+                res[i] = r0;
+            return;
+        }
+    }
+    mt_init();
+    const int16_t *MT = mt_for(n, dst);
+    int nrows = last_row + 1;
+    /* stage 1 (columns): e[i][x] = sum_j MT[i][j] * d[j][x], >>7 clip;
+     * only rows 0..last_row of d contribute */
     int32_t e[1024];
     for (int i = 0; i < n; i++) {
+        const int16_t *mrow = MT + i * n;
         for (int xx = 0; xx < n; xx++) {
             int64_t s = 0;
-            for (int j = 0; j < n; j++) {
-                int m = dst ? DST4M[j][i] : dct_m(j, i, n);
-                if (m)
-                    s += (int64_t)m * d[j * n + xx];
-            }
+            for (int j = 0; j < nrows; j++)
+                s += (int64_t)mrow[j] * d[j * n + xx];
             s = (s + 64) >> 7;
             e[i * n + xx] = s < -32768 ? -32768
                 : (s > 32767 ? 32767 : (int32_t)s);
         }
     }
-    /* stage 2 (rows): r[y][i] = sum_j M[j][i] * e[y][j], >>(20-bd) */
-    int shift2 = 20 - bd;
+    /* stage 2 (rows): r[y][i] = sum_j MT[i][j] * e[y][j], >>(20-bd) */
     for (int yy = 0; yy < n; yy++) {
+        const int32_t *erow = e + yy * n;
         for (int i = 0; i < n; i++) {
+            const int16_t *mrow = MT + i * n;
             int64_t s = 0;
-            for (int j = 0; j < n; j++) {
-                int m = dst ? DST4M[j][i] : dct_m(j, i, n);
-                if (m)
-                    s += (int64_t)m * e[yy * n + j];
-            }
+            for (int j = 0; j < n; j++)
+                s += (int64_t)mrow[j] * erow[j];
             s = (s + (1LL << (shift2 - 1))) >> shift2;
             res[yy * n + i] = s < -32768 ? -32768
                 : (s > 32767 ? 32767 : (int32_t)s);
@@ -1311,4 +1430,58 @@ FFPIC_API int ffpic_hevc_recon(
     for (int p = 0; p < n_planes; p++)
         free(rc.mask[p]);
     return 0;
+}
+
+/* ---------------- YUV420/400 -> RGBA color convert -------------------
+ * Matches formats/heif.py _yuv_pic_to_rgba's numpy-float32 path
+ * op-for-op (same float order, same constants) so host C and numpy
+ * outputs are bit-identical; ~10x faster than the multi-pass numpy.
+ * rnd_trunc=1 reproduces the reference's trunc quirk (colorspace.c
+ * float LUT path); otherwise round-half-up via floor(x + .5). */
+#include <math.h>
+
+FFPIC_API void ffpic_yuv_to_rgba(
+    const int32_t *Y, const int32_t *U, const int32_t *V,
+    int w, int h, int cw, int ch, int mono, int bd,
+    float a_rv, float a_gu, float a_gv, float a_bu,
+    int limited, int rnd_trunc, uint8_t *out) {
+    float sc = 255.0f / (float)((1 << bd) - 1);
+    float mid = (float)(1 << (bd - 1));
+    const float yl = 255.0f / 219.0f, cl = 255.0f / 224.0f;
+    for (int y = 0; y < h; y++) {
+        const int32_t *yrow = Y + (long)y * w;
+        const int32_t *urow = mono ? NULL : U + (long)(y >> 1) * cw;
+        const int32_t *vrow = mono ? NULL : V + (long)(y >> 1) * cw;
+        uint8_t *o = out + (long)y * w * 4;
+        for (int x = 0; x < w; x++) {
+            float yy = (float)yrow[x] * sc;
+            float uu = 0.0f, vv = 0.0f;
+            if (!mono) {
+                int cx = x >> 1;
+                uu = ((float)urow[cx < cw ? cx : cw - 1] - mid) * sc;
+                vv = ((float)vrow[cx < cw ? cx : cw - 1] - mid) * sc;
+            }
+            if (limited) {
+                yy = (yy - 16.0f) * yl;
+                uu = uu * cl;
+                vv = vv * cl;
+            }
+            float r, g, b;
+            if (rnd_trunc) {
+                r = truncf(yy + a_rv * vv);
+                g = truncf(yy + a_gu * uu + a_gv * vv);
+                b = truncf(yy + a_bu * uu);
+            } else {
+                r = floorf(yy + a_rv * vv + 0.5f);
+                g = floorf(yy + a_gu * uu + a_gv * vv + 0.5f);
+                b = floorf(yy + a_bu * uu + 0.5f);
+            }
+            o[x * 4] = r < 0.0f ? 0 : (r > 255.0f ? 255 : (uint8_t)r);
+            o[x * 4 + 1] = g < 0.0f ? 0
+                : (g > 255.0f ? 255 : (uint8_t)g);
+            o[x * 4 + 2] = b < 0.0f ? 0
+                : (b > 255.0f ? 255 : (uint8_t)b);
+            o[x * 4 + 3] = 255;
+        }
+    }
 }

@@ -247,3 +247,48 @@ def test_heif_exif_item_exposed():
     assert pic.meta["exif"]["orientation"] == 8
     assert pic.meta["exif"]["make"] == "ffpictest"
     assert pic.exif_transpose().np_pixels().shape[:2] == (48, 32)
+
+
+def test_native_color_matches_numpy():
+    """The C YUV->RGBA converter (host_hevc.c ffpic_yuv_to_rgba) must be
+    bit-identical to the numpy float32 path for every color mode, bit
+    depth and chroma format."""
+    import os
+    from ffpic_tpu import native
+    from ffpic_tpu.formats import heif
+    from ffpic_tpu.formats.hevc_recon import Picture
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    class FakeSPS:
+        def __init__(s, w, h, bd, mono):
+            s.width = w
+            s.height = h
+            s.bit_depth_luma = bd
+            s.chroma_format = 0 if mono else 1
+            s.pic_width_cropped = w
+            s.pic_height_cropped = h
+            s.ctb_log2 = 5
+
+    rng = np.random.default_rng(3)
+    modes = ("bt601", "reference",
+             {"matrix": 1, "full_range": False},
+             {"matrix": 9, "full_range": True},
+             {"matrix": 5, "full_range": False})
+    for bd in (8, 10):
+        for mono in (False, True):
+            for mode in modes:
+                sps = FakeSPS(77, 53, bd, mono)
+                pic = Picture(sps)
+                mx = (1 << bd) - 1
+                for p in pic.planes:
+                    p[:] = rng.integers(0, mx + 1, p.shape)
+                a = heif._yuv_pic_to_rgba(pic, sps, 77, 53, mode)
+                os.environ["FFPIC_NO_NATIVE"] = "1"
+                try:
+                    b = heif._yuv_pic_to_rgba(pic, sps, 77, 53, mode)
+                finally:
+                    del os.environ["FFPIC_NO_NATIVE"]
+                np.testing.assert_array_equal(a, b)
