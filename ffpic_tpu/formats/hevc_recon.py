@@ -556,13 +556,24 @@ def apply_sao(pic: Picture) -> None:
 def execute_ops(pic: Picture, ops) -> None:
     """Run the recon op list from the syntax pass: per-TB intra
     prediction (+ residual add).  Residuals are independent of
-    prediction; compute_residual calls here are the device-bucketing
-    seam (ops/hevc_kernels batches them per TU size)."""
+    prediction, so with FFPIC_HEVC_DEVICE=1 they all go to the TPU
+    first in per-TU-size-bucket batched launches
+    (ops/hevc_kernels.residuals_for_ops); prediction stays a host
+    wavefront.  Default is the host numpy/C path (a one-picture launch
+    over this image's bursty tunnel loses; batched pipelines win)."""
+    import os
     maxv = (1 << pic.bd) - 1
+    dev_res = None
+    if os.environ.get("FFPIC_HEVC_DEVICE"):
+        from ffpic_tpu.ops.hevc_kernels import residuals_for_ops
+        dev_res = residuals_for_ops(ops, pic.bd)
     for op in ops:
         pred = predict_intra(pic, op.plane, op.x, op.y, op.n, op.mode)
         if op.tu is not None:
-            res = compute_residual(op.tu, pic.bd)
+            if dev_res is not None and id(op.tu) in dev_res:
+                res = dev_res[id(op.tu)]
+            else:
+                res = compute_residual(op.tu, pic.bd)
             pred = np.clip(pred + res, 0, maxv)
         pic.planes[op.plane][op.y:op.y + op.n,
                              op.x:op.x + op.n] = pred
