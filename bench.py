@@ -170,6 +170,25 @@ def main():
             return (time.perf_counter() - t0) / 5
         webp_mps = 512 * 512 / 1e6 / best_of(webp_trial)
 
+    # ---- HEIC e2e (config 4): host CABAC syntax + recon (C) + C color
+    # -- the 12MP iPhone-style grid from the corpus ---------------------
+    heic_mps = None
+    hp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "corpus", "heic_12mp_grid.heic")
+    if os.path.exists(hp):
+        import ffpic_tpu
+        with open(hp, "rb") as f:
+            hdata = f.read()
+        hpic = ffpic_tpu.load(hdata)                      # warm
+        hmp = (hpic.np_pixels().shape[0]
+               * hpic.np_pixels().shape[1]) / 1e6
+
+        def heic_trial():
+            t0 = time.perf_counter()
+            ffpic_tpu.load(hdata)
+            return time.perf_counter() - t0
+        heic_mps = hmp / best_of(heic_trial)
+
     result = {
         "metric": "jpeg_1080p_420_decode_end_to_end",
         "value": round(e2e_mps, 1),
@@ -178,6 +197,7 @@ def main():
         "host_entropy_mps": round(host_mps, 1),
         "host_entropy_packed_mps": round(host_packed_mps, 1),
         "webp_512_mps": round(webp_mps, 2) if webp_mps else None,
+        "heic_12mp_mps": round(heic_mps, 2) if heic_mps else None,
         "device_pipeline_mps": round(dev_mps, 1),
         "host_to_hbm_gbps": round(h2d_gbps, 2),
         "batch": BATCH,

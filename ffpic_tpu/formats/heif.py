@@ -437,19 +437,43 @@ def _decode_item_rgba(data, s, item_id, mode):
                             props.get("height"), mode)
 
 
+def _grid_workers(n_tiles: int) -> int:
+    """Host-parallelism over grid tiles (SURVEY §2.6(a)): each tile is
+    an independent entropy+recon unit, and the native decode path
+    releases the GIL across its ctypes calls, so tiles scale across
+    host cores.  Defaults to the core count (serial on this image's
+    1-vCPU hosts, where thread overhead is a measured loss);
+    FFPIC_THREADS overrides."""
+    import os
+    env = os.environ.get("FFPIC_THREADS")
+    if env:
+        return max(1, min(int(env), n_tiles))
+    return max(1, min(os.cpu_count() or 1, n_tiles))
+
+
 def _decode_grid(data, s, tile_ids, grid, mode):
     """Grid image: decode every dimg tile and paste row-major
     (heif.c:273-312).  Each tile is an independent batch element —
-    the natural TPU batching seam."""
+    the natural TPU batching seam (and the host-thread split point)."""
     import numpy as np
     W, H = grid["width"], grid["height"]
     rows, cols = grid["rows"], grid["cols"]
     canvas = np.zeros((H, W, 4), np.uint8)
     canvas[:, :, 3] = 255
-    ty = th = 0
-    for idx, tid in enumerate(tile_ids):
+
+    nw = _grid_workers(len(tile_ids))
+    if nw > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            tiles = list(ex.map(
+                lambda tid: _decode_item_rgba(data, s, tid, mode),
+                tile_ids))
+    else:
+        tiles = [_decode_item_rgba(data, s, tid, mode)
+                 for tid in tile_ids]
+
+    for idx, tile in enumerate(tiles):
         r, c = divmod(idx, cols)
-        tile = _decode_item_rgba(data, s, tid, mode)
         th, tw = tile.shape[:2]
         y0, x0 = r * th, c * tw
         if y0 >= H or x0 >= W:

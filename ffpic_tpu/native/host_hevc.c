@@ -20,6 +20,16 @@
 
 #define FFPIC_API __attribute__((visibility("default")))
 
+/* table initializers run once at library load (constructor below) so
+ * concurrent tile decodes (heif.py grid thread pool) never race the
+ * lazy-init flags */
+static void scan_init(void);
+static void mt_init(void);
+__attribute__((constructor)) static void ffpic_hevc_tables_init(void) {
+    scan_init();
+    mt_init();
+}
+
 /* ---------------- CABAC engine (9.3.4.3) ---------------------------- */
 
 static const uint8_t LPS[64][4] = {
@@ -72,9 +82,21 @@ typedef struct {
     uint64_t cache;      /* next bits in the low `nbits` bits, MSB-first */
     int nbits;
     uint32_t range, offset;
-    uint8_t state[NCTX], mps[NCTX];
+    uint8_t sm[NCTX];    /* packed context: state<<1 | mps */
     int err;
 } Cabac;
+
+/* packed-state transition tables: sm = state<<1 | mps */
+static uint8_t SM_NMPS[128], SM_NLPS[128];
+__attribute__((constructor)) static void sm_tables_init(void) {
+    for (int st = 0; st < 64; st++)
+        for (int mps = 0; mps < 2; mps++) {
+            int sm = (st << 1) | mps;
+            SM_NMPS[sm] = (NMPS[st] << 1) | mps;
+            SM_NLPS[sm] = (NLPS[st] << 1)
+                | (st == 0 ? (mps ^ 1) : mps);
+        }
+}
 
 static inline void refill(Cabac *c) {
     while (c->nbits <= 56) {
@@ -102,8 +124,8 @@ static void cb_init(Cabac *c, const uint8_t *data, long len,
     c->range = 510;
     c->err = 0;
     c->offset = rd_bits(c, 9);
-    memcpy(c->state, st, NCTX);
-    memcpy(c->mps, mp, NCTX);
+    for (int i = 0; i < NCTX; i++)
+        c->sm[i] = (uint8_t)((st[i] << 1) | (mp[i] & 1));
 }
 
 static inline void renorm(Cabac *c) {
@@ -116,20 +138,18 @@ static inline void renorm(Cabac *c) {
 }
 
 static inline int dec_bin(Cabac *c, int id) {
-    int st = c->state[id];
-    uint32_t lps = LPS[st][(c->range >> 6) & 3];
+    int sm = c->sm[id];
+    uint32_t lps = LPS[sm >> 1][(c->range >> 6) & 3];
     c->range -= lps;
     int bin;
     if (c->offset >= c->range) {
-        bin = 1 - c->mps[id];
+        bin = (sm & 1) ^ 1;
         c->offset -= c->range;
         c->range = lps;
-        if (st == 0)
-            c->mps[id] = 1 - c->mps[id];
-        c->state[id] = NLPS[st];
+        c->sm[id] = SM_NLPS[sm];
     } else {
-        bin = c->mps[id];
-        c->state[id] = NMPS[st];
+        bin = sm & 1;
+        c->sm[id] = SM_NMPS[sm];
     }
     renorm(c);
     return bin;
@@ -490,11 +510,10 @@ static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
             && (sig_pos[0] - sig_pos[n_sig - 1]) > 3;
         int8_t signs[16];
         memset(signs, 0, 16);
-        for (int k = 0; k < n_sig; k++) {
-            if (sign_hidden && k == n_sig - 1)
-                continue;
-            signs[sig_pos[k]] = dec_bypass(c);
-        }
+        int nsb = n_sig - (sign_hidden ? 1 : 0);
+        uint32_t sbits = nsb ? dec_bypass_n(c, nsb) : 0;
+        for (int k = 0; k < nsb; k++)
+            signs[sig_pos[k]] = (sbits >> (nsb - 1 - k)) & 1;
 
         int rice = 0;
         long total = 0;
@@ -1231,6 +1250,10 @@ predict:;
  * element; it was the recon hot spot) */
 static int16_t DCT_MT4[4][4], DCT_MT8[8][8], DCT_MT16[16][16],
     DCT_MT32[32][32], DST_MT4[4][4];
+/* freq-deinterleaved rows for the stage-2 butterfly:
+ * MTD[i][k] = M[2k][i] (k < n/2), MTD[i][n/2 + k] = M[2k+1][i] */
+static int16_t DCT_MTD4[4][4], DCT_MTD8[8][8], DCT_MTD16[16][16],
+    DCT_MTD32[32][32];
 static int mt_ready = 0;
 
 static void mt_init(void) {
@@ -1250,6 +1273,22 @@ static void mt_init(void) {
     for (int i = 0; i < 32; i++)
         for (int j = 0; j < 32; j++)
             DCT_MT32[i][j] = (int16_t)dct_m(j, i, 32);
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++)
+            DCT_MTD4[i][(j & 1) ? 2 + (j >> 1) : (j >> 1)] =
+                DCT_MT4[i][j];
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++)
+            DCT_MTD8[i][(j & 1) ? 4 + (j >> 1) : (j >> 1)] =
+                DCT_MT8[i][j];
+    for (int i = 0; i < 16; i++)
+        for (int j = 0; j < 16; j++)
+            DCT_MTD16[i][(j & 1) ? 8 + (j >> 1) : (j >> 1)] =
+                DCT_MT16[i][j];
+    for (int i = 0; i < 32; i++)
+        for (int j = 0; j < 32; j++)
+            DCT_MTD32[i][(j & 1) ? 16 + (j >> 1) : (j >> 1)] =
+                DCT_MT32[i][j];
     mt_ready = 1;
 }
 
@@ -1264,7 +1303,22 @@ static const int16_t *mt_for(int n, int dst) {
     }
 }
 
-/* dequant + inverse transform into res[n*n] ([y][x]) */
+static const int16_t *mtd_for(int n) {
+    switch (n) {
+    case 4: return &DCT_MTD4[0][0];
+    case 8: return &DCT_MTD8[0][0];
+    case 16: return &DCT_MTD16[0][0];
+    default: return &DCT_MTD32[0][0];
+    }
+}
+
+/* dequant + inverse transform into res[n*n] ([y][x]).
+ *
+ * int32 accumulators throughout (|M| <= 91, operands clipped to
+ * 16-bit, <= 32 terms -> |sum| <= 95M < 2^31), with both stages
+ * bounded by the nonzero coefficient extent: rows/cols of d beyond
+ * the last significant coefficient contribute nothing (typical TUs
+ * are corner-sparse, so this cuts the N^3 work 2-10x). */
 static void r_residual(const int16_t *lv, int n, int qp, int skip,
                        int bypass, int dst, int bd, int32_t *res) {
     if (bypass) {
@@ -1278,7 +1332,8 @@ static void r_residual(const int16_t *lv, int n, int qp, int skip,
     int bd_shift = bd + log2n - 5;
     int64_t scale = (int64_t)16 * LEVEL_SCALE[qp % 6] << (qp / 6);
     int32_t d[1024];
-    int last_row = -1;                 /* last row with any nonzero */
+    uint32_t row_nz = 0;
+    int last_col = -1;
     for (int r = 0; r < n; r++) {
         int any = 0;
         for (int c = 0; c < n; c++) {
@@ -1289,75 +1344,126 @@ static void r_residual(const int16_t *lv, int n, int qp, int skip,
                 d[r * n + c] = v < -32768 ? -32768
                     : (v > 32767 ? 32767 : (int32_t)v);
                 any = 1;
+                if (c > last_col)
+                    last_col = c;
             } else
                 d[r * n + c] = 0;
         }
         if (any)
-            last_row = r;
+            row_nz |= 1u << r;
     }
     int shift2 = 20 - bd;
-    if (last_row < 0) {
-        for (int i = 0; i < n * n; i++)
-            res[i] = 0;
+    if (!row_nz) {
+        memset(res, 0, sizeof(int32_t) * n * n);
         return;
     }
     if (skip) {
         for (int i = 0; i < n * n; i++) {
-            int64_t v = (((int64_t)d[i] << 7) + (1LL << (shift2 - 1)))
-                >> shift2;
-            res[i] = v < -32768 ? -32768 : (v > 32767 ? 32767
-                                                      : (int32_t)v);
+            int32_t v = ((d[i] << 7) + (1 << (shift2 - 1))) >> shift2;
+            res[i] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
         }
         return;
     }
-    /* DC-only fast path: both stages collapse to constants */
-    if (last_row == 0 && !dst) {
-        int dc_only = 1;
-        for (int c = 1; c < n; c++)
-            if (d[c]) {
-                dc_only = 0;
-                break;
+    /* DC-only fast path: both stages collapse to one constant */
+    if (row_nz == 1 && last_col == 0 && !dst) {
+        int32_t s = (64 * d[0] + 64) >> 7;
+        if (s < -32768) s = -32768;
+        if (s > 32767) s = 32767;
+        int32_t v = (64 * s + (1 << (shift2 - 1))) >> shift2;
+        int32_t r0 = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+        for (int i = 0; i < n * n; i++)
+            res[i] = r0;
+        return;
+    }
+    int ncols = last_col + 1;
+    int32_t half2 = 1 << (shift2 - 1);
+    if (dst) {
+        /* DST-VII has no even/odd symmetry: direct 4x4 path */
+        const int16_t *MT = mt_for(n, dst);
+        int32_t e[16];
+        for (int i = 0; i < 4; i++)
+            for (int xx = 0; xx < 4; xx++) {
+                int32_t s = 0;
+                for (int j = 0; j < 4; j++)
+                    s += MT[i * 4 + j] * d[j * 4 + xx];
+                s = (s + 64) >> 7;
+                e[i * 4 + xx] = s < -32768 ? -32768
+                    : (s > 32767 ? 32767 : s);
             }
-        if (dc_only) {
-            int64_t s = ((int64_t)64 * d[0] + 64) >> 7;
-            if (s < -32768) s = -32768;
-            if (s > 32767) s = 32767;
-            int64_t v = (64 * s + (1LL << (shift2 - 1))) >> shift2;
-            int32_t r0 = v < -32768 ? -32768
-                : (v > 32767 ? 32767 : (int32_t)v);
-            for (int i = 0; i < n * n; i++)
-                res[i] = r0;
-            return;
+        for (int yy = 0; yy < 4; yy++)
+            for (int i = 0; i < 4; i++) {
+                int32_t s = 0;
+                for (int j = 0; j < 4; j++)
+                    s += MT[i * 4 + j] * e[yy * 4 + j];
+                s = (s + half2) >> shift2;
+                res[yy * 4 + i] = s < -32768 ? -32768
+                    : (s > 32767 ? 32767 : s);
+            }
+        return;
+    }
+    /* DCT even/odd butterfly: M[j][n-1-i] = (-1)^j M[j][i], so each
+     * 1-D transform needs only the even-freq (E) and odd-freq (O)
+     * partial sums for outputs i < n/2: out[i] = E+O,
+     * out[n-1-i] = E-O — exactly half the multiplies. */
+    const int16_t *MT = mt_for(n, 0);
+    int half = n >> 1;
+    /* stage 1: accE/accO[i][x] over nonzero freq rows j */
+    int32_t accE[512], accO[512];
+    memset(accE, 0, sizeof(int32_t) * half * ncols);
+    memset(accO, 0, sizeof(int32_t) * half * ncols);
+    uint32_t bits = row_nz;
+    while (bits) {
+        int j = __builtin_ctz(bits);
+        bits &= bits - 1;
+        const int32_t *drow = d + j * n;
+        int32_t *tgt = (j & 1) ? accO : accE;
+        for (int i = 0; i < half; i++) {
+            int32_t m = MT[i * n + j];
+            if (!m)
+                continue;
+            int32_t *arow = tgt + i * ncols;
+            for (int xx = 0; xx < ncols; xx++)
+                arow[xx] += m * drow[xx];
         }
     }
-    mt_init();
-    const int16_t *MT = mt_for(n, dst);
-    int nrows = last_row + 1;
-    /* stage 1 (columns): e[i][x] = sum_j MT[i][j] * d[j][x], >>7 clip;
-     * only rows 0..last_row of d contribute */
+    /* e stored x-deinterleaved per row: even cols first (nce of
+     * them), then odd cols — so stage 2's even/odd dots both run
+     * contiguous */
+    int nce = (ncols + 1) >> 1, nco = ncols >> 1;
     int32_t e[1024];
-    for (int i = 0; i < n; i++) {
-        const int16_t *mrow = MT + i * n;
-        for (int xx = 0; xx < n; xx++) {
-            int64_t s = 0;
-            for (int j = 0; j < nrows; j++)
-                s += (int64_t)mrow[j] * d[j * n + xx];
-            s = (s + 64) >> 7;
-            e[i * n + xx] = s < -32768 ? -32768
-                : (s > 32767 ? 32767 : (int32_t)s);
+    for (int i = 0; i < half; i++) {
+        int32_t *etop = e + i * n;
+        int32_t *ebot = e + (n - 1 - i) * n;
+        const int32_t *aE = accE + i * ncols;
+        const int32_t *aO = accO + i * ncols;
+        for (int xx = 0; xx < ncols; xx++) {
+            int pos = (xx & 1) ? nce + (xx >> 1) : (xx >> 1);
+            int32_t s = (aE[xx] + aO[xx] + 64) >> 7;
+            etop[pos] = s < -32768 ? -32768 : (s > 32767 ? 32767 : s);
+            s = (aE[xx] - aO[xx] + 64) >> 7;
+            ebot[pos] = s < -32768 ? -32768 : (s > 32767 ? 32767 : s);
         }
     }
-    /* stage 2 (rows): r[y][i] = sum_j MT[i][j] * e[y][j], >>(20-bd) */
+    /* stage 2 with the deinterleaved matrix rows (MTD): even-freq
+     * coefficients first, odd after — matching e's layout */
+    const int16_t *MTD = mtd_for(n);
     for (int yy = 0; yy < n; yy++) {
         const int32_t *erow = e + yy * n;
-        for (int i = 0; i < n; i++) {
-            const int16_t *mrow = MT + i * n;
-            int64_t s = 0;
-            for (int j = 0; j < n; j++)
-                s += (int64_t)mrow[j] * erow[j];
-            s = (s + (1LL << (shift2 - 1))) >> shift2;
+        const int32_t *erow_o = erow + nce;
+        for (int i = 0; i < half; i++) {
+            const int16_t *mrow = MTD + i * n;
+            const int16_t *mrow_o = mrow + half;
+            int32_t ev = 0, od = 0;
+            for (int j = 0; j < nce; j++)
+                ev += mrow[j] * erow[j];
+            for (int j = 0; j < nco; j++)
+                od += mrow_o[j] * erow_o[j];
+            int32_t s = (ev + od + half2) >> shift2;
             res[yy * n + i] = s < -32768 ? -32768
-                : (s > 32767 ? 32767 : (int32_t)s);
+                : (s > 32767 ? 32767 : s);
+            s = (ev - od + half2) >> shift2;
+            res[yy * n + (n - 1 - i)] = s < -32768 ? -32768
+                : (s > 32767 ? 32767 : s);
         }
     }
 }

@@ -18,6 +18,7 @@ int32 wraparound semantics are preserved because XLA integer ops wrap.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +49,22 @@ def dequant_idct_blocks(coeffs, quant):
     """coeffs: (..., 8, 8) int16 de-zigzagged; quant: (8, 8) int32.
     Returns (..., 8, 8) int16 samples in [0, 65535]-clamped int16
     storage — exact mirror of dequant_data_unit + idct_8x8_16
-    (format/jpg.c:247-253 + utils/idct.c:512-534)."""
+    (format/jpg.c:247-253 + utils/idct.c:512-534).
+
+    With FFPIC_PALLAS=1 on a TPU backend, dispatches to the
+    hand-written lane-major Pallas kernel (ops/pallas_jpeg, 1.31x the
+    XLA path on the raw kernel) — checked at trace time; the
+    block-major<->lane-major transposes are part of the A/B."""
+    if os.environ.get("FFPIC_PALLAS") \
+            and jax.default_backend() == "tpu":
+        from ffpic_tpu.ops.pallas_jpeg import TILE_N, dequant_idct_pallas
+        shape = coeffs.shape
+        flat = coeffs.reshape(-1, 64).T.reshape(8, 8, -1)   # (8,8,B)
+        nb = flat.shape[2]
+        npad = -(-nb // TILE_N) * TILE_N
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, npad - nb)))
+        out = dequant_idct_pallas(flat, quant)
+        return out[:, :, :nb].reshape(64, -1).T.reshape(shape)
     x = _i16(coeffs.astype(jnp.int32) * quant).astype(jnp.int32)
     # column pass: col[i, x] = sum_u T[i,u] * in[u, x]
     cols = [x[..., u, :] for u in range(8)]

@@ -78,6 +78,21 @@ def main():
                               lossless=False, quality=80)
     Image.fromarray(arr).save(os.path.join(OUT, "tga_512.tga"))
     Image.fromarray(arr).save(os.path.join(OUT, "ppm_512.ppm"))
+
+    # 12MP iPhone-style grid HEIC (48 x 512^2 tiles, ~2.6 MB at q50 —
+    # realistic bits/px), written with the in-repo HEVC/HEIF encoder;
+    # slow (~5 min) so skipped when already present
+    heic = os.path.join(OUT, "heic_12mp_grid.heic")
+    if not os.path.exists(heic):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from ffpic_tpu.formats.heif_enc import encode_heif
+        from ffpic_tpu.formats.pic import Pic
+        a12 = synth_rgb(3024, 4032, seed=11)
+        rgba = np.dstack([a12, np.full(a12.shape[:2], 255, np.uint8)])
+        blob = encode_heif(Pic(pixels=rgba, width=4032, height=3024),
+                           quality=50, tile=512)
+        with open(heic, "wb") as f:
+            f.write(blob)
     print("corpus written to", os.path.abspath(OUT))
 
 
