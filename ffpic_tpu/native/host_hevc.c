@@ -1319,8 +1319,9 @@ static const int16_t *mtd_for(int n) {
  * bounded by the nonzero coefficient extent: rows/cols of d beyond
  * the last significant coefficient contribute nothing (typical TUs
  * are corner-sparse, so this cuts the N^3 work 2-10x). */
-static void r_residual(const int16_t *lv, int n, int qp, int skip,
-                       int bypass, int dst, int bd, int32_t *res) {
+static inline __attribute__((always_inline)) void r_residual_impl(
+    const int16_t *lv, int n, int qp, int skip,
+    int bypass, int dst, int bd, int32_t *res) {
     if (bypass) {
         for (int i = 0; i < n * n; i++)
             res[i] = lv[i];
@@ -1330,28 +1331,35 @@ static void r_residual(const int16_t *lv, int n, int qp, int skip,
     while ((1 << log2n) < n)
         log2n++;
     int bd_shift = bd + log2n - 5;
-    int64_t scale = (int64_t)16 * LEVEL_SCALE[qp % 6] << (qp / 6);
+    int32_t scale = (int32_t)(16 * LEVEL_SCALE[qp % 6]) << (qp / 6);
+    /* branchless, vectorizable dequant: pre-clip levels so the
+     * product fits int32 without changing the saturated result
+     * (the scaling is monotone in the level), and track nonzero
+     * rows/cols with lane-wise ORs instead of per-element branches */
+    int32_t bound = (int32_t)((((int64_t)32768 << bd_shift) / scale)
+                              + 1);
+    int32_t half1 = 1 << (bd_shift - 1);
     int32_t d[1024];
+    int32_t colacc[32] = {0};
     uint32_t row_nz = 0;
-    int last_col = -1;
     for (int r = 0; r < n; r++) {
-        int any = 0;
+        const int16_t *lrow = lv + r * n;
+        int32_t *drow = d + r * n;
+        int32_t ror = 0;
         for (int c = 0; c < n; c++) {
-            int16_t l = lv[r * n + c];
-            if (l) {
-                int64_t v = ((int64_t)l * scale
-                             + (1LL << (bd_shift - 1))) >> bd_shift;
-                d[r * n + c] = v < -32768 ? -32768
-                    : (v > 32767 ? 32767 : (int32_t)v);
-                any = 1;
-                if (c > last_col)
-                    last_col = c;
-            } else
-                d[r * n + c] = 0;
+            int32_t l = lrow[c];
+            ror |= l;
+            colacc[c] |= l;
+            int32_t lc = l < -bound ? -bound : (l > bound ? bound : l);
+            int32_t v = (lc * scale + half1) >> bd_shift;
+            drow[c] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
         }
-        if (any)
+        if (ror)
             row_nz |= 1u << r;
     }
+    int last_col = n - 1;
+    while (last_col >= 0 && !colacc[last_col])
+        last_col--;
     int shift2 = 20 - bd;
     if (!row_nz) {
         memset(res, 0, sizeof(int32_t) * n * n);
@@ -1468,6 +1476,26 @@ static void r_residual(const int16_t *lv, int n, int qp, int skip,
     }
 }
 
+/* constant-N instantiations: fixed trip counts let gcc fully unroll
+ * and vectorize the dequant and butterfly loops per TU size */
+static void r_residual(const int16_t *lv, int n, int qp, int skip,
+                       int bypass, int dst, int bd, int32_t *res) {
+    switch (n) {
+    case 4:
+        r_residual_impl(lv, 4, qp, skip, bypass, dst, bd, res);
+        break;
+    case 8:
+        r_residual_impl(lv, 8, qp, skip, bypass, dst, bd, res);
+        break;
+    case 16:
+        r_residual_impl(lv, 16, qp, skip, bypass, dst, bd, res);
+        break;
+    default:
+        r_residual_impl(lv, 32, qp, skip, bypass, dst, bd, res);
+        break;
+    }
+}
+
 FFPIC_API int ffpic_hevc_recon(
     int32_t *Y, int32_t *U, int32_t *V,
     int w, int h, int cw, int ch, int n_planes, int bd, int strong,
@@ -1522,9 +1550,11 @@ FFPIC_API int ffpic_hevc_recon(
         }
         int32_t *pl = rc.pl[plane];
         int pw = rc.pw[plane], phh = rc.ph[plane];
-        for (int r = 0; r < n && y + r < phh; r++)
-            for (int c = 0; c < n && x + c < pw; c++)
-                pl[(long)(y + r) * pw + x + c] = pred[r * n + c];
+        int rmax = n < phh - y ? n : phh - y;
+        int cmax = n < pw - x ? n : pw - x;
+        for (int r = 0; r < rmax; r++)
+            memcpy(pl + (long)(y + r) * pw + x, pred + r * n,
+                   sizeof(int32_t) * cmax);
         /* mark decoded */
         int mw = rc.mw[plane];
         int mhh = (phh + 3) / 4;
