@@ -232,6 +232,26 @@ def jpeg_decode_scan_packed(scan: bytes, dht: dict, frame_comps,
     return out_counts, out_ks[:cap2], out_vals[:cap2], int(n)
 
 
+def jpeg_destuff(scan: bytes):
+    """Destuff the entropy stream (0xFF00 -> 0xFF, split at RSTn).
+    Returns (bytes_array uint8, seg_bounds int64[n_segs+1])."""
+    lib = _load()
+    assert lib is not None
+    n = len(scan)
+    out = np.empty(max(n, 1), np.uint8)
+    bounds = np.zeros(65537, np.int64)
+    out_len = ctypes.c_long(0)
+    fn = lib.ffpic_jpeg_destuff
+    fn.restype = ctypes.c_int
+    n_segs = fn(scan, ctypes.c_long(n),
+                out.ctypes.data_as(ctypes.c_void_p),
+                bounds.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(out_len))
+    if n_segs < 0:
+        raise ValueError(f"destuff failed ({n_segs})")
+    return out[:out_len.value], bounds[:n_segs + 1].copy()
+
+
 def png_unfilter(raw: np.ndarray, height: int, stride: int,
                  bpp: int) -> np.ndarray:
     """Reconstruct PNG scanlines. raw: height*(stride+1) bytes of

@@ -44,7 +44,7 @@ static const uint8_t ZZ[64] = {
  * (byte-swapped loads), libjpeg-turbo style.
  */
 
-#define MAX_SEGMENTS 4096
+#define MAX_SEGMENTS 65536   /* DRI=1 on a 12MP frame is ~47k segments */
 
 typedef struct {
     uint8_t *buf;          /* destuffed bytes */
@@ -898,4 +898,27 @@ FFPIC_API long ffpic_pack_nonzero(const int16_t *plane, long n,
         }
     }
     return w;
+}
+
+/* Expose the destuffed entropy stream + restart-segment offsets (the
+ * device-side entropy decoder ships these ~raw bytes to HBM instead
+ * of decoded coefficient planes — a 10-20x staging reduction).
+ * out must hold >= n bytes; seg_bounds holds MAX_SEGMENTS+1 longs.
+ * Returns the number of segments (seg_bounds[i]..seg_bounds[i+1] are
+ * byte ranges into out), or <0 on error. */
+FFPIC_API int ffpic_jpeg_destuff(const uint8_t *src, long n,
+                                 uint8_t *out, long *seg_bounds,
+                                 long *out_len) {
+    Destuffed d;
+    if (destuff(src, n, &d) != 0)
+        return -1;
+    long total = d.seg_end[d.n_segs - 1];
+    memcpy(out, d.buf, total);
+    seg_bounds[0] = d.seg_start[0];
+    for (int s = 0; s < d.n_segs; s++)
+        seg_bounds[s + 1] = d.seg_end[s];
+    /* segments are contiguous in buf (start[i+1] == end[i]) */
+    *out_len = total;
+    free(d.buf);
+    return d.n_segs;
 }

@@ -1,0 +1,391 @@
+"""Device-side JPEG entropy decode (the VERDICT r2 #1 experiment).
+
+Huffman decoding is bit-serial, but restart intervals are exact
+entropy split points (DRI resets the DC predictors and byte-aligns
+the stream, format/jpg.c:562-573): every restart segment decodes
+independently.  This kernel runs ONE LANE PER SEGMENT as a vectorized
+`lax.while_loop` — each iteration decodes one run/size symbol per
+lane via a 16-bit combined code+magnitude LUT gather (the device twin
+of host_jpeg.c's full12 table, widened so every code resolves in one
+lookup), then scatters the coefficient into the concatenated
+per-component coefficient space using the same mcu_block_map geometry
+the packed host path uses.
+
+Why this can win: the host ships the ~raw entropy bytes (0.1-0.3
+bytes/px) instead of decoded coefficient planes (3-6 bytes/px) — a
+10-20x staging reduction over the host->HBM tunnel — and the decode
+itself parallelizes over segments x images on the VPU while the MXU
+runs the dequant/IDCT of the previous batch.
+
+Scope: baseline sequential, 8-bit, interleaved scans, DRI > 0 (one
+segment per lane; a DRI-less stream is one lane = serial, where the
+host path wins).  Self-sync speculative decode for DRI-less streams
+is the documented follow-up, not implemented.
+
+Differentially tested against the native host decoder over the full
+corpus geometry in tests/test_jpeg_entropy_device.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ffpic_tpu.ops.golden import ZIGZAG
+
+RUN_EOB = 0xFF
+RUN_ZRL = 0xFE
+RUN_CODE = 0xFD
+
+
+# ---------------------------------------------------------------------------
+# 16-bit combined LUT (numpy, host-side build; ~256 KiB per table)
+# ---------------------------------------------------------------------------
+
+def build_lut16(counts, syms, is_ac: bool) -> np.ndarray:
+    """uint32[65536]: (consume << 24) | (flags << 16) | uint16(value).
+
+    flags 0..63 = zero-run with combined EXTENDed value (for DC:
+    flags 0, value = diff); RUN_EOB/RUN_ZRL/RUN_CODE sentinels as in
+    host_jpeg.c; entry 0 = invalid code."""
+    counts = np.asarray(counts, np.int64)
+    code_len = np.zeros(65536, np.uint8)
+    code_sym = np.zeros(65536, np.int32)
+    code = 0
+    k = 0
+    for bitlen in range(1, 17):
+        for _ in range(int(counts[bitlen - 1])):
+            base = code << (16 - bitlen)
+            span = 1 << (16 - bitlen)
+            code_len[base:base + span] = bitlen
+            code_sym[base:base + span] = syms[k]
+            code += 1
+            k += 1
+        code <<= 1
+
+    w = np.arange(65536, dtype=np.uint32)
+    l = code_len.astype(np.uint32)
+    sym = code_sym
+    run = (sym >> 4) & 15
+    sz = (sym & 15).astype(np.uint32)
+    out = np.zeros(65536, np.uint32)
+    valid = l > 0
+
+    if is_ac:
+        size0 = valid & (sz == 0)
+        zrl = size0 & (run == 15)
+        eob = size0 & (run != 15)
+        out[zrl] = (l[zrl] << 24) | (RUN_ZRL << 16)
+        out[eob] = (l[eob] << 24) | (RUN_EOB << 16) \
+            | run[eob].astype(np.uint32)
+    else:
+        size0 = valid & (sym == 0)
+        out[size0] = l[size0] << 24
+
+    comb = valid & (sz > 0) & (l + sz <= 16)
+    mag = (w >> (16 - l - sz)) & ((1 << sz) - 1)
+    val = np.where(mag < (1 << (sz - np.where(sz > 0, 1, 0))),
+                   mag.astype(np.int64) - (1 << sz) + 1,
+                   mag.astype(np.int64))
+    runf = np.zeros_like(run) if not is_ac else run
+    out[comb] = ((l + sz)[comb].astype(np.uint32) << 24) \
+        | (runf[comb].astype(np.uint32) << 16) \
+        | (val[comb].astype(np.int64) & 0xFFFF).astype(np.uint32)
+
+    spill = valid & (sz > 0) & (l + sz > 16)
+    out[spill] = (l[spill] << 24) | (RUN_CODE << 16) \
+        | (sym[spill] & 0xFFFF).astype(np.uint32)
+    return out
+
+
+def sliding_u32(buf: np.ndarray) -> np.ndarray:
+    """uint32[i] = big-endian bytes buf[i..i+4) (padded), so the kernel
+    fetches a 32-bit bit-window with ONE gather."""
+    b = np.concatenate([buf, np.zeros(8, np.uint8)]).astype(np.uint32)
+    return ((b[:-8] << 24) | (b[1:-7] << 16) | (b[2:-6] << 8)
+            | b[3:-5]).astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# the vectorized decode loop
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("bpm", "out_size",
+                                             "max_steps", "unroll"))
+def decode_lanes_bmap(u32win, luts, zz, comp_of_sub, tclass_of_sub,
+                      bmap, bit0, blk0, blk_end, img_base, bpm: int,
+                      out_size: int, max_steps: int, unroll: int = 1):
+    """Decode all lanes to coefficients.
+
+    u32win: uint32[nbytes] sliding windows of the concatenated
+      destuffed streams; luts: uint32[4, 65536] (DC-Y, AC-Y, DC-C,
+      AC-C); zz: int32[64]; comp_of_sub/tclass_of_sub: int32[bpm];
+    bmap: int32[blocks_per_img] maps an in-image MCU-order block index
+    to the image's concatenated per-component block index;
+    bit0/blk0/blk_end/img_base: int32[L] per-lane init (absolute bit
+    offset into u32win's byte space; in-image block counter bounds;
+    flat int16 offset of the lane's image = img_idx * comp_space * 64).
+    Returns (int16[out_size] flat coefficients in concatenated
+    per-component space with a trailing dump slot, step count)."""
+    L = bit0.shape[0]
+    lut_flat = luts.reshape(-1)
+    zzc = zz.astype(jnp.int32)
+
+    def cond(st):
+        return jnp.any(~st[6]) & (st[7] < max_steps)
+
+    def body(st):
+        bitpos, blk, sub, k, pred, out, done, step = st
+        active = ~done
+        byte = (bitpos >> 3).astype(jnp.int32)
+        s = (bitpos & 7).astype(jnp.uint32)
+        w32 = u32win[byte]
+        win16 = ((w32 >> (16 - s)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        is_dc = k == 0
+        tcls = tclass_of_sub[sub]
+        tbl = tcls * 2 + jnp.where(is_dc, 0, 1)
+        e = lut_flat[tbl * 65536 + win16]
+        consume = (e >> 24).astype(jnp.int32)
+        flags = ((e >> 16) & 0xFF).astype(jnp.int32)
+        v16 = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        val = v16 - 2 * (v16 & 0x8000)              # sign-extend
+
+        invalid = (e == 0) & active
+
+        # magnitude-spill read (RUN_CODE): raw rs symbol in val
+        is_code = flags == RUN_CODE
+        r_sp = jnp.where(is_dc, 0, val >> 4)
+        sz_sp = jnp.where(is_dc, val, val & 15)
+        pos2 = bitpos + consume
+        w2 = u32win[(pos2 >> 3).astype(jnp.int32)]
+        s2 = (pos2 & 7).astype(jnp.uint32)
+        szu = jnp.clip(sz_sp, 1, 16).astype(jnp.uint32)  # avoid shift-by-32
+        mag = (w2 >> (jnp.uint32(32) - s2 - szu)) \
+            & ((jnp.uint32(1) << szu) - 1)
+        mag = mag.astype(jnp.int32)
+        ext = jnp.where(mag < (1 << jnp.clip(sz_sp - 1, 0, 15)),
+                        mag - (1 << jnp.clip(sz_sp, 0, 16)) + 1, mag)
+        ext = jnp.where(sz_sp > 0, ext, 0)
+
+        total_consume = consume + jnp.where(is_code, sz_sp, 0)
+
+        # --- DC step -------------------------------------------------
+        dc_diff = jnp.where(is_code, ext, val)      # combined or spill
+        comp = comp_of_sub[sub]
+        pred_new = pred + (dc_diff * (active & is_dc))[:, None] \
+            * (jax.nn.one_hot(comp, 3, dtype=jnp.int32))
+        dc_value = pred_new[jnp.arange(L), comp]
+
+        # --- AC step -------------------------------------------------
+        is_comb = flags < 64
+        is_eob = flags == RUN_EOB
+        is_zrl = flags == RUN_ZRL
+        run = jnp.where(is_comb, flags, r_sp)
+        kk = k + run
+        ac_value = jnp.where(is_comb, val, ext)
+        ac_emit = (~is_dc) & (is_comb | is_code) & (kk <= 63)
+        overrun = (~is_dc) & (is_comb | is_code) & (kk > 63) & active
+
+        emit = active & (is_dc | ac_emit)
+        emit_pos = jnp.where(is_dc, 0, zzc[jnp.clip(kk, 0, 63)])
+        emit_val = jnp.where(is_dc, dc_value, ac_value)
+        flat_idx = jnp.where(
+            emit,
+            img_base + bmap[jnp.clip(blk, 0, bmap.shape[0] - 1)] * 64
+            + emit_pos,
+            out_size - 1)
+        out = out.at[flat_idx].set(emit_val.astype(jnp.int16),
+                                   mode="drop")
+
+        # --- state transitions ----------------------------------------
+        k_next = jnp.where(is_dc, 1,
+                           jnp.where(is_zrl, k + 16, kk + 1))
+        block_end = (~is_dc) & (is_eob | (k_next > 63))
+        k_next = jnp.where(block_end, 0, k_next)
+        sub_next = jnp.where(block_end, sub + 1, sub)
+        wrap = sub_next >= bpm
+        sub_next = jnp.where(wrap, 0, sub_next)
+        blk_next = jnp.where(block_end, blk + 1, blk)
+
+        bitpos = jnp.where(active, bitpos + total_consume, bitpos)
+        blk = jnp.where(active, blk_next, blk)
+        sub = jnp.where(active, sub_next, sub)
+        k = jnp.where(active, k_next, k)
+        pred = jnp.where(active[:, None], pred_new, pred)
+        done = done | invalid | overrun | (blk >= blk_end)
+        return (bitpos, blk, sub, k, pred, out, done, step + 1)
+
+    out0 = jnp.zeros(out_size, jnp.int16)
+    pred0 = jnp.zeros((L, 3), jnp.int32)
+    done0 = blk0 >= blk_end
+    st = (bit0.astype(jnp.int32), blk0.astype(jnp.int32),
+          jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32),
+          pred0, out0, done0, jnp.int32(0))
+    if unroll > 1:
+        # amortize the fixed while-iteration overhead (~20us on v5e)
+        # by decoding `unroll` symbols per loop step; done-lane
+        # masking makes the extra sub-steps harmless no-ops
+        one = body
+
+        def body(st):
+            for _ in range(unroll):
+                st = one(st)
+            return st
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st[5], st[7]
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+def prepare_frame(j):
+    """Per-geometry constants from a parsed JPEG (formats/jpg state):
+    LUT stack, block map, lane tables.  Requires baseline 4:2:0-style
+    interleaved scan with DRI."""
+    from ffpic_tpu.ops.jpeg_kernels import mcu_block_map
+
+    samplings = tuple((c.v, c.h) for c in j.comps)
+    bpm = sum(v * h for v, h in samplings)
+    comp_of_sub = []
+    tclass_of_sub = []
+    for ci, (v, h) in enumerate(samplings):
+        comp_of_sub += [ci] * (v * h)
+        tclass_of_sub += [0 if ci == 0 else 1] * (v * h)
+    bmap = mcu_block_map(samplings, j.mcus_x, j.mcus_y)
+    return {
+        "bpm": bpm,
+        "comp_of_sub": np.array(comp_of_sub, np.int32),
+        "tclass_of_sub": np.array(tclass_of_sub, np.int32),
+        "bmap": bmap,
+        "blocks_per_img": j.mcus_x * j.mcus_y * bpm,
+        "comp_space": sum((j.mcus_y * v) * (j.mcus_x * h)
+                          for v, h in samplings),
+    }
+
+
+def build_luts_from_dht(dht: dict) -> np.ndarray:
+    """(4, 65536) uint32 stack: DC-Y, AC-Y, DC-chroma, AC-chroma."""
+    out = np.zeros((4, 65536), np.uint32)
+    out[0] = build_lut16(*dht[(0, 0)], is_ac=False)
+    out[1] = build_lut16(*dht[(1, 0)], is_ac=True)
+    if (0, 1) in dht:
+        out[2] = build_lut16(*dht[(0, 1)], is_ac=False)
+        out[3] = build_lut16(*dht[(1, 1)], is_ac=True)
+    else:
+        out[2], out[3] = out[0], out[1]
+    return out
+
+
+def extract_scan(data: bytes) -> bytes:
+    """Raw entropy-coded bytes of the first SOS scan."""
+    from ffpic_tpu.formats.jpg import _find_scan_end
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m == 0xDA:
+            ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+            start = pos + 2 + ln
+            return data[start:_find_scan_end(data, start)]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        pos += 2 + ln
+    raise ValueError("no SOS scan found")
+
+
+def decode_coeffs_device(datas, max_steps: int = 1 << 22,
+                         unroll: int = 1):
+    """Full device-entropy path for a batch of same-geometry baseline
+    JPEGs with restart intervals: host destuffs (SIMD memchr pass) and
+    ships raw bytes; the TPU decodes Huffman + builds the dense
+    coefficient tensors.
+
+    Returns (coeff flat jnp.int16[(N * comp_space * 64) + 1], js,
+    consts, steps) — feed through assemble_planes + decode_batch_420.
+    """
+    from ffpic_tpu import native
+    from ffpic_tpu.formats import jpg
+
+    js = [jpg.parse_and_decode(d, skip_decode=True)[0] for d in datas]
+    j0 = js[0]
+    if j0.restart_interval <= 0:
+        raise ValueError("device entropy path needs DRI > 0")
+    consts = prepare_frame(j0)
+    luts = build_luts_from_dht(j0.dht_raw)
+
+    bufs, all_bounds = [], []
+    off = 0
+    offs = []
+    for d in datas:
+        buf, bounds = native.jpeg_destuff(extract_scan(d))
+        bufs.append(buf)
+        all_bounds.append(bounds)
+        offs.append(off)
+        off += len(buf)
+    concat = np.concatenate(bufs)
+
+    bpm = consts["bpm"]
+    dri_blocks = j0.restart_interval * bpm
+    blocks_per_img = consts["blocks_per_img"]
+    bit0, blk0, blk_end, img_base = [], [], [], []
+    for i, bounds in enumerate(all_bounds):
+        n_segs = len(bounds) - 1
+        for s in range(n_segs):
+            bit0.append((offs[i] + bounds[s]) * 8)
+            blk0.append(s * dri_blocks)
+            blk_end.append(min((s + 1) * dri_blocks, blocks_per_img))
+            img_base.append(i * consts["comp_space"] * 64)
+
+    out_size = len(datas) * consts["comp_space"] * 64 + 1
+    flat, steps = decode_lanes_bmap(
+        jnp.asarray(sliding_u32(concat)), jnp.asarray(luts),
+        jnp.asarray(np.asarray(ZIGZAG, np.int32)),
+        jnp.asarray(consts["comp_of_sub"]),
+        jnp.asarray(consts["tclass_of_sub"]),
+        consts["bmap"],
+        jnp.asarray(np.array(bit0, np.int32)),
+        jnp.asarray(np.array(blk0, np.int32)),
+        jnp.asarray(np.array(blk_end, np.int32)),
+        jnp.asarray(np.array(img_base, np.int32)),
+        bpm, out_size, max_steps, unroll)
+    return flat, js, consts, steps
+
+
+def assemble_planes(flat, n_imgs: int, j):
+    """Split the kernel's flat output into per-component coefficient
+    tensors (N, nby, nbx, 8, 8) — device-side reshapes only."""
+    comp_space = 0
+    spans = []
+    for c in j.comps:
+        spans.append((comp_space, c.nby, c.nbx))
+        comp_space += c.nby * c.nbx
+    body = flat[:-1].reshape(n_imgs, comp_space * 64)
+    outs = []
+    for (base, nby, nbx) in spans:
+        outs.append(body[:, base * 64:(base + nby * nbx) * 64]
+                    .reshape(n_imgs, nby, nbx, 8, 8))
+    return outs
+
+
+def decode_batch_device_entropy(datas, order="rgba", mode="bt601",
+                                unroll: int = 1):
+    """End-to-end: device entropy decode -> fused dequant|IDCT|
+    upsample|color.  Returns uint8 (N, H, W, 4) on device."""
+    from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+
+    flat, js, consts, _steps = decode_coeffs_device(datas,
+                                                    unroll=unroll)
+    j = js[0]
+    y, u, v = assemble_planes(flat, len(datas), j)
+    yq = jnp.asarray(j.dqt[j.comps[0].tq].reshape(8, 8))
+    cq = jnp.asarray(j.dqt[j.comps[1].tq].reshape(8, 8))
+    return decode_batch_420(y, u, v, yq, cq, order=order, mode=mode)

@@ -66,7 +66,8 @@ def sharded_decode_420(mesh: Mesh, ycoef, ucoef, vcoef, yquant, cquant,
     chroma); output (N, H, W, 4) uint8 stays sharded on device for the
     consuming model.  Ragged N (not divisible by the data-axis size)
     is zero-padded for the launch and sliced back afterwards.
-    """
+    Quant tables may be shared (8, 8) — replicated — or per-image
+    (N, 1, 1, 8, 8) — sharded along with the batch."""
     from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
 
     n = ycoef.shape[0]
@@ -76,9 +77,14 @@ def sharded_decode_420(mesh: Mesh, ycoef, ucoef, vcoef, yquant, cquant,
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    per_image_q = np.asarray(yquant).ndim > 2
+    if per_image_q:
+        yquant = _pad_to(yquant, npad)
+        cquant = _pad_to(cquant, npad)
+    qsh = data_sh if per_image_q else repl
     fn = jax.jit(
         functools.partial(decode_batch_420, order=order, mode=mode),
-        in_shardings=(data_sh, data_sh, data_sh, repl, repl),
+        in_shardings=(data_sh, data_sh, data_sh, qsh, qsh),
         out_shardings=data_sh,
     )
     out = fn(ycoef, ucoef, vcoef, yquant, cquant)

@@ -33,13 +33,24 @@ def _read(src) -> bytes:
         return f.read()
 
 
-def _jpeg_420_plan(data: bytes):
+def _jpeg_420_plan(data: bytes, use_packed: bool = True):
     """Return the coefficient-plan for a baseline/progressive 4:2:0
     3-component JPEG decoded by the native path, else None.  Prefers
     the packed-emission fast path (j.packed set, ~2.4x smaller
     staging); falls back to dense coefficient planes for progressive /
-    multi-scan files."""
+    multi-scan files (or when the caller wants dense tensors for
+    coalesced sharded launches, use_packed=False)."""
     from ffpic_tpu.formats import jpg
+    if not use_packed:
+        try:
+            j, _ = jpg.parse_and_decode(data)
+        except ValueError:
+            return None
+        if not j.coeffs_raster or len(j.comps) != 3:
+            return None
+        if [(c.v, c.h) for c in j.comps] != [(2, 2), (1, 1), (1, 1)]:
+            return None
+        return j
     try:
         j, _ = jpg.parse_and_decode(data, packed=True)
     except jpg.PackedIneligible:
@@ -75,7 +86,10 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     color_mode = "bt601" if mode == "bt601" else mode
     for i, src in enumerate(srcs):
         data = _read(src)
-        j = _jpeg_420_plan(data)
+        # with a mesh, keep dense coefficient tensors so each geometry
+        # bucket launches ONE sharded decode over the data axis
+        # (VERDICT r2 #7) instead of per-frame packed launches
+        j = _jpeg_420_plan(data, use_packed=mesh is None)
         if j is not None:
             if j.packed is not None:
                 # stage now with a forced copy: the packed emission
@@ -124,6 +138,17 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
                        for _i, j in members])[:, None, None]
         cq = np.stack([j.dqt[j.comps[1].tq].reshape(8, 8)
                        for _i, j in members])[:, None, None]
+        if mesh is not None:
+            # coalesced sharded launch: the bucket's batch dimension
+            # shards over the mesh's data axis, per-image quant tables
+            # ride along sharded; ragged N is padded inside
+            from ffpic_tpu.parallel.mesh import sharded_decode_420
+            out = sharded_decode_420(mesh, ycoef, ucoef, vcoef,
+                                     yq, cq, order="rgba",
+                                     mode=color_mode)
+            for k, (i, j) in enumerate(members):
+                slots[i] = out[k, :j.height, :j.width]
+            continue
         dense_bytes = ycoef.nbytes + ucoef.nbytes + vcoef.nbytes
         packed = tuple(pack_coeffs(c) for c in (ycoef, ucoef, vcoef))
         packed_bytes = sum(a.nbytes + b.nbytes for a, b in packed)

@@ -185,3 +185,28 @@ def test_decode_batch_sparse_staging(tmp_path):
     j, _ = jpg.parse_and_decode(open(paths[0], "rb").read())
     idx, val = pack_coeffs(j.coeffs[0])
     assert (idx.nbytes + val.nbytes) < j.coeffs[0].nbytes * 0.7 * 3
+
+
+def test_decode_batch_mesh_bucket_sharded_equals_single(tmp_path):
+    """With mesh=, each same-geometry JPEG bucket routes through ONE
+    sharded launch over the data axis (VERDICT r2 #7); output must be
+    pixel-identical to the single-device path, ragged N included."""
+    import jax
+    import ffpic_tpu
+    from ffpic_tpu.parallel import make_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(5):          # 5 % 8 devices != 0 -> ragged
+        arr = np.kron(rng.integers(0, 256, (6, 8, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        p = tmp_path / f"m{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=85 + i,
+                                  subsampling="4:2:0")
+        paths.append(str(p))
+    mesh = make_mesh(model_parallel=1)
+    sharded = np.asarray(ffpic_tpu.decode_batch(paths, mesh=mesh))
+    single = np.asarray(ffpic_tpu.decode_batch(paths))
+    assert sharded.shape == single.shape
+    np.testing.assert_array_equal(sharded, single)
