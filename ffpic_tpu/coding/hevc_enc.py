@@ -110,7 +110,8 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
               max_tb_log2: int = 5, max_trafo_depth: int = 2,
               sao: bool = False, strong_smoothing: bool = True,
               chroma_format: int = 1, bit_depth: int = 8,
-              conf_win: tuple = (0, 0, 0, 0)) -> bytes:
+              conf_win: tuple = (0, 0, 0, 0),
+              rps_sets: int = 0) -> bytes:
     w = BitWriter()
     w.write_bits(0, 4)          # vps_id
     w.write_bits(0, 3)          # max_sub_layers_minus1
@@ -143,7 +144,18 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
     w.write_bit(0)              # amp_enabled
     w.write_bit(1 if sao else 0)
     w.write_bit(0)              # pcm_enabled
-    write_ue(w, 0)              # num_short_term_ref_pic_sets
+    # stills normally carry 0 RPS sets, but sequence-track SPSes from
+    # real encoders have them; rps_sets>0 emits simple explicit sets
+    # (used by the parser test — the decoder must still reach the
+    # trailing strong_intra_smoothing flag)
+    write_ue(w, rps_sets)       # num_short_term_ref_pic_sets
+    for idx in range(rps_sets):
+        if idx != 0:
+            w.write_bit(0)      # inter_ref_pic_set_prediction_flag
+        write_ue(w, 1)          # num_negative_pics
+        write_ue(w, 0)          # num_positive_pics
+        write_ue(w, idx)        # delta_poc_s0_minus1
+        w.write_bit(1)          # used_by_curr_pic_s0_flag
     w.write_bit(0)              # long_term_ref_pics_present
     w.write_bit(0)              # temporal_mvp
     w.write_bit(1 if strong_smoothing else 0)
@@ -545,9 +557,16 @@ class SliceEncoder:
         pred = hevc_recon.predict_intra(self.pic, plane, x, y, n, mode)
         src = self.src[plane][y:y + n, x:x + n]
         res = (src - pred).astype(np.int32)
-        qp = self.qp if plane == 0 else chroma_qp(
-            min(max(self.qp + (self.pps.cb_qp_offset if plane == 1
-                               else self.pps.cr_qp_offset), 0), 57))
+        # quantize with Qp' (= QpY/QpC + QpBdOffset, 8.6.3) so streams
+        # are spec-conforming for any decoder, not just roundtrip
+        bd_off = 6 * (self.pic.bd - 8)
+        if plane == 0:
+            qp = self.qp + bd_off
+        else:
+            qpi = min(max(self.qp + (self.pps.cb_qp_offset if plane == 1
+                                     else self.pps.cr_qp_offset),
+                          -bd_off), 57)
+            qp = chroma_qp(qpi) + bd_off
         dst = (plane == 0 and log2 == 2)
         if self.cu_bypass:
             levels = res.copy()

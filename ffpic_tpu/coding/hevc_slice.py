@@ -139,7 +139,9 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
         h.sao_luma = bool(r.read_bit())
         h.sao_chroma = bool(r.read_bit())
     h.qp = 26 + (pps.init_qp - 26) + read_se(r)
-    if not (0 <= h.qp <= 51):
+    # SliceQpY range is [-QpBdOffsetY, 51] (7.4.7.1): conforming
+    # Main10 streams may go as low as -12
+    if not (-(6 * (sps.bit_depth_luma - 8)) <= h.qp <= 51):
         raise ValueError("corrupt slice header: QP out of range")
     if pps.slice_chroma_qp_offsets_present:
         h.cb_qp_offset = read_se(r)
@@ -361,7 +363,9 @@ class SliceDecoder:
                 and self.ct_depth[(yqg - 1) // 4, xqg // 4] >= 0:
             qp_b = int(self.qp_y_map[(yqg - 1) // 4, xqg // 4])
         pred = (qp_a + qp_b + 1) >> 1
-        return (pred + self.cu_qp_delta + 52) % 52
+        off = 6 * (self.sps.bit_depth_luma - 8)     # QpBdOffsetY
+        return ((pred + self.cu_qp_delta + 52 + 2 * off)
+                % (52 + off)) - off
 
     # -- coding unit (7.3.8.5) --------------------------------------------
     def _coding_unit(self, x0, y0, log2, depth):
@@ -445,14 +449,19 @@ class SliceDecoder:
             if bypass:
                 self.pic.bypass_map[y0 // 4:(y0 + size) // 4,
                                     x0 // 4:(x0 + size) // 4] = True
+        # dequant uses Qp' = QpY/QpC + QpBdOffset (8.6.3: qP for luma
+        # is Qp'Y); maps/deblock keep QpY
+        bd_off = 6 * (self.sps.bit_depth_luma - 8)
+        bd_off_c = 6 * (self.sps.bit_depth_chroma - 8)
         for tu in self._cu_tus:
             if tu.c_idx == 0:
-                tu.qp = qp_y
+                tu.qp = qp_y + bd_off
             else:
                 off = (self.pps.cb_qp_offset + self.hdr.cb_qp_offset
                        if tu.c_idx == 1 else
                        self.pps.cr_qp_offset + self.hdr.cr_qp_offset)
-                tu.qp = chroma_qp(min(max(qp_y + off, 0), 57))
+                qpi = min(max(qp_y + off, -bd_off_c), 57)
+                tu.qp = chroma_qp(qpi) + bd_off_c
 
     def _derive_luma_mode(self, xp, yp, prev, val):
         """MPM construction (8.4.2)."""

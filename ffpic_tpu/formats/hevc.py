@@ -203,16 +203,37 @@ def parse_sps(nalu: bytes) -> SPS:
         read_ue(r)
         r.read_bit()
     num_short_term_rps = read_ue(r)
-    if num_short_term_rps == 0:
-        # stills always have 0 RPS (HEIC); parse the trailing flags the
-        # slice decoder needs (7.3.2.2.1)
-        if r.read_bit():                # long_term_ref_pics_present
-            n = read_ue(r)
-            for _ in range(n):
-                r.read_bits(s.log2_max_pic_order_cnt)
-                r.read_bit()
-        r.read_bit()                    # sps_temporal_mvp_enabled
-        s.strong_intra_smoothing = bool(r.read_bit())
+    # parse st_ref_pic_set entries (7.3.7) so the trailing SPS flags
+    # are always read — sequence-track SPSes from real encoders (x265
+    # defaults) carry RPS sets AND strong_intra_smoothing, which would
+    # otherwise be silently left False (advisor r2 finding)
+    num_delta_pocs = []
+    for idx in range(num_short_term_rps):
+        if idx != 0 and r.read_bit():   # inter_ref_pic_set_prediction
+            r.read_bit()                # delta_rps_sign
+            read_ue(r)                  # abs_delta_rps_minus1
+            ndp = 0
+            for _ in range(num_delta_pocs[idx - 1] + 1):
+                used = r.read_bit()
+                if used:
+                    ndp += 1
+                elif r.read_bit():      # use_delta_flag
+                    ndp += 1
+            num_delta_pocs.append(ndp)
+        else:
+            neg = read_ue(r)
+            pos = read_ue(r)
+            for _ in range(neg + pos):
+                read_ue(r)              # delta_poc_sX_minus1
+                r.read_bit()            # used_by_curr_pic_sX_flag
+            num_delta_pocs.append(neg + pos)
+    if r.read_bit():                    # long_term_ref_pics_present
+        n = read_ue(r)
+        for _ in range(n):
+            r.read_bits(s.log2_max_pic_order_cnt)
+            r.read_bit()
+    r.read_bit()                        # sps_temporal_mvp_enabled
+    s.strong_intra_smoothing = bool(r.read_bit())
     return s
 
 
@@ -322,7 +343,9 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
         pic.sao_params = sd.sao_out
     hevc_recon.execute_ops(pic, ops)
     if not hdr.deblocking_disabled:
-        hevc_recon.deblock(pic, hdr.beta_offset_div2, hdr.tc_offset_div2)
+        hevc_recon.deblock(pic, hdr.beta_offset_div2, hdr.tc_offset_div2,
+                           cb_qp_off=pps.cb_qp_offset,
+                           cr_qp_off=pps.cr_qp_offset)
     if hdr.sao_luma or hdr.sao_chroma:
         hevc_recon.apply_sao(pic)
     return pic
@@ -347,7 +370,7 @@ def _validate_params(sps: SPS, pps: PPS) -> None:
                          "the minimum CB size")
     if sps.chroma_format > 3:
         raise ValueError("corrupt SPS: chroma format")
-    if not (0 <= pps.init_qp <= 51):
+    if not (-12 <= pps.init_qp <= 51):   # init_qp >= -QpBdOffsetY (A.1)
         raise ValueError("corrupt PPS: init QP out of range")
     if pps.diff_cu_qp_delta_depth > sps.ctb_log2 - sps.log2_min_cb:
         raise ValueError("corrupt PPS: cu_qp_delta depth")
@@ -378,6 +401,7 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
         pps.diff_cu_qp_delta_depth, pps.cb_qp_offset, pps.cr_qp_offset,
         hdr.qp, int(hdr.sao_luma), int(hdr.sao_chroma),
         hdr.cb_qp_offset, hdr.cr_qp_offset,
+        6 * (sps.bit_depth_luma - 8),           # QpBdOffsetY
     ]
     (ops_a, tu_a, levels, sao, _ctd, _lm, qp_map,
      bypass_map) = native.hevc_decode_slice(

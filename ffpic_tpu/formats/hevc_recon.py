@@ -297,7 +297,7 @@ def compute_residual(tu, bd: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
-                       bd=8):
+                       bd=8, bypass_map=None):
     """Filter all bS=2 (intra) luma edges in one direction, in 4-line
     segments along each 8-aligned edge."""
     h, w = pl.shape
@@ -310,7 +310,7 @@ def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
                 if not edges[y0:y0 + 4, ci].any():
                     continue
                 _filter_luma_segment(pl, xc, y0, qp_map, beta_off,
-                                     tc_off, True, bd)
+                                     tc_off, True, bd, bypass_map)
     else:
         for ri in range(edges.shape[0]):
             yc = ri * 8
@@ -320,18 +320,31 @@ def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
                 if not edges[ri, x0:x0 + 4].any():
                     continue
                 _filter_luma_segment(pl, x0, yc, qp_map, beta_off,
-                                     tc_off, False, bd)
+                                     tc_off, False, bd, bypass_map)
 
 
 def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
-                         bd=8):
+                         bd=8, bypass_map=None):
     """One 4-line luma deblock decision+filter (8.7.2.5.3), bS=2.
-    beta/tc scale by 1 << (bd - 8) per 8.7.2.5.3."""
+    beta/tc scale by 1 << (bd - 8) per 8.7.2.5.3.  Samples in a
+    transquant-bypass CU are never modified (nDp/nDq = 0)."""
     h, w = pl.shape
+    p_byp = q_byp = False
+    if bypass_map is not None:
+        if vertical:
+            p_byp = bool(bypass_map[y // 4, (x - 1) // 4])
+            q_byp = bool(bypass_map[y // 4, x // 4])
+        else:
+            p_byp = bool(bypass_map[(y - 1) // 4, x // 4])
+            q_byp = bool(bypass_map[y // 4, x // 4])
+        if p_byp and q_byp:
+            return
     if vertical:
         if x < 4 or x + 3 >= w or y + 3 >= h:
             return
-        blk = pl[y:y + 4, x - 4:x + 4]       # rows = lines
+        # copy: p/q must not write through before the bypass-gated
+        # writeback below
+        blk = pl[y:y + 4, x - 4:x + 4].copy()    # rows = lines
     else:
         if y < 4 or y + 3 >= h or x + 3 >= w:
             return
@@ -406,19 +419,25 @@ def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
                           - qi[:, 1] + delta) >> 1, -(tc >> 1), tc >> 1)
             q[:, 1] = np.where(act, np.clip(qi[:, 1] + dq, 0, maxv),
                                q[:, 1])
-    # write back
+    # write back (skip the lossless side, 8.7.2.5.3 nDp/nDq = 0)
     if vertical:
-        pl[y:y + 4, x - 4:x] = p[:, ::-1]
-        pl[y:y + 4, x:x + 4] = q
+        if not p_byp:
+            pl[y:y + 4, x - 4:x] = p[:, ::-1]
+        if not q_byp:
+            pl[y:y + 4, x:x + 4] = q
     else:
-        pl[y - 4:y, x:x + 4] = p[:, ::-1].T
-        pl[y:y + 4, x:x + 4] = q.T
+        if not p_byp:
+            pl[y - 4:y, x:x + 4] = p[:, ::-1].T
+        if not q_byp:
+            pl[y:y + 4, x:x + 4] = q.T
 
 
-def _deblock_chroma(pic, beta_off, tc_off, vertical):
+def _deblock_chroma(pic, beta_off, tc_off, vertical, cb_off=0,
+                    cr_off=0):
     """Chroma deblock (8.7.2.5.5): bS=2 edges on the 16-luma grid."""
     for c in (1, 2):
         pl = pic.planes[c]
+        coff = cb_off if c == 1 else cr_off
         ch, cw = pl.shape
         if vertical:
             for xc in range(8, cw, 8):       # chroma 8 = luma 16
@@ -429,7 +448,7 @@ def _deblock_chroma(pic, beta_off, tc_off, vertical):
                     if not pic.v_edges[y0 * 2:(y0 + 4) * 2, lx // 8].any():
                         continue
                     _filter_chroma_segment(pic, c, pl, xc, y0, tc_off,
-                                           True)
+                                           True, coff)
         else:
             for yc in range(8, ch, 8):
                 ly = yc * 2
@@ -439,14 +458,19 @@ def _deblock_chroma(pic, beta_off, tc_off, vertical):
                     if not pic.h_edges[ly // 8, x0 * 2:(x0 + 4) * 2].any():
                         continue
                     _filter_chroma_segment(pic, c, pl, x0, yc, tc_off,
-                                           False)
+                                           False, coff)
 
 
-def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical):
+def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical,
+                           c_qp_off=0):
     h, w = pl.shape
     from ffpic_tpu.coding.hevc_consts import chroma_qp
     if vertical:
         if x < 2 or x + 1 >= w or y + 3 >= h:
+            return
+        p_byp = bool(pic.bypass_map[y // 2, (x - 1) // 2])
+        q_byp = bool(pic.bypass_map[y // 2, x // 2])
+        if p_byp and q_byp:
             return
         p = pl[y:y + 4, x - 2:x][:, ::-1]
         q = pl[y:y + 4, x:x + 2]
@@ -455,12 +479,18 @@ def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical):
     else:
         if y < 2 or y + 1 >= h or x + 3 >= w:
             return
+        p_byp = bool(pic.bypass_map[(y - 1) // 2, x // 2])
+        q_byp = bool(pic.bypass_map[y // 2, x // 2])
+        if p_byp and q_byp:
+            return
         p = pl[y - 2:y, x:x + 4][::-1].T.copy()
         q = pl[y:y + 2, x:x + 4].T.copy()
         qp_a = pic.qp_map[(y - 1) // 2, x // 2]
         qp_b = pic.qp_map[y // 2, x // 2]
-    # chroma QP offset (pps cb/cr offset folded into qp_map is luma QP)
-    qpc = chroma_qp(((int(qp_a) + int(qp_b) + 1) >> 1))
+    # 8.7.2.5.5: QpC from the average luma QP plus the PPS chroma QP
+    # offset (qp_map stores luma QpY)
+    qpi = min(max(((int(qp_a) + int(qp_b) + 1) >> 1) + c_qp_off, 0), 57)
+    qpc = chroma_qp(qpi)
     tc_idx = min(max(qpc + 2 + (tc_off << 1), 0), 53)
     tc = TC_TABLE[tc_idx] << (pic.bd - 8)
     if tc == 0:
@@ -472,23 +502,32 @@ def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical):
     p0 = np.clip(pi[:, 0] + delta, 0, maxv)
     q0 = np.clip(qi[:, 0] - delta, 0, maxv)
     if vertical:
-        pl[y:y + 4, x - 1] = p0
-        pl[y:y + 4, x] = q0
+        if not p_byp:
+            pl[y:y + 4, x - 1] = p0
+        if not q_byp:
+            pl[y:y + 4, x] = q0
     else:
-        pl[y - 1, x:x + 4] = p0
-        pl[y, x:x + 4] = q0
+        if not p_byp:
+            pl[y - 1, x:x + 4] = p0
+        if not q_byp:
+            pl[y, x:x + 4] = q0
 
 
-def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0) -> None:
-    """8.7.2: vertical edges picture-wide, then horizontal."""
+def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0,
+            cb_qp_off: int = 0, cr_qp_off: int = 0) -> None:
+    """8.7.2: vertical edges picture-wide, then horizontal.
+    cb/cr_qp_off are the PPS chroma QP offsets (8.7.2.5.5)."""
+    byp = pic.bypass_map if pic.bypass_map.any() else None
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.v_edges,
-                       beta_off, tc_off, True, pic.bd)
+                       beta_off, tc_off, True, pic.bd, byp)
     if len(pic.planes) > 1:
-        _deblock_chroma(pic, beta_off, tc_off, vertical=True)
+        _deblock_chroma(pic, beta_off, tc_off, vertical=True,
+                        cb_off=cb_qp_off, cr_off=cr_qp_off)
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.h_edges,
-                       beta_off, tc_off, False, pic.bd)
+                       beta_off, tc_off, False, pic.bd, byp)
     if len(pic.planes) > 1:
-        _deblock_chroma(pic, beta_off, tc_off, vertical=False)
+        _deblock_chroma(pic, beta_off, tc_off, vertical=False,
+                        cb_off=cb_qp_off, cr_off=cr_qp_off)
 
 
 # ---------------------------------------------------------------------------

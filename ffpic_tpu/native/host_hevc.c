@@ -301,6 +301,7 @@ typedef struct {
     int cuqp_en, cuqp_depth, cb_off, cr_off, slice_qp;
     int sao_luma, sao_chroma;
     int slice_cb_off, slice_cr_off;
+    int qp_bd_off;                /* 6 * (bit_depth - 8) */
     /* derived */
     int mw, mh;                   /* 4x4 map dims */
     int ctbs_x, ctbs_y;
@@ -734,7 +735,9 @@ static int derive_qp(Dec *d) {
         && d->ct_depth[((yqg - 1) / 4) * d->mw + xqg / 4] >= 0)
         qb = d->qp_map[((yqg - 1) / 4) * d->mw + xqg / 4];
     int pred = (qa + qb + 1) >> 1;
-    return (pred + d->cu_qp_delta + 52) % 52;
+    /* 8.6.1 with QpBdOffsetY: QpY in [-QpBdOffsetY, 51] */
+    int off = d->qp_bd_off;
+    return ((pred + d->cu_qp_delta + 52 + 2 * off) % (52 + off)) - off;
 }
 
 /* ---------------- coding unit (7.3.8.5) -------------------------------- */
@@ -796,8 +799,8 @@ static void coding_unit(Dec *d, int x0, int y0, int log2, int depth) {
     transform_tree(d, x0, y0, x0, y0, log2, 0, 0, 1, 1);
 
     int qp_y = d->cuqp_en ? derive_qp(d) : d->slice_qp;
-    if (qp_y < 0)
-        qp_y = 0;
+    if (qp_y < -d->qp_bd_off)
+        qp_y = -d->qp_bd_off;
     if (qp_y > 51)
         qp_y = 51;
     d->qp_prev = qp_y;
@@ -808,19 +811,21 @@ static void coding_unit(Dec *d, int x0, int y0, int log2, int depth) {
             if (d->cu_bypass)
                 d->bypass_map[yy * d->mw + xx] = 1;
         }
+    /* dequant uses Qp' = QpY/QpC + QpBdOffset (8.6.3); the maps above
+     * keep QpY for deblocking */
     for (long t = d->cu_first_tu; t < d->n_tus; t++) {
         int32_t *m = d->tu_meta + t * 8;
         if (m[3] == 0) {
-            m[6] = qp_y;
+            m[6] = qp_y + d->qp_bd_off;
         } else {
             int offt = (m[3] == 1) ? d->cb_off + d->slice_cb_off
                                    : d->cr_off + d->slice_cr_off;
             int q = qp_y + offt;
-            if (q < 0)
-                q = 0;
+            if (q < -d->qp_bd_off)
+                q = -d->qp_bd_off;
             if (q > 57)
                 q = 57;
-            m[6] = chroma_qp(q);
+            m[6] = chroma_qp(q) + d->qp_bd_off;
         }
     }
 }
@@ -965,6 +970,7 @@ FFPIC_API long ffpic_hevc_decode_slice(
     d.sao_chroma = p[17];
     d.slice_cb_off = p[18];
     d.slice_cr_off = p[19];
+    d.qp_bd_off = p[20];
 
     d.mw = (d.w + 3) / 4;
     d.mh = (d.h + 3) / 4;

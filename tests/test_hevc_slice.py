@@ -322,3 +322,120 @@ def test_randomized_config_campaign(trial):
         for i in range(3):
             np.testing.assert_array_equal(pic.planes[i],
                                           enc.pic.planes[i])
+
+
+def test_sps_with_rps_sets_reads_trailing_flags():
+    """SPSes carrying st_ref_pic_set entries (sequence tracks, x265
+    defaults) must still parse the trailing strong_intra_smoothing
+    flag (advisor r2: it was silently left False)."""
+    from ffpic_tpu.coding.hevc_enc import make_nalu, write_sps
+    from ffpic_tpu.formats.hevc import parse_sps
+    for strong in (True, False):
+        for rps in (0, 1, 3):
+            rbsp = write_sps(64, 64, strong_smoothing=strong,
+                             rps_sets=rps)
+            sps = parse_sps(make_nalu(33, rbsp))
+            assert sps.strong_intra_smoothing == strong, (strong, rps)
+            assert sps.width == 64 and sps.height == 64
+
+
+def test_roundtrip_main10_low_qp():
+    """Main10 SliceQpY may go down to -QpBdOffsetY = -12 (7.4.7.1);
+    dequant must use Qp' = QpY + 12 (8.6.3) — advisor r2 finding."""
+    import os
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_idr_slice
+    rng = np.random.default_rng(6)
+    W = H = 32
+    y = rng.integers(0, 1024, (H, W)).astype(np.int32)
+    u = rng.integers(0, 1024, (16, 16)).astype(np.int32)
+    v = rng.integers(0, 1024, (16, 16)).astype(np.int32)
+    for qp in (-12, -6, 0):
+        enc = SliceEncoder(dict(width=W, height=H, ctb_log2=5,
+                                bit_depth=10),
+                           {}, qp, (y, u, v), _full_policy())
+        nalu = enc.encode()
+        for force_py in (False, True):
+            if force_py:
+                os.environ["FFPIC_NO_NATIVE"] = "1"
+            try:
+                pic = decode_idr_slice(enc.sps, enc.pps, nalu)
+            finally:
+                os.environ.pop("FFPIC_NO_NATIVE", None)
+            for i in range(3):
+                np.testing.assert_array_equal(
+                    pic.planes[i], enc.pic.planes[i],
+                    err_msg=f"qp={qp} plane {i} py={force_py}")
+
+
+def test_deblock_smooths_edges_but_not_bypass_cus():
+    """Behavioral deblock checks (the reference stubs deblocking so no
+    byte oracle exists): an intra block edge with a step gets smoothed;
+    samples inside a transquant-bypass CU are never modified
+    (8.7.2.5.3 nDp/nDq=0 — advisor r2 finding)."""
+    from ffpic_tpu.formats import hevc_recon
+
+    class SPS:
+        bit_depth_luma = 8
+        width = height = 32
+        chroma_format = 1
+        ctb_log2 = 5
+
+    def mk():
+        pic = hevc_recon.Picture(SPS())
+        pic.planes[0][:, :8] = 60
+        pic.planes[0][:, 8:] = 80          # step at the 8-aligned edge
+        pic.qp_map[:] = 37
+        pic.v_edges[:, 1] = True           # TU edge at x=8
+        return pic
+
+    pic = mk()
+    before = pic.planes[0].copy()
+    hevc_recon.deblock(pic)
+    assert (pic.planes[0] != before).any()
+    # smoothing pulled the two sides toward each other
+    assert pic.planes[0][5, 7] > 60 and pic.planes[0][5, 8] < 80
+
+    # same edge, but the q side is a lossless CU: q samples untouched
+    pic2 = mk()
+    pic2.bypass_map[:, 2:] = True          # x >= 8 region
+    hevc_recon.deblock(pic2)
+    np.testing.assert_array_equal(pic2.planes[0][:, 8:], 80)
+    assert (pic2.planes[0][:, :8] != 60).any()   # p side still filters
+
+    # both sides lossless: nothing moves
+    pic3 = mk()
+    pic3.bypass_map[:] = True
+    hevc_recon.deblock(pic3)
+    np.testing.assert_array_equal(pic3.planes[0], before)
+
+
+def test_deblock_chroma_qp_offset_changes_tc():
+    """8.7.2.5.5: the PPS chroma QP offset feeds the tC lookup; a
+    large negative offset pushes tC to 0 and disables the chroma
+    filter where a zero offset filters."""
+    from ffpic_tpu.formats import hevc_recon
+
+    class SPS:
+        bit_depth_luma = 8
+        width = height = 64
+        chroma_format = 1
+        ctb_log2 = 5
+
+    def mk():
+        pic = hevc_recon.Picture(SPS())
+        for c in (1, 2):
+            pic.planes[c][:, :8] = 90
+            pic.planes[c][:, 8:] = 130
+        pic.qp_map[:] = 25                 # -12 offset -> qPi 13, tC 0
+        pic.v_edges[:, 2] = True           # luma x=16 -> chroma x=8
+        return pic
+
+    pic_f = mk()
+    hevc_recon.deblock(pic_f, cb_qp_off=0, cr_qp_off=0)
+    assert (pic_f.planes[1][:, 7:9] != np.array([90, 130])).any()
+
+    pic_n = mk()
+    before_u = pic_n.planes[1].copy()
+    hevc_recon.deblock(pic_n, cb_qp_off=-12, cr_qp_off=-12)
+    np.testing.assert_array_equal(pic_n.planes[1], before_u)
