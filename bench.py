@@ -170,6 +170,36 @@ def main():
             return (time.perf_counter() - t0) / 5
         webp_mps = 512 * 512 / 1e6 / best_of(webp_trial)
 
+    # ---- device-side entropy decode (VERDICT r2 #1 experiment): the
+    # same 1080p frame written with restart markers per MCU row (68
+    # exact entropy split points); host ships raw destuffed bytes,
+    # the TPU decodes Huffman + dequant|IDCT|color in-device --------
+    dev_ent_mps = None
+    if jax.default_backend() == "tpu":
+        try:
+            from ffpic_tpu.ops.jpeg_entropy_device import \
+                decode_batch_device_entropy
+            from PIL import Image
+            dpath = "/tmp/ffpic_bench_1080p_dri.jpg"
+            if not os.path.exists(dpath):
+                Image.open(path).save(dpath, "JPEG", quality=85,
+                                      subsampling="4:2:0",
+                                      restart_marker_rows=1)
+            with open(dpath, "rb") as f:
+                ddata = f.read()
+            datas = [ddata] * BATCH
+            jax.block_until_ready(
+                decode_batch_device_entropy(datas, unroll=64))
+
+            def dev_ent_trial():
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    decode_batch_device_entropy(datas, unroll=64))
+                return time.perf_counter() - t0
+            dev_ent_mps = BATCH * mp / best_of(dev_ent_trial)
+        except Exception:
+            dev_ent_mps = None
+
     # ---- HEIC e2e (config 4): host CABAC syntax + recon (C) + C color
     # -- the 12MP iPhone-style grid from the corpus ---------------------
     heic_mps = None
@@ -198,6 +228,8 @@ def main():
         "host_entropy_packed_mps": round(host_packed_mps, 1),
         "webp_512_mps": round(webp_mps, 2) if webp_mps else None,
         "heic_12mp_mps": round(heic_mps, 2) if heic_mps else None,
+        "device_entropy_dri_mps": (round(dev_ent_mps, 1)
+                                   if dev_ent_mps else None),
         "device_pipeline_mps": round(dev_mps, 1),
         "host_to_hbm_gbps": round(h2d_gbps, 2),
         "batch": BATCH,
