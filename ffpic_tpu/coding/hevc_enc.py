@@ -111,7 +111,7 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
               sao: bool = False, strong_smoothing: bool = True,
               chroma_format: int = 1, bit_depth: int = 8,
               conf_win: tuple = (0, 0, 0, 0),
-              rps_sets: int = 0) -> bytes:
+              rps_sets: int = 0, scaling_lists=None) -> bytes:
     w = BitWriter()
     w.write_bits(0, 4)          # vps_id
     w.write_bits(0, 3)          # max_sub_layers_minus1
@@ -140,7 +140,19 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
     write_ue(w, max_tb_log2 - min_tb_log2)
     write_ue(w, 0)              # max_transform_hierarchy_depth_inter
     write_ue(w, max_trafo_depth)
-    w.write_bit(0)              # scaling_list_enabled
+    # scaling lists: None=off, "default"=enabled w/o data (decoder uses
+    # Table 7-5/7-6 defaults), dict=explicit scaling_list_data
+    if scaling_lists is None:
+        w.write_bit(0)          # scaling_list_enabled
+    else:
+        w.write_bit(1)
+        if scaling_lists == "default":
+            w.write_bit(0)      # sps_scaling_list_data_present
+        else:
+            w.write_bit(1)
+            from ffpic_tpu.coding.hevc_scaling import \
+                write_scaling_list_data
+            write_scaling_list_data(w, scaling_lists)
     w.write_bit(0)              # amp_enabled
     w.write_bit(1 if sao else 0)
     w.write_bit(0)              # pcm_enabled
@@ -253,6 +265,13 @@ class SliceEncoder:
         self.luma_mode = np.full((mh, mw), -1, np.int8)
         self.ctx = Contexts(qp)
         self.enc = CabacEncoder()
+        # scaling factors mirror the decoder's derivation from the
+        # (just-written) SPS so the recon matches sample-exactly
+        self.scaling_factors = None
+        if self.sps.scaling_list_enabled:
+            from ffpic_tpu.coding.hevc_scaling import scaling_factors
+            self.scaling_factors = scaling_factors(
+                self.sps.scaling_lists)
 
     # -- top level ---------------------------------------------------------
     def encode(self) -> bytes:
@@ -568,6 +587,22 @@ class SliceEncoder:
                           -bd_off), 57)
             qp = chroma_qp(qpi) + bd_off
         dst = (plane == 0 and log2 == 2)
+        scaling = None
+        if self.scaling_factors is not None:
+            from ffpic_tpu.coding.hevc_scaling import factor_for
+            scaling = factor_for(self.scaling_factors, n, plane)
+
+        def _quant(coef):
+            if scaling is not None:
+                # fold the scaling matrix into the coefficients before
+                # the flat quantizer; exactness comes from the shared
+                # dequant in the recon, not quantizer precision
+                sgn = np.sign(coef)
+                coef = sgn * ((np.abs(coef.astype(np.int64)) * 16
+                               + scaling // 2) // scaling)
+                coef = np.clip(coef, -32768, 32767).astype(np.int32)
+            return quantize(coef, qp, bit_depth=bd)
+
         if self.cu_bypass:
             levels = res.copy()
         elif skip:
@@ -575,16 +610,17 @@ class SliceEncoder:
             # domain = residual << (13 - bd)
             coef = np.clip(res.astype(np.int64) << (13 - bd), -32768,
                            32767).astype(np.int32)
-            levels = quantize(coef, qp, bit_depth=bd)
+            levels = _quant(coef)
         else:
             coef = forward_transform(res, dst=dst, bit_depth=bd)
-            levels = quantize(coef, qp, bit_depth=bd)
+            levels = _quant(coef)
         # sign-data-hiding parity fix per 4x4 sub-block
         if (self.pps.sign_data_hiding and not self.cu_bypass
                 and levels.any()):
             _fix_sign_hiding(levels, log2, plane, mode)
         tu = TU(x=x, y=y, n=n, c_idx=plane, levels=levels, qp=qp,
-                skip=skip, bypass=self.cu_bypass, dst=dst)
+                skip=skip, bypass=self.cu_bypass, dst=dst,
+                scaling=scaling)
         resid = hevc_recon.compute_residual(tu, bd) if levels.any() \
             else None
         out = pred if resid is None else np.clip(pred + resid, 0,

@@ -194,6 +194,7 @@ class TU:
     skip: bool = False
     bypass: bool = False
     dst: bool = False
+    scaling: np.ndarray | None = None   # (n, n) ScalingFactor or None
 
 
 @dataclass
@@ -241,6 +242,13 @@ class SliceDecoder:
         self.sao_out = {}
         self.pic = pic                    # Picture for SAO/deblock meta
         self._cu_tus: list[TU] = []
+        # scaling lists (8.6.3): PPS override > SPS lists > defaults
+        self.scaling_factors = None
+        if sps.scaling_list_enabled:
+            from ffpic_tpu.coding.hevc_scaling import scaling_factors
+            lists = pps.scaling_lists if pps.scaling_lists is not None \
+                else sps.scaling_lists
+            self.scaling_factors = scaling_factors(lists)
 
     # -- top level -------------------------------------------------------
     def decode_slice_data(self):
@@ -783,8 +791,13 @@ class SliceDecoder:
         dst = (c_idx == 0 and log2 == 2)   # intra luma 4x4 -> DST
         if c_idx:
             x0, y0 = x0 >> 1, y0 >> 1
+        scaling = None
+        if self.scaling_factors is not None:
+            from ffpic_tpu.coding.hevc_scaling import factor_for
+            scaling = factor_for(self.scaling_factors, n, c_idx)
         tu = TU(x=x0, y=y0, n=n, c_idx=c_idx, levels=levels,
-                skip=skip, bypass=self.cu_bypass, dst=dst)
+                skip=skip, bypass=self.cu_bypass, dst=dst,
+                scaling=scaling)
         self._cu_tus.append(tu)
         return tu
 

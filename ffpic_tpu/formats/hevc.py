@@ -78,6 +78,7 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     scaling_list_enabled: bool = False
+    scaling_lists: dict | None = None   # parsed 7.3.4 lists (None=default)
     amp_enabled: bool = False
     sample_adaptive_offset: bool = False
     pcm_enabled: bool = False
@@ -135,6 +136,7 @@ class PPS:
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
     slice_header_extension_present: bool = False
+    scaling_lists: dict | None = None   # PPS override of SPS lists
 
 
 def _parse_ptl(r: BitReader) -> ProfileTierLevel:
@@ -192,7 +194,8 @@ def parse_sps(nalu: bytes) -> SPS:
     s.max_transform_hierarchy_depth_intra = read_ue(r)
     s.scaling_list_enabled = bool(r.read_bit())
     if s.scaling_list_enabled and r.read_bit():
-        _skip_scaling_list(r)
+        from ffpic_tpu.coding.hevc_scaling import parse_scaling_list_data
+        s.scaling_lists = parse_scaling_list_data(r)
     s.amp_enabled = bool(r.read_bit())
     s.sample_adaptive_offset = bool(r.read_bit())
     s.pcm_enabled = bool(r.read_bit())
@@ -296,7 +299,8 @@ def parse_pps(nalu: bytes) -> PPS:
             p.beta_offset_div2 = read_se(r)
             p.tc_offset_div2 = read_se(r)
     if r.read_bit():                    # pps_scaling_list_data_present
-        _skip_scaling_list(r)
+        from ffpic_tpu.coding.hevc_scaling import parse_scaling_list_data
+        p.scaling_lists = parse_scaling_list_data(r)
     r.read_bit()                        # lists_modification_present
     read_ue(r)                          # log2_parallel_merge_level_minus2
     p.slice_header_extension_present = bool(r.read_bit())
@@ -333,6 +337,7 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
     ops = None
     if (not os.environ.get("FFPIC_NO_NATIVE")
             and sps.bit_depth_luma in (8, 9, 10) and not sps.pcm_enabled
+            and not sps.scaling_list_enabled
             and not pps.tiles_enabled and not pps.entropy_coding_sync):
         from ffpic_tpu import native
         if native.available():

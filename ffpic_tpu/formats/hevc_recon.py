@@ -279,11 +279,13 @@ def predict_intra(pic: Picture, plane: int, x: int, y: int, n: int,
 def compute_residual(tu, bd: int) -> np.ndarray:
     """Dequant + inverse transform for one TU (numpy golden path).
 
-    tu fields: levels (n,n int32, [y][x]), qp, skip, bypass, dst.
+    tu fields: levels (n,n int32, [y][x]), qp, skip, bypass, dst,
+    scaling (ScalingFactor matrix or None for flat 16).
     """
     if tu.bypass:
         return tu.levels.astype(np.int32)
-    d = dequant(tu.levels, tu.qp, bd)
+    d = dequant(tu.levels, tu.qp, bd,
+                scaling=getattr(tu, "scaling", None))
     if tu.skip:
         shift2 = 20 - bd
         r = (d.astype(np.int64) << 7)

@@ -439,3 +439,92 @@ def test_deblock_chroma_qp_offset_changes_tc():
     before_u = pic_n.planes[1].copy()
     hevc_recon.deblock(pic_n, cb_qp_off=-12, cr_qp_off=-12)
     np.testing.assert_array_equal(pic_n.planes[1], before_u)
+
+
+@pytest.mark.parametrize("lists", ["default", "custom"])
+def test_roundtrip_scaling_lists(lists):
+    """Scaling lists (7.3.4/8.6.3): default Table 7-5/7-6 matrices and
+    explicit custom lists round-trip sample-exactly (Python path; the
+    native gate must punt to Python for scaling streams)."""
+    from ffpic_tpu.coding.hevc_scaling import default_list
+    if lists == "default":
+        sl = "default"
+    else:
+        from ffpic_tpu.coding.hevc_scaling import matrix_ids
+        rng = np.random.default_rng(3)
+        sl = {}
+        for size_id in range(4):
+            for matrix_id in matrix_ids(size_id):
+                n = 16 if size_id == 0 else 64
+                vals = rng.integers(8, 100, n).astype(np.int32)
+                dc = int(rng.integers(8, 60))
+                sl[(size_id, matrix_id)] = (vals, dc)
+    enc, nalu = _roundtrip(64, 64, 30, _full_policy(),
+                           sps_extra=dict(scaling_lists=sl))
+    assert enc.sps.scaling_list_enabled
+
+
+def test_scaling_factor_derivation():
+    """ScalingFactor upsampling (7.4.5): 16x16/32x32 replicate the 8x8
+    list 2x/4x with the DC coefficient overriding position (0,0)."""
+    from ffpic_tpu.coding.hevc_scaling import (default_list,
+                                               scaling_factors)
+    sf = scaling_factors(None)
+    m16 = sf[(2, 0)]
+    m8 = sf[(1, 0)]
+    assert m16.shape == (16, 16)
+    assert m16[0, 0] == 16                     # default DC
+    assert m16[2, 2] == m8[1, 1]
+    assert m16[15, 15] == m8[7, 7]
+    m32 = sf[(3, 0)]
+    assert m32[31, 31] == m8[7, 7]
+    assert (sf[(0, 0)] == 16).all()
+
+
+@pytest.mark.parametrize("lists", ["default", "custom"])
+def test_reference_decodes_scaling_list_stream(lists, tmp_path):
+    """Cross-oracle: the C reference parses scaling_list_data and
+    applies scaling factors in its dequant (hevc.c:171-297,3743-3999);
+    its output must match ours byte-exactly through its own color
+    convert."""
+    if not os.path.exists(HARNESS):
+        pytest.skip("refbuild-asan harness not built")
+    from ffpic_tpu.coding.hevc_enc import (SliceEncoder, make_nalu,
+                                           write_vps)
+    if lists == "custom":
+        # explicit lists for 4x4/8x8 only: the reference's
+        # init_scaling_factor reads the DEFAULT table for 16x16/32x32
+        # (hevc.c:258-276 uses ScalingList[][] not sld->scalinglist),
+        # so explicit large lists cannot be cross-checked against it
+        rng = np.random.default_rng(8)
+        sl = {}
+        for size_id in range(2):
+            for matrix_id in range(6):
+                n = 16 if size_id == 0 else 64
+                sl[(size_id, matrix_id)] = (
+                    rng.integers(10, 80, n).astype(np.int32), 16)
+    else:
+        # spec-default VALUES written explicitly for 4x4/8x8, copy-
+        # default for 16/32.  Two reference defects force this shape:
+        # (a) "enabled, no data" leaves its ScalingFactor zeroed
+        # (hevc.c:7210-7215 never calls init_scaling_factor);
+        # (b) its pred-mode-0 copy loop drops the last list entry
+        # (hevc.c:191 MIN(63, ...) off-by-one), so copied 4x4/8x8
+        # lists end in 0.  Sizes 16/32 read its default table directly
+        # (hevc.c:257,270) and are unaffected.
+        from ffpic_tpu.coding.hevc_scaling import default_list
+        sl = {(s_, m_): default_list(s_, m_)
+              for s_ in range(2) for m_ in range(6)}
+    W = H = 64
+    enc = SliceEncoder(dict(width=W, height=H, ctb_log2=5,
+                            min_cb_log2=4, min_tb_log2=3,
+                            scaling_lists=sl),
+                       {}, 30, _planes(W, H, 11),
+                       _full_policy(nxn_prob=0.0))
+    idr = enc.encode()
+    nalus = [make_nalu(32, write_vps()), make_nalu(33, enc.sps_rbsp),
+             make_nalu(34, enc.pps_rbsp), idr]
+    stream = b"".join(len(n).to_bytes(4, "big") + n for n in nalus)
+    ref = _ref_decode(stream, W, H, tmp_path)
+    ours = _ref_color(enc.pic)
+    np.testing.assert_array_equal(ref[:, :, :3], ours)
