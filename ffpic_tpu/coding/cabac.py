@@ -120,6 +120,26 @@ class CabacDecoder:
         self._renorm()
         return 0
 
+    # -- PCM bridge (9.3.1 / 9.3.2.6) -----------------------------------
+    def pcm_begin(self) -> None:
+        """After a terminating pcm_flag bin: in this spec-formulation
+        engine the reader's position already equals the encoder's
+        post-flush position (9-bit init lookahead == flush output +
+        suppressed first bit), so only the pcm_alignment_zero_bit
+        skipping remains."""
+        while not self.r.byte_aligned():
+            self.r.read_bit()            # pcm_alignment_zero_bit
+
+    def read_raw(self, n: int) -> int:
+        """u(n) PCM sample bits, straight from the bitstream."""
+        return self.r.read_bits(n)
+
+    def pcm_end(self) -> None:
+        """Re-initialize the arithmetic engine after pcm_sample
+        (9.3.1: contexts are NOT reset)."""
+        self.range = 510
+        self.offset = self.r.read_bits(9)
+
     # -- binarizations (9.3.3) -----------------------------------------
     def fixed_length(self, c_max: int) -> int:
         """FL binarization (9.3.3.5): cLen = ceil(log2(cMax + 1))."""

@@ -127,6 +127,25 @@ class CabacEncoder:
         self._put_bit((self.low >> 9) & 1)
         self.sink.put_bits(((self.low >> 7) & 3) | 1, 2)
 
+    # -- PCM bridge (9.3.1 mirror of cabac.py pcm_begin/end) -------------
+    def pcm_begin(self) -> None:
+        """After encoding pcm_flag=1 via terminate(1) (which flushed
+        the codeword): alignment zero bits to the byte boundary; raw
+        sample bits then go straight into the sink."""
+        self.sink.byte_align(0)
+
+    def write_raw(self, value: int, n: int) -> None:
+        self.sink.put_bits(value, n)
+
+    def pcm_end(self) -> None:
+        """Restart the arithmetic codeword after pcm_sample (engine
+        init as at slice start: first output bit suppressed, contexts
+        kept)."""
+        self.low = 0
+        self.range = 510
+        self.first_bit = True
+        self.outstanding = 0
+
     # -- binarizations (mirrors of cabac.py 9.3.3) ------------------------
     def truncated_rice(self, value: int, c_max: int, rice: int,
                        ctx_fn=None, bypass_prefix: bool = False) -> None:

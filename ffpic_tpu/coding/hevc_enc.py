@@ -111,7 +111,8 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
               sao: bool = False, strong_smoothing: bool = True,
               chroma_format: int = 1, bit_depth: int = 8,
               conf_win: tuple = (0, 0, 0, 0),
-              rps_sets: int = 0, scaling_lists=None) -> bytes:
+              rps_sets: int = 0, scaling_lists=None,
+              pcm: dict | None = None) -> bytes:
     w = BitWriter()
     w.write_bits(0, 4)          # vps_id
     w.write_bits(0, 3)          # max_sub_layers_minus1
@@ -155,7 +156,16 @@ def write_sps(width: int, height: int, ctb_log2: int = 5,
             write_scaling_list_data(w, scaling_lists)
     w.write_bit(0)              # amp_enabled
     w.write_bit(1 if sao else 0)
-    w.write_bit(0)              # pcm_enabled
+    # pcm: dict(bd_luma=, bd_chroma=, log2_min=, log2_diff=, lf_disable=)
+    if pcm is None:
+        w.write_bit(0)          # pcm_enabled
+    else:
+        w.write_bit(1)
+        w.write_bits(pcm.get("bd_luma", bit_depth) - 1, 4)
+        w.write_bits(pcm.get("bd_chroma", bit_depth) - 1, 4)
+        write_ue(w, pcm.get("log2_min", 3) - 3)
+        write_ue(w, pcm.get("log2_diff", 0))
+        w.write_bit(1 if pcm.get("lf_disable", True) else 0)
     # stills normally carry 0 RPS sets, but sequence-track SPSes from
     # real encoders have them; rps_sets>0 emits simple explicit sets
     # (used by the parser test — the decoder must still reach the
@@ -236,6 +246,7 @@ class EncPolicy:
     mode_candidates: tuple = (0, 1, 10, 26, 2, 18, 34, 6, 14, 22, 30)
     transform_skip_prob: float = 0.0
     bypass_prob: float = 0.0
+    pcm_prob: float = 0.0            # IPCM CU probability (in-range CUs)
 
 
 class SliceEncoder:
@@ -334,6 +345,42 @@ class SliceEncoder:
         else:
             self._coding_unit(x0, y0, log2, depth)
 
+    def _pcm_cu(self, x0, y0, log2, depth):
+        """Write pcm_sample (7.3.9) from the source planes; recon is
+        the bit-depth-truncated source (8.4.4.1)."""
+        size = 1 << log2
+        sps = self.sps
+        self.enc.pcm_begin()
+        sh_y = sps.bit_depth_luma - sps.pcm_bit_depth_luma
+        src = self.src[0][y0:y0 + size, x0:x0 + size]
+        q = np.clip(src >> sh_y, 0, (1 << sps.pcm_bit_depth_luma) - 1)
+        for yy in range(size):
+            for xx in range(size):
+                self.enc.write_raw(int(q[yy, xx]),
+                                   sps.pcm_bit_depth_luma)
+        self.pic.planes[0][y0:y0 + size, x0:x0 + size] = q << sh_y
+        self.pic.mark_decoded(0, x0, y0, size)
+        if sps.chroma_format:
+            sh_c = sps.bit_depth_chroma - sps.pcm_bit_depth_chroma
+            half = size >> 1
+            cx, cy = x0 >> 1, y0 >> 1
+            for plane in (1, 2):
+                csrc = self.src[plane][cy:cy + half, cx:cx + half]
+                cq = np.clip(csrc >> sh_c, 0,
+                             (1 << sps.pcm_bit_depth_chroma) - 1)
+                for yy in range(half):
+                    for xx in range(half):
+                        self.enc.write_raw(int(cq[yy, xx]),
+                                           sps.pcm_bit_depth_chroma)
+                self.pic.planes[plane][cy:cy + half,
+                                       cx:cx + half] = cq << sh_c
+                self.pic.mark_decoded(plane, cx, cy, half)
+        self.enc.pcm_end()
+        self.ct_depth[y0 // 4:(y0 + size) // 4,
+                      x0 // 4:(x0 + size) // 4] = depth
+        self.luma_mode[y0 // 4:(y0 + size) // 4,
+                       x0 // 4:(x0 + size) // 4] = INTRA_DC
+
     # -- mode decision helpers ----------------------------------------------
     def _best_mode(self, plane, x, y, n, candidates):
         # mode decision probe only — prediction runs at TB granularity
@@ -366,6 +413,17 @@ class SliceEncoder:
         if log2 == self.min_cb:
             self.enc.decision(self.ctx["part_mode", 0],
                               0 if part_nxn else 1)
+
+        # IPCM (7.3.8.5): PartMode 2Nx2N within the PCM size range
+        if (self.sps.pcm_enabled and not part_nxn
+                and self.sps.log2_min_pcm_cb <= log2
+                <= self.sps.log2_min_pcm_cb
+                + self.sps.log2_diff_max_min_pcm_cb):
+            do_pcm = self.rng.random() < pol.pcm_prob
+            self.enc.terminate(1 if do_pcm else 0)   # pcm_flag
+            if do_pcm:
+                self._pcm_cu(x0, y0, log2, depth)
+                return
 
         n_pu = 2 if part_nxn else 1
         pb = size >> (1 if part_nxn else 0)

@@ -198,6 +198,16 @@ class TU:
 
 
 @dataclass
+class PcmOp:
+    """Raw IPCM samples for one plane region (7.3.9 / 8.4.4.1)."""
+    plane: int
+    x: int
+    y: int
+    n: int
+    samples: np.ndarray     # (n, n) int32, already scaled to BitDepth
+
+
+@dataclass
 class PredOp:
     plane: int
     x: int
@@ -387,8 +397,14 @@ class SliceDecoder:
         if log2 == self.min_cb:
             if not self.dec.decision(self.ctx["part_mode", 0]):
                 part_nxn = True
-        if self.sps.pcm_enabled and not part_nxn:
-            raise NotImplementedError("PCM")
+        # IPCM (7.3.8.5: PartMode 2Nx2N within the PCM size range)
+        if (self.sps.pcm_enabled and not part_nxn
+                and self.sps.log2_min_pcm_cb <= log2
+                <= self.sps.log2_min_pcm_cb
+                + self.sps.log2_diff_max_min_pcm_cb):
+            if self.dec.terminate():          # pcm_flag
+                self._pcm_cu(x0, y0, log2, depth, bypass)
+                return
 
         # luma intra modes (7.3.8.5 two-loop order)
         n_pu = 2 if part_nxn else 1
@@ -470,6 +486,51 @@ class SliceDecoder:
                        self.pps.cr_qp_offset + self.hdr.cr_qp_offset)
                 qpi = min(max(qp_y + off, -bd_off_c), 57)
                 tu.qp = chroma_qp(qpi) + bd_off_c
+
+    def _pcm_cu(self, x0, y0, log2, depth, bypass):
+        """pcm_sample (7.3.9): raw fixed-length samples, scaled to
+        BitDepth (8.4.4.1); engine pauses then re-initializes."""
+        size = 1 << log2
+        sps = self.sps
+        self.dec.pcm_begin()
+        pbd_y = sps.pcm_bit_depth_luma
+        sh_y = sps.bit_depth_luma - pbd_y
+        luma = np.empty((size, size), np.int32)
+        for yy in range(size):
+            for xx in range(size):
+                luma[yy, xx] = self.dec.read_raw(pbd_y) << sh_y
+        self.ops.append(PcmOp(0, x0, y0, size, luma))
+        if sps.chroma_format:
+            pbd_c = sps.pcm_bit_depth_chroma
+            sh_c = sps.bit_depth_chroma - pbd_c
+            half = size >> 1
+            for plane in (1, 2):
+                cs = np.empty((half, half), np.int32)
+                for yy in range(half):
+                    for xx in range(half):
+                        cs[yy, xx] = self.dec.read_raw(pbd_c) << sh_c
+                self.ops.append(PcmOp(plane, x0 >> 1, y0 >> 1, half, cs))
+        self.dec.pcm_end()
+        # bookkeeping: neighbors see a PCM CU as INTRA_DC (8.4.2) and
+        # the maps get the derived QP for deblocking
+        self.ct_depth[y0 // 4:(y0 + size) // 4,
+                      x0 // 4:(x0 + size) // 4] = depth
+        self.luma_mode[y0 // 4:(y0 + size) // 4,
+                       x0 // 4:(x0 + size) // 4] = INTRA_DC
+        qp_y = (self._derive_qp()
+                if self.pps.cu_qp_delta_enabled else self.hdr.qp)
+        self.qp_prev = qp_y
+        self.qp_y_map[y0 // 4:(y0 + size) // 4,
+                      x0 // 4:(x0 + size) // 4] = qp_y
+        if self.pic is not None:
+            self.pic.qp_map[y0 // 4:(y0 + size) // 4,
+                            x0 // 4:(x0 + size) // 4] = qp_y
+            self.pic.mark_edges(x0, y0, size)
+            if bypass or sps.pcm_loop_filter_disabled:
+                # pcm_loop_filter_disabled exempts PCM samples from
+                # deblock/SAO exactly like lossless CUs (8.7.2.5.3)
+                self.pic.bypass_map[y0 // 4:(y0 + size) // 4,
+                                    x0 // 4:(x0 + size) // 4] = True
 
     def _derive_luma_mode(self, xp, yp, prev, val):
         """MPM construction (8.4.2)."""

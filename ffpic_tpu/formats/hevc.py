@@ -82,6 +82,11 @@ class SPS:
     amp_enabled: bool = False
     sample_adaptive_offset: bool = False
     pcm_enabled: bool = False
+    pcm_bit_depth_luma: int = 8
+    pcm_bit_depth_chroma: int = 8
+    log2_min_pcm_cb: int = 3
+    log2_diff_max_min_pcm_cb: int = 0
+    pcm_loop_filter_disabled: bool = False
     strong_intra_smoothing: bool = False
     ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
 
@@ -200,11 +205,11 @@ def parse_sps(nalu: bytes) -> SPS:
     s.sample_adaptive_offset = bool(r.read_bit())
     s.pcm_enabled = bool(r.read_bit())
     if s.pcm_enabled:
-        r.read_bits(4)
-        r.read_bits(4)
-        read_ue(r)
-        read_ue(r)
-        r.read_bit()
+        s.pcm_bit_depth_luma = r.read_bits(4) + 1
+        s.pcm_bit_depth_chroma = r.read_bits(4) + 1
+        s.log2_min_pcm_cb = read_ue(r) + 3
+        s.log2_diff_max_min_pcm_cb = read_ue(r)
+        s.pcm_loop_filter_disabled = bool(r.read_bit())
     num_short_term_rps = read_ue(r)
     # parse st_ref_pic_set entries (7.3.7) so the trailing SPS flags
     # are always read — sequence-track SPSes from real encoders (x265

@@ -609,6 +609,11 @@ def execute_ops(pic: Picture, ops) -> None:
         from ffpic_tpu.ops.hevc_kernels import residuals_for_ops
         dev_res = residuals_for_ops(ops, pic.bd)
     for op in ops:
+        if not hasattr(op, "mode"):        # PcmOp: raw samples
+            pic.planes[op.plane][op.y:op.y + op.n,
+                                 op.x:op.x + op.n] = op.samples
+            pic.mark_decoded(op.plane, op.x, op.y, op.n)
+            continue
         pred = predict_intra(pic, op.plane, op.x, op.y, op.n, op.mode)
         if op.tu is not None:
             if dev_res is not None and id(op.tu) in dev_res:

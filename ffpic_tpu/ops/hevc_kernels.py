@@ -119,7 +119,7 @@ def residuals_for_ops(ops, bit_depth: int) -> dict:
     """
     buckets: dict[tuple, list] = {}
     for op in ops:
-        tu = op.tu
+        tu = getattr(op, "tu", None)     # PcmOps carry no TU
         if tu is None or tu.bypass:
             continue
         key = (tu.n, bool(tu.dst), bool(tu.skip))
