@@ -191,11 +191,14 @@ def write_pps(init_qp: int = 26, sign_hiding: bool = False,
               transform_skip: bool = False, cu_qp_delta_depth=None,
               transquant_bypass: bool = False,
               deblocking_disabled: bool = True,
-              cb_qp_offset: int = 0, cr_qp_offset: int = 0) -> bytes:
+              cb_qp_offset: int = 0, cr_qp_offset: int = 0,
+              dependent_slices: bool = False,
+              tiles: tuple | None = None,
+              wpp: bool = False) -> bytes:
     w = BitWriter()
     write_ue(w, 0)              # pps_id
     write_ue(w, 0)              # sps_id
-    w.write_bit(0)              # dependent_slice_segments
+    w.write_bit(1 if dependent_slices else 0)  # dependent_slice_segments
     w.write_bit(0)              # output_flag_present
     w.write_bits(0, 3)          # num_extra_slice_header_bits
     w.write_bit(1 if sign_hiding else 0)
@@ -214,8 +217,15 @@ def write_pps(init_qp: int = 26, sign_hiding: bool = False,
     w.write_bit(0)              # weighted_pred
     w.write_bit(0)              # weighted_bipred
     w.write_bit(1 if transquant_bypass else 0)
-    w.write_bit(0)              # tiles
-    w.write_bit(0)              # entropy_coding_sync
+    # 7.3.2.3 order: tiles_enabled, entropy_coding_sync, THEN the
+    # tile geometry fields
+    w.write_bit(0 if tiles is None else 1)   # tiles_enabled
+    w.write_bit(1 if wpp else 0)             # entropy_coding_sync
+    if tiles is not None:                    # (cols, rows) uniform
+        write_ue(w, tiles[0] - 1)
+        write_ue(w, tiles[1] - 1)
+        w.write_bit(1)          # uniform_spacing
+        w.write_bit(1)          # loop_filter_across_tiles
     w.write_bit(1)              # loop_filter_across_slices
     w.write_bit(1)              # deblocking_filter_control_present
     w.write_bit(0)              # deblocking_override_enabled
@@ -274,6 +284,10 @@ class SliceEncoder:
         mw, mh = (self.w + 3) // 4, (self.h + 3) // 4
         self.ct_depth = np.full((mh, mw), -1, np.int8)
         self.luma_mode = np.full((mh, mw), -1, np.int8)
+        # availability zones (6.4.1): (slice_idx << 12) | tile_idx;
+        # single-slice encodes stay in zone 0
+        self.zone = np.full((mh, mw), -1, np.int32)
+        self.cur_zone = 0
         self.ctx = Contexts(qp)
         self.enc = CabacEncoder()
         # scaling factors mirror the decoder's derivation from the
@@ -286,36 +300,131 @@ class SliceEncoder:
 
     # -- top level ---------------------------------------------------------
     def encode(self) -> bytes:
-        """Returns the complete IDR_W_RADL NALU bytes."""
-        w = BitWriter()
-        self._write_slice_header(w)
-        header = w.getvalue()
-        for cy in range(self.ctbs_y):
-            for cx in range(self.ctbs_x):
+        """Returns the complete IDR_W_RADL NALU bytes (single-segment
+        picture)."""
+        nalus = self.encode_picture()
+        assert len(nalus) == 1
+        return nalus[0]
+
+    def encode_picture(self, n_slices: int = 1,
+                       dependent_splits: int = 0) -> list:
+        """Encode the picture as one NALU per slice segment, in tile
+        scan order, mirroring SliceDecoder: independent slices reset
+        contexts and availability zones; dependent segments carry
+        contexts (9.3.1); tiles/WPP rows become substreams with entry
+        points; WPP syncs contexts from the row above."""
+        from ffpic_tpu.coding.hevc_slice import (TileLayout,
+                                                 _ctx_restore,
+                                                 _ctx_snapshot)
+        lay = TileLayout(self.sps, self.pps)
+        wpp = self.pps.entropy_coding_sync
+        n = lay.n_ctbs
+        starts = [(i * n) // n_slices for i in range(n_slices)] + [n]
+        segments = []
+        for si in range(n_slices):
+            s0, s1 = starts[si], starts[si + 1]
+            k = 1 + dependent_splits
+            bd = [s0 + (j * (s1 - s0)) // k for j in range(k)] + [s1]
+            for j in range(k):
+                if bd[j] < bd[j + 1]:
+                    segments.append((bd[j], bd[j + 1], j > 0, si))
+
+        nalus = []
+        self._wpp_snap = None
+        self._wpp_row = -1
+        self._last_zone = None
+        slice_of_ctb = np.full(n, -1, np.int32)
+        s4 = 1 << (self.ctb_log2 - 2)     # CTB size in 4x4 units
+        for (ts0, ts1, dependent, si) in segments:
+            if not dependent:
+                self.ctx = Contexts(self.qp)
+            subs = []
+            self.enc = CabacEncoder()
+            for ts in range(ts0, ts1):
+                rs = int(lay.ts_to_rs[ts])
+                cx, cy = rs % self.ctbs_x, rs // self.ctbs_x
+                tile = int(lay.tile_of_rs[rs])
+                new_tile = (ts > ts0 and tile != int(lay.tile_of_rs[
+                    int(lay.ts_to_rs[ts - 1])]))
+                new_row = wpp and cx == 0 and ts > ts0
+                if new_tile or new_row:
+                    # close substream: end_of_subset_one_bit + align
+                    self.enc.terminate(1)
+                    self.enc.sink.byte_align()
+                    subs.append(self.enc.sink.bytes())
+                    self.enc = CabacEncoder()
+                    self.ctx = Contexts(self.qp)
+                    if new_row:
+                        ur = rs - self.ctbs_x + 1
+                        if (self._wpp_snap is not None
+                                and self._wpp_row == cy - 1 and ur >= 0
+                                and slice_of_ctb[ur] == si):
+                            _ctx_restore(self.ctx, self._wpp_snap)
+                self.cur_zone = (si << 12) | tile
+                slice_of_ctb[rs] = si
+                if self._last_zone is not None \
+                        and self.cur_zone != self._last_zone:
+                    # prediction may not cross slice/tile boundaries:
+                    # reset the decoded-sample masks like the decoder
+                    for m in self.pic.masks:
+                        m[:] = False
+                self._last_zone = self.cur_zone
+                self.zone[cy * s4:(cy + 1) * s4,
+                          cx * s4:(cx + 1) * s4] = self.cur_zone
+
                 x0, y0 = cx << self.ctb_log2, cy << self.ctb_log2
                 self._quadtree(x0, y0, self.ctb_log2, 0)
-                last = (cy == self.ctbs_y - 1 and cx == self.ctbs_x - 1)
-                self.enc.terminate(1 if last else 0)
-        self.enc.sink.byte_align()
-        rbsp = header + self.enc.sink.bytes()
-        return make_nalu(19, rbsp)
+                if wpp and cx == 1:
+                    self._wpp_snap = _ctx_snapshot(self.ctx)
+                    self._wpp_row = cy
+                self.enc.terminate(1 if ts == ts1 - 1 else 0)
+            self.enc.sink.byte_align()
+            subs.append(self.enc.sink.bytes())
+            w = BitWriter()
+            self._write_slice_header(
+                w, first=(ts0 == 0), address=int(lay.ts_to_rs[ts0]),
+                dependent=dependent,
+                entry_points=[len(b) for b in subs[:-1]])
+            nalus.append(make_nalu(19, w.getvalue() + b"".join(subs)))
+        return nalus
 
-    def _write_slice_header(self, w: BitWriter) -> None:
-        w.write_bit(1)                      # first_slice_segment_in_pic
+    def _write_slice_header(self, w: BitWriter, first: bool = True,
+                            address: int = 0, dependent: bool = False,
+                            entry_points=()) -> None:
+        w.write_bit(1 if first else 0)      # first_slice_segment_in_pic
         w.write_bit(0)                      # no_output_of_prior_pics
         write_ue(w, 0)                      # pps_id
-        write_ue(w, 2)                      # slice_type I
-        if self.sps.sample_adaptive_offset:
-            w.write_bit(0)                  # slice_sao_luma (enc: off)
-            w.write_bit(0)
-        write_se(w, 0)                      # slice_qp_delta
-        # pps: deblocking_control_present=1, override_enabled=0 ->
-        # no per-slice deblock fields
-        if ((not self.pps.deblocking_disabled)
-                and self.pps.loop_filter_across_slices):
-            w.write_bit(1)                  # loop_filter_across_slices
+        if not first:
+            if self.pps.dependent_slice_segments:
+                w.write_bit(1 if dependent else 0)
+            nbits = max(1, (self.ctbs_x * self.ctbs_y - 1).bit_length())
+            w.write_bits(address, nbits)
+        if not dependent:
+            write_ue(w, 2)                  # slice_type I
+            if self.sps.sample_adaptive_offset:
+                w.write_bit(0)              # slice_sao_luma (enc: off)
+                w.write_bit(0)
+            write_se(w, 0)                  # slice_qp_delta
+            # pps: deblocking_control_present=1, override_enabled=0 ->
+            # no per-slice deblock fields
+            if ((not self.pps.deblocking_disabled)
+                    and self.pps.loop_filter_across_slices):
+                w.write_bit(1)              # loop_filter_across_slices
+        if self.pps.tiles_enabled or self.pps.entropy_coding_sync:
+            write_ue(w, len(entry_points))
+            if entry_points:
+                ln = max(max(o - 1 for o in entry_points).bit_length(),
+                         1)
+                write_ue(w, ln - 1)
+                for off in entry_points:
+                    w.write_bits(off - 1, ln)
         w.write_bit(1)                      # byte_alignment start
         w.align_byte(0)
+
+    def _avail(self, nx, ny):
+        if nx < 0 or ny < 0 or nx >= self.w or ny >= self.h:
+            return False
+        return self.zone[ny // 4, nx // 4] == self.cur_zone
 
     # -- quadtree -----------------------------------------------------------
     def _quadtree(self, x0, y0, log2, depth):
@@ -327,9 +436,11 @@ class SliceEncoder:
         if inside and log2 > self.min_cb:
             split = int(self.rng.random() < self.policy.split_prob)
             ctx_inc = 0
-            if x0 > 0 and self.ct_depth[y0 // 4, (x0 - 1) // 4] > depth:
+            if self._avail(x0 - 1, y0) \
+                    and self.ct_depth[y0 // 4, (x0 - 1) // 4] > depth:
                 ctx_inc += 1
-            if y0 > 0 and self.ct_depth[(y0 - 1) // 4, x0 // 4] > depth:
+            if self._avail(x0, y0 - 1) \
+                    and self.ct_depth[(y0 - 1) // 4, x0 // 4] > depth:
                 ctx_inc += 1
             self.enc.decision(self.ctx["split_cu_flag", ctx_inc], split)
         elif log2 > self.min_cb:
@@ -518,7 +629,7 @@ class SliceEncoder:
         """Mirror of SliceDecoder._derive_luma_mode: returns
         (prev_flag, mpm_idx or rem value)."""
         def cand(nx, ny, above):
-            if nx < 0 or ny < 0:
+            if not self._avail(nx, ny):
                 return INTRA_DC
             if above and (ny >> self.ctb_log2) != (yp >> self.ctb_log2):
                 return INTRA_DC

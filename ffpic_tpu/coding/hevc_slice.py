@@ -11,9 +11,9 @@ while prediction runs as a host wavefront.
 
 Scope: Main / Main10 / Main Still Picture intra decoding — 8/10-bit
 4:2:0/4:0:0, all CTB/TB sizes, NxN partitions, transform skip,
-transquant bypass, sign data hiding, cu_qp_delta, SAO parsing.
-Not yet: tiles, WPP entry points, PCM, scaling lists (validated
-gates below).
+transquant bypass, sign data hiding, cu_qp_delta, SAO parsing, IPCM,
+scaling lists, tiles, WPP entry points, multi-slice pictures and
+dependent slice segments (availability zones + context carry).
 
 Reference parity anchors: slice header hevc.c:2660, CTU loop
 hevc.c:6934-7047, quadtree hevc.c:6852, CU hevc.c:6467, transform tree
@@ -97,10 +97,16 @@ class SliceHeader:
     tc_offset_div2: int = 0
     entry_points: tuple = ()
     data_bit_offset: int = 0
+    dependent: bool = False
 
 
 def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
-                       pps) -> SliceHeader:
+                       pps, prev: "SliceHeader | None" = None
+                       ) -> SliceHeader:
+    """7.3.6.1.  For a dependent slice segment (7.3.6.1: everything
+    between slice_segment_address and the entry points is absent),
+    the non-present fields are inherited from `prev`, the preceding
+    independent segment's header."""
     h = SliceHeader()
     h.first_slice = bool(r.read_bit())
     if 16 <= nal_unit_type <= 23:
@@ -108,10 +114,20 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
     h.pps_id = read_ue(r)
     if not h.first_slice:
         if pps.dependent_slice_segments:
-            raise NotImplementedError("dependent slice segments")
+            h.dependent = bool(r.read_bit())
         ctbs = (((sps.width + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2) *
                 ((sps.height + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2))
         h.segment_address = r.read_bits(max(1, (ctbs - 1).bit_length()))
+    if h.dependent:
+        if prev is None:
+            raise ValueError("dependent slice segment without a "
+                             "preceding independent segment")
+        for f in ("slice_type", "sao_luma", "sao_chroma", "qp",
+                  "cb_qp_offset", "cr_qp_offset", "deblocking_disabled",
+                  "beta_offset_div2", "tc_offset_div2"):
+            setattr(h, f, getattr(prev, f))
+        _parse_slice_header_tail(r, h, sps, pps)
+        return h
     for _ in range(pps.num_extra_slice_header_bits):
         r.read_bit()
     h.slice_type = read_ue(r)
@@ -160,6 +176,13 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
     if ((h.sao_luma or h.sao_chroma or not h.deblocking_disabled)
             and pps.loop_filter_across_slices):
         r.read_bit()
+    _parse_slice_header_tail(r, h, sps, pps)
+    return h
+
+
+def _parse_slice_header_tail(r, h, sps, pps) -> None:
+    """Entry points + extension + byte alignment (present for both
+    independent and dependent slice segments)."""
     if pps.tiles_enabled or pps.entropy_coding_sync:
         n = read_ue(r)
         if n:
@@ -176,7 +199,6 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
         if r.read_bit() != 0:
             raise ValueError("nonzero alignment bit in slice header")
     h.data_bit_offset = r.bitpos
-    return h
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +227,7 @@ class PcmOp:
     y: int
     n: int
     samples: np.ndarray     # (n, n) int32, already scaled to BitDepth
+    zone: int = 0
 
 
 @dataclass
@@ -215,13 +238,101 @@ class PredOp:
     n: int
     mode: int
     tu: TU | None = None    # residual to add, if any
+    zone: int = 0           # (slice_idx << 12) | tile_idx availability zone
+
+
+class TileLayout:
+    """Tile geometry (6.5.1): CTB column/row bounds, tile-scan order
+    and the rs<->ts address maps."""
+
+    def __init__(self, sps, pps):
+        ctb_log2 = sps.ctb_log2
+        self.ctbs_x = (sps.width + (1 << ctb_log2) - 1) >> ctb_log2
+        self.ctbs_y = (sps.height + (1 << ctb_log2) - 1) >> ctb_log2
+        cx, cy = self.ctbs_x, self.ctbs_y
+        if pps.tiles_enabled:
+            nc, nr = pps.num_tile_cols, pps.num_tile_rows
+            if pps.uniform_spacing:
+                self.col_bd = [(i * cx) // nc for i in range(nc + 1)]
+                self.row_bd = [(i * cy) // nr for i in range(nr + 1)]
+            else:
+                ws = list(pps.tile_col_widths)
+                ws.append(cx - sum(ws))
+                hs = list(pps.tile_row_heights)
+                hs.append(cy - sum(hs))
+                if min(ws) <= 0 or min(hs) <= 0:
+                    raise ValueError("corrupt PPS: tile geometry")
+                self.col_bd = list(np.concatenate([[0], np.cumsum(ws)]))
+                self.row_bd = list(np.concatenate([[0], np.cumsum(hs)]))
+        else:
+            self.col_bd = [0, cx]
+            self.row_bd = [0, cy]
+        n = cx * cy
+        self.n_ctbs = n
+        self.tile_of_rs = np.zeros(n, np.int32)
+        ts_to_rs = []
+        tid = 0
+        for tr in range(len(self.row_bd) - 1):
+            for tc in range(len(self.col_bd) - 1):
+                for y in range(self.row_bd[tr], self.row_bd[tr + 1]):
+                    for x in range(self.col_bd[tc],
+                                   self.col_bd[tc + 1]):
+                        rs = y * cx + x
+                        ts_to_rs.append(rs)
+                        self.tile_of_rs[rs] = tid
+                tid += 1
+        self.n_tiles = tid
+        self.ts_to_rs = np.array(ts_to_rs, np.int32)
+        self.rs_to_ts = np.zeros(n, np.int32)
+        self.rs_to_ts[self.ts_to_rs] = np.arange(n, dtype=np.int32)
+
+    def first_ctb_of_tile(self, tid: int) -> bool:
+        pass
+
+
+class SharedPictureState:
+    """Per-picture syntax state shared across slice segments: the
+    4x4-granularity maps, SAO output, the availability zone map and
+    the CABAC context carry for dependent segments / WPP rows."""
+
+    def __init__(self, sps, pps, pic=None):
+        mw, mh = (sps.width + 3) // 4, (sps.height + 3) // 4
+        self.ct_depth = np.full((mh, mw), -1, np.int8)
+        self.luma_mode = np.full((mh, mw), -1, np.int8)
+        self.qp_y_map = np.zeros((mh, mw), np.int8)
+        self.zone = np.full((mh, mw), -1, np.int32)
+        self.sao_out = {}
+        self.layout = TileLayout(sps, pps)
+        self.dep_ctx = None               # saved Contexts for dependent
+        self.wpp_ctx = None               # row-sync snapshot (9.3.1)
+        self.wpp_row = -1                 # row the snapshot came from
+        self.pic = pic
+        self.slice_of_ctb = np.full(self.layout.n_ctbs, -1, np.int32)
+
+
+def _ctx_snapshot(ctx: Contexts):
+    return {name: [(c.state, c.mps) for c in models]
+            for name, models in ctx.m.items()}
+
+
+def _ctx_restore(ctx: Contexts, snap) -> None:
+    for name, saved in snap.items():
+        for c, (st, mp) in zip(ctx.m[name], saved):
+            c.state, c.mps = st, mp
 
 
 class SliceDecoder:
-    """Pass-1 CABAC syntax decode of one independent I slice."""
+    """Pass-1 CABAC syntax decode of one I slice segment.
+
+    Single-segment pictures work standalone (shared=None); for
+    multi-slice / dependent-segment / tiles / WPP pictures, pass one
+    SharedPictureState across all segments (formats/hevc.py
+    decode_picture drives that).
+    """
 
     def __init__(self, sps, pps, header: SliceHeader, data: bytes,
-                 pic=None):
+                 pic=None, shared: SharedPictureState | None = None,
+                 slice_idx: int = 0):
         self.sps, self.pps, self.hdr = sps, pps, header
         self.ctb_log2 = sps.ctb_log2
         self.min_cb = sps.log2_min_cb
@@ -230,27 +341,32 @@ class SliceDecoder:
         self.w, self.h = sps.width, sps.height
         self.ctbs_x = (self.w + (1 << self.ctb_log2) - 1) >> self.ctb_log2
         self.ctbs_y = (self.h + (1 << self.ctb_log2) - 1) >> self.ctb_log2
-        if pps.tiles_enabled:
-            raise NotImplementedError("tiles")
-        if pps.entropy_coding_sync:
-            raise NotImplementedError("WPP")
         if sps.bit_depth_luma > 10:
             raise NotImplementedError("bit depth > 10")
-        self.ctx = Contexts(header.qp)
-        self.dec = CabacDecoder(BitReader(data))
-        # syntax-state maps at 4x4 granularity
-        mw, mh = (self.w + 3) // 4, (self.h + 3) // 4
-        self.ct_depth = np.full((mh, mw), -1, np.int8)
-        self.luma_mode = np.full((mh, mw), -1, np.int8)
-        self.qp_y_map = np.full((mh, mw), header.qp, np.int8)
+        self.shared = shared or SharedPictureState(sps, pps, pic)
+        self.layout = self.shared.layout
+        self.slice_idx = slice_idx
+        self.data = data
+        if header.dependent and self.shared.dep_ctx is not None:
+            self.ctx = Contexts(header.qp)
+            _ctx_restore(self.ctx, self.shared.dep_ctx)
+        else:
+            self.ctx = Contexts(header.qp)
+        self.dec = None                   # per-substream, set in decode
+        # syntax-state maps at 4x4 granularity (picture-shared)
+        self.ct_depth = self.shared.ct_depth
+        self.luma_mode = self.shared.luma_mode
+        self.qp_y_map = self.shared.qp_y_map
+        self.zone = self.shared.zone
+        self.cur_zone = 0
         self.qp_prev = header.qp
         self.cu_qp_delta = 0
         self.qp_coded = False
         self.qg_pos = (0, 0)
         self.cur_qp = header.qp
         self.ops: list[PredOp] = []
-        self.sao_out = {}
-        self.pic = pic                    # Picture for SAO/deblock meta
+        self.sao_out = self.shared.sao_out
+        self.pic = pic if pic is not None else self.shared.pic
         self._cu_tus: list[TU] = []
         # scaling lists (8.6.3): PPS override > SPS lists > defaults
         self.scaling_factors = None
@@ -260,32 +376,117 @@ class SliceDecoder:
                 else sps.scaling_lists
             self.scaling_factors = scaling_factors(lists)
 
+    # -- substream plumbing (entry points, 7.4.7.1) ----------------------
+    def _substreams(self):
+        """Split the de-escaped slice data at the entry point offsets;
+        without entry points the whole payload is one substream."""
+        if not self.hdr.entry_points:
+            return [self.data]
+        subs = []
+        pos = 0
+        for off in self.hdr.entry_points:
+            subs.append(self.data[pos:pos + off])
+            pos += off
+        subs.append(self.data[pos:])
+        return subs
+
     # -- top level -------------------------------------------------------
     def decode_slice_data(self):
-        ctb_size = 1 << self.ctb_log2
-        log2_qg = self.ctb_log2 - self.pps.diff_cu_qp_delta_depth
-        self.log2_qg = log2_qg
-        for cy in range(self.ctbs_y):
-            for cx in range(self.ctbs_x):
-                x0, y0 = cx << self.ctb_log2, cy << self.ctb_log2
-                if self.hdr.sao_luma or self.hdr.sao_chroma:
-                    self._parse_sao(cx, cy)
-                self._coding_quadtree(x0, y0, self.ctb_log2, 0)
-                end = self.dec.terminate()
-                last = (cy == self.ctbs_y - 1 and cx == self.ctbs_x - 1)
-                if end != (1 if last else 0):
-                    raise ValueError(
-                        f"end_of_slice_segment_flag {end} at CTB "
-                        f"({cx},{cy}), expected {int(last)}")
+        lay = self.layout
+        self.log2_qg = self.ctb_log2 - self.pps.diff_cu_qp_delta_depth
+        wpp = self.pps.entropy_coding_sync
+        subs = self._substreams()
+        sub_idx = 0
+        self.dec = CabacDecoder(BitReader(subs[0]))
+        start_rs = self.hdr.segment_address
+        ts = int(lay.rs_to_ts[start_rs])
+        first = True
+        while ts < lay.n_ctbs:
+            rs = int(lay.ts_to_rs[ts])
+            cx, cy = rs % self.ctbs_x, rs // self.ctbs_x
+            tile = int(lay.tile_of_rs[rs])
+
+            new_tile = (not first and tile != int(
+                lay.tile_of_rs[int(lay.ts_to_rs[ts - 1])]))
+            new_row = wpp and cx == self._row_start_cx(tile) \
+                and not first
+            if new_tile or new_row:
+                # next substream: entry points give exact byte offsets
+                sub_idx += 1
+                if sub_idx >= len(subs):
+                    raise ValueError("slice data: missing entry point")
+                self.dec = CabacDecoder(BitReader(subs[sub_idx]))
+                if new_tile:
+                    self.ctx = Contexts(self.hdr.qp)      # 9.3.1 tiles
+                elif new_row:
+                    # WPP sync (9.3.1): restore the snapshot taken
+                    # after the 2nd CTB of the row above if that CTB
+                    # is in the same slice; else fresh init
+                    up_right_rs = rs - self.ctbs_x + 1
+                    self.ctx = Contexts(self.hdr.qp)
+                    if (self.shared.wpp_ctx is not None
+                            and up_right_rs >= 0
+                            and self.shared.wpp_row == cy - 1
+                            and self.shared.slice_of_ctb[up_right_rs]
+                            == self.slice_idx):
+                        _ctx_restore(self.ctx, self.shared.wpp_ctx)
+                self.qp_prev = self.hdr.qp                # 7.4.9.* reset
+            first = False
+
+            self.cur_zone = (self.slice_idx << 12) | tile
+            self.shared.slice_of_ctb[rs] = self.slice_idx
+            self._stamp_zone(cx, cy)
+
+            x0, y0 = cx << self.ctb_log2, cy << self.ctb_log2
+            if self.hdr.sao_luma or self.hdr.sao_chroma:
+                self._parse_sao(cx, cy)
+            self._coding_quadtree(x0, y0, self.ctb_log2, 0)
+
+            if wpp and cx == self._row_start_cx(tile) + 1:
+                # storage process: snapshot after the 2nd CTB of a row
+                self.shared.wpp_ctx = _ctx_snapshot(self.ctx)
+                self.shared.wpp_row = cy
+
+            end = self.dec.terminate()
+            if end:
+                # slice segment ends here; save contexts for a
+                # possible dependent continuation (9.3.1 storage)
+                if self.pps.dependent_slice_segments:
+                    self.shared.dep_ctx = _ctx_snapshot(self.ctx)
+                return self.ops
+            if ts == lay.n_ctbs - 1:
+                raise ValueError("end_of_slice_segment_flag 0 at the "
+                                 "last CTB of the picture")
+            ts += 1
         return self.ops
+
+    def _row_start_cx(self, tile: int) -> int:
+        """CTB column where a WPP row begins.  Main-profile streams
+        never combine tiles with entropy_coding_sync (A.4.1), so WPP
+        rows always span the picture."""
+        return 0
+
+    def _stamp_zone(self, cx: int, cy: int) -> None:
+        s = 1 << (self.ctb_log2 - 2)      # CTB size in 4x4 units
+        z = self.zone
+        z[cy * s:(cy + 1) * s, cx * s:(cx + 1) * s] = self.cur_zone
+
+    def _avail(self, nx: int, ny: int) -> bool:
+        """6.4.1 neighbor availability: inside the picture, already
+        decoded (zone stamped) and in the same slice+tile zone."""
+        if nx < 0 or ny < 0 or nx >= self.w or ny >= self.h:
+            return False
+        return self.zone[ny // 4, nx // 4] == self.cur_zone
 
     # -- SAO syntax (7.3.8.3) ---------------------------------------------
     def _parse_sao(self, cx, cy):
         from ffpic_tpu.formats.hevc_recon import SaoParam
         merge_left = merge_up = 0
-        if cx > 0:
+        cs = 1 << self.ctb_log2
+        if cx > 0 and self._avail(cx * cs - 1, cy * cs):
             merge_left = self.dec.decision(self.ctx["sao_merge", 0])
-        if cy > 0 and not merge_left:
+        if cy > 0 and not merge_left \
+                and self._avail(cx * cs, cy * cs - 1):
             merge_up = self.dec.decision(self.ctx["sao_merge", 0])
         if merge_left:
             self.sao_out[(cx, cy)] = self.sao_out[(cx - 1, cy)]
@@ -343,9 +544,11 @@ class SliceDecoder:
         inside = x0 + size <= self.w and y0 + size <= self.h
         if inside and log2 > self.min_cb:
             ctx_inc = 0
-            if x0 > 0 and self.ct_depth[y0 // 4, (x0 - 1) // 4] > depth:
+            if self._avail(x0 - 1, y0) \
+                    and self.ct_depth[y0 // 4, (x0 - 1) // 4] > depth:
                 ctx_inc += 1
-            if y0 > 0 and self.ct_depth[(y0 - 1) // 4, x0 // 4] > depth:
+            if self._avail(x0, y0 - 1) \
+                    and self.ct_depth[(y0 - 1) // 4, x0 // 4] > depth:
                 ctx_inc += 1
             split = self.dec.decision(self.ctx["split_cu_flag", ctx_inc])
         elif log2 > self.min_cb:
@@ -499,7 +702,8 @@ class SliceDecoder:
         for yy in range(size):
             for xx in range(size):
                 luma[yy, xx] = self.dec.read_raw(pbd_y) << sh_y
-        self.ops.append(PcmOp(0, x0, y0, size, luma))
+        self.ops.append(PcmOp(0, x0, y0, size, luma,
+                              zone=self.cur_zone))
         if sps.chroma_format:
             pbd_c = sps.pcm_bit_depth_chroma
             sh_c = sps.bit_depth_chroma - pbd_c
@@ -509,7 +713,8 @@ class SliceDecoder:
                 for yy in range(half):
                     for xx in range(half):
                         cs[yy, xx] = self.dec.read_raw(pbd_c) << sh_c
-                self.ops.append(PcmOp(plane, x0 >> 1, y0 >> 1, half, cs))
+                self.ops.append(PcmOp(plane, x0 >> 1, y0 >> 1, half,
+                                      cs, zone=self.cur_zone))
         self.dec.pcm_end()
         # bookkeeping: neighbors see a PCM CU as INTRA_DC (8.4.2) and
         # the maps get the derived QP for deblocking
@@ -535,7 +740,7 @@ class SliceDecoder:
     def _derive_luma_mode(self, xp, yp, prev, val):
         """MPM construction (8.4.2)."""
         def cand(nx, ny, above):
-            if nx < 0 or ny < 0:
+            if not self._avail(nx, ny):
                 return INTRA_DC
             if above and (ny >> self.ctb_log2) != (yp >> self.ctb_log2):
                 return INTRA_DC
@@ -626,7 +831,8 @@ class SliceDecoder:
         tu = None
         if cbf_luma:
             tu = self._residual(x0, y0, log2, 0, mode)
-        self.ops.append(PredOp(0, x0, y0, size, mode, tu))
+        self.ops.append(PredOp(0, x0, y0, size, mode, tu,
+                               zone=self.cur_zone))
         if self.pic is not None:
             self.pic.mark_edges(x0, y0, size)
         # chroma: at this leaf if size > 4, else at blkIdx 3 (covering
@@ -640,9 +846,9 @@ class SliceDecoder:
             if cbf_cr:
                 tu_cr = self._residual(cx, cy, clog2, 2, cmode)
             self.ops.append(PredOp(1, cx >> 1, cy >> 1, csize, cmode,
-                                   tu_cb))
+                                   tu_cb, zone=self.cur_zone))
             self.ops.append(PredOp(2, cx >> 1, cy >> 1, csize, cmode,
-                                   tu_cr))
+                                   tu_cr, zone=self.cur_zone))
 
     def _parse_cu_qp_delta(self):
         # cu_qp_delta_abs: TR cMax=5 ctx-coded (bin0 ctx0, rest ctx1),

@@ -313,7 +313,7 @@ def _decode_item_yuv(data, s, item_id):
     sps = hevc.parse_sps(sps_l[0])
     pps = hevc.parse_pps(pps_l[0])
     blob = read_item(data, s, item_id)
-    pic = None
+    slices = []
     for nalu in hevc.split_nalus_length_prefixed(blob,
                                                  hvcc["length_size"]):
         t = hevc.nal_type(nalu)
@@ -321,14 +321,15 @@ def _decode_item_yuv(data, s, item_id):
             sps = hevc.parse_sps(nalu)
         elif t == hevc.NAL_PPS:
             pps = hevc.parse_pps(nalu)
-        elif t in (hevc.NAL_IDR_W_RADL, hevc.NAL_IDR_N_LP):
-            pic = hevc.decode_idr_slice(sps, pps, nalu)
-        elif t == hevc.NAL_CRA or 16 <= t <= 18:
+        elif (t in (hevc.NAL_IDR_W_RADL, hevc.NAL_IDR_N_LP)
+              or t == hevc.NAL_CRA or 16 <= t <= 18):
             # CRA/BLA stills (the wild-iPhone norm) decode like IDR;
-            # parse_slice_header handles the extra poc/RPS fields
-            pic = hevc.decode_idr_slice(sps, pps, nalu)
-    if pic is None:
+            # collect ALL slice segment NALUs — multi-slice pictures
+            # and dependent segments decode together
+            slices.append(nalu)
+    if not slices:
         raise ValueError("no slice NALU in hvc1 item")
+    pic = hevc.decode_picture(sps, pps, slices)
     return pic, sps, props
 
 
@@ -632,7 +633,7 @@ def _decode_sequence(data: bytes, boxes, mode: str) -> list:
                 off += sizes[si]
                 si += 1
                 try:
-                    pic = None
+                    slices = []
                     for nalu in hevc.split_nalus_length_prefixed(
                             blob, hvcc["length_size"]):
                         t = hevc.nal_type(nalu)
@@ -642,9 +643,10 @@ def _decode_sequence(data: bytes, boxes, mode: str) -> list:
                             pps = hevc.parse_pps(nalu)
                         elif t in (hevc.NAL_IDR_W_RADL,
                                    hevc.NAL_IDR_N_LP):
-                            pic = hevc.decode_idr_slice(sps, pps, nalu)
-                    if pic is None:
+                            slices.append(nalu)
+                    if not slices:
                         continue      # non-intra sample: skip
+                    pic = hevc.decode_picture(sps, pps, slices)
                     rgba = _yuv_pic_to_rgba(pic, sps, None, None, mode)
                     frames.append(rgba)
                 except (ValueError, NotImplementedError) as e:

@@ -317,41 +317,72 @@ def nal_type(nalu: bytes) -> int:
 
 
 def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
-    """Decode one IDR slice NALU to a reconstructed Picture
-    (full pixel path: CABAC syntax -> recon -> deblock -> SAO).
+    """Decode a single-segment IRAP picture (compat wrapper over
+    decode_picture)."""
+    return decode_picture(sps, pps, [nalu])
 
-    Reference scope anchor: parse_slice_segment_layer
-    (coding/hevc.c:7194-7292) — but with deblock and SAO actually
-    implemented (the reference stubs/disables them, hevc.c:7173-7192).
+
+def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
+    """Decode all slice segment NALUs of one intra picture to a
+    reconstructed Picture (CABAC syntax -> recon -> deblock -> SAO).
+
+    Handles multi-slice pictures, dependent slice segments (CABAC
+    context carry, 9.3.1), tiles and WPP entry points — all of which
+    the reference parses in its CTU loop (hevc.c:6981-7005, 2660,
+    cabac.c:708-733).  Single-segment plain pictures take the native
+    C fast path.
     """
-    from ffpic_tpu.coding.hevc_slice import (SliceDecoder,
+    from ffpic_tpu.coding.hevc_slice import (SharedPictureState,
+                                             SliceDecoder,
                                              parse_slice_header)
     from ffpic_tpu.formats import hevc_recon
 
     import os
 
     _validate_params(sps, pps)
-    rbsp = unescape(nalu)
-    r = BitReader(rbsp)
-    nut = (rbsp[0] >> 1) & 0x3F
-    r.skip_bits(16)
-    hdr = parse_slice_header(r, nut, sps, pps)
-    data = rbsp[hdr.data_bit_offset // 8:]
     pic = hevc_recon.Picture(sps)
 
-    ops = None
-    if (not os.environ.get("FFPIC_NO_NATIVE")
+    parsed = []
+    prev_hdr = None
+    for nalu in slice_nalus:
+        rbsp = unescape(nalu)
+        r = BitReader(rbsp)
+        nut = (rbsp[0] >> 1) & 0x3F
+        r.skip_bits(16)
+        hdr = parse_slice_header(r, nut, sps, pps, prev=prev_hdr)
+        if not hdr.dependent:
+            prev_hdr = hdr
+        parsed.append((hdr, rbsp[hdr.data_bit_offset // 8:]))
+
+    hdr0 = parsed[0][0]
+    simple = (len(parsed) == 1 and hdr0.first_slice
+              and not pps.tiles_enabled and not pps.entropy_coding_sync)
+    if (simple and not os.environ.get("FFPIC_NO_NATIVE")
             and sps.bit_depth_luma in (8, 9, 10) and not sps.pcm_enabled
-            and not sps.scaling_list_enabled
-            and not pps.tiles_enabled and not pps.entropy_coding_sync):
+            and not sps.scaling_list_enabled):
         from ffpic_tpu import native
         if native.available():
-            ops = _decode_slice_native(sps, pps, hdr, data, pic)
-    if ops is None:
-        sd = SliceDecoder(sps, pps, hdr, data, pic)
-        ops = sd.decode_slice_data()
-        pic.sao_params = sd.sao_out
-    hevc_recon.execute_ops(pic, ops)
+            ops = _decode_slice_native(sps, pps, hdr0, parsed[0][1],
+                                       pic)
+            hevc_recon.execute_ops(pic, ops)
+            return _finish_picture(pic, hdr0, pps)
+
+    shared = SharedPictureState(sps, pps, pic)
+    all_ops = []
+    slice_idx = -1
+    for hdr, data in parsed:
+        if not hdr.dependent:
+            slice_idx += 1
+        sd = SliceDecoder(sps, pps, hdr, data, pic, shared=shared,
+                          slice_idx=slice_idx)
+        all_ops.extend(sd.decode_slice_data())
+    pic.sao_params = shared.sao_out
+    hevc_recon.execute_ops(pic, all_ops)
+    return _finish_picture(pic, hdr0, pps)
+
+
+def _finish_picture(pic, hdr, pps):
+    from ffpic_tpu.formats import hevc_recon
     if not hdr.deblocking_disabled:
         hevc_recon.deblock(pic, hdr.beta_offset_div2, hdr.tc_offset_div2,
                            cb_qp_off=pps.cb_qp_offset,

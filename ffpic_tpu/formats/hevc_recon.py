@@ -608,7 +608,18 @@ def execute_ops(pic: Picture, ops) -> None:
     if os.environ.get("FFPIC_HEVC_DEVICE"):
         from ffpic_tpu.ops.hevc_kernels import residuals_for_ops
         dev_res = residuals_for_ops(ops, pic.bd)
+    cur_zone = None
     for op in ops:
+        # availability zones (6.4.1): intra prediction may not cross
+        # slice or tile boundaries — ops come in decode order, so a
+        # zone change resets the decoded-sample masks
+        z = getattr(op, "zone", 0)
+        if cur_zone is None:
+            cur_zone = z
+        elif z != cur_zone:
+            for m in pic.masks:
+                m[:] = False
+            cur_zone = z
         if not hasattr(op, "mode"):        # PcmOp: raw samples
             pic.planes[op.plane][op.y:op.y + op.n,
                                  op.x:op.x + op.n] = op.samples

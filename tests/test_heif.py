@@ -292,3 +292,44 @@ def test_native_color_matches_numpy():
                 finally:
                     del os.environ["FFPIC_NO_NATIVE"]
                 np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("kw,enc_kw", [
+    (dict(), dict(n_slices=3)),
+    (dict(tiles=(2, 2)), dict()),
+    (dict(wpp=True), dict()),
+    (dict(dependent_slices=True), dict(dependent_splits=2)),
+])
+def test_heif_multislice_tiles_wpp_items(kw, enc_kw):
+    """HEIC items whose hvc1 stream uses multi-slice pictures, tiles,
+    WPP or dependent slice segments (the wild non-Apple-encoder
+    shapes) decode end-to-end through the container path."""
+    import struct
+    from ffpic_tpu.coding.hevc_enc import (EncPolicy, SliceEncoder,
+                                           write_pps)
+    from ffpic_tpu.formats import heif_enc
+    import ffpic_tpu
+
+    W = H = 128
+    _, rgba = _pic(W, H, seed=21)
+    y, u, v = heif_enc.rgb_to_yuv420(rgba)
+    pol = EncPolicy(seed=3, split_prob=0.4, tt_split_prob=0.3,
+                    nxn_prob=0.2)
+    enc = SliceEncoder(dict(width=W, height=H, ctb_log2=5), kw, 28,
+                       (y.astype(np.int32), u.astype(np.int32),
+                        v.astype(np.int32)), pol)
+    nalus = enc.encode_picture(**enc_kw)
+    payload = b"".join(struct.pack(">I", len(n)) + n for n in nalus)
+    items = [(1, b"hvc1", payload, [
+        (heif_enc._box("hvcC", heif_enc._hvcc(enc.sps_rbsp,
+                                              enc.pps_rbsp)), True),
+        (heif_enc._ispe(W, H), False)])]
+    data = heif_enc._assemble(items, [], 1)
+    pic = ffpic_tpu.load(data)
+    px = pic.np_pixels()
+    assert px.shape == (H, W, 4)
+    # the container decode must equal the encoder recon through the
+    # same color transform
+    from ffpic_tpu.formats import heif as heif_mod
+    want = heif_mod._yuv_pic_to_rgba(enc.pic, enc.sps, W, H, "bt601")
+    np.testing.assert_array_equal(px, want)

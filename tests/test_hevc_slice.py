@@ -560,3 +560,73 @@ def test_roundtrip_pcm(bd, pcm_bd):
                   "matrix instead; defect logged in PARITY.md")
 def test_reference_decodes_pcm_stream():
     pass
+
+
+def _roundtrip_picture(n_slices=1, dependent_splits=0, tiles=None,
+                       wpp=False, W=96, H=96, qp=30, seed=5,
+                       pps_extra=None, sps_extra=None):
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_picture
+    sp = dict(width=W, height=H, ctb_log2=5)
+    if sps_extra:
+        sp.update(sps_extra)
+    pp = dict(dependent_slices=dependent_splits > 0, tiles=tiles,
+              wpp=wpp)
+    if pps_extra:
+        pp.update(pps_extra)
+    enc = SliceEncoder(sp, pp, qp, _planes(W, H, seed), _full_policy())
+    nalus = enc.encode_picture(n_slices=n_slices,
+                               dependent_splits=dependent_splits)
+    pic = decode_picture(enc.sps, enc.pps, nalus)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            pic.planes[i], enc.pic.planes[i],
+            err_msg=f"plane {i} (slices={n_slices} "
+                    f"dep={dependent_splits} tiles={tiles} wpp={wpp})")
+    return enc, nalus
+
+
+@pytest.mark.parametrize("n_slices", [2, 3, 5])
+def test_roundtrip_multislice(n_slices):
+    """Multi-slice pictures: independent slices with availability
+    reset at slice boundaries (6.4.1), CABAC re-init per slice."""
+    enc, nalus = _roundtrip_picture(n_slices=n_slices)
+    assert len(nalus) == n_slices
+
+
+def test_roundtrip_dependent_segments():
+    """Dependent slice segments: context carry across segments
+    (9.3.1 storage/restore), header field inheritance."""
+    enc, nalus = _roundtrip_picture(n_slices=1, dependent_splits=2)
+    assert len(nalus) == 3
+    enc, nalus = _roundtrip_picture(n_slices=2, dependent_splits=1)
+    assert len(nalus) == 4
+
+
+@pytest.mark.parametrize("tiles", [(2, 1), (2, 2), (3, 2)])
+def test_roundtrip_tiles(tiles):
+    """Tiles: tile-scan CTB order, per-tile CABAC reset, entry point
+    substreams, availability stops at tile boundaries."""
+    enc, nalus = _roundtrip_picture(tiles=tiles, W=128, H=96)
+    assert enc.pps.tiles_enabled
+
+
+def test_roundtrip_wpp():
+    """WPP (entropy_coding_sync): per-row substreams with entry
+    points, context snapshot after the 2nd CTB of each row, row-start
+    sync restore."""
+    enc, nalus = _roundtrip_picture(wpp=True, W=128, H=96)
+    assert enc.pps.entropy_coding_sync
+    assert len(nalus) == 1
+
+
+def test_roundtrip_tiles_with_multislice():
+    """Tiles x multi-slice: slices split in tile-scan order."""
+    _roundtrip_picture(tiles=(2, 2), n_slices=2, W=128, H=128)
+
+
+def test_roundtrip_wpp_with_features():
+    """WPP combined with sign hiding + transform skip."""
+    _roundtrip_picture(wpp=True, W=96, H=64,
+                       pps_extra=dict(sign_hiding=True,
+                                      transform_skip=True))
