@@ -630,3 +630,60 @@ def test_roundtrip_wpp_with_features():
     _roundtrip_picture(wpp=True, W=96, H=64,
                        pps_extra=dict(sign_hiding=True,
                                       transform_skip=True))
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_randomized_coverage_campaign(trial):
+    """Randomized campaign over the round-3 coverage features:
+    multi-slice x dependent segments x tiles x WPP x PCM x scaling
+    lists, with randomized geometry and policies — sample-exact
+    roundtrips."""
+    from ffpic_tpu.coding.hevc_enc import EncPolicy, SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_picture
+    rng0 = np.random.default_rng(7000 + trial)
+    ctb = int(rng0.choice([4, 5]))
+    W = int(rng0.choice([96, 128]))
+    H = int(rng0.choice([64, 96]))
+    qp = int(rng0.integers(8, 46))
+    shape = trial % 5
+    pps_kw = {}
+    enc_kw = {}
+    sps_kw = {}
+    if shape == 0:
+        enc_kw["n_slices"] = int(rng0.integers(2, 5))
+    elif shape == 1:
+        pps_kw["dependent_slices"] = True
+        enc_kw["dependent_splits"] = int(rng0.integers(1, 4))
+        enc_kw["n_slices"] = int(rng0.integers(1, 3))
+    elif shape == 2:
+        pps_kw["tiles"] = (int(rng0.integers(2, 4)),
+                           int(rng0.integers(1, 3)))
+    elif shape == 3:
+        pps_kw["wpp"] = True
+    else:
+        pps_kw["tiles"] = (2, 2)
+        enc_kw["n_slices"] = 2
+    if rng0.random() < 0.4:
+        sps_kw["pcm"] = dict(bd_luma=8, bd_chroma=8,
+                             log2_min=3, log2_diff=ctb - 3)
+    if rng0.random() < 0.4:
+        sps_kw["scaling_lists"] = "default"
+    if rng0.random() < 0.3:
+        pps_kw["sign_hiding"] = True
+    rng = np.random.default_rng(trial)
+    y = rng.integers(0, 256, (H, W)).astype(np.int32)
+    u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+    v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+    pol = EncPolicy(seed=trial, split_prob=float(rng0.random()),
+                    tt_split_prob=float(rng0.random() * 0.5),
+                    nxn_prob=float(rng0.random() * 0.6),
+                    mode_candidates=tuple(range(35)),
+                    pcm_prob=0.3 if "pcm" in sps_kw else 0.0)
+    enc = SliceEncoder(dict(width=W, height=H, ctb_log2=ctb, **sps_kw),
+                       pps_kw, qp, (y, u, v), pol)
+    nalus = enc.encode_picture(**enc_kw)
+    pic = decode_picture(enc.sps, enc.pps, nalus)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            pic.planes[i], enc.pic.planes[i],
+            err_msg=f"trial {trial} shape {shape} plane {i}")
