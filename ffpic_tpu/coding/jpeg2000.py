@@ -1,0 +1,813 @@
+"""JPEG 2000 (ISO/IEC 15444-1) codestream decoder: MQ arithmetic
+coder (Annex C), EBCOT tier-1 coefficient-bit modeling (Annex D),
+tier-2 packet decoding with tag trees (Annex B), inverse 5/3 and 9/7
+wavelets (Annex F), dequantization (Annex E) and the RCT/ICT
+multi-component transforms (Annex G).
+
+The reference parses JP2 boxes and codestream markers but has no
+entropy decode and produces no pixels (jp2.c:424-447 stops at packet
+headers) — this is a beat-the-reference component.  Differentially
+tested against openjpeg via PIL (tests/test_jp2_decode.py).
+
+Scope: single tile, component subsampling 1, one precinct per
+resolution (the openjpeg/PIL defaults), LRCP/RLCP/RPCL progressions,
+any layer count, reversible (5/3 + RCT) and irreversible (9/7 + ICT),
+up to 16-bit components.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# MQ arithmetic decoder (Annex C; same coder as JBIG2)
+# ---------------------------------------------------------------------------
+
+# (Qe, NMPS, NLPS, SWITCH)
+QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+N_CTX = 19
+CTX_UNI = 18
+CTX_RL = 17
+
+
+class MQDecoder:
+    """C.3 decoding procedure.  Context state: (index, mps) pairs."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct", "idx", "mps")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        # INITDEC (C.3.5)
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self.ct = 0
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+        # context states: D.2 initial indices
+        self.idx = [0] * N_CTX
+        self.mps = [0] * N_CTX
+        self.idx[CTX_UNI] = 46
+        self.idx[CTX_RL] = 3
+        self.idx[0] = 4                # first ZC context
+
+    def _bytein(self):
+        data, bp = self.data, self.bp
+        b = data[bp] if bp < len(data) else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: int) -> int:
+        i = self.idx[cx]
+        qe, nmps, nlps, switch = QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = self.mps[cx]
+                self.idx[cx] = nmps
+            else:
+                d = 1 - self.mps[cx]
+                if switch:
+                    self.mps[cx] ^= 1
+                self.idx[cx] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return self.mps[cx]
+            if self.a < qe:
+                d = 1 - self.mps[cx]
+                if switch:
+                    self.mps[cx] ^= 1
+                self.idx[cx] = nlps
+            else:
+                d = self.mps[cx]
+                self.idx[cx] = nmps
+        # RENORMD
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+# ---------------------------------------------------------------------------
+# tier-1: EBCOT coefficient-bit modeling (Annex D)
+# ---------------------------------------------------------------------------
+
+def _zc_tables():
+    """ctx index per (orientation, h, v, d) — Table D.1."""
+    lut = np.zeros((3, 3, 3, 5), np.int8)   # [kind][h][v][d]
+    # kind 0: LL & LH (and HL via swapped h/v); kind 2: HH
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                if h == 2:
+                    c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
+                else:
+                    if v == 2:
+                        c = 4
+                    elif v == 1:
+                        c = 3
+                    elif d >= 2:
+                        c = 2
+                    else:
+                        c = d
+                lut[0, h, v, d] = c
+                lut[1, v, h, d] = c          # HL: swap h/v
+                hv = h + v
+                if d >= 3:
+                    c2 = 8
+                elif d == 2:
+                    c2 = 7 if hv >= 1 else 6
+                elif d == 1:
+                    c2 = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                else:
+                    c2 = 2 if hv >= 2 else hv
+                lut[2, h, v, d] = c2
+    return lut
+
+
+_ZC = _zc_tables()
+
+# sign-coding Table D.3: (hc+1, vc+1) -> (ctx, xorbit)
+_SC = {(2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
+       (1, 2): (10, 0), (1, 1): (9, 0), (1, 0): (10, 1),
+       (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1)}
+
+
+class BlockDecoder:
+    """Decode one code-block's coefficient magnitudes + signs."""
+
+    def __init__(self, w: int, h: int, orient: int):
+        self.w, self.h = w, h
+        self.orient = orient               # 0 LL/LH kind, 1 HL, 2 HH
+        # padded state arrays (1-cell border simplifies neighbors)
+        self.sig = np.zeros((h + 2, w + 2), np.uint8)
+        self.sgn = np.zeros((h + 2, w + 2), np.uint8)   # 1 = negative
+        self.vis = np.zeros((h + 2, w + 2), np.uint8)
+        self.refined = np.zeros((h + 2, w + 2), np.uint8)
+        self.mag = np.zeros((h, w), np.int32)
+
+    # neighbor helpers (y/x are 1-based into padded arrays)
+    def _hvd(self, y, x):
+        s = self.sig
+        hn = int(s[y, x - 1]) + int(s[y, x + 1])
+        vn = int(s[y - 1, x]) + int(s[y + 1, x])
+        dn = (int(s[y - 1, x - 1]) + int(s[y - 1, x + 1])
+              + int(s[y + 1, x - 1]) + int(s[y + 1, x + 1]))
+        return hn, vn, dn
+
+    def _zc_ctx(self, y, x):
+        hn, vn, dn = self._hvd(y, x)
+        return int(_ZC[self.orient, min(hn, 2), min(vn, 2), min(dn, 4)])
+
+    def _decode_sign(self, mq, y, x):
+        s, g = self.sig, self.sgn
+
+        def contrib(sig_a, sgn_a, sig_b, sgn_b):
+            c = 0
+            if sig_a:
+                c += -1 if sgn_a else 1
+            if sig_b:
+                c += -1 if sgn_b else 1
+            return max(-1, min(1, c))
+        hc = contrib(s[y, x - 1], g[y, x - 1], s[y, x + 1], g[y, x + 1])
+        vc = contrib(s[y - 1, x], g[y - 1, x], s[y + 1, x], g[y + 1, x])
+        ctx, xorbit = _SC[(hc + 1, vc + 1)]
+        return mq.decode(ctx) ^ xorbit
+
+    def decode(self, data: bytes, n_passes: int, mb: int,
+               zbp: int) -> np.ndarray:
+        """Run n_passes starting at bit-plane mb-1-zbp.  Returns
+        signed int32 coefficients (mag with sign applied)."""
+        if n_passes <= 0 or not data:
+            return self.mag
+        mq = MQDecoder(data)
+        w, h = self.w, self.h
+        plane = mb - 1 - zbp
+        # first plane: cleanup only
+        pass_kind = 2
+        for _ in range(n_passes):
+            if plane < 0:
+                break
+            bit = 1 << plane
+            if pass_kind == 0:
+                self._spp(mq, bit)
+            elif pass_kind == 1:
+                self._mrp(mq, bit)
+            else:
+                self._cup(mq, bit)
+                self.vis[:] = 0
+                plane -= 1
+            pass_kind = (pass_kind + 1) % 3
+        out = self.mag.copy()
+        neg = self.sgn[1:h + 1, 1:w + 1] == 1
+        out[neg] = -out[neg]
+        return out
+
+    def _spp(self, mq, bit):
+        sig, vis = self.sig, self.vis
+        for y0 in range(1, self.h + 1, 4):
+            for x in range(1, self.w + 1):
+                for y in range(y0, min(y0 + 4, self.h + 1)):
+                    if sig[y, x]:
+                        continue
+                    hn, vn, dn = self._hvd(y, x)
+                    if hn + vn + dn == 0:
+                        continue
+                    vis[y, x] = 1
+                    ctx = int(_ZC[self.orient, min(hn, 2), min(vn, 2),
+                                  min(dn, 4)])
+                    if mq.decode(ctx):
+                        self.sgn[y, x] = self._decode_sign(mq, y, x)
+                        sig[y, x] = 1
+                        self.mag[y - 1, x - 1] = bit
+
+    def _mrp(self, mq, bit):
+        sig, vis, ref = self.sig, self.vis, self.refined
+        for y0 in range(1, self.h + 1, 4):
+            for x in range(1, self.w + 1):
+                for y in range(y0, min(y0 + 4, self.h + 1)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if ref[y, x]:
+                        ctx = 16
+                    else:
+                        hn, vn, dn = self._hvd(y, x)
+                        ctx = 15 if hn + vn + dn else 14
+                        ref[y, x] = 1
+                    if mq.decode(ctx):
+                        self.mag[y - 1, x - 1] |= bit
+                    vis[y, x] = 1
+
+    def _cup(self, mq, bit):
+        sig, vis = self.sig, self.vis
+        h, w = self.h, self.w
+        for y0 in range(1, h + 1, 4):
+            full = y0 + 3 <= h
+            for x in range(1, w + 1):
+                y = y0
+                if full and not vis[y0:y0 + 4, x].any() \
+                        and not sig[y0:y0 + 4, x].any():
+                    # run-length mode: all 4 with zero context?
+                    clean = True
+                    for yy in range(y0, y0 + 4):
+                        hn, vn, dn = self._hvd(yy, x)
+                        if hn + vn + dn:
+                            clean = False
+                            break
+                    if clean:
+                        if not mq.decode(CTX_RL):
+                            continue
+                        r = (mq.decode(CTX_UNI) << 1) | mq.decode(
+                            CTX_UNI)
+                        y = y0 + r
+                        # that sample becomes significant directly
+                        self.sgn[y, x] = self._decode_sign(mq, y, x)
+                        sig[y, x] = 1
+                        self.mag[y - 1, x - 1] = bit
+                        y += 1
+                while y < min(y0 + 4, h + 1):
+                    if not sig[y, x] and not vis[y, x]:
+                        ctx = self._zc_ctx(y, x)
+                        if mq.decode(ctx):
+                            self.sgn[y, x] = self._decode_sign(mq, y,
+                                                               x)
+                            sig[y, x] = 1
+                            self.mag[y - 1, x - 1] = bit
+                    y += 1
+
+
+# ---------------------------------------------------------------------------
+# tier-2: packet headers (Annex B)
+# ---------------------------------------------------------------------------
+
+class PktBits:
+    """Packet-header bit reader with 0xFF stuffing (B.10.1)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.byte = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            prev = self.byte
+            self.byte = self.data[self.pos]
+            self.pos += 1
+            self.ct = 7 if prev == 0xFF else 8
+        self.ct -= 1
+        return (self.byte >> self.ct) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """End of packet header: byte-align (+ stuffing byte after a
+        trailing 0xFF); returns the body start position."""
+        if self.ct == 0 and self.byte == 0xFF:
+            self.pos += 1                 # stuffing byte
+        self.ct = 0
+        self.byte = 0
+        return self.pos
+
+
+class TagTree:
+    """B.10.2 tag tree over a w x h leaf grid.  Each node carries a
+    lower bound (`low`) and a resolved flag (`known`, meaning value ==
+    low); queries refine nodes root-to-leaf up to a threshold."""
+
+    def __init__(self, w: int, h: int):
+        self.dims = []
+        while True:
+            self.dims.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        self.low = [np.zeros((h_, w_), np.int32)
+                    for (w_, h_) in self.dims]
+        self.known = [np.zeros((h_, w_), bool)
+                      for (w_, h_) in self.dims]
+
+    def decode(self, br: PktBits, x: int, y: int,
+               threshold: int) -> int:
+        """Returns the leaf value if it resolves < threshold, else
+        `threshold` (meaning value >= threshold)."""
+        low = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            nx, ny = x >> lvl, y >> lvl
+            lo = self.low[lvl]
+            kn = self.known[lvl]
+            if lo[ny, nx] < low:
+                lo[ny, nx] = low
+            while not kn[ny, nx] and lo[ny, nx] < threshold:
+                if br.bit():
+                    kn[ny, nx] = True
+                else:
+                    lo[ny, nx] += 1
+            low = int(lo[ny, nx])
+            if not kn[ny, nx]:
+                return threshold          # >= threshold, unresolved
+        return low
+
+    def decode_full(self, br: PktBits, x: int, y: int) -> int:
+        """Fully resolve a leaf value (used for zero bit-planes)."""
+        t = 1
+        while True:
+            v = self.decode(br, x, y, t)
+            if v < t:
+                return v
+            t += 1
+
+
+def _decode_npasses(br: PktBits) -> int:
+    if not br.bit():
+        return 1
+    if not br.bit():
+        return 2
+    v = br.bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.bits(7)
+
+
+# ---------------------------------------------------------------------------
+# inverse wavelets (Annex F; openjpeg-compatible lifting)
+# ---------------------------------------------------------------------------
+
+def _idwt53_1d(L: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Inverse reversible 5/3 along axis 0 (vectorized over axis 1).
+    Even output samples come from L, odd from H (even-anchored)."""
+    nl, nh = L.shape[0], H.shape[0]
+    n = nl + nh
+    if n == 1:
+        return L if nl else (H // 2)
+    Lp = L.astype(np.int64)
+    Hp = H.astype(np.int64)
+
+    def Hc(i):                       # clamped highpass access
+        return Hp[min(max(i, 0), nh - 1)]
+    # even: x[2i] = L[i] - floor((H[i-1] + H[i] + 2) / 4)
+    hm1 = Hp[np.maximum(np.arange(nl) - 1, 0)]
+    h0 = Hp[np.minimum(np.arange(nl), nh - 1)]
+    ev = Lp - ((hm1 + h0 + 2) >> 2)
+    # odd: x[2i+1] = H[i] + floor((x[2i] + x[2i+2]) / 2)
+    e0 = ev[np.minimum(np.arange(nh), nl - 1)]
+    e1 = ev[np.minimum(np.arange(nh) + 1, nl - 1)]
+    od = Hp + ((e0 + e1) >> 1)
+    out = np.empty((n,) + L.shape[1:], np.int64)
+    out[0::2] = ev
+    out[1::2] = od
+    return out
+
+
+_K97 = 1.230174104914
+_IK97 = 1.0 / _K97
+_A97 = 1.586134342059924
+_B97 = 0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+
+
+def _idwt97_1d(L: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Inverse irreversible 9/7 along axis 0 (float64)."""
+    nl, nh = L.shape[0], H.shape[0]
+    n = nl + nh
+    if n == 1:
+        return (L * 1.0) if nl else (H * 0.5)
+    s = L.astype(np.float64) * _K97
+    d = H.astype(np.float64) * _IK97
+
+    def cl(a, i):
+        return a[np.clip(i, 0, a.shape[0] - 1)]
+    i_l = np.arange(nl)
+    i_h = np.arange(nh)
+    # spec F.4.8.2 lifting with alpha/beta NEGATIVE (T.800):
+    # undo delta, gamma (positive), then beta, alpha (negative)
+    s = s - _D97 * (cl(d, i_l - 1) + cl(d, i_l))
+    d = d - _G97 * (cl(s, i_h) + cl(s, i_h + 1))
+    s = s + _B97 * (cl(d, i_l - 1) + cl(d, i_l))
+    d = d + _A97 * (cl(s, i_h) + cl(s, i_h + 1))
+    out = np.empty((n,) + L.shape[1:], np.float64)
+    out[0::2] = s
+    out[1::2] = d
+    return out
+
+
+def _idwt_2d(ll, hl, lh, hh, reversible: bool):
+    """One synthesis level: LL+HL (columns-of-rows) then vertical."""
+    f = _idwt53_1d if reversible else _idwt97_1d
+    # horizontal: rows — combine LL|HL and LH|HH along x
+    top = f(ll.T, hl.T).T       # (h_ll, w_ll + w_hl)
+    bot = f(lh.T, hh.T).T
+    return f(top, bot)
+
+
+# ---------------------------------------------------------------------------
+# codestream decode
+# ---------------------------------------------------------------------------
+
+class _Band:
+    __slots__ = ("orient", "w", "h", "coefs", "eps", "mu", "gain",
+                 "cbs", "inc_tree", "zbp_tree")
+
+    def __init__(self, orient, w, h):
+        self.orient = orient             # 0 LL, 1 HL, 2 LH, 3 HH
+        self.w, self.h = w, h
+        self.coefs = np.zeros((max(h, 0), max(w, 0)), np.float64)
+        self.cbs = []                    # per code-block state dicts
+
+
+def _band_dims(w, h, n, xob, yob):
+    """Band size for level n with band origin (xob, yob) (B-15,
+    image origin 0)."""
+    bw = -(-(w - (1 << (n - 1)) * xob) // (1 << n))
+    bh = -(-(h - (1 << (n - 1)) * yob) // (1 << n))
+    return max(bw, 0), max(bh, 0)
+
+
+def decode_codestream(data: bytes, pos: int = 0) -> tuple:
+    """Decode a JPEG 2000 codestream to component sample arrays.
+
+    Returns (list of (H, W) int32 arrays, meta dict).  Scope: single
+    tile, subsampling 1, one precinct per resolution (openjpeg/PIL
+    defaults), LRCP/RLCP progressions."""
+    n = len(data)
+    siz = cod = qcd = None
+    sot_pos = None
+    tile_parts = []
+    while pos + 4 <= n:
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == 0xFF4F:             # SOC
+            pos += 2
+            continue
+        if marker == 0xFFD9:             # EOC
+            break
+        if marker == 0xFF93:             # SOD
+            # tile-part body runs to the next SOT/EOC; psot gives it
+            body0 = pos + 2
+            psot = tile_parts[-1]["psot"]
+            end = (tile_parts[-1]["sot_pos"] + psot if psot
+                   else n - 2)
+            tile_parts[-1]["body"] = data[body0:end]
+            pos = end
+            continue
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4:pos + 2 + ln]
+        if marker == 0xFF51:             # SIZ
+            (_cap, xs, ys, x0, y0, xt, yt, xt0, yt0,
+             nc) = struct.unpack_from(">HIIIIIIIIH", seg, 0)
+            comps = []
+            for c in range(nc):
+                ssiz, xr, yr = struct.unpack_from(">BBB", seg,
+                                                  36 + 3 * c)
+                comps.append(dict(depth=(ssiz & 0x7F) + 1,
+                                  signed=bool(ssiz & 0x80),
+                                  dx=xr, dy=yr))
+            siz = dict(w=xs - x0, h=ys - y0, comps=comps,
+                       tiles=(xt, yt, xt0, yt0))
+        elif marker == 0xFF52:           # COD
+            scod = seg[0]
+            prog, layers, mct = struct.unpack_from(">BHB", seg, 1)
+            levels = seg[5]
+            xcb = (seg[6] & 0xF) + 2
+            ycb = (seg[7] & 0xF) + 2
+            cstyle = seg[8]
+            transform = seg[9]           # 0 = 9/7, 1 = 5/3
+            cod = dict(prog=prog, layers=layers, mct=mct,
+                       levels=levels, xcb=xcb, ycb=ycb,
+                       cstyle=cstyle, reversible=transform == 1,
+                       precincts=bool(scod & 1),
+                       sop=bool(scod & 2), eph=bool(scod & 4))
+            if cod["precincts"]:
+                cod["prc"] = [(seg[10 + i] & 0xF,
+                               (seg[10 + i] >> 4) & 0xF)
+                              for i in range(levels + 1)]
+        elif marker == 0xFF5C:           # QCD
+            sq = seg[0]
+            style = sq & 0x1F
+            guard = sq >> 5
+            vals = []
+            if style == 0:
+                vals = [(b >> 3, 0) for b in seg[1:]]
+            else:
+                for i in range(1, len(seg) - 1, 2):
+                    v = struct.unpack_from(">H", seg, i)[0]
+                    vals.append((v >> 11, v & 0x7FF))
+            qcd = dict(style=style, guard=guard, vals=vals)
+        elif marker == 0xFF90:           # SOT
+            isot, psot, tpsot, tnsot = struct.unpack_from(
+                ">HIBB", seg, 0)
+            tile_parts.append(dict(isot=isot, psot=psot,
+                                   sot_pos=pos, body=b""))
+        pos += 2 + ln
+
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("JPEG 2000: missing SIZ/COD/QCD")
+    W, H = siz["w"], siz["h"]
+    if siz["tiles"][0] < W or siz["tiles"][1] < H:
+        raise NotImplementedError("JPEG 2000: multi-tile codestream")
+    for c in siz["comps"]:
+        if c["dx"] != 1 or c["dy"] != 1:
+            raise NotImplementedError("JPEG 2000: subsampled "
+                                      "components")
+    if cod["cstyle"] & 0x3F not in (0,):
+        raise NotImplementedError("JPEG 2000: code-block style "
+                                  f"{cod['cstyle']:#x}")
+    body = b"".join(tp["body"] for tp in tile_parts)
+
+    levels = cod["levels"]
+    reversible = cod["reversible"]
+    ncomp = len(siz["comps"])
+
+    # build band structure per component (B-15 geometry)
+    comps_bands = []
+    for ci in range(ncomp):
+        res = []                          # res[r] = list of bands
+        # r = 0: LL_levels
+        b = _Band(0, -(-W // (1 << levels)), -(-H // (1 << levels)))
+        res.append([b])
+        for r in range(1, levels + 1):
+            nlev = levels - r + 1
+            hl = _Band(1, *_band_dims(W, H, nlev, 1, 0))
+            lh = _Band(2, *_band_dims(W, H, nlev, 0, 1))
+            hh = _Band(3, *_band_dims(W, H, nlev, 1, 1))
+            res.append([hl, lh, hh])
+        comps_bands.append(res)
+
+    # quantization per band: map (r, band) -> (eps, mu, gain)
+    def band_quant(ci, r, orient):
+        idx = 0 if r == 0 else 1 + 3 * (r - 1) + (orient - 1)
+        gain = (0, 1, 1, 2)[orient]
+        if qcd["style"] == 1:            # scalar derived (E-5):
+            # eps_b = eps_0 - NL + n_b; n_b = NL for LL, NL-r+1 else
+            e0, m0 = qcd["vals"][0]
+            eps = e0 if r == 0 else e0 - r + 1
+            return eps, m0, gain
+        e, m = qcd["vals"][min(idx, len(qcd["vals"]) - 1)]
+        return e, m, gain
+
+    # code-block grids per band
+    xcb, ycb = cod["xcb"], cod["ycb"]
+    if cod["precincts"]:
+        # only whole-band precincts supported; effective cb size caps
+        raise NotImplementedError("JPEG 2000: explicit precincts")
+    for ci in range(ncomp):
+        depth = siz["comps"][ci]["depth"]
+        for r, bands in enumerate(comps_bands[ci]):
+            # in resolution r>0 the cb size halves? (B.7: cb size is
+            # min(xcb, PPx - (r?1:0))); with default precincts PPx=15
+            for band in bands:
+                eps, mu, gain = band_quant(ci, r, band.orient)
+                band.eps, band.mu, band.gain = eps, mu, gain
+                bw, bh = band.w, band.h
+                if bw <= 0 or bh <= 0:
+                    band.inc_tree = band.zbp_tree = None
+                    continue
+                ncx = -(-bw // (1 << xcb))
+                ncy = -(-bh // (1 << ycb))
+                band.inc_tree = TagTree(ncx, ncy)
+                band.zbp_tree = TagTree(ncx, ncy)
+                for cy in range(ncy):
+                    for cx in range(ncx):
+                        x0c, y0c = cx << xcb, cy << ycb
+                        band.cbs.append(dict(
+                            x=x0c, y=y0c,
+                            w=min(1 << xcb, bw - x0c),
+                            h=min(1 << ycb, bh - y0c),
+                            cx=cx, cy=cy,
+                            included=False, lblock=3,
+                            npasses=0, zbp=0, data=[]))
+
+    # ---- packet iteration -------------------------------------------
+    pos = 0
+    prog = cod["prog"]
+
+    def packet_order():
+        if prog == 0:                     # LRCP
+            for l in range(cod["layers"]):
+                for r in range(levels + 1):
+                    for c in range(ncomp):
+                        yield l, r, c
+        elif prog == 1:                   # RLCP
+            for r in range(levels + 1):
+                for l in range(cod["layers"]):
+                    for c in range(ncomp):
+                        yield l, r, c
+        elif prog == 2:                   # RPCL (1 precinct == RLCP-ish)
+            for r in range(levels + 1):
+                for c in range(ncomp):
+                    for l in range(cod["layers"]):
+                        yield l, r, c
+        else:
+            raise NotImplementedError(
+                f"JPEG 2000: progression order {prog}")
+
+    for (layer, r, ci) in packet_order():
+        if pos >= len(body):
+            break
+        if cod["sop"] and body[pos:pos + 2] == b"\xff\x91":
+            pos += 6                     # SOP marker segment
+        br = PktBits(body, pos)
+        bands = comps_bands[ci][r]
+        contribs = []
+        if not br.bit():                 # empty packet
+            pos = br.align()
+            if cod["eph"] and body[pos:pos + 2] == b"\xff\x92":
+                pos += 2
+            continue
+        for band in bands:
+            if band.inc_tree is None:
+                continue
+            for cb in band.cbs:
+                if not cb["included"]:
+                    inc = band.inc_tree.decode(br, cb["cx"], cb["cy"],
+                                               layer + 1)
+                    included = inc <= layer
+                else:
+                    included = bool(br.bit())
+                if not included:
+                    continue
+                if not cb["included"]:
+                    cb["zbp"] = band.zbp_tree.decode_full(
+                        br, cb["cx"], cb["cy"])
+                    cb["included"] = True
+                np_ = _decode_npasses(br)
+                while br.bit():
+                    cb["lblock"] += 1
+                nbits = cb["lblock"] + int(math.floor(
+                    math.log2(np_))) if np_ > 1 else cb["lblock"]
+                length = br.bits(nbits)
+                contribs.append((cb, np_, length))
+        pos = br.align()
+        if cod["eph"] and body[pos:pos + 2] == b"\xff\x92":
+            pos += 2
+        for cb, np_, length in contribs:
+            cb["data"].append(body[pos:pos + length])
+            cb["npasses"] += np_
+            pos += length
+
+    # ---- tier-1 + dequant + synthesis per component -------------------
+    out = []
+    guard = qcd["guard"]
+    for ci in range(ncomp):
+        depth = siz["comps"][ci]["depth"]
+        res = comps_bands[ci]
+        for r, bands in enumerate(res):
+            for band in bands:
+                if band.w <= 0 or band.h <= 0:
+                    continue
+                eps, mu, gain = band.eps, band.mu, band.gain
+                mb = eps + guard - 1     # E-2: M_b = G + eps_b - 1
+                kind = (0, 1, 0, 2)[band.orient]
+                for cb in band.cbs:
+                    if not cb["npasses"]:
+                        continue
+                    dec = BlockDecoder(cb["w"], cb["h"], kind)
+                    coeffs = dec.decode(b"".join(cb["data"]),
+                                        cb["npasses"], mb, cb["zbp"])
+                    band.coefs[cb["y"]:cb["y"] + cb["h"],
+                               cb["x"]:cb["x"] + cb["w"]] = coeffs
+                if not reversible:
+                    # E-3 step size + midpoint reconstruction (the
+                    # decoded magnitude is a truncation: add half an
+                    # LSB toward the bin center, openjpeg-style)
+                    rb = depth + gain
+                    delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+                    band.coefs = (band.coefs
+                                  + 0.5 * np.sign(band.coefs)) * delta
+        # synthesis
+        ll = res[0][0].coefs
+        if reversible:
+            ll = ll.astype(np.int64)
+        for r in range(1, levels + 1):
+            hl, lh, hh = res[r]
+            a = (hl.coefs, lh.coefs, hh.coefs)
+            if reversible:
+                a = tuple(x.astype(np.int64) for x in a)
+            ll = _idwt_2d(ll, a[0], a[1], a[2], reversible)
+        out.append(ll)
+
+    meta = dict(width=W, height=H, components=ncomp,
+                depths=[c["depth"] for c in siz["comps"]],
+                reversible=reversible, levels=levels,
+                layers=cod["layers"], mct=cod["mct"])
+    return out, meta
+
+
+def decode_to_planes(data: bytes, pos: int = 0):
+    """Full pixel path: codestream -> MCT inverse -> DC shift.
+    Returns (list of (H, W) int32 planes, meta)."""
+    comps, meta = decode_codestream(data, pos)
+    depths = meta["depths"]
+    if meta["mct"] and len(comps) >= 3:
+        c0, c1, c2 = comps[0], comps[1], comps[2]
+        if meta["reversible"]:           # RCT (G-6)
+            c0 = c0.astype(np.int64)
+            g = c0 - ((c1.astype(np.int64) + c2) >> 2)
+            r = c2 + g
+            b = c1 + g
+            comps[0], comps[1], comps[2] = r, g, b
+        else:                            # ICT (G-2)
+            y, cb, cr = c0, c1, c2
+            comps[0] = y + 1.402 * cr
+            comps[1] = y - 0.344136 * cb - 0.714136 * cr
+            comps[2] = y + 1.772 * cb
+    out = []
+    for i, c in enumerate(comps):
+        d = depths[i]
+        if not meta["reversible"]:
+            c = np.floor(c + 0.5)
+        c = c + (1 << (d - 1))           # DC level shift
+        out.append(np.clip(c, 0, (1 << d) - 1).astype(np.int32))
+    return out, meta

@@ -1,8 +1,11 @@
-"""JPEG 2000 codec (structure level — parity with format/jp2.c:38-447:
-full JP2 box tree ihdr/colr/bpcc/cmap/cdef/pclr/res, raw-codestream
-probe, and codestream main headers SIZ/COD/QCD/COM/POC. EBCOT tier-1/2
-and the wavelet reconstruction are not implemented — the reference
-produces no pixels either (jp2.c has no entropy decode)."""
+"""JPEG 2000 codec.
+
+Box tree + codestream headers match the reference (format/jp2.c:38-447)
+— and beyond it, FULL PIXEL DECODE via coding/jpeg2000.py (MQ coder +
+EBCOT tier-1/tier-2 + inverse 5/3 and 9/7 wavelets + RCT/ICT): the
+reference stops at packet headers and produces no pixels
+(jp2.c:424-447).  Differentially validated against openjpeg (via PIL):
+reversible bit-exact, irreversible within ±1."""
 
 from __future__ import annotations
 
@@ -106,10 +109,39 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
               meta=meta)
     if skip_decode:
         return [pic]
-    raise NotImplementedError(
-        "JPEG 2000 pixel decode (EBCOT + wavelet) not implemented; "
-        "structure metadata via skip_decode — the reference has no "
-        "pixel path either (jp2.c)")
+
+    import numpy as np
+    from ffpic_tpu.coding.jpeg2000 import decode_to_planes
+    if data.startswith(JP2_SIG):
+        if codestream is None:
+            raise ValueError("JP2: no jp2c codestream box")
+        cs_pos = codestream
+    else:
+        cs_pos = 0
+    planes, jmeta = decode_to_planes(data, cs_pos)
+    depths = jmeta["depths"]
+    # scale every component to 8-bit and assemble RGBA
+    chans = []
+    for p, d in zip(planes, depths):
+        if d > 8:
+            p = p >> (d - 8)
+        elif d < 8:
+            p = (p.astype(np.int64) * 255) // ((1 << d) - 1)
+        chans.append(p.astype(np.uint8))
+    h, w = chans[0].shape
+    if len(chans) == 1:
+        rgba = np.dstack([chans[0]] * 3
+                         + [np.full((h, w), 255, np.uint8)])
+    elif len(chans) == 2:                 # gray + alpha
+        rgba = np.dstack([chans[0]] * 3 + [chans[1]])
+    else:
+        a = chans[3] if len(chans) > 3 \
+            else np.full((h, w), 255, np.uint8)
+        rgba = np.dstack(chans[:3] + [a])
+    pic.pixels = rgba
+    pic.width, pic.height = w, h
+    pic.pitch = w * 4
+    return [pic]
 
 
 def info(pic: Pic) -> str:

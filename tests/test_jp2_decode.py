@@ -1,0 +1,78 @@
+"""JPEG 2000 pixel decode (coding/jpeg2000 + formats/jp2) vs openjpeg
+(via PIL): the reference produces no JP2 pixels at all (jp2.c stops at
+packet headers), so this is beat-the-reference coverage.  Reversible
+(5/3 + RCT) must be bit-exact; irreversible (9/7 + ICT) within +-1 of
+openjpeg's float pipeline."""
+
+import io
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+
+def _content(h, w, seed=2):
+    rng = np.random.default_rng(seed)
+    g = np.clip(np.add.outer(np.arange(h), np.arange(w)) % 256
+                + rng.integers(-9, 9, (h, w)), 0, 255).astype(np.uint8)
+    return g
+
+
+def _roundtrip(arr, mode, tol, **kw):
+    b = io.BytesIO()
+    Image.fromarray(arr, mode).save(b, "JPEG2000", **kw)
+    data = b.getvalue()
+    import ffpic_tpu
+    pic = ffpic_tpu.load(data)
+    got = pic.np_pixels()
+    ref = np.asarray(Image.open(io.BytesIO(data)))
+    if ref.ndim == 2:
+        ref = np.dstack([ref] * 3)
+    d = np.abs(got[..., :3].astype(int) - ref[..., :3].astype(int))
+    assert d.max() <= tol, f"maxdiff {d.max()} > {tol}"
+    return pic
+
+
+@pytest.mark.parametrize("shape", [(75, 93), (256, 256), (33, 128)])
+def test_jp2_reversible_gray_exact(shape):
+    _roundtrip(_content(*shape), "L", tol=0, irreversible=False)
+
+
+def test_jp2_reversible_rgb_exact():
+    g = _content(120, 90)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    pic = _roundtrip(rgb, "RGB", tol=0, irreversible=False)
+    assert pic.meta["decomposition_levels"] >= 1
+
+
+def test_jp2_irreversible_97():
+    g = _content(96, 144)
+    rgb = np.stack([g, np.roll(g, 5, 0), np.roll(g, 2, 1)], -1)
+    _roundtrip(g, "L", tol=1, irreversible=True)
+    _roundtrip(rgb, "RGB", tol=1, irreversible=True)
+
+
+def test_jp2_multi_layer():
+    _roundtrip(_content(80, 80), "L", tol=0, irreversible=False,
+               quality_layers=[40, 0])
+
+
+def test_jp2_noise_reversible_exact():
+    rng = np.random.default_rng(5)
+    _roundtrip(rng.integers(0, 256, (100, 67), dtype=np.uint8), "L",
+               tol=0, irreversible=False)
+
+
+def test_jp2_raw_codestream():
+    """Raw .j2k codestream (no JP2 box wrapper)."""
+    b = io.BytesIO()
+    Image.fromarray(_content(64, 64), "L").save(b, "JPEG2000",
+                                                irreversible=False)
+    data = b.getvalue()
+    pos = data.find(b"\xff\x4f\xff\x51")
+    raw = data[pos:]
+    import ffpic_tpu
+    got = ffpic_tpu.load(raw).np_pixels()
+    ref = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(got[..., 0], ref)
