@@ -229,4 +229,15 @@ def info(pic: Pic) -> str:
     return "\n".join(lines)
 
 
-register(Codec(name="WEBP", probe=probe, load=load, info=info))
+def encode(pic, **options) -> bytes:
+    """Lossless WebP (VP8L) encode — the reference has no WebP encoder
+    and even its VP8L *decoder* is a stub (webp.c:1928-1999)."""
+    import numpy as np
+    from ffpic_tpu.formats.vp8l_enc import encode_webp_lossless
+    rgba = pic.np_pixels() if hasattr(pic, "np_pixels") \
+        else np.asarray(pic.pixels)
+    return encode_webp_lossless(rgba)
+
+
+register(Codec(name="WEBP", probe=probe, load=load, info=info,
+               encode=encode))

@@ -216,3 +216,55 @@ def test_native_pipeline_matches_python(tmp_path):
     finally:
         os.environ.pop("FFPIC_NO_NATIVE", None)
     np.testing.assert_array_equal(native_px, py_px)
+
+
+def test_vp8l_encoder_roundtrip_vs_both_decoders():
+    """VP8L encoder (formats/vp8l_enc): output decodes bit-exactly
+    through BOTH our VP8L decoder and libwebp (PIL).  The reference
+    has no WebP encoder and stubs even VP8L decode."""
+    import io
+    from PIL import Image
+    import ffpic_tpu
+    from ffpic_tpu.formats.vp8l_enc import encode_webp_lossless
+
+    rng = np.random.default_rng(3)
+    g = np.clip(np.add.outer(np.arange(60), np.arange(90)) % 256
+                + rng.integers(-9, 9, (60, 90)), 0, 255) \
+        .astype(np.uint8)
+    cases = [
+        np.stack([g, np.roll(g, 5, 0), np.roll(g, 2, 1),
+                  np.full_like(g, 255)], -1),
+        np.dstack([np.stack([g] * 3, -1),
+                   (g // 2 + 100).astype(np.uint8)]),   # real alpha
+        np.full((33, 47, 4), 77, np.uint8),             # flat
+        rng.integers(0, 256, (64, 64, 4), dtype=np.uint8),  # noise
+    ]
+    for arr in cases:
+        data = encode_webp_lossless(arr)
+        ours = ffpic_tpu.load(data).np_pixels()
+        np.testing.assert_array_equal(ours, arr)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+        np.testing.assert_array_equal(pil, arr)
+
+
+def test_webp_encode_via_registry():
+    import io
+    from PIL import Image
+    import ffpic_tpu
+    from ffpic_tpu.formats import registry
+
+    rng = np.random.default_rng(4)
+    arr = np.kron(rng.integers(0, 256, (8, 8, 4)),
+                  np.ones((4, 4, 1))).astype(np.uint8)
+    arr[..., 3] = 255
+    pic = ffpic_tpu.load(registry.encode(
+        ffpic_tpu.load(_encode_png(arr)), "WEBP"))
+    np.testing.assert_array_equal(pic.np_pixels(), arr)
+
+
+def _encode_png(arr):
+    import io
+    from PIL import Image
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "PNG")
+    return b.getvalue()
