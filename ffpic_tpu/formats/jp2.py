@@ -111,6 +111,7 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
         return [pic]
 
     import numpy as np
+    import struct as _struct
     from ffpic_tpu.coding.jpeg2000 import decode_to_planes
     if data.startswith(JP2_SIG):
         if codestream is None:
@@ -118,7 +119,11 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
         cs_pos = codestream
     else:
         cs_pos = 0
-    planes, jmeta = decode_to_planes(data, cs_pos)
+    try:
+        planes, jmeta = decode_to_planes(data, cs_pos)
+    except (IndexError, KeyError, ZeroDivisionError, OverflowError,
+            _struct.error) as e:
+        raise ValueError(f"corrupt JPEG 2000 codestream: {e}") from e
     depths = jmeta["depths"]
     # scale every component to 8-bit and assemble RGBA
     chans = []

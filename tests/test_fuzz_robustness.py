@@ -54,3 +54,119 @@ def test_heic_corruption_never_crashes(tmp_path):
             ffpic_tpu.load(bytes(d))
         except (ValueError, NotImplementedError, OSError):
             pass
+
+
+def _mutate_structure(rng, data: bytearray, kind: str) -> bytearray:
+    """Structure-aware mutations: attack length/count fields rather
+    than random bytes, reaching parser paths plain byte fuzz misses."""
+    d = bytearray(data)
+    if kind == "isobmff":
+        # find box headers (size + 4 ascii chars) and corrupt sizes
+        for pos in range(0, min(len(d) - 8, 4000), 4):
+            tag = d[pos + 4:pos + 8]
+            if tag.isalpha() or tag in (b"jp2c", b"iloc", b"iinf"):
+                if rng.random() < 0.15:
+                    sz = int(rng.choice([0, 1, 7, 2 ** 31,
+                                         0xFFFFFFFF,
+                                         len(d) * 2]))
+                    d[pos:pos + 4] = sz.to_bytes(4, "big")
+    elif kind == "jpeg":
+        # corrupt marker segment lengths and DHT counts
+        i = 2
+        while i + 4 < len(d):
+            if d[i] != 0xFF:
+                i += 1
+                continue
+            m = d[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD9:
+                i += 2
+                continue
+            ln = int.from_bytes(d[i + 2:i + 4], "big")
+            r = rng.random()
+            if r < 0.2:
+                bad = int(rng.choice([0, 1, 2, 65535, ln + 7]))
+                d[i + 2:i + 4] = bad.to_bytes(2, "big")
+            elif m == 0xC4 and r < 0.5 and i + 8 < len(d):
+                # DHT: corrupt the 16 count bytes
+                k = i + 5 + int(rng.integers(0, 16))
+                if k < len(d):
+                    d[k] = int(rng.integers(0, 256))
+            if ln < 2:
+                break
+            i += 2 + ln
+    elif kind == "riff":
+        # chunk size fields
+        pos = 12
+        while pos + 8 < len(d):
+            if rng.random() < 0.3:
+                sz = int(rng.choice([0, 1, 2 ** 31, len(d) * 3]))
+                d[pos + 4:pos + 8] = sz.to_bytes(4, "little")
+            ln = int.from_bytes(d[pos + 4:pos + 8], "little")
+            if ln > len(d):
+                break
+            pos += 8 + ln + (ln & 1)
+    return d
+
+
+@pytest.mark.parametrize("name,kind", [
+    ("jpeg_512_420.jpg", "jpeg"),
+    ("jpeg_prog_512_420.jpg", "jpeg"),
+    ("webp_512.webp", "riff"),
+])
+def test_structure_aware_corruption_never_crashes(name, kind):
+    """Mutate length/count fields specifically (VERDICT r2 #9 /
+    NEXT #7): box sizes, marker segment lengths, DHT code counts,
+    RIFF chunk sizes."""
+    import ffpic_tpu
+    path = os.path.join(CORPUS, name)
+    if not os.path.exists(path):
+        pytest.skip("corpus missing")
+    data = bytearray(open(path, "rb").read())
+    rng = np.random.default_rng(hash(name) & 0xFFF)
+    for trial in range(15):
+        d = _mutate_structure(rng, data, kind)
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError):
+            pass
+
+
+def test_structure_aware_heic_boxes(tmp_path):
+    import ffpic_tpu
+    from ffpic_tpu.formats.pic import Pic
+    rng = np.random.default_rng(11)
+    rgba = np.kron(rng.integers(0, 256, (4, 4, 3)),
+                   np.ones((16, 16, 1)))
+    rgba = np.concatenate([rgba, np.full((64, 64, 1), 255)],
+                          axis=-1).astype(np.uint8)
+    pic = Pic(width=64, height=64, depth=32, pitch=256, codec="raw",
+              pixels=rgba)
+    data = bytearray(ffpic_tpu.encode(pic, "heif", qp=30))
+    for trial in range(20):
+        d = _mutate_structure(rng, data, "isobmff")
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError):
+            pass
+
+
+def test_structure_aware_jp2(tmp_path):
+    """JP2: box sizes + codestream marker lengths (new pixel decoder
+    must be robust too)."""
+    import io
+    import ffpic_tpu
+    from PIL import Image
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "JPEG2000", irreversible=False)
+    data = bytearray(b.getvalue())
+    for trial in range(25):
+        d = _mutate_structure(rng, data, "isobmff")
+        # also random byte noise inside the codestream
+        for _ in range(int(rng.integers(1, 25))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError):
+            pass
