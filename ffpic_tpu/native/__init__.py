@@ -56,7 +56,7 @@ def _load():
     if os.environ.get("FFPIC_NO_NATIVE"):
         return None
     try:
-        so = _build()
+        so = os.environ.get("FFPIC_NATIVE_SO") or _build()
         if so is None:
             return None
         _lib = ctypes.CDLL(so)
