@@ -453,10 +453,8 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
     pic.bypass_map[:bypass_map.shape[0], :bypass_map.shape[1]] = \
         bypass_map.astype(bool)
     ctbs_x = (sps.width + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2
-    for idx in range(sao.shape[0]):
+    for idx in np.nonzero(sao[:, :3].any(axis=1))[0]:
         row = sao[idx]
-        if not row[:3].any():
-            continue
         pic.sao_params[(idx % ctbs_x, idx // ctbs_x)] = SaoParam(
             type_idx=tuple(int(v) for v in row[:3]),
             offsets=tuple(tuple(int(v) for v in row[3 + 4 * k:7 + 4 * k])

@@ -459,14 +459,17 @@ def hevc_decode_slice(data: bytes, params, init_state: np.ndarray,
     ctbs = (((w + (1 << ctb_log2) - 1) >> ctb_log2)
             * ((h + (1 << ctb_log2) - 1) >> ctb_log2))
     n44 = mw * mh
-    ops = np.zeros((3 * n44 + 64, 6), np.int32)
-    tu_meta = np.zeros((3 * n44 + 64, 8), np.int32)
-    levels = np.zeros(2 * w * h + 4096, np.int16)
-    sao = np.zeros((ctbs, 21), np.int32)
-    ct_depth = np.zeros(n44, np.int8)
-    luma_mode = np.zeros(n44, np.int8)
-    qp_map = np.zeros(n44, np.int8)
-    bypass_map = np.zeros(n44, np.uint8)
+    # np.empty: the C side fully initializes every entry it reports
+    # (levels are memset per TU, maps are memset at entry) — zeroing
+    # ~4 MB per 512^2 tile here was ~20% of the syntax-pass wall time
+    ops = np.empty((3 * n44 + 64, 6), np.int32)
+    tu_meta = np.empty((3 * n44 + 64, 8), np.int32)
+    levels = np.empty(2 * w * h + 4096, np.int16)
+    sao = np.zeros((ctbs, 21), np.int32)     # zeros: sparse writes
+    ct_depth = np.empty(n44, np.int8)
+    luma_mode = np.empty(n44, np.int8)
+    qp_map = np.empty(n44, np.int8)
+    bypass_map = np.empty(n44, np.uint8)
     n_tus = np.zeros(1, np.int64)
     buf = np.frombuffer(data, np.uint8)
     prm = np.ascontiguousarray(params, np.int32)

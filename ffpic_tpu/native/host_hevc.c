@@ -1064,6 +1064,29 @@ static void r_gather(Recon *rc, int plane, int x, int y, int n,
     uint8_t *mask = rc->mask[plane];
     int pw = rc->pw[plane], ph = rc->ph[plane], mw = rc->mw[plane];
     int total = 4 * n + 1;
+
+    /* fast path: fully-interior TB with every reference cell decoded
+     * — check the 4x4 mask cells once per span, then bulk-copy with
+     * no per-sample tests (the common case away from edges) */
+    if (x > 0 && y > 0 && y + 2 * n <= ph && x + 2 * n <= pw) {
+        int lc = (x - 1) / 4;
+        int ok_all = mask[((y - 1) / 4) * mw + lc];
+        for (int cy = y / 4; ok_all && cy <= (y + 2 * n - 1) / 4; cy++)
+            ok_all = mask[cy * mw + lc];
+        int tr = (y - 1) / 4;
+        for (int cx = x / 4; ok_all && cx <= (x + 2 * n - 1) / 4; cx++)
+            ok_all = mask[tr * mw + cx];
+        if (ok_all) {
+            for (int i = 0; i < 2 * n; i++)
+                vals[i] = pl[(long)(y + 2 * n - 1 - i) * pw + x - 1];
+            vals[2 * n] = pl[(long)(y - 1) * pw + x - 1];
+            const int32_t *top = pl + (long)(y - 1) * pw + x;
+            for (int i = 0; i < 2 * n; i++)
+                vals[2 * n + 1 + i] = top[i];
+            return;
+        }
+    }
+
     uint8_t ok[129];
     memset(ok, 0, total);
     if (x > 0) {
