@@ -355,16 +355,21 @@ def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
         parsed.append((hdr, rbsp[hdr.data_bit_offset // 8:]))
 
     hdr0 = parsed[0][0]
+    native_ok = (not os.environ.get("FFPIC_NO_NATIVE")
+                 and sps.bit_depth_luma in (8, 9, 10)
+                 and not sps.pcm_enabled
+                 and not sps.scaling_list_enabled)
     simple = (len(parsed) == 1 and hdr0.first_slice
               and not pps.tiles_enabled and not pps.entropy_coding_sync)
-    if (simple and not os.environ.get("FFPIC_NO_NATIVE")
-            and sps.bit_depth_luma in (8, 9, 10) and not sps.pcm_enabled
-            and not sps.scaling_list_enabled):
+    if native_ok:
         from ffpic_tpu import native
         if native.available():
-            ops = _decode_slice_native(sps, pps, hdr0, parsed[0][1],
-                                       pic)
-            hevc_recon.execute_ops(pic, ops)
+            if simple:
+                ops = _decode_slice_native(sps, pps, hdr0,
+                                           parsed[0][1], pic)
+                hevc_recon.execute_ops(pic, ops)
+            else:
+                _decode_picture_native(sps, pps, parsed, pic)
             return _finish_picture(pic, hdr0, pps)
 
     shared = SharedPictureState(sps, pps, pic)
@@ -417,6 +422,114 @@ def _validate_params(sps: SPS, pps: PPS) -> None:
         raise ValueError("corrupt PPS: cu_qp_delta depth")
     if abs(pps.cb_qp_offset) > 12 or abs(pps.cr_qp_offset) > 12:
         raise ValueError("corrupt PPS: chroma QP offsets")
+
+
+def _params_for_native(sps, pps, hdr):
+    return [
+        sps.width, sps.height, sps.ctb_log2, sps.log2_min_cb,
+        sps.log2_min_tb, sps.log2_min_tb + sps.log2_diff_max_min_tb,
+        sps.max_transform_hierarchy_depth_intra, sps.chroma_format,
+        int(pps.transquant_bypass), int(pps.transform_skip_enabled),
+        int(pps.sign_data_hiding), int(pps.cu_qp_delta_enabled),
+        pps.diff_cu_qp_delta_depth, pps.cb_qp_offset, pps.cr_qp_offset,
+        hdr.qp, int(hdr.sao_luma), int(hdr.sao_chroma),
+        hdr.cb_qp_offset, hdr.cr_qp_offset,
+        6 * (sps.bit_depth_luma - 8),
+    ]
+
+
+def _fresh_sm(qp: int):
+    import numpy as np
+    from ffpic_tpu.coding.hevc_slice import _CTX_SET, Contexts
+    ctx = Contexts(qp)
+    sm = []
+    for name, count in _CTX_SET:
+        for cm in ctx.m[name][:count]:
+            sm.append((cm.state << 1) | cm.mps)
+    return np.array(sm, np.uint8)
+
+
+def _decode_picture_native(sps, pps, parsed, pic) -> None:
+    """Native multi-segment decode (tiles / WPP / multi-slice /
+    dependent segments): per-segment C syntax with shared picture
+    state, then per-availability-zone C recon (fresh masks per zone
+    implement the 6.4.1 prediction boundaries)."""
+    import numpy as np
+    from ffpic_tpu import native
+    from ffpic_tpu.coding.hevc_slice import TileLayout
+    from ffpic_tpu.formats.hevc_recon import SaoParam
+
+    layout = TileLayout(sps, pps)
+    state = native.hevc_picture_state(sps.width, sps.height,
+                                      sps.ctb_log2, layout)
+    all_ops, all_tu, all_lv = [], [], []
+    tu_base = 0
+    lv_base = 0
+    slice_idx = -1
+    sm_io = None
+    wpp = int(pps.entropy_coding_sync)
+    for hdr, data in parsed:
+        if not hdr.dependent:
+            slice_idx += 1
+            sm_io = _fresh_sm(hdr.qp)
+        bounds = [0]
+        for off in hdr.entry_points:
+            bounds.append(bounds[-1] + off)
+        bounds.append(len(data))
+        segp = [hdr.segment_address, slice_idx, wpp, len(bounds) - 1]
+        ops_a, tu_a, lv = native.hevc_decode_segment(
+            data, _params_for_native(sps, pps, hdr), segp, bounds,
+            state, _fresh_sm(hdr.qp), sm_io)
+        if len(ops_a):
+            sel = ops_a[:, 5] >= 0
+            ops_a[sel, 5] += tu_base
+        all_ops.append(ops_a)
+        all_tu.append(tu_a)
+        all_lv.append(lv)
+        tu_base += len(tu_a)
+        lv_base += len(lv)
+    ops = (np.concatenate(all_ops) if all_ops
+           else np.zeros((0, 6), np.int32))
+    tu = (np.concatenate(all_tu) if all_tu
+          else np.zeros((0, 8), np.int32))
+    levels = (np.concatenate(all_lv) if all_lv
+              else np.zeros(0, np.int16))
+
+    mh, mw = state["mh"], state["mw"]
+    pic.qp_map[:] = state["qp_map"].reshape(mh, mw)
+    pic.bypass_map[:] = state["bypass_map"].reshape(mh, mw) \
+        .astype(bool)
+    ctbs_x = (sps.width + (1 << sps.ctb_log2) - 1) >> sps.ctb_log2
+    sao = state["sao"]
+    for idx in np.nonzero(sao[:, :3].any(axis=1))[0]:
+        row = sao[idx]
+        pic.sao_params[(idx % ctbs_x, idx // ctbs_x)] = SaoParam(
+            type_idx=tuple(int(v) for v in row[:3]),
+            offsets=tuple(tuple(int(v) for v in row[3 + 4 * k:7 + 4 * k])
+                          for k in range(3)),
+            band_pos=tuple(int(v) for v in row[15:18]),
+            eo_class=tuple(int(v) for v in row[18:21]))
+    luma = ops[ops[:, 0] == 0]
+    pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
+
+    # per-zone recon: zone of each op from the stamped 4x4 map
+    # (chroma op coords are plane-local -> x2 to luma)
+    if len(ops) == 0:
+        return
+    zone_map = state["zone"].reshape(mh, mw)
+    is_luma = ops[:, 0] == 0
+    oy = np.where(is_luma, ops[:, 2], ops[:, 2] * 2) // 4
+    ox = np.where(is_luma, ops[:, 1], ops[:, 1] * 2) // 4
+    opz = zone_map[oy, ox]
+    cut = np.flatnonzero(np.diff(opz)) + 1
+    starts = np.concatenate([[0], cut, [len(ops)]])
+    for k in range(len(starts) - 1):
+        native.hevc_recon(pic.planes, sps.bit_depth_luma,
+                          getattr(sps, "strong_intra_smoothing",
+                                  False),
+                          ops[starts[k]:starts[k + 1]], tu, levels)
+    for p in range(len(pic.planes)):
+        pic.masks[p][:] = True
 
 
 def _decode_slice_native(sps, pps, hdr, data: bytes, pic):

@@ -502,6 +502,91 @@ def hevc_decode_slice(data: bytes, params, init_state: np.ndarray,
             qp_map.reshape(mh, mw), bypass_map.reshape(mh, mw))
 
 
+def hevc_picture_state(w: int, h: int, ctb_log2: int, layout) -> dict:
+    """Persistent per-picture buffers for multi-segment native decode
+    (ffpic_hevc_decode_segment): syntax maps, availability zones, WPP
+    context snapshot, tile-scan address maps."""
+    mw, mh = (w + 3) // 4, (h + 3) // 4
+    ctbs = (((w + (1 << ctb_log2) - 1) >> ctb_log2)
+            * ((h + (1 << ctb_log2) - 1) >> ctb_log2))
+    ident = layout is None or not getattr(layout, "n_tiles", 1) > 1
+    return dict(
+        mw=mw, mh=mh, ctbs=ctbs,
+        zone=np.full(mw * mh, -1, np.int32),
+        slice_of=np.full(ctbs, -1, np.int32),
+        ct_depth=np.full(mw * mh, -1, np.int8),
+        luma_mode=np.full(mw * mh, -1, np.int8),
+        qp_map=np.zeros(mw * mh, np.int8),
+        bypass_map=np.zeros(mw * mh, np.uint8),
+        sao=np.zeros((ctbs, 21), np.int32),
+        wpp_sm=np.zeros(137, np.uint8),
+        wpp_meta=np.zeros(2, np.int32),
+        ts_to_rs=(None if ident
+                  else np.ascontiguousarray(layout.ts_to_rs)),
+        rs_to_ts=(None if ident
+                  else np.ascontiguousarray(layout.rs_to_ts)),
+        tile_of=(None if ident
+                 else np.ascontiguousarray(layout.tile_of_rs)),
+    )
+
+
+def hevc_decode_segment(data: bytes, params, segp, sub_bounds,
+                        state: dict, sm_fresh: np.ndarray,
+                        sm_io: np.ndarray):
+    """Decode one slice segment (native); returns (ops, tu_meta,
+    levels) — maps/sao/zone accumulate in `state`, contexts carry in
+    sm_io."""
+    lib = _load()
+    assert lib is not None
+    w, h = params[0], params[1]
+    n44 = state["mw"] * state["mh"]
+    ops = np.empty((3 * n44 + 64, 6), np.int32)
+    tu_meta = np.empty((3 * n44 + 64, 8), np.int32)
+    levels = np.empty(2 * w * h + 4096, np.int16)
+    n_tus = np.zeros(1, np.int64)
+    buf = np.frombuffer(data, np.uint8)
+    prm = np.ascontiguousarray(params, np.int32)
+    sg = np.ascontiguousarray(segp, np.int32)
+    sb = np.ascontiguousarray(sub_bounds, np.int32)
+
+    def ptr(a):
+        return (a.ctypes.data_as(ctypes.c_void_p) if a is not None
+                else None)
+    fn = lib.ffpic_hevc_decode_segment
+    fn.restype = ctypes.c_long
+    n_ops = fn(buf.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(data)),
+               prm.ctypes.data_as(ctypes.c_void_p),
+               sg.ctypes.data_as(ctypes.c_void_p),
+               sb.ctypes.data_as(ctypes.c_void_p),
+               ptr(state["ts_to_rs"]), ptr(state["rs_to_ts"]),
+               ptr(state["tile_of"]),
+               state["slice_of"].ctypes.data_as(ctypes.c_void_p),
+               np.ascontiguousarray(sm_fresh, np.uint8).ctypes
+                 .data_as(ctypes.c_void_p),
+               sm_io.ctypes.data_as(ctypes.c_void_p),
+               state["wpp_sm"].ctypes.data_as(ctypes.c_void_p),
+               state["wpp_meta"].ctypes.data_as(ctypes.c_void_p),
+               state["zone"].ctypes.data_as(ctypes.c_void_p),
+               ops.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(ops)),
+               tu_meta.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(tu_meta)),
+               levels.ctypes.data_as(ctypes.c_void_p),
+               ctypes.c_long(len(levels)),
+               state["sao"].ctypes.data_as(ctypes.c_void_p),
+               state["ct_depth"].ctypes.data_as(ctypes.c_void_p),
+               state["luma_mode"].ctypes.data_as(ctypes.c_void_p),
+               state["qp_map"].ctypes.data_as(ctypes.c_void_p),
+               state["bypass_map"].ctypes.data_as(ctypes.c_void_p),
+               n_tus.ctypes.data_as(ctypes.c_void_p))
+    if n_ops < 0:
+        raise ValueError(f"hevc native segment decode failed ({n_ops})")
+    m = int(n_tus[0])
+    nlv = int((tu_meta[:m, 2].astype(np.int64) ** 2).sum()) if m else 0
+    return ops[:n_ops].copy(), tu_meta[:m].copy(), levels[:nlv].copy()
+
+
 def hevc_recon(planes, bd: int, strong: bool, ops: np.ndarray,
                tu_meta: np.ndarray, levels: np.ndarray) -> None:
     """Native HEVC reconstruction (host_hevc.c): runs the op list

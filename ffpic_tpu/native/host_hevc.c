@@ -114,8 +114,8 @@ static inline uint32_t rd_bits(Cabac *c, int n) {   /* 0 <= n <= 24 */
     return (uint32_t)((c->cache >> c->nbits) & ((1ULL << n) - 1));
 }
 
-static void cb_init(Cabac *c, const uint8_t *data, long len,
-                    const uint8_t *st, const uint8_t *mp) {
+static void cb_init_sm(Cabac *c, const uint8_t *data, long len,
+                       const uint8_t *sm) {
     c->data = data;
     c->len = len;
     c->bytepos = 0;
@@ -124,6 +124,13 @@ static void cb_init(Cabac *c, const uint8_t *data, long len,
     c->range = 510;
     c->err = 0;
     c->offset = rd_bits(c, 9);
+    if (sm)
+        memcpy(c->sm, sm, NCTX);
+}
+
+static void cb_init(Cabac *c, const uint8_t *data, long len,
+                    const uint8_t *st, const uint8_t *mp) {
+    cb_init_sm(c, data, len, NULL);
     for (int i = 0; i < NCTX; i++)
         c->sm[i] = (uint8_t)((st[i] << 1) | (mp[i] & 1));
 }
@@ -309,6 +316,10 @@ typedef struct {
     /* maps */
     int8_t *ct_depth, *luma_mode, *qp_map;
     uint8_t *bypass_map;
+    /* availability zones (6.4.1): (slice_idx << 12) | tile_idx per
+     * 4x4 cell; -1 = not yet decoded */
+    int32_t *zone;
+    int cur_zone;
     /* outputs */
     int32_t *ops;       /* (cap,6): plane,x,y,n,mode,tu */
     long n_ops, ops_cap;
@@ -340,6 +351,12 @@ static void emit_op(Dec *d, int plane, int x, int y, int n, int mode,
     o[4] = mode;
     o[5] = (int32_t)tu;
     d->n_ops++;
+}
+
+static inline int avail_n(Dec *d, int nx, int ny) {
+    if (nx < 0 || ny < 0 || nx >= d->w || ny >= d->h)
+        return 0;
+    return d->zone[(ny / 4) * d->mw + nx / 4] == d->cur_zone;
 }
 
 /* ---------------- residual coding (7.3.8.11) ------------------------- */
@@ -673,7 +690,7 @@ static void transform_tree(Dec *d, int x0, int y0, int xb, int yb,
 /* ---------------- intra modes (8.4.2) --------------------------------- */
 
 static int cand_mode(Dec *d, int nx, int ny, int yp, int above) {
-    if (nx < 0 || ny < 0)
+    if (!avail_n(d, nx, ny))
         return 1;
     if (above && (ny >> d->ctb_log2) != (yp >> d->ctb_log2))
         return 1;
@@ -841,11 +858,11 @@ static void quadtree(Dec *d, int x0, int y0, int log2, int depth) {
     int split;
     if (inside && log2 > d->min_cb) {
         int inc = 0;
-        if (x0 > 0 && d->ct_depth[(y0 / 4) * d->mw + (x0 - 1) / 4]
-            > depth)
+        if (avail_n(d, x0 - 1, y0)
+            && d->ct_depth[(y0 / 4) * d->mw + (x0 - 1) / 4] > depth)
             inc++;
-        if (y0 > 0 && d->ct_depth[((y0 - 1) / 4) * d->mw + x0 / 4]
-            > depth)
+        if (avail_n(d, x0, y0 - 1)
+            && d->ct_depth[((y0 - 1) / 4) * d->mw + x0 / 4] > depth)
             inc++;
         split = dec_bin(c, C_SPLIT_CU + inc);
     } else {
@@ -877,9 +894,10 @@ static void parse_sao(Dec *d, int cx, int cy) {
     Cabac *c = &d->cb;
     int32_t *out = d->sao + ((long)cy * d->ctbs_x + cx) * 21;
     int merge_left = 0, merge_up = 0;
-    if (cx > 0)
+    int cs = 1 << d->ctb_log2;
+    if (cx > 0 && avail_n(d, cx * cs - 1, cy * cs))
         merge_left = dec_bin(c, C_SAO_MERGE);
-    if (cy > 0 && !merge_left)
+    if (cy > 0 && !merge_left && avail_n(d, cx * cs, cy * cs - 1))
         merge_up = dec_bin(c, C_SAO_MERGE);
     if (merge_left) {
         memcpy(out, out - 21, 21 * sizeof(int32_t));
@@ -931,6 +949,92 @@ static void parse_sao(Dec *d, int cx, int cy) {
         }
         for (int k = 0; k < 4; k++)
             out[3 + comp * 4 + k] = offs[k];
+    }
+}
+
+static void stamp_zone(Dec *d, int cx, int cy) {
+    int s4 = 1 << (d->ctb_log2 - 2);
+    int y0 = cy * s4, x0 = cx * s4;
+    int y1 = y0 + s4 < d->mh ? y0 + s4 : d->mh;
+    int x1 = x0 + s4 < d->mw ? x0 + s4 : d->mw;
+    for (int yy = y0; yy < y1; yy++)
+        for (int xx = x0; xx < x1; xx++)
+            d->zone[yy * d->mw + xx] = d->cur_zone;
+}
+
+/* Core slice-segment CTU loop in tile-scan order with entry-point
+ * substream switching, per-tile CABAC reset, WPP row context sync
+ * (9.3.1) and availability-zone stamping.  ts_to_rs/rs_to_ts/
+ * tile_of_rs may be NULL for the identity (no-tiles) layout. */
+static long decode_segment_core(
+    Dec *d, const uint8_t *data,
+    const int32_t *sub_bounds, int n_subs,
+    const int32_t *ts_to_rs, const int32_t *rs_to_ts,
+    const int32_t *tile_of_rs, int32_t *slice_of_ctb,
+    long start_rs, int slice_idx, int wpp,
+    const uint8_t *sm_fresh, uint8_t *sm_io,
+    uint8_t *wpp_sm, int32_t *wpp_meta,
+    long *n_tus_out) {
+    long n_ctbs = (long)d->ctbs_x * d->ctbs_y;
+    long ts = rs_to_ts ? rs_to_ts[start_rs] : start_rs;
+    int sub = 0;
+    cb_init_sm(&d->cb, data + sub_bounds[0],
+               sub_bounds[1] - sub_bounds[0], sm_io);
+    int first = 1;
+    int prev_tile = -1;
+    for (;;) {
+        long rs = ts_to_rs ? ts_to_rs[ts] : ts;
+        int cx = (int)(rs % d->ctbs_x), cy = (int)(rs / d->ctbs_x);
+        int tile = tile_of_rs ? tile_of_rs[rs] : 0;
+        int new_tile = !first && tile != prev_tile;
+        int new_row = wpp && cx == 0 && !first;
+        if (new_tile || new_row) {
+            sub++;
+            if (sub >= n_subs)
+                return -21;            /* missing entry point */
+            cb_init_sm(&d->cb, data + sub_bounds[sub],
+                       sub_bounds[sub + 1] - sub_bounds[sub], NULL);
+            if (new_row) {
+                long ur = rs - d->ctbs_x + 1;
+                if (wpp_meta && wpp_meta[0] && wpp_meta[1] == cy - 1
+                    && ur >= 0 && slice_of_ctb
+                    && slice_of_ctb[ur] == slice_idx)
+                    memcpy(d->cb.sm, wpp_sm, NCTX);
+                else
+                    memcpy(d->cb.sm, sm_fresh, NCTX);
+            } else {
+                memcpy(d->cb.sm, sm_fresh, NCTX);
+            }
+            d->qp_prev = d->slice_qp;
+            d->qg_qp_prev = d->slice_qp;
+        }
+        first = 0;
+        prev_tile = tile;
+        d->cur_zone = (slice_idx << 12) | tile;
+        if (slice_of_ctb)
+            slice_of_ctb[rs] = slice_idx;
+        stamp_zone(d, cx, cy);
+        if (d->sao_luma || d->sao_chroma)
+            parse_sao(d, cx, cy);
+        quadtree(d, (long)cx << d->ctb_log2, (long)cy << d->ctb_log2,
+                 d->ctb_log2, 0);
+        if (d->cb.err)
+            return d->cb.err;
+        if (wpp && cx == 1 && wpp_sm) {
+            memcpy(wpp_sm, d->cb.sm, NCTX);
+            wpp_meta[0] = 1;
+            wpp_meta[1] = cy;
+        }
+        int end = dec_term(&d->cb);
+        if (end) {
+            if (sm_io)
+                memcpy(sm_io, d->cb.sm, NCTX);
+            *n_tus_out = d->n_tus;
+            return d->n_ops;
+        }
+        if (ts == n_ctbs - 1)
+            return -20;                /* flag 0 at last CTB */
+        ts++;
     }
 }
 
@@ -995,24 +1099,95 @@ FFPIC_API long ffpic_hevc_decode_slice(
     memset(luma_mode, -1, (size_t)d.mw * d.mh);
     memset(bypass_map, 0, (size_t)d.mw * d.mh);
 
-    cb_init(&d.cb, data, len, init_state, init_mps);
+    d.zone = malloc((size_t)d.mw * d.mh * sizeof(int32_t));
+    if (!d.zone)
+        return -1;
+    memset(d.zone, 0xFF, (size_t)d.mw * d.mh * sizeof(int32_t));
 
-    for (int cy = 0; cy < d.ctbs_y; cy++) {
-        for (int cx = 0; cx < d.ctbs_x; cx++) {
-            if (d.sao_luma || d.sao_chroma)
-                parse_sao(&d, cx, cy);
-            quadtree(&d, (long)cx << d.ctb_log2, (long)cy << d.ctb_log2,
-                     d.ctb_log2, 0);
-            if (d.cb.err)
-                return d.cb.err;
-            int end = dec_term(&d.cb);
-            int last = (cy == d.ctbs_y - 1 && cx == d.ctbs_x - 1);
-            if (end != last)
-                return -20;
-        }
-    }
-    *n_tus_out = d.n_tus;
-    return d.n_ops;
+    uint8_t sm[NCTX];
+    for (int i = 0; i < NCTX; i++)
+        sm[i] = (uint8_t)((init_state[i] << 1) | (init_mps[i] & 1));
+    int32_t bounds[2] = {0, (int32_t)len};
+    long rc = decode_segment_core(&d, data, bounds, 1, NULL, NULL,
+                                  NULL, NULL, 0, 0, 0, sm, sm, NULL,
+                                  NULL, n_tus_out);
+    free(d.zone);
+    return rc;
+}
+
+/* Multi-feature slice segment entry: tiles / WPP / multi-slice /
+ * dependent segments.  All maps (ct_depth/luma_mode/qp_map/
+ * bypass_map/zone/slice_of_ctb) persist across segments of one
+ * picture — the caller initializes them once (-1 fills for
+ * ct_depth/luma_mode/zone, 0 elsewhere) and passes them to every
+ * segment call.  sm_io carries the CABAC contexts in (fresh for
+ * independent segments, the previous segment's out-state for
+ * dependent ones) and out (the 9.3.1 storage).  segp =
+ * [start_rs, slice_idx, wpp, n_subs]. */
+FFPIC_API long ffpic_hevc_decode_segment(
+    const uint8_t *data, long len,
+    const int32_t *params, const int32_t *segp,
+    const int32_t *sub_bounds,
+    const int32_t *ts_to_rs, const int32_t *rs_to_ts,
+    const int32_t *tile_of_rs, int32_t *slice_of_ctb,
+    const uint8_t *sm_fresh, uint8_t *sm_io,
+    uint8_t *wpp_sm, int32_t *wpp_meta, int32_t *zone,
+    int32_t *ops, long ops_cap,
+    int32_t *tu_meta, long tu_cap,
+    int16_t *levels, long lv_cap,
+    int32_t *sao_out,
+    int8_t *ct_depth, int8_t *luma_mode, int8_t *qp_map,
+    uint8_t *bypass_map,
+    long *n_tus_out) {
+    (void)len;
+    Dec d;
+    memset(&d, 0, sizeof(d));
+    const int32_t *p = params;
+    d.w = p[0];
+    d.h = p[1];
+    d.ctb_log2 = p[2];
+    d.min_cb = p[3];
+    d.min_tb = p[4];
+    d.max_tb = p[5];
+    d.max_td_intra = p[6];
+    d.chroma_format = p[7];
+    d.tq_bypass_en = p[8];
+    d.tskip_en = p[9];
+    d.sdh_en = p[10];
+    d.cuqp_en = p[11];
+    d.cuqp_depth = p[12];
+    d.cb_off = p[13];
+    d.cr_off = p[14];
+    d.slice_qp = p[15];
+    d.sao_luma = p[16];
+    d.sao_chroma = p[17];
+    d.slice_cb_off = p[18];
+    d.slice_cr_off = p[19];
+    d.qp_bd_off = p[20];
+    d.mw = (d.w + 3) / 4;
+    d.mh = (d.h + 3) / 4;
+    d.ctbs_x = (d.w + (1 << d.ctb_log2) - 1) >> d.ctb_log2;
+    d.ctbs_y = (d.h + (1 << d.ctb_log2) - 1) >> d.ctb_log2;
+    d.log2_qg = d.ctb_log2 - d.cuqp_depth;
+    d.qp_prev = d.slice_qp;
+    d.qg_qp_prev = d.slice_qp;
+    d.ops = ops;
+    d.ops_cap = ops_cap;
+    d.tu_meta = tu_meta;
+    d.tu_cap = tu_cap;
+    d.levels = levels;
+    d.lv_cap = lv_cap;
+    d.sao = sao_out;
+    d.ct_depth = ct_depth;
+    d.luma_mode = luma_mode;
+    d.qp_map = qp_map;
+    d.bypass_map = bypass_map;
+    d.zone = zone;
+    return decode_segment_core(&d, data, sub_bounds, segp[3],
+                               ts_to_rs, rs_to_ts, tile_of_rs,
+                               slice_of_ctb, segp[0], segp[1],
+                               segp[2], sm_fresh, sm_io, wpp_sm,
+                               wpp_meta, n_tus_out);
 }
 
 /* ---------------- reconstruction (8.4.4.2 + 8.6) ---------------------

@@ -687,3 +687,33 @@ def test_randomized_coverage_campaign(trial):
         np.testing.assert_array_equal(
             pic.planes[i], enc.pic.planes[i],
             err_msg=f"trial {trial} shape {shape} plane {i}")
+
+
+@pytest.mark.parametrize("shape", ["multislice", "tiles", "wpp", "dep"])
+def test_native_segment_path_matches_python(shape):
+    """The native multi-segment decoder (ffpic_hevc_decode_segment:
+    tile scan, entry-point substreams, WPP ctx sync, zone-gated
+    availability) must equal the Python oracle sample-exactly."""
+    import os
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_picture
+    kw, enc_kw = {
+        "multislice": ({}, dict(n_slices=3)),
+        "tiles": (dict(tiles=(2, 2)), {}),
+        "wpp": (dict(wpp=True), {}),
+        "dep": (dict(dependent_slices=True), dict(dependent_splits=2)),
+    }[shape]
+    kw = dict(kw, sign_hiding=True)
+    enc = SliceEncoder(dict(width=128, height=96, ctb_log2=5), kw, 27,
+                       _planes(128, 96, 17), _full_policy(seed=17))
+    nalus = enc.encode_picture(**enc_kw)
+    pic_n = decode_picture(enc.sps, enc.pps, nalus)
+    os.environ["FFPIC_NO_NATIVE"] = "1"
+    try:
+        pic_p = decode_picture(enc.sps, enc.pps, nalus)
+    finally:
+        os.environ.pop("FFPIC_NO_NATIVE", None)
+    for i in range(3):
+        np.testing.assert_array_equal(pic_n.planes[i], pic_p.planes[i])
+        np.testing.assert_array_equal(pic_n.planes[i],
+                                      enc.pic.planes[i])
