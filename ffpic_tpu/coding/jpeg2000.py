@@ -750,12 +750,23 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
                 eps, mu, gain = band.eps, band.mu, band.gain
                 mb = eps + guard - 1     # E-2: M_b = G + eps_b - 1
                 kind = (0, 1, 0, 2)[band.orient]
+                import os as _os
+                use_native = not _os.environ.get("FFPIC_NO_NATIVE")
+                if use_native:
+                    from ffpic_tpu import native as _native
+                    use_native = _native.available()
                 for cb in band.cbs:
                     if not cb["npasses"]:
                         continue
-                    dec = BlockDecoder(cb["w"], cb["h"], kind)
-                    coeffs = dec.decode(b"".join(cb["data"]),
-                                        cb["npasses"], mb, cb["zbp"])
+                    if use_native:
+                        coeffs = _native.jp2_block(
+                            b"".join(cb["data"]), cb["npasses"], mb,
+                            cb["zbp"], cb["w"], cb["h"], kind)
+                    else:
+                        dec = BlockDecoder(cb["w"], cb["h"], kind)
+                        coeffs = dec.decode(b"".join(cb["data"]),
+                                            cb["npasses"], mb,
+                                            cb["zbp"])
                     band.coefs[cb["y"]:cb["y"] + cb["h"],
                                cb["x"]:cb["x"] + cb["w"]] = coeffs
                 if not reversible:

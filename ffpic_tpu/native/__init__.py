@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c", "host_jp2.c"]
 _lib = None
 _tried = False
 
@@ -646,6 +646,24 @@ def hevc_color(planes, bd: int, coeffs, limited: bool,
        ctypes.c_int(1 if limited else 0),
        ctypes.c_int(1 if trunc else 0),
        out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def jp2_block(data: bytes, n_passes: int, mb: int, zbp: int,
+              w: int, h: int, orient: int) -> np.ndarray:
+    """EBCOT tier-1 code-block decode (host_jp2.c): returns (h, w)
+    int32 signed coefficients."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty((h, w), np.int32)
+    fn = lib.ffpic_jp2_block
+    fn.restype = ctypes.c_int
+    rc = fn(data, ctypes.c_long(len(data)), ctypes.c_int(n_passes),
+            ctypes.c_int(mb), ctypes.c_int(zbp), ctypes.c_int(w),
+            ctypes.c_int(h), ctypes.c_int(orient),
+            out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"jp2 native block decode failed ({rc})")
     return out
 
 
