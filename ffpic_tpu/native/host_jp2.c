@@ -336,6 +336,8 @@ FFPIC_API int ffpic_jp2_block(const uint8_t *data, long len,
 
     MQ m;
     mq_init(&m, data, len);
+    if (mb > 31)
+        mb = 31;                       /* corrupt QCD exponents */
     int plane = mb - 1 - zbp;
     int kind = 2;                      /* first plane: cleanup */
     for (int p = 0; p < n_passes && plane >= 0; p++) {

@@ -389,3 +389,46 @@ def decode_batch_device_entropy(datas, order="rgba", mode="bt601",
     yq = jnp.asarray(j.dqt[j.comps[0].tq].reshape(8, 8))
     cq = jnp.asarray(j.dqt[j.comps[1].tq].reshape(8, 8))
     return decode_batch_420(y, u, v, yq, cq, order=order, mode=mode)
+
+
+def eligible(j) -> bool:
+    """Can this parsed JPEG take the device-entropy path?  Baseline
+    8-bit single interleaved 4:2:0 scan with restart intervals."""
+    return (j.restart_interval > 0 and j.mode == "baseline"
+            and j.precision == 8 and len(j.comps) == 3
+            and [(c.v, c.h) for c in j.comps]
+            == [(2, 2), (1, 1), (1, 1)]
+            and len(j.scans) == 1
+            and len(j.scans[0].get("comps", ())) == 3)
+
+
+def group_key(j) -> tuple:
+    """Bucket key: geometry + huffman tables + DRI (quant tables may
+    differ per image — they ride along per-image)."""
+    dht = tuple(sorted((k, bytes(c), bytes(s))
+                       for k, (c, s) in j.dht_raw.items()))
+    return (j.mcus_x, j.mcus_y, j.restart_interval, dht)
+
+
+def decode_batch_dri(datas, js, order="rgba", mode="bt601",
+                     unroll: int | None = None):
+    """Production batched decode for same-key DRI JPEGs: device-side
+    entropy + fused dequant|IDCT|upsample|color with PER-IMAGE quant
+    tables.  Returns uint8 (N, H, W, 4) on device (padded dims)."""
+    from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+
+    if unroll is None:
+        # 64x unroll amortizes the ~20us TPU while-iteration overhead
+        # (PARITY.md measurements); on CPU it just bloats compile time
+        unroll = 64 if jax.default_backend() == "tpu" else 2
+    flat, js2, consts, _steps = decode_coeffs_device(
+        datas, unroll=unroll)
+    j = js2[0]
+    y, u, v = assemble_planes(flat, len(datas), j)
+    yq = jnp.asarray(np.stack(
+        [jj.dqt[jj.comps[0].tq].reshape(8, 8) for jj in js])
+        [:, None, None])
+    cq = jnp.asarray(np.stack(
+        [jj.dqt[jj.comps[1].tq].reshape(8, 8) for jj in js])
+        [:, None, None])
+    return decode_batch_420(y, u, v, yq, cq, order=order, mode=mode)

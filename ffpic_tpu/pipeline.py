@@ -84,8 +84,51 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     buckets: dict[tuple, list] = {}
 
     color_mode = "bt601" if mode == "bt601" else mode
+
+    # device-side entropy decode (ops/jpeg_entropy_device): DRI'd
+    # baseline JPEGs ship raw destuffed bytes and Huffman-decode on
+    # the TPU — the fastest path when batches share tables, and
+    # immune to host->HBM tunnel weather.  TPU backends only
+    # (FFPIC_DEVICE_ENTROPY=1 forces it elsewhere for tests,
+    # FFPIC_DEVICE_ENTROPY=0 disables).
+    env_de = os.environ.get("FFPIC_DEVICE_ENTROPY")
+    use_dev_entropy = (mesh is None and env_de != "0"
+                       and (env_de == "1"
+                            or jax.default_backend() == "tpu"))
+    dri_buckets: dict[tuple, list] = {}
+    datas: list = [None] * n
+    if use_dev_entropy:
+        from ffpic_tpu.formats import jpg as _jpg
+        from ffpic_tpu.ops import jpeg_entropy_device as _jed
+        for i, src in enumerate(srcs):
+            data = _read(src)
+            datas[i] = data
+            if data[:2] != b"\xff\xd8":
+                continue
+            try:
+                jh, _ = _jpg.parse_and_decode(data, skip_decode=True)
+            except (ValueError, NotImplementedError):
+                continue
+            if _jed.eligible(jh):
+                dri_buckets.setdefault(_jed.group_key(jh), []) \
+                    .append((i, jh))
+        # batches of >= 4 amortize the device loop; smaller groups
+        # stay on the host packed path
+        dri_buckets = {k: v for k, v in dri_buckets.items()
+                       if len(v) >= 4}
+        for key, members in dri_buckets.items():
+            idxs = [i for i, _ in members]
+            out = _jed.decode_batch_dri(
+                [datas[i] for i in idxs], [jh for _, jh in members],
+                order="rgba", mode=color_mode)
+            for k, (i, jh) in enumerate(members):
+                slots[i] = out[k, :jh.height, :jh.width]
+    dev_done = {i for v in dri_buckets.values() for i, _ in v}
+
     for i, src in enumerate(srcs):
-        data = _read(src)
+        if i in dev_done:
+            continue
+        data = datas[i] if datas[i] is not None else _read(src)
         # with a mesh, keep dense coefficient tensors so each geometry
         # bucket launches ONE sharded decode over the data axis
         # (VERDICT r2 #7) instead of per-frame packed launches

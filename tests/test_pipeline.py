@@ -210,3 +210,35 @@ def test_decode_batch_mesh_bucket_sharded_equals_single(tmp_path):
     single = np.asarray(ffpic_tpu.decode_batch(paths))
     assert sharded.shape == single.shape
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_decode_batch_device_entropy_path(tmp_path):
+    """DRI'd baseline JPEG batches route through the device-side
+    entropy decoder (forced on CPU via FFPIC_DEVICE_ENTROPY=1) and
+    must be pixel-identical to the host path."""
+    import os
+    import ffpic_tpu
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(5):
+        arr = np.kron(rng.integers(0, 256, (6, 8, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        p = tmp_path / f"d{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=80 + i,
+                                  subsampling="4:2:0",
+                                  restart_marker_rows=1)
+        paths.append(str(p))
+    # plus one non-DRI jpeg that must stay on the host path
+    extra = tmp_path / "plain.jpg"
+    Image.fromarray(np.kron(rng.integers(0, 256, (6, 8, 3)),
+                            np.ones((16, 16, 1))).astype(np.uint8)) \
+        .save(extra, "JPEG", quality=85, subsampling="4:2:0")
+    paths.append(str(extra))
+
+    os.environ["FFPIC_DEVICE_ENTROPY"] = "1"
+    try:
+        dev = np.asarray(ffpic_tpu.decode_batch(paths))
+    finally:
+        del os.environ["FFPIC_DEVICE_ENTROPY"]
+    host = np.asarray(ffpic_tpu.decode_batch(paths))
+    np.testing.assert_array_equal(dev, host)
