@@ -519,12 +519,14 @@ def _band_dims(w, h, n, xob, yob):
 def decode_codestream(data: bytes, pos: int = 0) -> tuple:
     """Decode a JPEG 2000 codestream to component sample arrays.
 
-    Returns (list of (H, W) int32 arrays, meta dict).  Scope: single
-    tile, subsampling 1, one precinct per resolution (openjpeg/PIL
-    defaults), LRCP/RLCP progressions."""
+    Returns (list of (H, W) int32/float arrays, meta dict).  Scope:
+    subsampling 1, one precinct per resolution, LRCP/RLCP/RPCL
+    progressions (openjpeg/PIL defaults); multiple tiles supported for
+    power-of-two tile sizes divisible by 2^levels (the standard
+    shapes — keeps every band origin even and code-blocks grid-
+    aligned)."""
     n = len(data)
     siz = cod = qcd = None
-    sot_pos = None
     tile_parts = []
     while pos + 4 <= n:
         marker = struct.unpack_from(">H", data, pos)[0]
@@ -534,7 +536,6 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
         if marker == 0xFFD9:             # EOC
             break
         if marker == 0xFF93:             # SOD
-            # tile-part body runs to the next SOT/EOC; psot gives it
             body0 = pos + 2
             psot = tile_parts[-1]["psot"]
             end = (tile_parts[-1]["sot_pos"] + psot if psot
@@ -569,10 +570,6 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
                        cstyle=cstyle, reversible=transform == 1,
                        precincts=bool(scod & 1),
                        sop=bool(scod & 2), eph=bool(scod & 4))
-            if cod["precincts"]:
-                cod["prc"] = [(seg[10 + i] & 0xF,
-                               (seg[10 + i] >> 4) & 0xF)
-                              for i in range(levels + 1)]
         elif marker == 0xFF5C:           # QCD
             sq = seg[0]
             style = sq & 0x1F
@@ -595,8 +592,7 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPEG 2000: missing SIZ/COD/QCD")
     W, H = siz["w"], siz["h"]
-    if siz["tiles"][0] < W or siz["tiles"][1] < H:
-        raise NotImplementedError("JPEG 2000: multi-tile codestream")
+    xt, yt = siz["tiles"][0], siz["tiles"][1]
     for c in siz["comps"]:
         if c["dx"] != 1 or c["dy"] != 1:
             raise NotImplementedError("JPEG 2000: subsampled "
@@ -604,49 +600,91 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
     if cod["cstyle"] & 0x3F not in (0,):
         raise NotImplementedError("JPEG 2000: code-block style "
                                   f"{cod['cstyle']:#x}")
-    body = b"".join(tp["body"] for tp in tile_parts)
+    if cod["precincts"]:
+        raise NotImplementedError("JPEG 2000: explicit precincts")
+    levels = cod["levels"]
+    multi_tile = xt < W or yt < H
+    if multi_tile and ((xt & (xt - 1)) or (yt & (yt - 1))
+                       or xt % (1 << levels) or yt % (1 << levels)):
+        raise NotImplementedError(
+            "JPEG 2000: tile size must be a power of two divisible "
+            "by 2^levels")
 
+    ncomp = len(siz["comps"])
+    reversible = cod["reversible"]
+    # group tile-part bodies by tile index
+    ntx = -(-W // xt)
+    nty = -(-H // yt)
+    bodies = [b"" for _ in range(ntx * nty)]
+    for tp in tile_parts:
+        if tp["isot"] < len(bodies):
+            bodies[tp["isot"]] += tp["body"]
+
+    out = [np.zeros((H, W), np.float64) for _ in range(ncomp)]
+    for ti in range(ntx * nty):
+        tx0 = (ti % ntx) * xt
+        ty0 = (ti // ntx) * yt
+        tx1 = min(tx0 + xt, W)
+        ty1 = min(ty0 + yt, H)
+        tiles_out = _decode_tile(bodies[ti], tx0, ty0, tx1, ty1,
+                                 cod, qcd, siz)
+        for ci in range(ncomp):
+            out[ci][ty0:ty1, tx0:tx1] = tiles_out[ci]
+
+    meta = dict(width=W, height=H, components=ncomp,
+                depths=[c["depth"] for c in siz["comps"]],
+                reversible=reversible, levels=levels,
+                layers=cod["layers"], mct=cod["mct"])
+    return out, meta
+
+
+def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
+                 cod: dict, qcd: dict, siz: dict) -> list:
+    """Decode one tile's packets + tier-1 + synthesis.  Band origins
+    are even at every level (caller-enforced tile geometry), so the
+    wavelet stays even-anchored."""
     levels = cod["levels"]
     reversible = cod["reversible"]
     ncomp = len(siz["comps"])
+    tw, th = tx1 - tx0, ty1 - ty0
 
-    # build band structure per component (B-15 geometry)
+    def ce(a, b):
+        return -(-a // b)
+
+    # band structure per component
     comps_bands = []
     for ci in range(ncomp):
-        res = []                          # res[r] = list of bands
-        # r = 0: LL_levels
-        b = _Band(0, -(-W // (1 << levels)), -(-H // (1 << levels)))
+        res = []
+        b = _Band(0, ce(tx1, 1 << levels) - ce(tx0, 1 << levels),
+                  ce(ty1, 1 << levels) - ce(ty0, 1 << levels))
         res.append([b])
         for r in range(1, levels + 1):
             nlev = levels - r + 1
-            hl = _Band(1, *_band_dims(W, H, nlev, 1, 0))
-            lh = _Band(2, *_band_dims(W, H, nlev, 0, 1))
-            hh = _Band(3, *_band_dims(W, H, nlev, 1, 1))
+            half = 1 << (nlev - 1)
+            full = 1 << nlev
+
+            def bdim(a0, a1, ob):
+                return ce(a1 - half * ob, full) - ce(a0 - half * ob,
+                                                     full)
+            hl = _Band(1, bdim(tx0, tx1, 1), bdim(ty0, ty1, 0))
+            lh = _Band(2, bdim(tx0, tx1, 0), bdim(ty0, ty1, 1))
+            hh = _Band(3, bdim(tx0, tx1, 1), bdim(ty0, ty1, 1))
             res.append([hl, lh, hh])
         comps_bands.append(res)
 
-    # quantization per band: map (r, band) -> (eps, mu, gain)
     def band_quant(ci, r, orient):
         idx = 0 if r == 0 else 1 + 3 * (r - 1) + (orient - 1)
         gain = (0, 1, 1, 2)[orient]
-        if qcd["style"] == 1:            # scalar derived (E-5):
-            # eps_b = eps_0 - NL + n_b; n_b = NL for LL, NL-r+1 else
+        if qcd["style"] == 1:            # scalar derived (E-5)
             e0, m0 = qcd["vals"][0]
             eps = e0 if r == 0 else e0 - r + 1
             return eps, m0, gain
         e, m = qcd["vals"][min(idx, len(qcd["vals"]) - 1)]
         return e, m, gain
 
-    # code-block grids per band
     xcb, ycb = cod["xcb"], cod["ycb"]
-    if cod["precincts"]:
-        # only whole-band precincts supported; effective cb size caps
-        raise NotImplementedError("JPEG 2000: explicit precincts")
     for ci in range(ncomp):
-        depth = siz["comps"][ci]["depth"]
         for r, bands in enumerate(comps_bands[ci]):
-            # in resolution r>0 the cb size halves? (B.7: cb size is
-            # min(xcb, PPx - (r?1:0))); with default precincts PPx=15
             for band in bands:
                 eps, mu, gain = band_quant(ci, r, band.orient)
                 band.eps, band.mu, band.gain = eps, mu, gain
@@ -654,8 +692,8 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
                 if bw <= 0 or bh <= 0:
                     band.inc_tree = band.zbp_tree = None
                     continue
-                ncx = -(-bw // (1 << xcb))
-                ncy = -(-bh // (1 << ycb))
+                ncx = ce(bw, 1 << xcb)
+                ncy = ce(bh, 1 << ycb)
                 band.inc_tree = TagTree(ncx, ncy)
                 band.zbp_tree = TagTree(ncx, ncy)
                 for cy in range(ncy):
@@ -684,7 +722,7 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
                 for l in range(cod["layers"]):
                     for c in range(ncomp):
                         yield l, r, c
-        elif prog == 2:                   # RPCL (1 precinct == RLCP-ish)
+        elif prog == 2:                   # RPCL
             for r in range(levels + 1):
                 for c in range(ncomp):
                     for l in range(cod["layers"]):
@@ -697,7 +735,7 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
         if pos >= len(body):
             break
         if cod["sop"] and body[pos:pos + 2] == b"\xff\x91":
-            pos += 6                     # SOP marker segment
+            pos += 6
         br = PktBits(body, pos)
         bands = comps_bands[ci][r]
         contribs = []
@@ -770,9 +808,6 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
                     band.coefs[cb["y"]:cb["y"] + cb["h"],
                                cb["x"]:cb["x"] + cb["w"]] = coeffs
                 if not reversible:
-                    # E-3 step size + midpoint reconstruction (the
-                    # decoded magnitude is a truncation: add half an
-                    # LSB toward the bin center, openjpeg-style)
                     rb = depth + gain
                     delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
                     band.coefs = (band.coefs
@@ -787,13 +822,8 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
             if reversible:
                 a = tuple(x.astype(np.int64) for x in a)
             ll = _idwt_2d(ll, a[0], a[1], a[2], reversible)
-        out.append(ll)
-
-    meta = dict(width=W, height=H, components=ncomp,
-                depths=[c["depth"] for c in siz["comps"]],
-                reversible=reversible, levels=levels,
-                layers=cod["layers"], mct=cod["mct"])
-    return out, meta
+        out.append(ll[:th, :tw])
+    return out
 
 
 def decode_to_planes(data: bytes, pos: int = 0):

@@ -76,3 +76,36 @@ def test_jp2_raw_codestream():
     got = ffpic_tpu.load(raw).np_pixels()
     ref = np.asarray(Image.open(io.BytesIO(data)))
     np.testing.assert_array_equal(got[..., 0], ref)
+
+
+@pytest.mark.parametrize("shape,ts,irr", [
+    ((100, 120), (64, 64), False),
+    ((200, 130), (64, 64), True),
+    ((300, 257), (128, 128), False),
+])
+def test_jp2_multi_tile(shape, ts, irr):
+    """Tiled codestreams: per-tile packet sequences, band geometry and
+    synthesis, pasted into the canvas."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(a).save(b, "JPEG2000", irreversible=irr,
+                            tile_size=ts)
+    data = b.getvalue()
+    import ffpic_tpu
+    got = ffpic_tpu.load(data).np_pixels()[..., :3].astype(int)
+    ref = np.asarray(Image.open(io.BytesIO(data))).astype(int)
+    assert np.abs(got - ref).max() <= (1 if irr else 0)
+
+
+@pytest.mark.parametrize("prog", ["LRCP", "RLCP", "RPCL"])
+def test_jp2_progression_orders(prog):
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 256, (80, 96), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(a, "L").save(b, "JPEG2000", irreversible=False,
+                                 progression=prog)
+    import ffpic_tpu
+    got = ffpic_tpu.load(b.getvalue()).np_pixels()[..., 0]
+    ref = np.asarray(Image.open(io.BytesIO(b.getvalue())))
+    np.testing.assert_array_equal(got, ref)
