@@ -9,10 +9,12 @@ entropy decode and produces no pixels (jp2.c:424-447 stops at packet
 headers) — this is a beat-the-reference component.  Differentially
 tested against openjpeg via PIL (tests/test_jp2_decode.py).
 
-Scope: single tile, component subsampling 1, one precinct per
-resolution (the openjpeg/PIL defaults), LRCP/RLCP/RPCL progressions,
-any layer count, reversible (5/3 + RCT) and irreversible (9/7 + ICT),
-up to 16-bit components.
+Scope: component subsampling 1, one precinct per resolution (the
+openjpeg/PIL defaults), LRCP/RLCP/RPCL progressions, any layer count,
+reversible (5/3 + RCT) and irreversible (9/7 + ICT), multi-tile
+codestreams (power-of-two tile sizes), up to 16-bit components.
+Tier-1 runs in C (native/host_jp2.c, ~100x the Python oracle kept
+under FFPIC_NO_NATIVE).
 """
 
 from __future__ import annotations

@@ -109,3 +109,17 @@ def test_jp2_progression_orders(prog):
     got = ffpic_tpu.load(b.getvalue()).np_pixels()[..., 0]
     ref = np.asarray(Image.open(io.BytesIO(b.getvalue())))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_jp2_16bit_plane_exact():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 65536, (40, 50)).astype(np.uint16)
+    b = io.BytesIO()
+    Image.fromarray(a).save(b, "JPEG2000", irreversible=False)
+    from ffpic_tpu.coding.jpeg2000 import decode_to_planes
+    data = b.getvalue()
+    pos = data.find(b"\xff\x4f\xff\x51")
+    planes, meta = decode_to_planes(data, pos)
+    assert meta["depths"] == [16]
+    ref = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(planes[0], ref.astype(np.int64))
