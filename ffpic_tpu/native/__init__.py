@@ -141,7 +141,10 @@ def jpeg_decode_scan(scan: bytes, dht: dict, frame_comps, scan_comps,
         raise ValueError(f"native jpeg scan decode failed rc={rc}")
 
 
-_packed_scratch: dict = {}
+import threading as _threading
+_packed_tls = _threading.local()    # per-thread scratch: the packed
+# emission returns views into it, and decode_batch may parse from a
+# host worker pool
 
 
 def jpeg_decode_scan_packed(scan: bytes, dht: dict, frame_comps,
@@ -187,7 +190,9 @@ def jpeg_decode_scan_packed(scan: bytes, dht: dict, frame_comps,
     # on this host.  The returned arrays are views — each call
     # invalidates the previous call's result (callers stage to device
     # or copy immediately).
-    sc = _packed_scratch
+    sc = getattr(_packed_tls, "sc", None)
+    if sc is None:
+        sc = _packed_tls.sc = {}
     if sc.get("cap", 0) < cap:
         sc["counts"] = np.empty(cap // 64, np.uint8)
         sc["ks"] = np.empty(cap, np.uint8)

@@ -125,22 +125,38 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
                 slots[i] = out[k, :jh.height, :jh.width]
     dev_done = {i for v in dri_buckets.values() for i, _ in v}
 
-    for i, src in enumerate(srcs):
-        if i in dev_done:
-            continue
+    def _prep(item):
+        i, src = item
         data = datas[i] if datas[i] is not None else _read(src)
         # with a mesh, keep dense coefficient tensors so each geometry
         # bucket launches ONE sharded decode over the data axis
         # (VERDICT r2 #7) instead of per-frame packed launches
         j = _jpeg_420_plan(data, use_packed=mesh is None)
+        if j is not None and j.packed is not None:
+            # stage now with a forced copy: the packed emission lives
+            # in a per-thread scratch the next parse overwrites, and
+            # jnp.asarray is zero-copy on the CPU backend
+            c, k, v, nnz = j.packed
+            j.packed = (jnp.array(c), jnp.array(k), jnp.array(v), nnz)
+        return i, data, j
+
+    # host worker pool over the entropy-decode stage (SURVEY 2.6(a)):
+    # the native parsers release the GIL, so reads+Huffman+staging of
+    # independent images scale across host cores.  Serial on 1-vCPU
+    # hosts (measured loss there); FFPIC_THREADS overrides.
+    items = [(i, s) for i, s in enumerate(srcs) if i not in dev_done]
+    env_t = os.environ.get("FFPIC_THREADS")
+    nw = int(env_t) if env_t else (os.cpu_count() or 1)
+    nw = max(1, min(nw, len(items) or 1))
+    if nw > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            prepped = list(ex.map(_prep, items))
+    else:
+        prepped = [_prep(it) for it in items]
+
+    for (i, data, j) in prepped:
         if j is not None:
-            if j.packed is not None:
-                # stage now with a forced copy: the packed emission
-                # lives in a shared scratch the next parse overwrites,
-                # and jnp.asarray is zero-copy on the CPU backend
-                c, k, v, nnz = j.packed
-                j.packed = (jnp.array(c), jnp.array(k),
-                            jnp.array(v), nnz)
             key = (j.comps[0].nby, j.comps[0].nbx)
             buckets.setdefault(key, []).append((i, j))
         else:

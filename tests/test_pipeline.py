@@ -242,3 +242,30 @@ def test_decode_batch_device_entropy_path(tmp_path):
         del os.environ["FFPIC_DEVICE_ENTROPY"]
     host = np.asarray(ffpic_tpu.decode_batch(paths))
     np.testing.assert_array_equal(dev, host)
+
+
+def test_decode_batch_threaded_parse(tmp_path):
+    """FFPIC_THREADS>1: host-pooled read+entropy+staging must be
+    pixel-identical to serial (per-thread packed scratch)."""
+    import os
+    import ffpic_tpu
+    rng = np.random.default_rng(8)
+    paths = []
+    for i in range(6):
+        arr = np.kron(rng.integers(0, 256, (6, 8, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        p = tmp_path / f"t{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=82 + i,
+                                  subsampling="4:2:0")
+        paths.append(str(p))
+    os.environ["FFPIC_THREADS"] = "4"
+    try:
+        pooled = np.asarray(ffpic_tpu.decode_batch(paths))
+    finally:
+        del os.environ["FFPIC_THREADS"]
+    os.environ["FFPIC_THREADS"] = "1"
+    try:
+        serial = np.asarray(ffpic_tpu.decode_batch(paths))
+    finally:
+        del os.environ["FFPIC_THREADS"]
+    np.testing.assert_array_equal(pooled, serial)
