@@ -456,11 +456,10 @@ static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
         if (!csbf[syy][sxx])
             continue;
 
-        int8_t sig[16];
-        memset(sig, 0, 16);
         int start_n = (i == last_sb) ? last_pos - 1 : 15;
+        int sig_pos[16], n_sig = 0;
         if (i == last_sb)
-            sig[last_pos] = 1;
+            sig_pos[n_sig++] = last_pos;
         /* subblock-invariant sig-ctx pieces, hoisted out of the
          * per-coefficient loop */
         int cbase = C_SIG + (c_idx ? 27 : 0);
@@ -482,17 +481,14 @@ static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
         for (int nn = start_n; nn >= 0; nn--) {
             if (nn > 0 || !infer_dc) {
                 int sc = (dc_special && nn == 0) ? 0 : sct[nn] + sadd;
-                sig[nn] = dec_bin(c, cbase + sc);
-                if (sig[nn])
+                if (dec_bin(c, cbase + sc)) {
+                    sig_pos[n_sig++] = nn;
                     infer_dc = 0;
+                }
             } else {
-                sig[nn] = 1;
+                sig_pos[n_sig++] = nn;
             }
         }
-        int sig_pos[16], n_sig = 0;
-        for (int nn = 15; nn >= 0; nn--)
-            if (sig[nn])
-                sig_pos[n_sig++] = nn;
         if (!n_sig)
             continue;
 
