@@ -578,12 +578,20 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
     luma = ops_a[ops_a[:, 0] == 0]
     pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
 
-    # native recon end-to-end (prediction + residual add in C)
+    # native recon end-to-end (prediction + residual add in C);
+    # FFPIC_HEVC_DEVICE=1 computes ALL residual transforms on the TPU
+    # first (one batched launch per TU-size bucket, ops/hevc_kernels)
+    # and C only adds them to the prediction wavefront
     import os as _os
     if not _os.environ.get("FFPIC_NO_NATIVE_RECON"):
+        resid = None
+        if _os.environ.get("FFPIC_HEVC_DEVICE"):
+            from ffpic_tpu.ops.hevc_kernels import residuals_packed
+            resid = residuals_packed(tu_a, levels,
+                                     sps.bit_depth_luma)
         native.hevc_recon(pic.planes, sps.bit_depth_luma,
                           getattr(sps, "strong_intra_smoothing", False),
-                          ops_a, tu_a, levels)
+                          ops_a, tu_a, levels, residuals=resid)
         for p in range(len(pic.planes)):
             pic.masks[p][:] = True
         return []

@@ -593,17 +593,24 @@ def hevc_decode_segment(data: bytes, params, segp, sub_bounds,
 
 
 def hevc_recon(planes, bd: int, strong: bool, ops: np.ndarray,
-               tu_meta: np.ndarray, levels: np.ndarray) -> None:
+               tu_meta: np.ndarray, levels: np.ndarray,
+               residuals: np.ndarray | None = None) -> None:
     """Native HEVC reconstruction (host_hevc.c): runs the op list
-    (prediction + residual add) in place on int32 planes."""
+    (prediction + residual add) in place on int32 planes.  With
+    `residuals` (int16, packed like `levels`), the transforms are
+    skipped and the precomputed values (e.g. from the device TU-bucket
+    kernels) are added instead."""
     lib = _load()
     assert lib is not None
     Y = planes[0]
     U = planes[1] if len(planes) > 1 else np.zeros((1, 1), np.int32)
     V = planes[2] if len(planes) > 1 else np.zeros((1, 1), np.int32)
     assert Y.dtype == np.int32 and Y.flags.c_contiguous
-    fn = lib.ffpic_hevc_recon
+    fn = lib.ffpic_hevc_recon2
     fn.restype = ctypes.c_int
+    resid_p = (np.ascontiguousarray(residuals, np.int16).ctypes
+               .data_as(ctypes.c_void_p)
+               if residuals is not None else None)
     rc = fn(Y.ctypes.data_as(ctypes.c_void_p),
             U.ctypes.data_as(ctypes.c_void_p),
             V.ctypes.data_as(ctypes.c_void_p),
@@ -618,7 +625,8 @@ def hevc_recon(planes, bd: int, strong: bool, ops: np.ndarray,
               .data_as(ctypes.c_void_p),
             ctypes.c_long(len(tu_meta)),
             np.ascontiguousarray(levels, np.int16).ctypes
-              .data_as(ctypes.c_void_p))
+              .data_as(ctypes.c_void_p),
+            resid_p)
     if rc != 0:
         raise ValueError(f"hevc native recon failed ({rc})")
 

@@ -948,6 +948,13 @@ static void parse_sao(Dec *d, int cx, int cy) {
     }
 }
 
+FFPIC_API int ffpic_hevc_recon2(
+    int32_t *Y, int32_t *U, int32_t *V,
+    int w, int h, int cw, int ch, int n_planes, int bd, int strong,
+    const int32_t *ops, long n_ops,
+    const int32_t *tu_meta, long n_tus,
+    const int16_t *levels, const int16_t *resid);
+
 static void stamp_zone(Dec *d, int cx, int cy) {
     int s4 = 1 << (d->ctb_log2 - 2);
     int y0 = cy * s4, x0 = cx * s4;
@@ -1702,6 +1709,21 @@ FFPIC_API int ffpic_hevc_recon(
     const int32_t *ops, long n_ops,
     const int32_t *tu_meta, long n_tus,
     const int16_t *levels) {
+    return ffpic_hevc_recon2(Y, U, V, w, h, cw, ch, n_planes, bd,
+                             strong, ops, n_ops, tu_meta, n_tus,
+                             levels, (const int16_t *)0);
+}
+
+/* recon with optional PRECOMPUTED residuals (int16, packed per TU in
+ * the same layout as `levels`) — the device TU-bucket path
+ * (ops/hevc_kernels) computes them in batched MXU launches and this
+ * entry just adds them to the prediction. */
+FFPIC_API int ffpic_hevc_recon2(
+    int32_t *Y, int32_t *U, int32_t *V,
+    int w, int h, int cw, int ch, int n_planes, int bd, int strong,
+    const int32_t *ops, long n_ops,
+    const int32_t *tu_meta, long n_tus,
+    const int16_t *levels, const int16_t *resid) {
     Recon rc;
     rc.pl[0] = Y;
     rc.pl[1] = U;
@@ -1741,11 +1763,19 @@ FFPIC_API int ffpic_hevc_recon(
         r_predict(&rc, plane, x, y, n, mode, pred);
         if (tu >= 0) {
             const int32_t *m = tu_meta + tu * 8;
-            r_residual(levels + tu_off[tu], n, m[6], m[4], m[5], m[7],
-                       bd, res);
-            for (int i = 0; i < n * n; i++) {
-                int v = pred[i] + res[i];
-                pred[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
+            if (resid) {
+                const int16_t *rr = resid + tu_off[tu];
+                for (int i = 0; i < n * n; i++) {
+                    int v = pred[i] + rr[i];
+                    pred[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
+                }
+            } else {
+                r_residual(levels + tu_off[tu], n, m[6], m[4], m[5],
+                           m[7], bd, res);
+                for (int i = 0; i < n * n; i++) {
+                    int v = pred[i] + res[i];
+                    pred[i] = v < 0 ? 0 : (v > maxv ? maxv : v);
+                }
             }
         }
         int32_t *pl = rc.pl[plane];

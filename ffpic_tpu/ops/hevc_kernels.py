@@ -138,3 +138,47 @@ def residuals_for_ops(ops, bit_depth: int) -> dict:
         for i, t in enumerate(tus):
             out[id(t)] = res_np[i]
     return out
+
+
+def residuals_packed(tu_meta: np.ndarray, levels: np.ndarray,
+                     bit_depth: int) -> np.ndarray:
+    """Device TU-bucket residuals over the NATIVE flat layout
+    (tu_meta rows: x,y,n,cidx,skip,bypass,qp,dst; levels int16 packed
+    per TU).  Returns int16 packed residuals in the same layout —
+    feed native.hevc_recon(..., residuals=...).
+
+    One batched launch per (n, dst, skip) bucket: the whole picture's
+    inverse transforms (the FLOP-dense stage) run as MXU matmuls
+    while the host keeps only CABAC + the prediction wavefront."""
+    m = len(tu_meta)
+    out = np.empty(len(levels), np.int16)
+    if m == 0:
+        return out
+    ns = tu_meta[:, 2].astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(ns * ns)])
+    buckets: dict[tuple, list] = {}
+    for t in range(m):
+        n = int(tu_meta[t, 2])
+        skip = bool(tu_meta[t, 4])
+        byp = bool(tu_meta[t, 5])
+        dst = bool(tu_meta[t, 7])
+        if byp:
+            out[offs[t]:offs[t + 1]] = levels[offs[t]:offs[t + 1]]
+            continue
+        buckets.setdefault((n, dst, skip), []).append(t)
+    for (n, dst, skip), idxs in buckets.items():
+        lv = np.stack([
+            levels[offs[t]:offs[t + 1]].astype(np.int32)
+            .reshape(n, n) for t in idxs])
+        qp = np.array([tu_meta[t, 6] for t in idxs], np.int32)
+        if skip:
+            res = dequant_skip_batch(jnp.asarray(lv), jnp.asarray(qp),
+                                     n, bit_depth)
+        else:
+            res = dequant_itransform_batch(jnp.asarray(lv),
+                                           jnp.asarray(qp), n,
+                                           bit_depth, dst=dst)
+        res_np = np.asarray(res).astype(np.int16)
+        for k, t in enumerate(idxs):
+            out[offs[t]:offs[t + 1]] = res_np[k].ravel()
+    return out

@@ -68,3 +68,25 @@ def test_execute_ops_device_path_matches_host(rng):
         del os.environ["FFPIC_HEVC_DEVICE"]
         del os.environ["FFPIC_NO_NATIVE_RECON"]
     np.testing.assert_array_equal(host, dev)
+
+
+def test_native_recon_with_device_residuals(rng):
+    """FFPIC_HEVC_DEVICE on the NATIVE path: residuals_packed computes
+    every TU on device (bucketed launches) and ffpic_hevc_recon2 adds
+    them — must equal the all-host decode exactly."""
+    import ffpic_tpu
+    from ffpic_tpu.formats.heif_enc import encode_heif
+    from ffpic_tpu.formats.pic import Pic
+
+    arr = np.kron(rng.integers(0, 256, (8, 8, 3)),
+                  np.ones((8, 8, 1))).astype(np.uint8)
+    arr = np.dstack([arr, np.full(arr.shape[:2], 255, np.uint8)])
+    blob = encode_heif(Pic(pixels=arr, width=64, height=64),
+                       quality=60)
+    host = ffpic_tpu.load(blob).np_pixels()
+    os.environ["FFPIC_HEVC_DEVICE"] = "1"
+    try:
+        dev = ffpic_tpu.load(blob).np_pixels()
+    finally:
+        del os.environ["FFPIC_HEVC_DEVICE"]
+    np.testing.assert_array_equal(host, dev)
