@@ -325,9 +325,11 @@ class SliceEncoder:
             s0, s1 = starts[si], starts[si + 1]
             k = 1 + dependent_splits
             bd = [s0 + (j * (s1 - s0)) // k for j in range(k)] + [s1]
-            for j in range(k):
-                if bd[j] < bd[j + 1]:
-                    segments.append((bd[j], bd[j + 1], j > 0, si))
+            emitted = False      # a slice's FIRST emitted segment must
+            for j in range(k):   # be independent even if earlier sub-
+                if bd[j] < bd[j + 1]:   # ranges collapsed to empty
+                    segments.append((bd[j], bd[j + 1], emitted, si))
+                    emitted = True
 
         nalus = []
         self._wpp_snap = None

@@ -717,3 +717,20 @@ def test_native_segment_path_matches_python(shape):
         np.testing.assert_array_equal(pic_n.planes[i], pic_p.planes[i])
         np.testing.assert_array_equal(pic_n.planes[i],
                                       enc.pic.planes[i])
+
+
+def test_multislice_degenerate_segment_split():
+    """Regression: when a slice's CTB range is smaller than the
+    requested dependent-split count, the collapsed leading sub-ranges
+    must not leave the slice's FIRST emitted segment marked
+    dependent (it would then omit the slice header fields)."""
+    from ffpic_tpu.coding.hevc_enc import SliceEncoder
+    from ffpic_tpu.formats.hevc import decode_picture
+    # 128x64 at CTB 64 -> only 2 CTBs; 2 slices x (1+2) segments
+    enc = SliceEncoder(dict(width=128, height=64, ctb_log2=6),
+                       dict(dependent_slices=True), 30,
+                       _planes(128, 64, 21), _full_policy())
+    nalus = enc.encode_picture(n_slices=2, dependent_splits=2)
+    pic = decode_picture(enc.sps, enc.pps, nalus)
+    for i in range(3):
+        np.testing.assert_array_equal(pic.planes[i], enc.pic.planes[i])
