@@ -10,7 +10,9 @@ headers) — this is a beat-the-reference component.  Differentially
 tested against openjpeg via PIL (tests/test_jp2_decode.py).
 
 Scope: component subsampling 1, one precinct per resolution (the
-openjpeg/PIL defaults), LRCP/RLCP/RPCL progressions, any layer count,
+openjpeg/PIL defaults) or explicit precinct grids (scod&1,
+single-tile), all five progression orders (LRCP/RLCP/RPCL/
+PCRL/CPRL), any layer count,
 reversible (5/3 + RCT) and irreversible (9/7 + ICT), multi-tile
 codestreams (power-of-two tile sizes), up to 16-bit components.
 Tier-1 runs in C (native/host_jp2.c, ~100x the Python oracle kept
@@ -501,13 +503,14 @@ def _idwt_2d(ll, hl, lh, hh, reversible: bool):
 
 class _Band:
     __slots__ = ("orient", "w", "h", "coefs", "eps", "mu", "gain",
-                 "cbs", "inc_tree", "zbp_tree")
+                 "cbs", "precincts")
 
     def __init__(self, orient, w, h):
         self.orient = orient             # 0 LL, 1 HL, 2 LH, 3 HH
         self.w, self.h = w, h
         self.coefs = np.zeros((max(h, 0), max(w, 0)), np.float64)
         self.cbs = []                    # per code-block state dicts
+        self.precincts = []              # per-precinct trees + cbs
 
 
 def _band_dims(w, h, n, xob, yob):
@@ -522,8 +525,8 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
     """Decode a JPEG 2000 codestream to component sample arrays.
 
     Returns (list of (H, W) int32/float arrays, meta dict).  Scope:
-    subsampling 1, one precinct per resolution, LRCP/RLCP/RPCL
-    progressions (openjpeg/PIL defaults); multiple tiles supported for
+    subsampling 1, default or explicit precinct grids (explicit only
+    single-tile), all five progression orders; multiple tiles for
     power-of-two tile sizes divisible by 2^levels (the standard
     shapes — keeps every band origin even and code-blocks grid-
     aligned)."""
@@ -567,10 +570,16 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
             ycb = (seg[7] & 0xF) + 2
             cstyle = seg[8]
             transform = seg[9]           # 0 = 9/7, 1 = 5/3
+            prec = None
+            if scod & 1:                 # explicit precinct sizes
+                # one byte per resolution: PPx low nibble, PPy high
+                # (A.6.1 Table A.21)
+                prec = [(b & 0xF, b >> 4)
+                        for b in seg[10:10 + levels + 1]]
             cod = dict(prog=prog, layers=layers, mct=mct,
                        levels=levels, xcb=xcb, ycb=ycb,
                        cstyle=cstyle, reversible=transform == 1,
-                       precincts=bool(scod & 1),
+                       prec=prec,
                        sop=bool(scod & 2), eph=bool(scod & 4))
         elif marker == 0xFF5C:           # QCD
             sq = seg[0]
@@ -594,7 +603,20 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPEG 2000: missing SIZ/COD/QCD")
     W, H = siz["w"], siz["h"]
+    # SIZ sanity: dims come from untrusted u32 fields (Xsiz - X0siz);
+    # bound BEFORE the full-picture allocation below or a fuzzed
+    # header drives np.zeros into terabyte territory (found by the
+    # ASAN allocation-size check in tools/fuzz_native_asan.py).
+    ncomp_raw = len(siz["comps"])
+    if not (0 < W < 65536 and 0 < H < 65536):
+        raise ValueError("JPEG 2000: corrupt SIZ picture dimensions")
+    if not (1 <= ncomp_raw <= 16):
+        raise ValueError("JPEG 2000: corrupt SIZ component count")
+    if W * H * ncomp_raw > (1 << 28):
+        raise ValueError("JPEG 2000: image exceeds sample budget")
     xt, yt = siz["tiles"][0], siz["tiles"][1]
+    if not (0 < xt and 0 < yt):
+        raise ValueError("JPEG 2000: corrupt SIZ tile dimensions")
     for c in siz["comps"]:
         if c["dx"] != 1 or c["dy"] != 1:
             raise NotImplementedError("JPEG 2000: subsampled "
@@ -602,15 +624,24 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
     if cod["cstyle"] & 0x3F not in (0,):
         raise NotImplementedError("JPEG 2000: code-block style "
                                   f"{cod['cstyle']:#x}")
-    if cod["precincts"]:
-        raise NotImplementedError("JPEG 2000: explicit precincts")
     levels = cod["levels"]
+    # A.6.1: 0..32 decomposition levels; xcb,ycb in 2..10, xcb+ycb<=12
+    if levels > 32:
+        raise ValueError("JPEG 2000: corrupt COD decomposition levels")
+    if cod["xcb"] > 10 or cod["ycb"] > 10 or cod["xcb"] + cod["ycb"] > 12:
+        raise ValueError("JPEG 2000: corrupt COD code-block size")
     multi_tile = xt < W or yt < H
     if multi_tile and ((xt & (xt - 1)) or (yt & (yt - 1))
                        or xt % (1 << levels) or yt % (1 << levels)):
         raise NotImplementedError(
             "JPEG 2000: tile size must be a power of two divisible "
             "by 2^levels")
+    if multi_tile and cod["prec"] is not None:
+        # precinct grids anchor at the tile origin on the reference
+        # grid; our per-tile decode anchors at 0, exact only for the
+        # single-tile (whole-image) case
+        raise NotImplementedError(
+            "JPEG 2000: explicit precincts with multiple tiles")
 
     ncomp = len(siz["comps"])
     reversible = cod["reversible"]
@@ -622,7 +653,10 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
         if tp["isot"] < len(bodies):
             bodies[tp["isot"]] += tp["body"]
 
-    out = [np.zeros((H, W), np.float64) for _ in range(ncomp)]
+    # reversible tiles produce exact integers — keep them int64 so the
+    # RCT inverse in decode_to_planes can shift (G-6 needs >> 2)
+    plane_dt = np.int64 if reversible else np.float64
+    out = [np.zeros((H, W), plane_dt) for _ in range(ncomp)]
     for ti in range(ntx * nty):
         tx0 = (ti % ntx) * xt
         ty0 = (ti // ntx) * yt
@@ -685,55 +719,97 @@ def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
         return e, m, gain
 
     xcb, ycb = cod["xcb"], cod["ycb"]
+    prec = cod["prec"]
+
+    def prec_exp(r):
+        if prec is None:
+            return 15, 15                # default precinct 2^15 (A.6.1)
+        return prec[min(r, len(prec) - 1)]
+
+    # precinct grid per resolution, on the resolution grid (origin 0 —
+    # exact for single-tile codestreams; multi-tile + explicit
+    # precincts is gated off in decode_codestream)
+    res_pgrid = []
+    for r in range(levels + 1):
+        ppx, ppy = prec_exp(r)
+        trw = ce(tw, 1 << (levels - r))
+        trh = ce(th, 1 << (levels - r))
+        res_pgrid.append((max(ce(trw, 1 << ppx), 1),
+                          max(ce(trh, 1 << ppy), 1), ppx, ppy))
+
     for ci in range(ncomp):
         for r, bands in enumerate(comps_bands[ci]):
+            npx, npy, ppx, ppy = res_pgrid[r]
+            # bands at r>0 live on the half grid (B.6): precinct and
+            # code-block sizes halve in band coordinates, and the
+            # code-block never exceeds the precinct
+            ppx_b = ppx if r == 0 else max(ppx - 1, 0)
+            ppy_b = ppy if r == 0 else max(ppy - 1, 0)
+            xcb_e = min(xcb, ppx_b)
+            ycb_e = min(ycb, ppy_b)
             for band in bands:
                 eps, mu, gain = band_quant(ci, r, band.orient)
                 band.eps, band.mu, band.gain = eps, mu, gain
                 bw, bh = band.w, band.h
-                if bw <= 0 or bh <= 0:
-                    band.inc_tree = band.zbp_tree = None
-                    continue
-                ncx = ce(bw, 1 << xcb)
-                ncy = ce(bh, 1 << ycb)
-                band.inc_tree = TagTree(ncx, ncy)
-                band.zbp_tree = TagTree(ncx, ncy)
-                for cy in range(ncy):
-                    for cx in range(ncx):
-                        x0c, y0c = cx << xcb, cy << ycb
-                        band.cbs.append(dict(
-                            x=x0c, y=y0c,
-                            w=min(1 << xcb, bw - x0c),
-                            h=min(1 << ycb, bh - y0c),
-                            cx=cx, cy=cy,
-                            included=False, lblock=3,
-                            npasses=0, zbp=0, data=[]))
+                for pi in range(npx * npy):
+                    x0p = (pi % npx) << ppx_b
+                    y0p = (pi // npx) << ppy_b
+                    x1p = min(x0p + (1 << ppx_b), bw)
+                    y1p = min(y0p + (1 << ppy_b), bh)
+                    if x1p <= x0p or y1p <= y0p:
+                        band.precincts.append(dict(inc=None, zbp=None,
+                                                   cbs=[]))
+                        continue
+                    # 2^xcb_e divides 2^ppx_b, so the global
+                    # code-block grid aligns with precinct boundaries
+                    ncx = ce(x1p - x0p, 1 << xcb_e)
+                    ncy = ce(y1p - y0p, 1 << ycb_e)
+                    pr = dict(inc=TagTree(ncx, ncy),
+                              zbp=TagTree(ncx, ncy), cbs=[])
+                    for cy in range(ncy):
+                        for cx in range(ncx):
+                            x0c = x0p + (cx << xcb_e)
+                            y0c = y0p + (cy << ycb_e)
+                            cb = dict(
+                                x=x0c, y=y0c,
+                                w=min(1 << xcb_e, x1p - x0c),
+                                h=min(1 << ycb_e, y1p - y0c),
+                                cx=cx, cy=cy,
+                                included=False, lblock=3,
+                                npasses=0, zbp=0, data=[])
+                            pr["cbs"].append(cb)
+                            band.cbs.append(cb)
+                    band.precincts.append(pr)
 
     # ---- packet iteration -------------------------------------------
     pos = 0
     prog = cod["prog"]
+    if prog > 4:
+        raise NotImplementedError(
+            f"JPEG 2000: progression order {prog}")
 
-    def packet_order():
-        if prog == 0:                     # LRCP
-            for l in range(cod["layers"]):
-                for r in range(levels + 1):
-                    for c in range(ncomp):
-                        yield l, r, c
-        elif prog == 1:                   # RLCP
-            for r in range(levels + 1):
+    # explicit packet list sorted by the progression's key (B.12);
+    # "position" is the precinct origin projected onto the tile grid
+    packets = []
+    for r in range(levels + 1):
+        npx, npy, ppx, ppy = res_pgrid[r]
+        step = 1 << (levels - r)
+        for p in range(npx * npy):
+            x = ((p % npx) << ppx) * step
+            y = ((p // npx) << ppy) * step
+            for c in range(ncomp):
                 for l in range(cod["layers"]):
-                    for c in range(ncomp):
-                        yield l, r, c
-        elif prog == 2:                   # RPCL
-            for r in range(levels + 1):
-                for c in range(ncomp):
-                    for l in range(cod["layers"]):
-                        yield l, r, c
-        else:
-            raise NotImplementedError(
-                f"JPEG 2000: progression order {prog}")
+                    packets.append((l, r, c, p, x, y))
+    key = {
+        0: lambda t: (t[0], t[1], t[2], t[3]),        # LRCP
+        1: lambda t: (t[1], t[0], t[2], t[3]),        # RLCP
+        2: lambda t: (t[1], t[5], t[4], t[2], t[0]),  # RPCL
+        3: lambda t: (t[5], t[4], t[2], t[1], t[0]),  # PCRL
+        4: lambda t: (t[2], t[5], t[4], t[1], t[0]),  # CPRL
+    }[prog]
+    packets.sort(key=key)
 
-    for (layer, r, ci) in packet_order():
+    for (layer, r, ci, p, _px, _py) in packets:
         if pos >= len(body):
             break
         if cod["sop"] and body[pos:pos + 2] == b"\xff\x91":
@@ -747,19 +823,20 @@ def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
                 pos += 2
             continue
         for band in bands:
-            if band.inc_tree is None:
+            pr = band.precincts[p]
+            if pr["inc"] is None:
                 continue
-            for cb in band.cbs:
+            for cb in pr["cbs"]:
                 if not cb["included"]:
-                    inc = band.inc_tree.decode(br, cb["cx"], cb["cy"],
-                                               layer + 1)
+                    inc = pr["inc"].decode(br, cb["cx"], cb["cy"],
+                                           layer + 1)
                     included = inc <= layer
                 else:
                     included = bool(br.bit())
                 if not included:
                     continue
                 if not cb["included"]:
-                    cb["zbp"] = band.zbp_tree.decode_full(
+                    cb["zbp"] = pr["zbp"].decode_full(
                         br, cb["cx"], cb["cy"])
                     cb["included"] = True
                 np_ = _decode_npasses(br)

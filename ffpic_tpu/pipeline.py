@@ -116,14 +116,21 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
         # stay on the host packed path
         dri_buckets = {k: v for k, v in dri_buckets.items()
                        if len(v) >= 4}
+        dev_done = set()
         for key, members in dri_buckets.items():
             idxs = [i for i, _ in members]
-            out = _jed.decode_batch_dri(
-                [datas[i] for i in idxs], [jh for _, jh in members],
-                order="rgba", mode=color_mode)
+            try:
+                out = _jed.decode_batch_dri(
+                    [datas[i] for i in idxs],
+                    [jh for _, jh in members],
+                    order="rgba", mode=color_mode)
+            except (ValueError, NotImplementedError):
+                continue               # fall back to the host path
             for k, (i, jh) in enumerate(members):
                 slots[i] = out[k, :jh.height, :jh.width]
-    dev_done = {i for v in dri_buckets.values() for i, _ in v}
+                dev_done.add(i)
+    else:
+        dev_done = set()
 
     def _prep(item):
         i, src = item

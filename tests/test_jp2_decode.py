@@ -53,6 +53,65 @@ def test_jp2_irreversible_97():
     _roundtrip(rgb, "RGB", tol=1, irreversible=True)
 
 
+def test_jp2_rct_exact():
+    # mct=1 + 5/3: the reversible colour transform (G-6) must invert
+    # bit-exact (PIL defaults to mct=0, so this needs the explicit flag)
+    g = _content(88, 104)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=0, irreversible=False, mct=1)
+
+
+def test_jp2_ict_97():
+    # mct=1 + 9/7: irreversible colour transform (G-2)
+    g = _content(96, 80)
+    rgb = np.stack([g, np.roll(g, 5, 0), np.roll(g, 2, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=1, irreversible=True, mct=1)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(precinct_size=(64, 64)),
+    dict(precinct_size=(32, 64), progression="RPCL",
+         quality_layers=[50, 20, 0]),
+    dict(precinct_size=(64, 64), progression="PCRL"),
+    dict(precinct_size=(64, 64), progression="CPRL", mct=1),
+])
+def test_jp2_explicit_precincts(kw):
+    # scod&1 precinct grids: per-precinct tag trees + packet-position
+    # iteration (B.12); reversible must stay bit-exact
+    g = _content(150, 170)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=0, irreversible=False, **kw)
+
+
+def test_jp2_explicit_precincts_97():
+    g = _content(150, 170)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=1, irreversible=True,
+               precinct_size=(128, 128))
+
+
+@pytest.mark.parametrize("prog", ["PCRL", "CPRL"])
+def test_jp2_position_progressions(prog):
+    # position-first orders collapse to C->R->L with one precinct
+    g = _content(90, 110)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=0, irreversible=False,
+               progression=prog, quality_layers=[60, 30, 0])
+
+
+def test_jp2_corrupt_siz_bounded():
+    # fuzzed SIZ dims must raise, not allocate terabytes (ASAN find)
+    import ffpic_tpu
+    b = io.BytesIO()
+    Image.fromarray(_content(64, 64), "L").save(b, "JPEG2000",
+                                                irreversible=False)
+    data = bytearray(b.getvalue())
+    i = data.find(b"\xff\x51")
+    data[i + 6:i + 10] = (3_000_000_000).to_bytes(4, "big")  # Xsiz
+    with pytest.raises(ValueError):
+        ffpic_tpu.load(bytes(data))
+
+
 def test_jp2_multi_layer():
     _roundtrip(_content(80, 80), "L", tol=0, irreversible=False,
                quality_layers=[40, 0])
