@@ -509,8 +509,9 @@ def _decode_picture_native(sps, pps, parsed, pic) -> None:
                           for k in range(3)),
             band_pos=tuple(int(v) for v in row[15:18]),
             eo_class=tuple(int(v) for v in row[18:21]))
-    luma = ops[ops[:, 0] == 0]
-    pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
+    if not hdr.deblocking_disabled:
+        luma = ops[ops[:, 0] == 0]
+        pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
 
     # per-zone recon: zone of each op from the stamped 4x4 map
     # (chroma op coords are plane-local -> x2 to luma)
@@ -574,9 +575,12 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
                           for k in range(3)),
             band_pos=tuple(int(v) for v in row[15:18]),
             eo_class=tuple(int(v) for v in row[18:21]))
-    # deblocking edge flags from the luma TB list (vectorized)
-    luma = ops_a[ops_a[:, 0] == 0]
-    pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
+    # deblocking edge flags from the luma TB list (vectorized);
+    # skipped when the PPS/slice disables deblock (_finish_picture
+    # never reads them then)
+    if not hdr.deblocking_disabled:
+        luma = ops_a[ops_a[:, 0] == 0]
+        pic.mark_edges_batch(luma[:, 1], luma[:, 2], luma[:, 3])
 
     # native recon end-to-end (prediction + residual add in C);
     # FFPIC_HEVC_DEVICE=1 computes ALL residual transforms on the TPU
