@@ -290,6 +290,45 @@ static void htable_free(HTable *t) {
     free(t->sym);
 }
 
+/* per-thread table cache: batch decodes reuse identical DHT segments
+ * frame after frame, and rebuilding the four full12 LUTs per call is
+ * ~0.3 ms — most of the fixed per-frame cost for small images.
+ * Keyed on the raw counts + used symbol prefix; one slot per DHT id
+ * (worker threads each get their own set via __thread). */
+typedef struct {
+    uint8_t key[16 + 256];
+    int valid;
+    HTable t;
+} HCacheSlot;
+static __thread HCacheSlot h_cache[8];
+
+static int htable_get(int slot, const uint8_t counts[16],
+                      const uint8_t *syms, int is_ac, HTable **out) {
+    HCacheSlot *cs = &h_cache[slot];
+    int total = 0;
+    for (int i = 0; i < 16; i++)
+        total += counts[i];
+    if (total > 256)
+        return -1;
+    if (cs->valid && !memcmp(cs->key, counts, 16)
+        && !memcmp(cs->key + 16, syms, total)) {
+        *out = &cs->t;
+        return 0;
+    }
+    if (cs->valid) {
+        htable_free(&cs->t);
+        cs->valid = 0;
+    }
+    memset(&cs->t, 0, sizeof(HTable));
+    if (htable_build(&cs->t, counts, syms, is_ac) != 0)
+        return -1;
+    memcpy(cs->key, counts, 16);
+    memcpy(cs->key + 16, syms, total);
+    cs->valid = 1;
+    *out = &cs->t;
+    return 0;
+}
+
 static inline int decode_symbol(BitSrc *b, const HTable *t) {
     uint32_t w = bs_peek16(b);
     if (t->maxlen < 16)
@@ -624,16 +663,15 @@ FFPIC_API int ffpic_jpeg_decode_scan(
     int ss, int se, int ah, int al, int restart_interval,
     int16_t **planes) {
     (void)nby;
-    HTable tables[8];
-    memset(tables, 0, sizeof(tables));
+    static HTable h_empty;       /* len == NULL: absent slot */
+    HTable *tables[8];
     for (int i = 0; i < 8; i++) {
+        tables[i] = &h_empty;
         if (dht_present[i]) {
-            if (htable_build(&tables[i], dht_counts + 16 * i,
-                             dht_syms + 256 * i, i >= 4) != 0) {
-                for (int k = 0; k <= i; k++)
-                    htable_free(&tables[k]);
+            if (htable_get(i, dht_counts + 16 * i,
+                           dht_syms + 256 * i, i >= 4,
+                           &tables[i]) != 0)
                 return -12;
-            }
         }
     }
     /* a corrupt scan may select absent/empty DHT slots; every table
@@ -643,26 +681,19 @@ FFPIC_API int ffpic_jpeg_decode_scan(
         if (sc_dc[si] < 0 || sc_dc[si] > 3 || sc_ac[si] < 0
             || sc_ac[si] > 3 || sc_comp[si] < 0
             || sc_comp[si] >= ncomps) {
-            for (int k = 0; k < 8; k++)
-                htable_free(&tables[k]);
             return -13;
         }
         int need_dc = (ss == 0 && ah == 0) || (ss == 0 && se == 63);
         int need_ac = se > 0;
-        if ((need_dc && tables[sc_dc[si]].len == NULL)
-            || (need_ac && tables[4 + sc_ac[si]].len == NULL)) {
-            for (int k = 0; k < 8; k++)
-                htable_free(&tables[k]);
+        if ((need_dc && tables[sc_dc[si]]->len == NULL)
+            || (need_ac && tables[4 + sc_ac[si]]->len == NULL)) {
             return -13;
         }
     }
 
     Destuffed ds;
-    if (destuff(scan, scan_len, &ds) != 0) {
-        for (int i = 0; i < 8; i++)
-            htable_free(&tables[i]);
+    if (destuff(scan, scan_len, &ds) != 0)
         return -11;
-    }
     int cur_seg = 0;
     BitSrc bs;
     bs_seg(&bs, &ds, 0);
@@ -699,8 +730,8 @@ FFPIC_API int ffpic_jpeg_decode_scan(
             long mx = u % mcus_x, my = u / mcus_x;
             for (int sci = 0; sci < ns && rc == 0; sci++) {
                 int ci = sc_comp[sci];
-                const HTable *dc = &tables[sc_dc[sci]];
-                const HTable *ac = &tables[4 + sc_ac[sci]];
+                const HTable *dc = tables[sc_dc[sci]];
+                const HTable *ac = tables[4 + sc_ac[sci]];
                 int h = comp_h[ci], v = comp_v[ci];
                 for (int vi = 0; vi < v && rc == 0; vi++) {
                     for (int hi = 0; hi < h; hi++) {
@@ -727,8 +758,8 @@ FFPIC_API int ffpic_jpeg_decode_scan(
             }
         } else {
             int ci = c0;
-            const HTable *dc = &tables[sc_dc[0]];
-            const HTable *ac = &tables[4 + sc_ac[0]];
+            const HTable *dc = tables[sc_dc[0]];
+            const HTable *ac = tables[4 + sc_ac[0]];
             long bx = u % nbx_actual[ci], by = u / nbx_actual[ci];
             int16_t *blk = planes[ci] + (by * nbx[ci] + bx) * 64;
             if (ss == 0 && ah == 0 && se == 63) {
@@ -753,8 +784,6 @@ FFPIC_API int ffpic_jpeg_decode_scan(
     }
 
     free(ds.buf);
-    for (int i = 0; i < 8; i++)
-        htable_free(&tables[i]);
     return rc;
 }
 
@@ -780,34 +809,28 @@ FFPIC_API long ffpic_jpeg_decode_scan_packed(
     uint8_t *counts, uint8_t *ks, int16_t *vals) {
     if (ns < 1 || ns != ncomps)
         return -14;
-    HTable tables[8];
-    memset(tables, 0, sizeof(tables));
+    static HTable h_empty;       /* len == NULL: absent slot */
+    HTable *tables[8];
     for (int i = 0; i < 8; i++) {
+        tables[i] = &h_empty;
         if (dht_present[i]) {
-            if (htable_build(&tables[i], dht_counts + 16 * i,
-                             dht_syms + 256 * i, i >= 4) != 0) {
-                for (int k = 0; k <= i; k++)
-                    htable_free(&tables[k]);
+            if (htable_get(i, dht_counts + 16 * i,
+                           dht_syms + 256 * i, i >= 4,
+                           &tables[i]) != 0)
                 return -12;
-            }
         }
     }
     for (int si = 0; si < ns; si++) {
         if (sc_dc[si] < 0 || sc_dc[si] > 3 || sc_ac[si] < 0
             || sc_ac[si] > 3 || sc_comp[si] < 0 || sc_comp[si] >= ncomps
-            || tables[sc_dc[si]].len == NULL
-            || tables[4 + sc_ac[si]].len == NULL) {
-            for (int k = 0; k < 8; k++)
-                htable_free(&tables[k]);
+            || tables[sc_dc[si]]->len == NULL
+            || tables[4 + sc_ac[si]]->len == NULL) {
             return -13;
         }
     }
     Destuffed ds;
-    if (destuff(scan, scan_len, &ds) != 0) {
-        for (int i = 0; i < 8; i++)
-            htable_free(&tables[i]);
+    if (destuff(scan, scan_len, &ds) != 0)
         return -11;
-    }
     int cur_seg = 0;
     BitSrc bs;
     bs_seg(&bs, &ds, 0);
@@ -838,8 +861,8 @@ FFPIC_API long ffpic_jpeg_decode_scan_packed(
         if (interleaved) {
             for (int sci = 0; sci < ns && rc >= 0; sci++) {
                 int ci = sc_comp[sci];
-                const HTable *dc = &tables[sc_dc[sci]];
-                const HTable *ac = &tables[4 + sc_ac[sci]];
+                const HTable *dc = tables[sc_dc[sci]];
+                const HTable *ac = tables[4 + sc_ac[sci]];
                 int nb = comp_h[ci] * comp_v[ci];
                 for (int bi = 0; bi < nb; bi++) {
                     rc = decode_block_baseline_packed(&bs, dc, ac,
@@ -852,16 +875,14 @@ FFPIC_API long ffpic_jpeg_decode_scan_packed(
             }
         } else {
             int ci = sc_comp[0];
-            rc = decode_block_baseline_packed(&bs, &tables[sc_dc[0]],
-                                              &tables[4 + sc_ac[0]],
+            rc = decode_block_baseline_packed(&bs, tables[sc_dc[0]],
+                                              tables[4 + sc_ac[0]],
                                               &pred[ci], ks, vals, &w);
             if (rc >= 0)
                 counts[g++] = (uint8_t)rc;
         }
     }
     free(ds.buf);
-    for (int i = 0; i < 8; i++)
-        htable_free(&tables[i]);
     return rc < 0 ? rc : w;
 }
 
