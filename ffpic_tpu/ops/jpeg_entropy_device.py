@@ -117,20 +117,31 @@ def sliding_u32(buf: np.ndarray) -> np.ndarray:
                                              "max_steps", "unroll"))
 def decode_lanes_bmap(u32win, luts, zz, comp_of_sub, tclass_of_sub,
                       bmap, bit0, blk0, blk_end, img_base, bpm: int,
-                      out_size: int, max_steps: int, unroll: int = 1):
+                      out_size: int, max_steps: int, unroll: int = 1,
+                      lut_idx=None, bmap_base=None):
     """Decode all lanes to coefficients.
 
     u32win: uint32[nbytes] sliding windows of the concatenated
-      destuffed streams; luts: uint32[4, 65536] (DC-Y, AC-Y, DC-C,
-      AC-C); zz: int32[64]; comp_of_sub/tclass_of_sub: int32[bpm];
-    bmap: int32[blocks_per_img] maps an in-image MCU-order block index
-    to the image's concatenated per-component block index;
+      destuffed streams; luts: uint32[G*4, 65536] (per table group:
+      DC-Y, AC-Y, DC-C, AC-C); zz: int32[64];
+      comp_of_sub/tclass_of_sub: int32[bpm];
+    bmap: int32[sum blocks_per_img] maps an in-image MCU-order block
+    index to the image's concatenated per-component block index
+    (per-image sections when bmap_base is given);
     bit0/blk0/blk_end/img_base: int32[L] per-lane init (absolute bit
     offset into u32win's byte space; in-image block counter bounds;
-    flat int16 offset of the lane's image = img_idx * comp_space * 64).
+    flat int16 offset of the lane's image = cumulative comp_space*64).
+    lut_idx: int32[L] per-lane table-group index (default 0);
+    bmap_base: int32[L] per-lane offset into bmap (default 0) — these
+    two let ONE launch decode a mixed batch (any sizes, any tables)
+    as long as sampling stays 4:2:0 (bpm identical).
     Returns (int16[out_size] flat coefficients in concatenated
     per-component space with a trailing dump slot, step count)."""
     L = bit0.shape[0]
+    if lut_idx is None:
+        lut_idx = jnp.zeros(L, jnp.int32)
+    if bmap_base is None:
+        bmap_base = jnp.zeros(L, jnp.int32)
     lut_flat = luts.reshape(-1)
     zzc = zz.astype(jnp.int32)
 
@@ -146,7 +157,7 @@ def decode_lanes_bmap(u32win, luts, zz, comp_of_sub, tclass_of_sub,
         win16 = ((w32 >> (16 - s)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
         is_dc = k == 0
         tcls = tclass_of_sub[sub]
-        tbl = tcls * 2 + jnp.where(is_dc, 0, 1)
+        tbl = lut_idx * 4 + tcls * 2 + jnp.where(is_dc, 0, 1)
         e = lut_flat[tbl * 65536 + win16]
         consume = (e >> 24).astype(jnp.int32)
         flags = ((e >> 16) & 0xFF).astype(jnp.int32)
@@ -194,7 +205,8 @@ def decode_lanes_bmap(u32win, luts, zz, comp_of_sub, tclass_of_sub,
         emit_val = jnp.where(is_dc, dc_value, ac_value)
         flat_idx = jnp.where(
             emit,
-            img_base + bmap[jnp.clip(blk, 0, bmap.shape[0] - 1)] * 64
+            img_base + bmap[jnp.clip(bmap_base + blk, 0,
+                                     bmap.shape[0] - 1)] * 64
             + emit_pos,
             out_size - 1)
         out = out.at[flat_idx].set(emit_val.astype(jnp.int16),
@@ -358,6 +370,134 @@ def decode_coeffs_device(datas, max_steps: int = 1 << 22,
         jnp.asarray(np.array(img_base, np.int32)),
         bpm, out_size, max_steps, unroll)
     return flat, js, consts, steps
+
+
+def decode_coeffs_device_mixed(datas, js, max_steps: int = 1 << 22,
+                               unroll: int = 1):
+    """ONE merged entropy launch for a MIXED batch of eligible DRI
+    JPEGs — any sizes and any Huffman tables together (per-lane
+    LUT-group + bmap-base indices); eligible() guarantees 4:2:0, so
+    bpm and the sub-block maps are identical across members.  More
+    lanes per launch is the throughput lever (the while-step cost is
+    nearly flat in lane count — PARITY.md device-entropy notes).
+
+    Returns (flat int16 coefficients, per-image flat offsets, steps).
+    """
+    from ffpic_tpu import native
+
+    # unique Huffman table groups
+    lut_list, lut_key_to_idx, img_lut = [], {}, []
+    for j in js:
+        key = tuple(sorted((k, bytes(c), bytes(s))
+                           for k, (c, s) in j.dht_raw.items()))
+        if key not in lut_key_to_idx:
+            lut_key_to_idx[key] = len(lut_list)
+            lut_list.append(build_luts_from_dht(j.dht_raw))
+        img_lut.append(lut_key_to_idx[key])
+    luts = np.concatenate(lut_list, axis=0)       # (G*4, 65536)
+
+    # unique geometries -> shared consts + concatenated block maps
+    geo_cache, img_consts = {}, []
+    for j in js:
+        gk = (j.mcus_x, j.mcus_y)
+        if gk not in geo_cache:
+            geo_cache[gk] = prepare_frame(j)
+        img_consts.append(geo_cache[gk])
+    c0 = img_consts[0]
+    bmap_parts, bmap_off, off = [], {}, 0
+    for gk, c in geo_cache.items():
+        bmap_off[gk] = off
+        arr = np.asarray(c["bmap"])
+        bmap_parts.append(arr)
+        off += arr.shape[0]
+    bmap_all = np.concatenate(bmap_parts)
+
+    bufs, all_bounds, offs = [], [], []
+    boff = 0
+    for d in datas:
+        buf, bounds = native.jpeg_destuff(extract_scan(d))
+        bufs.append(buf)
+        all_bounds.append(bounds)
+        offs.append(boff)
+        boff += len(buf)
+    concat = np.concatenate(bufs)
+
+    bpm = c0["bpm"]
+    bit0, blk0, blk_end, img_base = [], [], [], []
+    lane_lut, lane_bbase, img_out_off = [], [], []
+    out_off = 0
+    for i, (j, bounds) in enumerate(zip(js, all_bounds)):
+        cst = img_consts[i]
+        img_out_off.append(out_off)
+        dri_blocks = j.restart_interval * bpm
+        for s in range(len(bounds) - 1):
+            bit0.append((offs[i] + bounds[s]) * 8)
+            blk0.append(s * dri_blocks)
+            blk_end.append(min((s + 1) * dri_blocks,
+                               cst["blocks_per_img"]))
+            img_base.append(out_off)
+            lane_lut.append(img_lut[i])
+            lane_bbase.append(bmap_off[(j.mcus_x, j.mcus_y)])
+        out_off += cst["comp_space"] * 64
+    out_size = out_off + 1
+
+    flat, steps = decode_lanes_bmap(
+        jnp.asarray(sliding_u32(concat)), jnp.asarray(luts),
+        jnp.asarray(np.asarray(ZIGZAG, np.int32)),
+        jnp.asarray(c0["comp_of_sub"]),
+        jnp.asarray(c0["tclass_of_sub"]),
+        jnp.asarray(bmap_all),
+        jnp.asarray(np.array(bit0, np.int32)),
+        jnp.asarray(np.array(blk0, np.int32)),
+        jnp.asarray(np.array(blk_end, np.int32)),
+        jnp.asarray(np.array(img_base, np.int32)),
+        bpm, out_size, max_steps, unroll,
+        lut_idx=jnp.asarray(np.array(lane_lut, np.int32)),
+        bmap_base=jnp.asarray(np.array(lane_bbase, np.int32)))
+    return flat, img_out_off, steps
+
+
+def decode_batch_dri_mixed(datas, js, order="rgba", mode="bt601",
+                           unroll: int | None = None):
+    """Mixed DRI batch: one merged entropy launch, then one fused
+    dequant|IDCT|upsample|color launch per geometry group (the dense
+    stage needs rectangular stacks).  Returns {image index: uint8
+    (H_pad, W_pad, 4) device array}."""
+    from ffpic_tpu.ops.jpeg_kernels import decode_batch_420
+
+    if unroll is None:
+        unroll = 64 if jax.default_backend() == "tpu" else 2
+    flat, img_off, _steps = decode_coeffs_device_mixed(
+        datas, js, unroll=unroll)
+
+    groups: dict = {}
+    for i, j in enumerate(js):
+        groups.setdefault((j.mcus_x, j.mcus_y), []).append(i)
+    out = {}
+    for gk, idxs in groups.items():
+        j0 = js[idxs[0]]
+        comp_space = sum(c.nby * c.nbx for c in j0.comps)
+        secs = [jax.lax.dynamic_slice(flat, (img_off[i],),
+                                      (comp_space * 64,))
+                for i in idxs]
+        body = jnp.stack(secs)
+        planes, base = [], 0
+        for c in j0.comps:
+            planes.append(
+                body[:, base * 64:(base + c.nby * c.nbx) * 64]
+                .reshape(len(idxs), c.nby, c.nbx, 8, 8))
+            base += c.nby * c.nbx
+        y, u, v = planes
+        yq = jnp.asarray(np.stack(
+            [js[i].dqt[js[i].comps[0].tq].reshape(8, 8)
+             for i in idxs])[:, None, None])
+        cq = jnp.asarray(np.stack(
+            [js[i].dqt[js[i].comps[1].tq].reshape(8, 8)
+             for i in idxs])[:, None, None])
+        res = decode_batch_420(y, u, v, yq, cq, order=order, mode=mode)
+        for k, i in enumerate(idxs):
+            out[i] = res[k]
+    return out
 
 
 def assemble_planes(flat, n_imgs: int, j):

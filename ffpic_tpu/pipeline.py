@@ -95,8 +95,9 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     use_dev_entropy = (mesh is None and env_de != "0"
                        and (env_de == "1"
                             or jax.default_backend() == "tpu"))
-    dri_buckets: dict[tuple, list] = {}
+    dri_list: list = []
     datas: list = [None] * n
+    dev_done = set()
     if use_dev_entropy:
         from ffpic_tpu.formats import jpg as _jpg
         from ffpic_tpu.ops import jpeg_entropy_device as _jed
@@ -110,27 +111,23 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
             except (ValueError, NotImplementedError):
                 continue
             if _jed.eligible(jh):
-                dri_buckets.setdefault(_jed.group_key(jh), []) \
-                    .append((i, jh))
-        # batches of >= 4 amortize the device loop; smaller groups
-        # stay on the host packed path
-        dri_buckets = {k: v for k, v in dri_buckets.items()
-                       if len(v) >= 4}
-        dev_done = set()
-        for key, members in dri_buckets.items():
-            idxs = [i for i, _ in members]
+                dri_list.append((i, jh))
+        # mixed sizes and tables all merge into ONE entropy launch
+        # (per-lane LUT/bmap indices); >= 4 members amortize the
+        # device loop, smaller batches stay on the host packed path
+        if len(dri_list) >= 4:
+            idxs = [i for i, _ in dri_list]
             try:
-                out = _jed.decode_batch_dri(
+                out = _jed.decode_batch_dri_mixed(
                     [datas[i] for i in idxs],
-                    [jh for _, jh in members],
+                    [jh for _, jh in dri_list],
                     order="rgba", mode=color_mode)
             except (ValueError, NotImplementedError):
-                continue               # fall back to the host path
-            for k, (i, jh) in enumerate(members):
-                slots[i] = out[k, :jh.height, :jh.width]
-                dev_done.add(i)
-    else:
-        dev_done = set()
+                out = None             # fall back to the host path
+            if out is not None:
+                for k, (i, jh) in enumerate(dri_list):
+                    slots[i] = out[k][:jh.height, :jh.width]
+                    dev_done.add(i)
 
     def _prep(item):
         i, src = item

@@ -67,3 +67,60 @@ def test_device_entropy_rejects_no_dri(rng):
         b, "JPEG", quality=85)
     with pytest.raises(ValueError):
         decode_coeffs_device([b.getvalue()])
+
+
+def test_device_entropy_mixed_batch(rng):
+    """One merged launch across mixed sizes AND mixed Huffman tables
+    (optimize=True emits custom DHT): pixel-exact vs the host path
+    per image."""
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.jpeg_entropy_device import (decode_batch_dri_mixed,
+                                                   eligible)
+
+    def make(h, w, q, opt):
+        arr = np.kron(rng.integers(0, 256, (h // 16, w // 16, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", quality=q,
+                                  subsampling="4:2:0",
+                                  restart_marker_blocks=4,
+                                  optimize=opt)
+        return b.getvalue()
+
+    datas = [make(64, 96, 85, False), make(128, 80, 70, True),
+             make(96, 96, 92, True), make(48, 48, 80, False)]
+    js = [jpg.parse_and_decode(d, skip_decode=True)[0] for d in datas]
+    assert all(eligible(j) for j in js)
+    assert len({(j.mcus_x, j.mcus_y) for j in js}) >= 3
+    out = decode_batch_dri_mixed(datas, js, mode="bt601")
+    for i, (d, j) in enumerate(zip(datas, js)):
+        want = jpg.load(d, mode="bt601")[0].np_pixels()
+        got = np.asarray(out[i])[:j.height, :j.width]
+        np.testing.assert_array_equal(got, want, err_msg=f"img {i}")
+
+
+def test_decode_batch_uses_mixed_device_path(rng, monkeypatch):
+    """decode_batch routes mixed-geometry DRI JPEGs through the merged
+    device-entropy launch (FFPIC_DEVICE_ENTROPY=1 forces it on CPU)."""
+    import ffpic_tpu
+
+    monkeypatch.setenv("FFPIC_DEVICE_ENTROPY", "1")
+    datas = []
+    for (h, w) in [(64, 96), (128, 80), (64, 96), (48, 48)]:
+        arr = np.kron(rng.integers(0, 256, (h // 16, w // 16, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", quality=85,
+                                  subsampling="4:2:0",
+                                  restart_marker_blocks=4)
+        datas.append(b.getvalue())
+    batch = np.asarray(ffpic_tpu.decode_batch(datas, size=(64, 64)))
+    assert batch.shape == (4, 64, 64, 4)
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.resize import resize_rgba
+    import jax.numpy as jnp
+    for i, d in enumerate(datas):
+        want = np.asarray(resize_rgba(
+            jnp.asarray(jpg.load(d, mode="bt601")[0].np_pixels()),
+            (64, 64), "bilinear"))
+        np.testing.assert_array_equal(batch[i], want, err_msg=f"img {i}")
