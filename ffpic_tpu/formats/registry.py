@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import struct
+import zlib
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -101,7 +102,7 @@ def load_all(src, skip_decode: bool = False) -> list[Pic]:
     except (ValueError, NotImplementedError, OSError):
         raise
     except (struct.error, KeyError, IndexError, EOFError, OverflowError,
-            ZeroDivisionError) as e:
+            ZeroDivisionError, zlib.error) as e:
         # Malformed files that pass probe must surface as the documented
         # ValueError contract, not raw parser tracebacks.
         raise ValueError(f"corrupt {codec.name} file: "

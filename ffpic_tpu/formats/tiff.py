@@ -71,6 +71,16 @@ def _read_ifd(data: bytes, pos: int, bo: str):
     return tags, nxt
 
 
+def _ifirst(tags, tag, default=None):
+    """Integer tag value; corrupted type/count fields can make the
+    IFD reader hand back bytes or lists where scalars belong — treat
+    any non-int as a corrupt file, not a TypeError."""
+    v = _first(tags, tag, default)
+    if v is not None and not isinstance(v, int):
+        raise ValueError(f"TIFF: corrupt tag {tag} type")
+    return v
+
+
 def _first(tags, tag, default=None):
     v = tags.get(tag, default)
     if isinstance(v, list):
@@ -79,26 +89,38 @@ def _first(tags, tag, default=None):
 
 
 def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
-    w = _first(tags, 256)
-    h = _first(tags, 257)
+    w = _ifirst(tags, 256)
+    h = _ifirst(tags, 257)
     if not w or not h:
         return None
     bits = tags.get(258, [1])
     if isinstance(bits, list):
-        bps = bits[0]
+        bps = bits[0] if bits else 1
     else:
         bps = bits
-    comp = _first(tags, 259, 1)
-    photo = _first(tags, 262, 1)
-    spp = _first(tags, 277, 1)
-    predictor = _first(tags, 317, 1)
-    rows_per_strip = _first(tags, 278, h)
+    if not isinstance(bps, int):
+        raise ValueError("TIFF: corrupt bits-per-sample tag")
+    comp = _ifirst(tags, 259, 1)
+    photo = _ifirst(tags, 262, 1)
+    spp = _ifirst(tags, 277, 1)
+    # fuzzed IFD fields otherwise drive the decompress targets into
+    # gigabyte territory (stride*h allocations + LZW want sizes)
+    if not (0 < w < 65536 and 0 < h < 65536):
+        raise ValueError("TIFF: corrupt image dimensions")
+    if not (1 <= spp <= 8) or bps not in (1, 2, 4, 8, 16, 32):
+        raise ValueError("TIFF: corrupt samples/bits per sample")
+    if w * h * spp > (1 << 28):
+        raise ValueError("TIFF: image exceeds sample budget")
+    predictor = _ifirst(tags, 317, 1)
+    rows_per_strip = _ifirst(tags, 278, h)
     offsets = tags.get(273, [])
     counts = tags.get(279, [])
     if not isinstance(offsets, list):
         offsets = [offsets]
     if not isinstance(counts, list):
         counts = [counts]
+    if not all(isinstance(x, int) for x in offsets + counts):
+        raise ValueError("TIFF: corrupt strip offset/count tags")
 
     if comp == 7 and photo == 6:
         photo = 2        # the embedded JPEG decoder already outputs RGB
@@ -111,7 +133,10 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
         if comp == 32773:
             return _packbits(blob, want)
         if comp in (8, 32946):
-            return zlib.decompress(blob)[:want]
+            try:
+                return zlib.decompress(blob)[:want]
+            except zlib.error as e:
+                raise ValueError(f"TIFF: bad deflate stream: {e}")
         if comp == 7:
             # JPEG-in-TIFF (TIFF/EP style): each strip/tile is an
             # abbreviated JPEG stream; tag 347 (JPEGTables) holds the
@@ -138,8 +163,12 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
         raise ValueError(f"unsupported TIFF compression {comp}")
 
     stride = (w * spp * bps + 7) // 8
-    tile_w = _first(tags, 322, 0)
-    tile_h = _first(tags, 323, 0)
+    tile_w = _ifirst(tags, 322, 0)
+    tile_h = _ifirst(tags, 323, 0)
+    if (tile_w or tile_h) and not (0 < tile_w < 65536
+                                   and 0 < tile_h < 65536
+                                   and tile_w * tile_h <= (1 << 24)):
+        raise ValueError("TIFF: corrupt tile dimensions")
     if tile_w and tile_h:
         # tiled organization (beyond the reference, tiff.c is
         # strips-only): decode each tile and paste into the raster
@@ -149,6 +178,8 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> Pic | None:
             t_offsets = [t_offsets]
         if not isinstance(t_counts, list):
             t_counts = [t_counts]
+        if not all(isinstance(x, int) for x in t_offsets + t_counts):
+            raise ValueError("TIFF: corrupt tile offset/count tags")
         tiles_x = -(-w // tile_w)
         t_stride = (tile_w * spp * bps + 7) // 8
         rows_buf = np.zeros((h, stride), np.uint8)

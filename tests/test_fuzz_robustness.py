@@ -170,3 +170,45 @@ def test_structure_aware_jp2(tmp_path):
             ffpic_tpu.load(bytes(d))
         except (ValueError, NotImplementedError, OSError):
             pass
+
+
+@pytest.mark.parametrize("comp", ["raw", "tiff_lzw",
+                                  "tiff_adobe_deflate", "packbits"])
+def test_tiff_corruption_never_crashes(tmp_path, comp):
+    """TIFF (all strip codecs incl. the native LZW) under random byte
+    corruption: ValueError/NotImplementedError only, never a crash."""
+    import io
+    from PIL import Image
+    import ffpic_tpu
+    rng = np.random.default_rng(hash(comp) & 0xFFFF)
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "TIFF", compression=comp)
+    data = b.getvalue()
+    for _ in range(60):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 40))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError):
+            pass
+
+
+def test_ico_corruption_never_crashes(tmp_path):
+    import io
+    from PIL import Image
+    import ffpic_tpu
+    rng = np.random.default_rng(77)
+    arr = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "ICO", sizes=[(64, 64), (32, 32)])
+    data = b.getvalue()
+    for _ in range(80):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 40))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError):
+            pass
