@@ -212,3 +212,30 @@ def test_ico_corruption_never_crashes(tmp_path):
             ffpic_tpu.load(bytes(d))
         except (ValueError, NotImplementedError, OSError):
             pass
+
+
+def test_exr_psd_corruption_never_crashes():
+    """Hand-crafted EXR + PSD seeds under byte corruption."""
+    import struct
+    import ffpic_tpu
+    from test_formats_tiff_exr_psd import _write_exr_half
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    exr = _write_exr_half(arr.astype(np.float32) / 255.0)
+    h, w = arr.shape[:2]
+    hdr = struct.pack(">4sH6sHIIHH", b"8BPS", 1, b"\0" * 6, 3, h, w,
+                      8, 3)
+    body = struct.pack(">I", 0) * 3
+    img = struct.pack(">H", 0) + arr[..., 0].tobytes() + \
+        arr[..., 1].tobytes() + arr[..., 2].tobytes()
+    psd = hdr + body + img
+    for data in (exr, psd):
+        for _ in range(80):
+            d = bytearray(data)
+            for _ in range(int(rng.integers(1, 40))):
+                d[int(rng.integers(0, len(d)))] = \
+                    int(rng.integers(0, 256))
+            try:
+                ffpic_tpu.load(bytes(d))
+            except (ValueError, NotImplementedError, OSError):
+                pass

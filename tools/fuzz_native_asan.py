@@ -73,6 +73,10 @@ def run(n_trials: int):
     Image.fromarray(rgba[..., :3]).save(b, "JPEG2000",
                                         irreversible=False)
     corpus.append((b.getvalue(), "isobmff"))
+    b = io.BytesIO()
+    Image.fromarray(rgba[..., :3]).save(b, "TIFF",
+                                        compression="tiff_lzw")
+    corpus.append((b.getvalue(), None))   # exercises host_lzw.c
 
     done = 0
     for t in range(n_trials):
