@@ -10,9 +10,9 @@ headers) — this is a beat-the-reference component.  Differentially
 tested against openjpeg via PIL (tests/test_jp2_decode.py).
 
 Scope: component subsampling 1, one precinct per resolution (the
-openjpeg/PIL defaults) or explicit precinct grids (scod&1,
-single-tile), all five progression orders (LRCP/RLCP/RPCL/
-PCRL/CPRL), any layer count,
+openjpeg/PIL defaults) or explicit precinct grids (scod&1, incl.
+multi-tile with absolute-anchored grids), all five progression
+orders (LRCP/RLCP/RPCL/PCRL/CPRL), any layer count,
 reversible (5/3 + RCT) and irreversible (9/7 + ICT), multi-tile
 codestreams (power-of-two tile sizes), up to 16-bit components.
 Tier-1 runs in C (native/host_jp2.c, ~100x the Python oracle kept
@@ -502,12 +502,13 @@ def _idwt_2d(ll, hl, lh, hh, reversible: bool):
 # ---------------------------------------------------------------------------
 
 class _Band:
-    __slots__ = ("orient", "w", "h", "coefs", "eps", "mu", "gain",
-                 "cbs", "precincts")
+    __slots__ = ("orient", "w", "h", "x0", "y0", "coefs", "eps", "mu",
+                 "gain", "cbs", "precincts")
 
-    def __init__(self, orient, w, h):
+    def __init__(self, orient, w, h, x0=0, y0=0):
         self.orient = orient             # 0 LL, 1 HL, 2 LH, 3 HH
         self.w, self.h = w, h
+        self.x0, self.y0 = x0, y0        # absolute band-coord origin
         self.coefs = np.zeros((max(h, 0), max(w, 0)), np.float64)
         self.cbs = []                    # per code-block state dicts
         self.precincts = []              # per-precinct trees + cbs
@@ -636,12 +637,6 @@ def decode_codestream(data: bytes, pos: int = 0) -> tuple:
         raise NotImplementedError(
             "JPEG 2000: tile size must be a power of two divisible "
             "by 2^levels")
-    if multi_tile and cod["prec"] is not None:
-        # precinct grids anchor at the tile origin on the reference
-        # grid; our per-tile decode anchors at 0, exact only for the
-        # single-tile (whole-image) case
-        raise NotImplementedError(
-            "JPEG 2000: explicit precincts with multiple tiles")
 
     ncomp = len(siz["comps"])
     reversible = cod["reversible"]
@@ -687,24 +682,33 @@ def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
     def ce(a, b):
         return -(-a // b)
 
-    # band structure per component
+    # band structure per component, with ABSOLUTE band-coordinate
+    # origins (B-15): precinct and code-block grids anchor at 0 on the
+    # reference grid, so a tile at (tx0, ty0) may start mid-precinct
     comps_bands = []
     for ci in range(ncomp):
         res = []
         b = _Band(0, ce(tx1, 1 << levels) - ce(tx0, 1 << levels),
-                  ce(ty1, 1 << levels) - ce(ty0, 1 << levels))
+                  ce(ty1, 1 << levels) - ce(ty0, 1 << levels),
+                  ce(tx0, 1 << levels), ce(ty0, 1 << levels))
         res.append([b])
         for r in range(1, levels + 1):
             nlev = levels - r + 1
             half = 1 << (nlev - 1)
             full = 1 << nlev
 
+            def b0(a0, ob):
+                return ce(a0 - half * ob, full)
+
             def bdim(a0, a1, ob):
                 return ce(a1 - half * ob, full) - ce(a0 - half * ob,
                                                      full)
-            hl = _Band(1, bdim(tx0, tx1, 1), bdim(ty0, ty1, 0))
-            lh = _Band(2, bdim(tx0, tx1, 0), bdim(ty0, ty1, 1))
-            hh = _Band(3, bdim(tx0, tx1, 1), bdim(ty0, ty1, 1))
+            hl = _Band(1, bdim(tx0, tx1, 1), bdim(ty0, ty1, 0),
+                       b0(tx0, 1), b0(ty0, 0))
+            lh = _Band(2, bdim(tx0, tx1, 0), bdim(ty0, ty1, 1),
+                       b0(tx0, 0), b0(ty0, 1))
+            hh = _Band(3, bdim(tx0, tx1, 1), bdim(ty0, ty1, 1),
+                       b0(tx0, 1), b0(ty0, 1))
             res.append([hl, lh, hh])
         comps_bands.append(res)
 
@@ -726,20 +730,26 @@ def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
             return 15, 15                # default precinct 2^15 (A.6.1)
         return prec[min(r, len(prec) - 1)]
 
-    # precinct grid per resolution, on the resolution grid (origin 0 —
-    # exact for single-tile codestreams; multi-tile + explicit
-    # precincts is gated off in decode_codestream)
+    # precinct grid per resolution, anchored at 0 on the resolution
+    # grid in ABSOLUTE coordinates (B-16): a tile whose origin is not
+    # precinct-aligned starts mid-precinct, so counts come from the
+    # tile's absolute span, not its size
     res_pgrid = []
     for r in range(levels + 1):
         ppx, ppy = prec_exp(r)
-        trw = ce(tw, 1 << (levels - r))
-        trh = ce(th, 1 << (levels - r))
-        res_pgrid.append((max(ce(trw, 1 << ppx), 1),
-                          max(ce(trh, 1 << ppy), 1), ppx, ppy))
+        step = 1 << (levels - r)
+        trx0, trx1 = ce(tx0, step), ce(tx1, step)
+        try0, try1 = ce(ty0, step), ce(ty1, step)
+        npx = (max(ce(trx1, 1 << ppx) - (trx0 >> ppx), 1)
+               if trx1 > trx0 else 1)
+        npy = (max(ce(try1, 1 << ppy) - (try0 >> ppy), 1)
+               if try1 > try0 else 1)
+        res_pgrid.append((npx, npy, ppx, ppy,
+                          trx0 >> ppx, try0 >> ppy))
 
     for ci in range(ncomp):
         for r, bands in enumerate(comps_bands[ci]):
-            npx, npy, ppx, ppy = res_pgrid[r]
+            npx, npy, ppx, ppy, pxa0, pya0 = res_pgrid[r]
             # bands at r>0 live on the half grid (B.6): precinct and
             # code-block sizes halve in band coordinates, and the
             # code-block never exceeds the precinct
@@ -751,29 +761,38 @@ def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
                 eps, mu, gain = band_quant(ci, r, band.orient)
                 band.eps, band.mu, band.gain = eps, mu, gain
                 bw, bh = band.w, band.h
+                bx0, by0 = band.x0, band.y0
+                bx1, by1 = bx0 + max(bw, 0), by0 + max(bh, 0)
                 for pi in range(npx * npy):
-                    x0p = (pi % npx) << ppx_b
-                    y0p = (pi // npx) << ppy_b
-                    x1p = min(x0p + (1 << ppx_b), bw)
-                    y1p = min(y0p + (1 << ppy_b), bh)
+                    pxa = pxa0 + pi % npx
+                    pya = pya0 + pi // npx
+                    # precinct rect in absolute band coords, clipped
+                    # to the band's span within this tile
+                    x0p = max(pxa << ppx_b, bx0)
+                    y0p = max(pya << ppy_b, by0)
+                    x1p = min((pxa + 1) << ppx_b, bx1)
+                    y1p = min((pya + 1) << ppy_b, by1)
                     if x1p <= x0p or y1p <= y0p:
                         band.precincts.append(dict(inc=None, zbp=None,
                                                    cbs=[]))
                         continue
-                    # 2^xcb_e divides 2^ppx_b, so the global
-                    # code-block grid aligns with precinct boundaries
-                    ncx = ce(x1p - x0p, 1 << xcb_e)
-                    ncy = ce(y1p - y0p, 1 << ycb_e)
+                    # code-blocks anchor at absolute 0 too (2^xcb_e
+                    # divides 2^ppx_b, so the grid aligns with
+                    # precinct boundaries; tile edges clip)
+                    cxa0, cya0 = x0p >> xcb_e, y0p >> ycb_e
+                    ncx = ce(x1p, 1 << xcb_e) - cxa0
+                    ncy = ce(y1p, 1 << ycb_e) - cya0
                     pr = dict(inc=TagTree(ncx, ncy),
                               zbp=TagTree(ncx, ncy), cbs=[])
                     for cy in range(ncy):
                         for cx in range(ncx):
-                            x0c = x0p + (cx << xcb_e)
-                            y0c = y0p + (cy << ycb_e)
+                            x0c = max((cxa0 + cx) << xcb_e, x0p)
+                            y0c = max((cya0 + cy) << ycb_e, y0p)
+                            x1c = min((cxa0 + cx + 1) << xcb_e, x1p)
+                            y1c = min((cya0 + cy + 1) << ycb_e, y1p)
                             cb = dict(
-                                x=x0c, y=y0c,
-                                w=min(1 << xcb_e, x1p - x0c),
-                                h=min(1 << ycb_e, y1p - y0c),
+                                x=x0c - bx0, y=y0c - by0,
+                                w=x1c - x0c, h=y1c - y0c,
                                 cx=cx, cy=cy,
                                 included=False, lblock=3,
                                 npasses=0, zbp=0, data=[])
@@ -792,11 +811,11 @@ def _decode_tile(body: bytes, tx0: int, ty0: int, tx1: int, ty1: int,
     # "position" is the precinct origin projected onto the tile grid
     packets = []
     for r in range(levels + 1):
-        npx, npy, ppx, ppy = res_pgrid[r]
+        npx, npy, ppx, ppy, pxa0, pya0 = res_pgrid[r]
         step = 1 << (levels - r)
         for p in range(npx * npy):
-            x = ((p % npx) << ppx) * step
-            y = ((p // npx) << ppy) * step
+            x = ((pxa0 + p % npx) << ppx) * step
+            y = ((pya0 + p // npx) << ppy) * step
             for c in range(ncomp):
                 for l in range(cod["layers"]):
                     packets.append((l, r, c, p, x, y))

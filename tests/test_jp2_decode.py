@@ -83,6 +83,33 @@ def test_jp2_explicit_precincts(kw):
     _roundtrip(rgb, "RGB", tol=0, irreversible=False, **kw)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(tile_size=(64, 64), precinct_size=(32, 32)),
+    dict(tile_size=(128, 128), precinct_size=(64, 64),
+         progression="RPCL"),
+    dict(tile_size=(64, 64), precinct_size=(32, 64),
+         quality_layers=[50, 0]),
+    dict(tile_size=(64, 64), precinct_size=(32, 32),
+         progression="PCRL", mct=1),
+    dict(tile_size=(64, 64), precinct_size=(32, 32),
+         progression="CPRL"),
+])
+def test_jp2_multitile_precincts(kw):
+    # precinct + code-block grids anchor at 0 on the reference grid,
+    # so tiles past the origin start mid-precinct (B-16 absolute
+    # anchoring) — bit-exact vs openjpeg across progressions
+    g = _content(150, 140)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=0, irreversible=False, **kw)
+
+
+def test_jp2_multitile_precincts_97():
+    g = _content(150, 140)
+    rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
+    _roundtrip(rgb, "RGB", tol=1, irreversible=True,
+               tile_size=(64, 64), precinct_size=(32, 32))
+
+
 def test_jp2_explicit_precincts_97():
     g = _content(150, 170)
     rgb = np.stack([g, np.roll(g, 7, 0), np.roll(g, 3, 1)], -1)
