@@ -1,7 +1,8 @@
-"""SVG codec (structure level — parity with format/svg.c, which builds
-an XML node tree and does not rasterize). Uses the stdlib XML parser
-instead of a hand-rolled one; reports the element tree, viewBox and
-declared dimensions."""
+"""SVG codec.  Structure parse at parity with format/svg.c (which
+builds an XML node tree and stops, svg.c:56-512) **plus a full
+rasterizer** (`svg_raster.py`): shapes/paths/transforms/gradients to
+RGBA pixels via a vectorized scanline fill — a capability the
+reference does not have."""
 
 from __future__ import annotations
 
@@ -44,15 +45,26 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
         t = el.tag.split("}")[-1]
         counts[t] = counts.get(t, 0) + 1
 
+    vb = None
+    if viewbox:
+        parts = viewbox.replace(",", " ").split()
+        if len(parts) == 4:
+            try:
+                vb = tuple(float(p) for p in parts)
+            except ValueError:
+                vb = None
+    if (not w or not h) and not vb:
+        w, h = w or 300, h or 150          # CSS default viewport
+
     meta = dict(width=w, height=h, viewbox=viewbox, elements=counts,
                 total_elements=sum(counts.values()))
     pic = Pic(width=w, height=h, depth=32, pitch=w * 4, codec="SVG",
               meta=meta)
     if skip_decode:
         return [pic]
-    raise NotImplementedError(
-        "SVG rasterization not implemented (reference parses the DOM "
-        "only, svg.c:56-512); structure metadata via skip_decode")
+    from ffpic_tpu.formats.svg_raster import rasterize
+    pic.pixels = rasterize(root, w, h, vb)
+    return [pic]
 
 
 def info(pic: Pic) -> str:
