@@ -200,6 +200,30 @@ def main():
         except Exception:
             dev_ent_mps = None
 
+    # ---- speculative device entropy (DRI-less): the SAME plain bench
+    # stream (no restart markers) decoded fully on-device via the
+    # self-sync chunk decoder (pass-1 scan + device-side fixpoint +
+    # emission in one launch) --------------------------------------
+    dev_spec_mps = None
+    if jax.default_backend() == "tpu":
+        try:
+            from ffpic_tpu.ops.jpeg_entropy_device import \
+                decode_batch_device_entropy_spec
+            datas_p = [data] * BATCH
+            jax.block_until_ready(
+                decode_batch_device_entropy_spec(datas_p,
+                                                 chunk_bytes=4096))
+
+            def dev_spec_trial():
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    decode_batch_device_entropy_spec(datas_p,
+                                                     chunk_bytes=4096))
+                return time.perf_counter() - t0
+            dev_spec_mps = BATCH * mp / best_of(dev_spec_trial)
+        except Exception:
+            dev_spec_mps = None
+
     # ---- HEIC e2e (config 4): host CABAC syntax + recon (C) + C color
     # -- the 12MP iPhone-style grid from the corpus ---------------------
     heic_mps = None
@@ -230,6 +254,8 @@ def main():
         "heic_12mp_mps": round(heic_mps, 2) if heic_mps else None,
         "device_entropy_dri_mps": (round(dev_ent_mps, 1)
                                    if dev_ent_mps else None),
+        "device_entropy_spec_mps": (round(dev_spec_mps, 1)
+                                    if dev_spec_mps else None),
         "device_pipeline_mps": round(dev_mps, 1),
         "host_to_hbm_gbps": round(h2d_gbps, 2),
         "batch": BATCH,

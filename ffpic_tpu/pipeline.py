@@ -95,7 +95,12 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     use_dev_entropy = (mesh is None and env_de != "0"
                        and (env_de == "1"
                             or jax.default_backend() == "tpu"))
+    # DRI-less speculative entropy (self-sync chunk decoder): opt-in
+    # until the driver bench confirms it beats the host packed path
+    # on quiet hardware (PARITY.md device-entropy notes)
+    use_spec = os.environ.get("FFPIC_SPEC_ENTROPY") == "1"
     dri_list: list = []
+    spec_groups: dict = {}
     datas: list = [None] * n
     dev_done = set()
     if use_dev_entropy:
@@ -112,6 +117,9 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
                 continue
             if _jed.eligible(jh):
                 dri_list.append((i, jh))
+            elif use_spec and _jed.spec_eligible(jh):
+                spec_groups.setdefault(_jed.spec_group_key(jh),
+                                       []).append((i, jh))
         # mixed sizes and tables all merge into ONE entropy launch
         # (per-lane LUT/bmap indices); >= 4 members amortize the
         # device loop, smaller batches stay on the host packed path
@@ -128,6 +136,19 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
                 for k, (i, jh) in enumerate(dri_list):
                     slots[i] = out[k][:jh.height, :jh.width]
                     dev_done.add(i)
+        for members in spec_groups.values():
+            if len(members) < 4:
+                continue
+            try:
+                out = _jed.decode_batch_spec(
+                    [datas[i] for i, _ in members],
+                    [jh for _, jh in members],
+                    order="rgba", mode=color_mode)
+            except (ValueError, NotImplementedError):
+                continue               # host path fallback
+            for k, (i, jh) in enumerate(members):
+                slots[i] = out[k][:jh.height, :jh.width]
+                dev_done.add(i)
 
     def _prep(item):
         i, src = item

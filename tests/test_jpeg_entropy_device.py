@@ -124,3 +124,74 @@ def test_decode_batch_uses_mixed_device_path(rng, monkeypatch):
             jnp.asarray(jpg.load(d, mode="bt601")[0].np_pixels()),
             (64, 64), "bilinear"))
         np.testing.assert_array_equal(batch[i], want, err_msg=f"img {i}")
+
+
+def _jpeg_plain(rng, h=96, w=128, quality=85, opt=False):
+    arr = np.kron(rng.integers(0, 256, (h // 16, w // 16, 3)),
+                  np.ones((16, 16, 1))).astype(np.uint8)
+    arr = np.clip(arr.astype(int)
+                  + rng.integers(-20, 20, arr.shape), 0, 255) \
+        .astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "JPEG", quality=quality,
+                              subsampling="4:2:0", optimize=opt)
+    return b.getvalue()
+
+
+@pytest.mark.parametrize("quality,chunk", [(85, 512), (95, 256),
+                                           (30, 1024), (85, 4096)])
+def test_spec_entropy_coeffs_match_host(rng, quality, chunk):
+    """Self-sync speculative decode of DRI-less streams: coefficient-
+    exact vs the native host decoder across chunk sizes (including a
+    chunk larger than the stream = single serial lane)."""
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.jpeg_entropy_device import (
+        assemble_planes, decode_coeffs_device_spec)
+
+    data = _jpeg_plain(rng, quality=quality)
+    flat, js, consts, lanes = decode_coeffs_device_spec(
+        [data, data], chunk_bytes=chunk, unroll=2)
+    j = js[0]
+    planes = assemble_planes(flat, 2, j)
+
+    jh, _ = jpg.parse_and_decode(data)
+    assert jh.coeffs_raster
+    for ci, c in enumerate(jh.comps):
+        want = jh.coeffs[ci].reshape(c.nby, c.nbx, 8, 8)
+        for img in range(2):
+            got = np.asarray(planes[ci][img])
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"comp {ci} img {img}")
+
+
+def test_spec_entropy_end_to_end_pixels(rng):
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.jpeg_entropy_device import \
+        decode_batch_device_entropy_spec
+
+    data = _jpeg_plain(rng, h=64, w=96, quality=90)
+    out = np.asarray(decode_batch_device_entropy_spec(
+        [data] * 2, mode="bt601", chunk_bytes=384))
+    want = jpg.load(data, mode="bt601")[0].np_pixels()
+    assert out.shape == (2, want.shape[0], want.shape[1], 4)
+    for i in range(2):
+        np.testing.assert_array_equal(out[i], want)
+
+
+def test_spec_entropy_custom_tables(rng):
+    """optimize=True emits image-specific Huffman tables; the sync
+    property must hold for them too."""
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.jpeg_entropy_device import (
+        assemble_planes, decode_coeffs_device_spec)
+
+    data = _jpeg_plain(rng, h=128, w=160, quality=75, opt=True)
+    flat, js, consts, _ = decode_coeffs_device_spec(
+        [data], chunk_bytes=512, unroll=2)
+    j = js[0]
+    planes = assemble_planes(flat, 1, j)
+    jh, _ = jpg.parse_and_decode(data)
+    for ci, c in enumerate(jh.comps):
+        want = jh.coeffs[ci].reshape(c.nby, c.nbx, 8, 8)
+        np.testing.assert_array_equal(np.asarray(planes[ci][0]), want,
+                                      err_msg=f"comp {ci}")

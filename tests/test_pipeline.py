@@ -269,3 +269,38 @@ def test_decode_batch_threaded_parse(tmp_path):
     finally:
         del os.environ["FFPIC_THREADS"]
     np.testing.assert_array_equal(pooled, serial)
+
+
+def test_decode_batch_uses_spec_entropy_path(rng, monkeypatch):
+    """DRI-less same-table JPEG groups route through the speculative
+    self-sync device entropy launch when FFPIC_SPEC_ENTROPY=1
+    (FFPIC_DEVICE_ENTROPY=1 forces device paths on CPU for tests)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import ffpic_tpu
+
+    monkeypatch.setenv("FFPIC_DEVICE_ENTROPY", "1")
+    monkeypatch.setenv("FFPIC_SPEC_ENTROPY", "1")
+    datas = []
+    for _ in range(4):
+        arr = np.kron(rng.integers(0, 256, (4, 6, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", quality=85,
+                                  subsampling="4:2:0")
+        datas.append(b.getvalue())
+    from ffpic_tpu.formats import jpg as _jpg
+    from ffpic_tpu.ops import jpeg_entropy_device as _jed
+    js = [_jpg.parse_and_decode(d, skip_decode=True)[0] for d in datas]
+    assert all(_jed.spec_eligible(j) for j in js)
+    assert len({_jed.spec_group_key(j) for j in js}) == 1
+
+    batch = np.asarray(ffpic_tpu.decode_batch(datas))
+    for i, d in enumerate(datas):
+        want = _jpg.load(d, mode="bt601")[0].np_pixels()
+        np.testing.assert_array_equal(
+            batch[i][:want.shape[0], :want.shape[1]], want,
+            err_msg=f"img {i}")
