@@ -27,7 +27,10 @@ def _parse_len(v: str | None) -> int:
 
 
 def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
-    root = ET.fromstring(data.decode("utf8", "replace"))
+    try:
+        root = ET.fromstring(data.decode("utf8", "replace"))
+    except ET.ParseError as e:
+        raise ValueError(f"corrupt SVG: {e}") from e
     tag = root.tag.split("}")[-1]
     if tag != "svg":
         raise ValueError("not an svg root element")

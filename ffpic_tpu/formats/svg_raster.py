@@ -563,7 +563,8 @@ def fill_coverage(polys, w, h, evenodd=False, union=False):
     t = (yc - y0[eidx]) / (y1[eidx] - y0[eidx])
     x = x0[eidx] + t * (x1[eidx] - x0[eidx])
     wv = wind[eidx]
-    c = np.floor(x).astype(np.int64)
+    x = np.clip(x, -2.0, w + 2.0)   # clip BEFORE the int cast: huge
+    c = np.floor(x).astype(np.int64)  # transforms would overflow int64
     u = (c + 1.0 - x)             # fraction of cell c right of x
     c = np.clip(c, -1, w)
     u = np.clip(u, 0.0, 1.0)

@@ -239,3 +239,53 @@ def test_exr_psd_corruption_never_crashes():
                 ffpic_tpu.load(bytes(d))
             except (ValueError, NotImplementedError, OSError):
                 pass
+
+
+def test_svg_corruption_never_crashes():
+    """SVG rasterizer: text-level mutations (tag splices, attribute
+    garbage, numeric extremes) must yield clean errors or pixels —
+    the parser is stdlib XML, the rasterizer must bound dimensions
+    and survive malformed numbers/paths/transforms."""
+    import ffpic_tpu
+
+    base = (b'<svg xmlns="http://www.w3.org/2000/svg" width="64" '
+            b'height="48" viewBox="0 0 64 48">'
+            b'<defs><linearGradient id="g"><stop offset="0" '
+            b'stop-color="red"/><stop offset="1" stop-color="blue"/>'
+            b'</linearGradient></defs>'
+            b'<rect x="2" y="2" width="30" height="20" fill="url(#g)"/>'
+            b'<path d="M5 5 C10 0 20 40 30 5 A8 4 30 1 0 40 20 Z" '
+            b'stroke="black" stroke-width="3" fill="lime"/>'
+            b'<g transform="rotate(33 20 20) scale(1.5)">'
+            b'<circle cx="10" cy="10" r="7" fill-opacity="0.5"/>'
+            b'</g><use href="#g" x="1" y="1"/></svg>')
+    rng = np.random.default_rng(0x5176)
+    for trial in range(40):
+        d = bytearray(base)
+        for _ in range(rng.integers(1, 12)):
+            pos = rng.integers(0, len(d))
+            d[pos] = rng.integers(32, 127)
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError):
+            pass
+
+    # structured hostile cases
+    hostile = [
+        b'<svg xmlns="a" width="1e30" height="5"><rect width="9e99" '
+        b'height="9e99"/></svg>',
+        b'<svg xmlns="a" width="16" height="16"><path d="M0 0 '
+        + b"L1 1 " * 3000 + b'Z"/></svg>',
+        b'<svg xmlns="a" width="8" height="8"><circle r="NaN"/>'
+        b'<ellipse rx="-5" ry="1e9"/><rect width="4" height="4" '
+        b'transform="matrix(1e20 0 0 1e20 -1e20 0)"/></svg>',
+        b'<svg xmlns="a" width="8" height="8"><use href="#x"/>'
+        b'<g id="x"><use href="#x"/></g></svg>',          # use cycle
+        b'<svg xmlns="a" width="8" height="8"><rect width="4" '
+        b'height="4" fill="url(#none)" stroke="rgb(,,,)"/></svg>',
+    ]
+    for h in hostile:
+        try:
+            ffpic_tpu.load(h)
+        except (ValueError, NotImplementedError, OSError):
+            pass
