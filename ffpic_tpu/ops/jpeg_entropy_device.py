@@ -296,6 +296,80 @@ def decode_lanes_bmap(u32win, luts, zz, comp_of_sub, tclass_of_sub,
 # speculative self-sync scan (DRI-less streams)
 # ---------------------------------------------------------------------------
 
+SNAP = 256         # snapshot slots per chunk
+SNAP_STRIDE = 8    # record every 8th symbol boundary.  Bit-phase sync
+# is fast (prefix-free code), but the JOINT state must also align k
+# (in-block position) and sub (table class), which only locks via
+# EOB/table-selection events — measured sync distances run to
+# hundreds of symbols.  Sparse recording works because POST-sync the
+# speculative and true decoders visit the SAME boundaries, so any
+# recorded boundary past the sync point is an exact match; stride
+# costs at most SNAP_STRIDE-1 extra merge symbols while covering
+# SNAP*SNAP_STRIDE = 2048 symbols per chunk.  No merge within
+# coverage -> ok=False -> host path.
+
+
+def _spec_symbol_step(u32win, lut_flat, comp_of_sub, tclass_of_sub,
+                      bpm_arr, bitpos, k, sub):
+    """One speculative symbol transition from (bitpos, k, sub) —
+    shared by the scan/snapshot/merge kernels.  Garbage-prefix
+    robustness: an invalid code advances one bit, an AC overrun ends
+    the block (a prefix-free code self-synchronizes to the true
+    symbol stream within a few symbols).
+
+    Returns (advance_bits, k_next, sub_next, block_end, dc_take,
+    dc_diff, comp): dc_take is True when this symbol was a valid DC
+    diff for component `comp`."""
+    byte = (bitpos >> 3).astype(jnp.int32)
+    s = (bitpos & 7).astype(jnp.uint32)
+    w32 = u32win[byte]
+    win16 = ((w32 >> (16 - s)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    is_dc = k == 0
+    tcls = tclass_of_sub[sub]
+    tbl = tcls * 2 + jnp.where(is_dc, 0, 1)
+    e = lut_flat[tbl * 65536 + win16]
+    consume = (e >> 24).astype(jnp.int32)
+    flags = ((e >> 16) & 0xFF).astype(jnp.int32)
+    v16 = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    val = v16 - 2 * (v16 & 0x8000)
+
+    invalid = e == 0
+
+    is_code = flags == RUN_CODE
+    r_sp = jnp.where(is_dc, 0, val >> 4)
+    sz_sp = jnp.where(is_dc, val, val & 15)
+    pos2 = bitpos + consume
+    w2 = u32win[(pos2 >> 3).astype(jnp.int32)]
+    s2 = (pos2 & 7).astype(jnp.uint32)
+    szu = jnp.clip(sz_sp, 1, 16).astype(jnp.uint32)
+    mag = (w2 >> (jnp.uint32(32) - s2 - szu)) \
+        & ((jnp.uint32(1) << szu) - 1)
+    mag = mag.astype(jnp.int32)
+    ext = jnp.where(mag < (1 << jnp.clip(sz_sp - 1, 0, 15)),
+                    mag - (1 << jnp.clip(sz_sp, 0, 16)) + 1, mag)
+    ext = jnp.where(sz_sp > 0, ext, 0)
+    adv = jnp.where(invalid, 1,
+                    consume + jnp.where(is_code, sz_sp, 0))
+
+    dc_diff = jnp.where(is_code, ext, val)
+    comp = comp_of_sub[sub]
+    dc_take = is_dc & ~invalid
+
+    is_comb = flags < 64
+    is_eob = flags == RUN_EOB
+    is_zrl = flags == RUN_ZRL
+    run = jnp.where(is_comb, flags, r_sp)
+    kk = k + run
+    k_next = jnp.where(is_dc, 1,
+                       jnp.where(is_zrl, k + 16, kk + 1))
+    block_end = (~is_dc) & (is_eob | (k_next > 63)) & ~invalid
+    k_next = jnp.where(block_end, 0, k_next)
+    k_next = jnp.where(invalid, k, k_next)
+    sub_next = jnp.where(block_end, sub + 1, sub)
+    sub_next = jnp.where(sub_next >= bpm_arr, 0, sub_next)
+    return adv, k_next, sub_next, block_end, dc_take, dc_diff, comp
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps", "unroll"))
 def spec_scan_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
                     bit0, bit_end, k0, sub0, bpm_arr,
@@ -306,88 +380,34 @@ def spec_scan_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
 
     Each lane decodes symbols from bit0 (entry state k0/sub0) until
     the first symbol boundary at-or-past bit_end, WITHOUT emitting
-    coefficients.  Garbage prefixes (mis-aligned starts) are kept
-    alive: an invalid code advances one bit, an AC overrun ends the
-    block — a prefix-free code self-synchronizes to the true symbol
-    stream within a few symbols, after which the exit state
-    (bitpos, k, sub) is exact.
-
-    Returns (exit_bit, exit_k, exit_sub, blk_cnt, dcsum[L,3]):
-    completed-block count and per-component DC-diff sums over the
-    decoded span (exact when the entry state was exact)."""
+    coefficients.  Returns (exit_bit, exit_k, exit_sub, blk_cnt,
+    dcsum[L,3]): completed-block count and per-component DC-diff sums
+    over the decoded span (exact when the entry state was exact)."""
     L = bit0.shape[0]
     lut_flat = luts.reshape(-1)
 
     def cond(st):
-        return jnp.any(~st[6]) & (st[7] < max_steps)
+        return jnp.any(~st[5]) & (st[6] < max_steps)
 
     def body(st):
-        bitpos, k, sub, blk, dcs, pend, done, step = st
+        bitpos, k, sub, blk, dcs, done, step = st
         active = ~done
-        byte = (bitpos >> 3).astype(jnp.int32)
-        s = (bitpos & 7).astype(jnp.uint32)
-        w32 = u32win[byte]
-        win16 = ((w32 >> (16 - s)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        is_dc = k == 0
-        tcls = tclass_of_sub[sub]
-        tbl = tcls * 2 + jnp.where(is_dc, 0, 1)
-        e = lut_flat[tbl * 65536 + win16]
-        consume = (e >> 24).astype(jnp.int32)
-        flags = ((e >> 16) & 0xFF).astype(jnp.int32)
-        v16 = (e & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        val = v16 - 2 * (v16 & 0x8000)
-
-        invalid = e == 0
-
-        is_code = flags == RUN_CODE
-        r_sp = jnp.where(is_dc, 0, val >> 4)
-        sz_sp = jnp.where(is_dc, val, val & 15)
-        pos2 = bitpos + consume
-        w2 = u32win[(pos2 >> 3).astype(jnp.int32)]
-        s2 = (pos2 & 7).astype(jnp.uint32)
-        szu = jnp.clip(sz_sp, 1, 16).astype(jnp.uint32)
-        mag = (w2 >> (jnp.uint32(32) - s2 - szu)) \
-            & ((jnp.uint32(1) << szu) - 1)
-        mag = mag.astype(jnp.int32)
-        ext = jnp.where(mag < (1 << jnp.clip(sz_sp - 1, 0, 15)),
-                        mag - (1 << jnp.clip(sz_sp, 0, 16)) + 1, mag)
-        ext = jnp.where(sz_sp > 0, ext, 0)
-        total_consume = jnp.where(invalid, 1,
-                                  consume + jnp.where(is_code, sz_sp, 0))
-
-        dc_diff = jnp.where(is_code, ext, val)
-        comp = comp_of_sub[sub]
-        take_dc = active & is_dc & ~invalid
-        dcs_new = dcs + (dc_diff * take_dc)[:, None] \
+        adv, k_next, sub_next, block_end, dc_take, dc_diff, comp = \
+            _spec_symbol_step(u32win, lut_flat, comp_of_sub,
+                              tclass_of_sub, bpm_arr, bitpos, k, sub)
+        dcs = dcs + (dc_diff * (dc_take & active))[:, None] \
             * jax.nn.one_hot(comp, 3, dtype=jnp.int32)
-
-        is_comb = flags < 64
-        is_eob = flags == RUN_EOB
-        is_zrl = flags == RUN_ZRL
-        run = jnp.where(is_comb, flags, r_sp)
-        kk = k + run
-        k_next = jnp.where(is_dc, 1,
-                           jnp.where(is_zrl, k + 16, kk + 1))
-        block_end = (~is_dc) & (is_eob | (k_next > 63)) & ~invalid
-        k_next = jnp.where(block_end, 0, k_next)
-        k_next = jnp.where(invalid, k, k_next)
-        sub_next = jnp.where(block_end, sub + 1, sub)
-        wrap = sub_next >= bpm_arr
-        sub_next = jnp.where(wrap, 0, sub_next)
-        blk_next = blk + block_end
-
-        bitpos = jnp.where(active, bitpos + total_consume, bitpos)
+        bitpos = jnp.where(active, bitpos + adv, bitpos)
         k = jnp.where(active, k_next, k)
         sub = jnp.where(active, sub_next, sub)
-        blk = jnp.where(active, blk_next, blk)
+        blk = blk + (block_end & active)
         done = done | (bitpos >= bit_end)
-        return (bitpos, k, sub, blk, dcs_new, pend, done, step + 1)
+        return (bitpos, k, sub, blk, dcs, done, step + 1)
 
     done0 = bit0 >= bit_end
     st = (bit0.astype(jnp.int32), k0.astype(jnp.int32),
           sub0.astype(jnp.int32), jnp.zeros(L, jnp.int32),
-          jnp.zeros((L, 3), jnp.int32), jnp.int32(0), done0,
-          jnp.int32(0))
+          jnp.zeros((L, 3), jnp.int32), done0, jnp.int32(0))
     if unroll > 1:
         one = body
 
@@ -400,93 +420,215 @@ def spec_scan_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
     return st[0], st[1], st[2], st[3], st[4]
 
 
+@jax.jit
+def spec_snap_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
+                    bit0, bit_end, bpm_arr):
+    """Record the first SNAP symbol-boundary states of each chunk's
+    speculative decode (guessed block-aligned entry): the merge pass
+    validates sync against this list instead of re-decoding whole
+    chunks (the round-3 fixpoint did, costing ~10 full decodes).
+
+    Returns (sbit, sk, ssub, sblk, sdc): (L, SNAP[, 3]) int32 arrays;
+    unused slots keep sbit = -1.  The boundary BEFORE the first
+    symbol and the exit boundary (first at-or-past bit_end) are
+    included."""
+    L = bit0.shape[0]
+    lut_flat = luts.reshape(-1)
+    rows = jnp.arange(L)
+
+    def cond(st):
+        return jnp.any(~st[10])
+
+    def body(st):
+        (bitpos, k, sub, blk, dcs, sbit, sk, ssub, sblk, sdc,
+         done, bidx) = st
+        active = ~done
+        col = jnp.clip(bidx // SNAP_STRIDE, 0, SNAP - 1)
+        w = active & (bidx % SNAP_STRIDE == 0) \
+            & (bidx < SNAP * SNAP_STRIDE)
+        sbit = sbit.at[rows, col].set(
+            jnp.where(w, bitpos, sbit[rows, col]))
+        sk = sk.at[rows, col].set(jnp.where(w, k, sk[rows, col]))
+        ssub = ssub.at[rows, col].set(jnp.where(w, sub, ssub[rows, col]))
+        sblk = sblk.at[rows, col].set(jnp.where(w, blk, sblk[rows, col]))
+        sdc = sdc.at[rows, col].set(
+            jnp.where(w[:, None], dcs, sdc[rows, col]))
+        bidx = bidx + active
+        done = done | (bitpos >= bit_end) \
+            | (bidx >= SNAP * SNAP_STRIDE)
+
+        active = ~done
+        adv, k_next, sub_next, block_end, dc_take, dc_diff, comp = \
+            _spec_symbol_step(u32win, lut_flat, comp_of_sub,
+                              tclass_of_sub, bpm_arr, bitpos, k, sub)
+        dcs = dcs + (dc_diff * (dc_take & active))[:, None] \
+            * jax.nn.one_hot(comp, 3, dtype=jnp.int32)
+        bitpos = jnp.where(active, bitpos + adv, bitpos)
+        k = jnp.where(active, k_next, k)
+        sub = jnp.where(active, sub_next, sub)
+        blk = blk + (block_end & active)
+        return (bitpos, k, sub, blk, dcs, sbit, sk, ssub, sblk, sdc,
+                done, bidx)
+
+    z = jnp.zeros(L, jnp.int32)
+    st = (bit0.astype(jnp.int32), z, z, z,
+          jnp.zeros((L, 3), jnp.int32),
+          jnp.full((L, SNAP), -1, jnp.int32),
+          jnp.zeros((L, SNAP), jnp.int32),
+          jnp.zeros((L, SNAP), jnp.int32),
+          jnp.zeros((L, SNAP), jnp.int32),
+          jnp.zeros((L, SNAP, 3), jnp.int32),
+          bit0 >= bit_end, z)
+    st = jax.lax.while_loop(cond, body, st)
+    return st[5], st[6], st[7], st[8], st[9]
+
+
+@jax.jit
+def spec_merge_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
+                     ent_b, ent_k, ent_s, bpm_arr,
+                     sbit, sk, ssub, sblk, sdc):
+    """Short re-decode from each lane's TRUE entry state (predecessor
+    exit) until it merges with the lane's own snapshot list — the
+    sync-validation pass.  At the merge boundary m, the lane's
+    speculative pass-1 stream is the true stream, so its exit state
+    is exact and the true span counts are:
+
+        blk_total = blk2(entry->merge) + (blk1_exit - sblk[m])
+        dcsum     = dc2(entry->merge)  + (dc1_exit  - sdc[m])
+
+    Returns (matched, mblk, mdc3): per-lane merge success, and the
+    entry->merge completed-block count / DC-diff sums."""
+    L = ent_b.shape[0]
+    lut_flat = luts.reshape(-1)
+
+    def cond(st):
+        return jnp.any(~st[7])
+
+    def body(st):
+        bitpos, k, sub, blk, dcs, matched, midx, done, steps = st
+        active = ~done
+        # boundary check against this lane's snapshot list
+        hit = ((sbit == bitpos[:, None]) & (sk == k[:, None])
+               & (ssub == sub[:, None]))
+        any_hit = hit.any(axis=1)
+        hidx = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        new_match = active & any_hit
+        matched = matched | new_match
+        midx = jnp.where(new_match, hidx, midx)
+        done = done | new_match
+        # fail when past the last recorded boundary without a merge
+        maxbit = sbit.max(axis=1)
+        done = done | (bitpos > maxbit) \
+            | (steps > SNAP * SNAP_STRIDE + 16)
+
+        active = ~done
+        adv, k_next, sub_next, block_end, dc_take, dc_diff, comp = \
+            _spec_symbol_step(u32win, lut_flat, comp_of_sub,
+                              tclass_of_sub, bpm_arr, bitpos, k, sub)
+        dcs = dcs + (dc_diff * (dc_take & active))[:, None] \
+            * jax.nn.one_hot(comp, 3, dtype=jnp.int32)
+        bitpos = jnp.where(active, bitpos + adv, bitpos)
+        k = jnp.where(active, k_next, k)
+        sub = jnp.where(active, sub_next, sub)
+        blk = blk + (block_end & active)
+        return (bitpos, k, sub, blk, dcs, matched, midx, done,
+                steps + 1)
+
+    z = jnp.zeros(L, jnp.int32)
+    st = (ent_b.astype(jnp.int32), ent_k.astype(jnp.int32),
+          ent_s.astype(jnp.int32), z, jnp.zeros((L, 3), jnp.int32),
+          jnp.zeros(L, bool), z, jnp.zeros(L, bool), jnp.int32(0))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[5], st[6], st[3], st[4]   # matched, midx, mblk, mdc
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "bpm", "out_size", "blocks_per_img", "max_steps", "unroll",
-    "max_iters"))
+    "bpm", "out_size", "blocks_per_img", "max_steps", "unroll"))
 def spec_decode_full(u32win, luts, zz, comp_of_sub, tclass_of_sub,
                      bmap, bit0, bit_end, first, img_start, img_last,
                      img_base, bpm: int, out_size: int,
                      blocks_per_img: int, max_steps: int,
-                     unroll: int = 1, max_iters: int = 8):
-    """The whole speculative pipeline as ONE device launch: pass-1
-    scan, device-side fixpoint (`lax.while_loop` with a convergence
-    test — no host round-trips, which cost ~200 ms each through the
-    tunnel), segmented prefix sums for absolute block indices + DC
-    predictor bases, and the emission pass.
+                     unroll: int = 1):
+    """The whole speculative pipeline as ONE device launch:
+
+      pass 0  snapshot the first SNAP boundary states per chunk
+              (<= 64 symbols per lane),
+      pass 1  full speculative scan -> per-chunk exit states,
+      merge   short re-decode from each predecessor's exit until it
+              meets the lane's own snapshot list — validates that
+              every chunk self-synchronized, and corrects the span's
+              block/DC-diff totals for the garbage prefix,
+      emit    decode_lanes_bmap with absolute block indices and DC
+              predictor bases from segmented prefix sums.
+
+    Bin-serial work is ~2.05x the stream (pass 1 + emission); the
+    round-3-tail fixpoint variant re-decoded everything per iteration
+    (up to ~10x, measured 8.6 MP/s vs 376 for the DRI path in
+    BENCH context — this design removes that).
 
     first: bool[L] marks each image's first lane (its entry state is
     ground truth); img_start/img_last: int32[L] index of the lane's
     image's first/last lane (for segmented prefix subtraction).
-    Returns (flat int16 coeffs, ok flag — False when the fixpoint did
-    not converge or block totals do not reconcile; the caller must
-    then fall back to the host path)."""
+    Returns (flat int16 coeffs, ok flag — False when any chunk failed
+    to merge or block totals do not reconcile; the caller must then
+    fall back to the host path)."""
     bpm_arr = jnp.int32(bpm)
     zeros = jnp.zeros_like(bit0)
-
-    def scan(ent_b, ent_k, ent_s):
-        return spec_scan_lanes(u32win, luts, comp_of_sub,
-                               tclass_of_sub, ent_b, bit_end, ent_k,
-                               ent_s, bpm_arr, max_steps, unroll)
+    rows = jnp.arange(bit0.shape[0])
 
     def shift(x, fill):
         return jnp.where(first, fill, jnp.roll(x, 1))
 
-    eb, ek, es, cnt, dcs = scan(bit0, zeros, zeros)
+    sbit, sk, ssub, sblk, sdc = spec_snap_lanes(
+        u32win, luts, comp_of_sub, tclass_of_sub, bit0, bit_end,
+        bpm_arr)
+    eb, ek, es, cnt1, dcs1 = spec_scan_lanes(
+        u32win, luts, comp_of_sub, tclass_of_sub, bit0, bit_end,
+        zeros, zeros, bpm_arr, max_steps, unroll)
 
-    def fix_cond(c):
-        return c[5] & (c[6] < max_iters)
+    ent_b = shift(eb, bit0)
+    ent_k = shift(ek, zeros)
+    ent_s = shift(es, zeros)
+    matched, midx, mblk, mdc = spec_merge_lanes(
+        u32win, luts, comp_of_sub, tclass_of_sub, ent_b, ent_k,
+        ent_s, bpm_arr, sbit, sk, ssub, sblk, sdc)
+    ok = jnp.all(matched)
 
-    def fix_body(c):
-        eb, ek, es, _cnt, _dcs, _ch, it = c
-        eb2, ek2, es2, cnt2, dcs2 = scan(shift(eb, bit0),
-                                         shift(ek, 0), shift(es, 0))
-        changed = jnp.any((eb2 != eb) | (ek2 != ek) | (es2 != es))
-        return (eb2, ek2, es2, cnt2, dcs2, changed, it + 1)
-
-    eb, ek, es, cnt, dcs, changed, _it = jax.lax.while_loop(
-        fix_cond, fix_body,
-        (eb, ek, es, cnt, dcs, jnp.bool_(True), jnp.int32(0)))
-    ok = ~changed
+    # true span totals: entry->merge (pass 2) + merge->exit (pass 1
+    # minus its garbage prefix, read off the snapshot at the merge)
+    cnt = mblk + (cnt1 - sblk[rows, midx])
+    dcs = mdc + (dcs1 - sdc[rows, midx])
 
     inc = jnp.cumsum(cnt)
     blk0g = inc - cnt
     blk0 = blk0g - blk0g[img_start]
     total = inc[img_last] - blk0g[img_start]
     ok = ok & jnp.all(total >= blocks_per_img) \
-        & jnp.all(blk0 <= blocks_per_img)
+        & jnp.all(blk0 >= 0) & jnp.all(blk0 <= blocks_per_img)
     dexc = jnp.cumsum(dcs, axis=0) - dcs
     pred0 = dexc - dexc[img_start]
 
     flat, _steps = decode_lanes_bmap(
         u32win, luts, zz, comp_of_sub, tclass_of_sub, bmap,
-        shift(eb, bit0), blk0,
+        ent_b, blk0,
         jnp.full_like(blk0, blocks_per_img), img_base, bpm,
         out_size, max_steps, unroll,
-        k0=shift(ek, 0), sub0=shift(es, 0), pred0=pred0,
+        k0=ent_k, sub0=ent_s, pred0=pred0,
         bit_stop=eb)
     return flat, ok
 
 
 def decode_coeffs_device_spec(datas, chunk_bytes: int = 1024,
-                              max_iters: int = 8, max_steps: int = 1 << 22,
+                              max_steps: int = 1 << 22,
                               unroll: int = 1):
     """Device entropy decode for DRI-LESS baseline JPEGs — the
     self-sync speculative follow-up to decode_coeffs_device (which
     needs restart markers for its exact split points, jpg.c:562-573).
+    See spec_decode_full for the snapshot/scan/merge/emit pipeline.
 
-    Three passes over B-byte chunks (all lanes fully parallel):
-      1. speculative scan from guessed entry states (block-aligned) —
-         prefix-free self-synchronization makes each chunk's EXIT
-         state (bitpos, k, sub) exact with overwhelming probability;
-      2. fixpoint re-scan: lane i re-decodes from lane i-1's exit;
-         iterate until exits are stable (usually 1 extra pass) — the
-         stable pass's block counts and DC-diff sums are exact;
-      3. emission: decode_lanes_bmap with absolute block indices and
-         DC predictors from exclusive prefix sums over the chunks.
-
-    Raises ValueError if the fixpoint does not converge or the block
-    totals do not reconcile (caller falls back to the host path).
-    Returns (flat int16 coeffs, js, consts, lanes)."""
+    Raises ValueError if any chunk failed to self-synchronize or the
+    block totals do not reconcile (caller falls back to the host
+    path).  Returns (flat int16 coeffs, js, consts, lanes)."""
     from ffpic_tpu import native
     from ffpic_tpu.formats import jpg
 
@@ -506,14 +648,18 @@ def decode_coeffs_device_spec(datas, chunk_bytes: int = 1024,
         off += len(buf)
     concat = np.concatenate(bufs)
 
-    # chunk table: per-lane absolute [bit0, bit_end) spans + image id
+    # chunk table: per-lane absolute [bit0, bit_end) spans + image id.
+    # The tail merges into the last chunk so every chunk is at least
+    # ~half-size: a predecessor exit always lands strictly inside the
+    # next chunk (merge entries assume entry < bit_end).
     bit0, bit_end, lane_img = [], [], []
     for i, buf in enumerate(bufs):
         n = len(buf)
-        nch = max(1, (n + chunk_bytes - 1) // chunk_bytes)
+        nch = max(1, n // chunk_bytes)
         for c in range(nch):
             b0 = (offs[i] + c * chunk_bytes) * 8
-            b1 = (offs[i] + min((c + 1) * chunk_bytes, n)) * 8
+            b1 = (offs[i] + ((c + 1) * chunk_bytes
+                             if c + 1 < nch else n)) * 8
             bit0.append(b0)
             bit_end.append(b1)
             lane_img.append(i)
@@ -540,11 +686,12 @@ def decode_coeffs_device_spec(datas, chunk_bytes: int = 1024,
         jnp.asarray(bit0), jnp.asarray(bit_end), jnp.asarray(first),
         jnp.asarray(img_start), jnp.asarray(img_last),
         jnp.asarray(img_base), bpm, out_size, blocks_per_img,
-        max_steps, unroll, max_iters)
+        max_steps, unroll)
     if not bool(ok):
         raise ValueError(
-            "speculative entropy decode: fixpoint did not converge "
-            "or block totals do not reconcile — host path fallback")
+            "speculative entropy decode: a chunk failed to "
+            "self-synchronize or block totals do not reconcile — "
+            "host path fallback")
     return flat, js, consts, L
 
 

@@ -138,7 +138,7 @@ def _jpeg_plain(rng, h=96, w=128, quality=85, opt=False):
     return b.getvalue()
 
 
-@pytest.mark.parametrize("quality,chunk", [(85, 512), (95, 256),
+@pytest.mark.parametrize("quality,chunk", [(85, 512), (95, 512),
                                            (30, 1024), (85, 4096)])
 def test_spec_entropy_coeffs_match_host(rng, quality, chunk):
     """Self-sync speculative decode of DRI-less streams: coefficient-
@@ -195,3 +195,26 @@ def test_spec_entropy_custom_tables(rng):
         want = jh.coeffs[ci].reshape(c.nby, c.nbx, 8, 8)
         np.testing.assert_array_equal(np.asarray(planes[ci][0]), want,
                                       err_msg=f"comp {ci}")
+
+
+def test_spec_entropy_tiny_chunks_fallback_contract(rng):
+    """Chunks too small for the joint (bit, k, sub) state to
+    self-synchronize must either still decode exactly or raise the
+    documented ValueError (host-path fallback) — never return wrong
+    coefficients."""
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.ops.jpeg_entropy_device import (
+        assemble_planes, decode_coeffs_device_spec)
+
+    data = _jpeg_plain(rng, quality=95)
+    try:
+        flat, js, consts, _ = decode_coeffs_device_spec(
+            [data], chunk_bytes=256, unroll=2)
+    except ValueError:
+        return                          # clean fallback: contract held
+    j = js[0]
+    planes = assemble_planes(flat, 1, j)
+    jh, _ = jpg.parse_and_decode(data)
+    for ci, c in enumerate(jh.comps):
+        want = jh.coeffs[ci].reshape(c.nby, c.nbx, 8, 8)
+        np.testing.assert_array_equal(np.asarray(planes[ci][0]), want)
