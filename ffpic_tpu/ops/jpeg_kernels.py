@@ -342,6 +342,44 @@ def decode_frame_420_packed(counts, ks, vals, block_map, yquant, cquant,
                             order=order, mode=mode)[0]
 
 
+@functools.partial(jax.jit, static_argnames=("shapes", "order", "mode"))
+def decode_batch_420_packed(counts, ks, vals, block_map, yquant,
+                            cquant, shapes, order="rgba",
+                            mode="reference"):
+    """Batched packed-staging pipeline: N same-geometry frames'
+    packed emissions decode in ONE launch (vs a launch per frame),
+    and the host ships ONE stacked transfer per array instead of
+    three per frame — per-transfer tunnel overhead amortizes N-fold.
+
+    counts (N, G) uint8; ks (N, E) uint8 / vals (N, E) int16 padded
+    to a common bucket with zeros (padded entries scatter-add zeros —
+    harmless); yquant/cquant (N, 1, 1, 8, 8) per-image tables."""
+    def unpack(c, k, v):
+        return _unpack_coeffs(c, k, v, block_map, shapes)
+
+    y, u, v = jax.vmap(unpack)(counts, ks, vals)
+    return decode_batch_420(y, u, v, yquant, cquant, order=order,
+                            mode=mode)
+
+
+def stack_packed(packed_list, minimum: int = 2048):
+    """Host side of the batched packed path: stack per-frame
+    (counts, ks, vals, nnz) tuples into rectangular arrays, padding
+    ks/vals to the batch's power-of-two nnz bucket (stable jit
+    shapes).  Returns (counts (N, G), ks (N, E), vals (N, E))."""
+    n = len(packed_list)
+    emax = _bucket(max(int(p[3]) for p in packed_list), minimum)
+    c0 = np.asarray(packed_list[0][0])
+    counts = np.empty((n, c0.shape[0]), np.uint8)
+    ks = np.zeros((n, emax), np.uint8)
+    vals = np.zeros((n, emax), np.int16)
+    for i, (c, k, v, nnz) in enumerate(packed_list):
+        counts[i] = np.asarray(c)
+        ks[i, :nnz] = np.asarray(k)[:nnz]
+        vals[i, :nnz] = np.asarray(v)[:nnz]
+    return counts, ks, vals
+
+
 def _bucket(n: int, minimum: int = 2048) -> int:
     """Round nnz up to the next power of two (min 2048): few distinct
     jit shapes, padding bounded at 2x."""

@@ -158,11 +158,11 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
         # (VERDICT r2 #7) instead of per-frame packed launches
         j = _jpeg_420_plan(data, use_packed=mesh is None)
         if j is not None and j.packed is not None:
-            # stage now with a forced copy: the packed emission lives
-            # in a per-thread scratch the next parse overwrites, and
-            # jnp.asarray is zero-copy on the CPU backend
+            # host copy now: the packed emission lives in a per-thread
+            # scratch the next parse overwrites; staging happens once
+            # per bucket as a stacked transfer (decode_batch_420_packed)
             c, k, v, nnz = j.packed
-            j.packed = (jnp.array(c), jnp.array(k), jnp.array(v), nnz)
+            j.packed = (np.array(c), np.array(k), np.array(v), nnz)
         return i, data, j
 
     # host worker pool over the entropy-decode stage (SURVEY 2.6(a)):
@@ -192,22 +192,44 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     # staging is adaptive: packed (idx, val) pairs when the scan is
     # sparse enough to cut host->HBM bytes (~3x on photo-like content,
     # break-even at ~1/3 nonzero), dense planes otherwise
-    from ffpic_tpu.ops.jpeg_kernels import (decode_batch_420_sparse,
+    from ffpic_tpu.ops.jpeg_kernels import (decode_batch_420_packed,
+                                            decode_batch_420_sparse,
                                             decode_frame_420_packed,
-                                            pack_coeffs)
+                                            pack_coeffs, stack_packed)
     for (nby, nbx), allmembers in buckets.items():
-        # packed-emission members: fused per-frame unpack|decode launch
+        # packed-emission members: one coalesced unpack|decode launch
+        # for the whole bucket (stacked staging amortizes per-transfer
+        # tunnel overhead); single members keep the per-frame launch
         pmembers = [(i, j) for i, j in allmembers if j.packed is not None]
-        for i, j in pmembers:
+        if len(pmembers) >= 2:
+            from ffpic_tpu.formats.jpg import packed_block_map
+            j0 = pmembers[0][1]
+            shapes = tuple((c.nby, c.nbx) for c in j0.comps)
+            bmap = packed_block_map(j0)
+            cts, kss, vls = stack_packed([j.packed for _i, j in
+                                          pmembers])
+            yq = jnp.asarray(np.stack(
+                [j.dqt[j.comps[0].tq].reshape(8, 8)
+                 for _i, j in pmembers])[:, None, None])
+            cq = jnp.asarray(np.stack(
+                [j.dqt[j.comps[1].tq].reshape(8, 8)
+                 for _i, j in pmembers])[:, None, None])
+            outp = decode_batch_420_packed(
+                jnp.asarray(cts), jnp.asarray(kss), jnp.asarray(vls),
+                bmap, yq, cq, shapes, order="rgba", mode=color_mode)
+            for k, (i, j) in enumerate(pmembers):
+                slots[i] = outp[k, :j.height, :j.width]
+        elif pmembers:
+            i, j = pmembers[0]
             shapes = tuple((c.nby, c.nbx) for c in j.comps)
             from ffpic_tpu.formats.jpg import packed_block_map
             bmap = packed_block_map(j)
             yq1 = jnp.asarray(j.dqt[j.comps[0].tq].reshape(8, 8))
             cq1 = jnp.asarray(j.dqt[j.comps[1].tq].reshape(8, 8))
             c, k, v, _nnz = j.packed
-            out1 = decode_frame_420_packed(c, k, v, bmap, yq1, cq1,
-                                           shapes, order="rgba",
-                                           mode=color_mode)
+            out1 = decode_frame_420_packed(
+                jnp.asarray(c), jnp.asarray(k), jnp.asarray(v), bmap,
+                yq1, cq1, shapes, order="rgba", mode=color_mode)
             slots[i] = out1[:j.height, :j.width]
         members = [(i, j) for i, j in allmembers if j.packed is None]
         if not members:

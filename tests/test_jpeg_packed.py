@@ -94,3 +94,62 @@ def test_packed_pixels_match_dense_pipeline():
     dense = [jd.coeffs[i].reshape(1, *shapes[i], 8, 8) for i in range(3)]
     ref = decode_batch_420(*(jnp.asarray(d) for d in dense), yq, cq)[0]
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_decode_batch_420_packed_matches_per_frame(rng):
+    """Batched packed launch (stacked staging, one launch per bucket)
+    is pixel-identical to the per-frame packed path and the host
+    decode, across members with different nnz."""
+    import io
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.formats.jpg import packed_block_map
+    from ffpic_tpu.ops.jpeg_kernels import (decode_batch_420_packed,
+                                            decode_frame_420_packed,
+                                            stack_packed)
+
+    datas = []
+    for q in (60, 85, 95):
+        arr = np.kron(rng.integers(0, 256, (4, 6, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", quality=q,
+                                  subsampling="4:2:0")
+        datas.append(b.getvalue())
+
+    # copy each parse's packed emission IMMEDIATELY: the native
+    # emission is a thread-local scratch view that the next parse
+    # overwrites (native/__init__.py packed-scratch note)
+    js, packed = [], []
+    for d in datas:
+        j, _ = jpg.parse_and_decode(d, packed=True)
+        c, k, v, nnz = j.packed
+        packed.append((np.array(c), np.array(k), np.array(v), nnz))
+        js.append(j)
+    j0 = js[0]
+    shapes = tuple((c.nby, c.nbx) for c in j0.comps)
+    bmap = packed_block_map(j0)
+    cts, kss, vls = stack_packed(packed)
+    yq = jnp.asarray(np.stack([j.dqt[j.comps[0].tq].reshape(8, 8)
+                               for j in js])[:, None, None])
+    cq = jnp.asarray(np.stack([j.dqt[j.comps[1].tq].reshape(8, 8)
+                               for j in js])[:, None, None])
+    out = np.asarray(decode_batch_420_packed(
+        jnp.asarray(cts), jnp.asarray(kss), jnp.asarray(vls), bmap,
+        yq, cq, shapes, mode="bt601"))
+    for i, (d, j) in enumerate(zip(datas, js)):
+        c, k, v, _ = packed[i]
+        one = np.asarray(decode_frame_420_packed(
+            jnp.asarray(c), jnp.asarray(k), jnp.asarray(v), bmap,
+            jnp.asarray(j.dqt[j.comps[0].tq].reshape(8, 8)),
+            jnp.asarray(j.dqt[j.comps[1].tq].reshape(8, 8)),
+            shapes, mode="bt601"))
+        np.testing.assert_array_equal(out[i], one, err_msg=f"img {i}")
+        want = jpg.load(d, mode="bt601")[0].np_pixels()
+        np.testing.assert_array_equal(
+            out[i][:want.shape[0], :want.shape[1]], want,
+            err_msg=f"vs host img {i}")
