@@ -420,15 +420,17 @@ def spec_scan_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
     return st[0], st[1], st[2], st[3], st[4]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("unroll",))
 def spec_snap_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
-                    bit0, bit_end, bpm_arr):
+                    bit0, bit_end, bpm_arr, unroll: int = 16):
     """Record the first SNAP symbol-boundary states of each chunk's
     speculative decode (guessed block-aligned entry): the merge pass
     validates sync against this list instead of re-decoding whole
     chunks (the round-3 fixpoint did, costing ~10 full decodes).
 
-    Returns (sbit, sk, ssub, sblk, sdc): (L, SNAP[, 3]) int32 arrays;
+    Returns (sbit, sk, ssub, sblk, sdc): (L, SNAP[, 3]) int32 views
+    of one packed (L, SNAP, 7) snapshot array (a SINGLE scatter per
+    symbol keeps the unrolled body compilable and the update cheap);
     unused slots keep sbit = -1.  The boundary BEFORE the first
     symbol and the exit boundary (first at-or-past bit_end) are
     included."""
@@ -437,22 +439,18 @@ def spec_snap_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
     rows = jnp.arange(L)
 
     def cond(st):
-        return jnp.any(~st[10])
+        return jnp.any(~st[6])
 
     def body(st):
-        (bitpos, k, sub, blk, dcs, sbit, sk, ssub, sblk, sdc,
-         done, bidx) = st
+        bitpos, k, sub, blk, dcs, snap, done, bidx = st
         active = ~done
         col = jnp.clip(bidx // SNAP_STRIDE, 0, SNAP - 1)
         w = active & (bidx % SNAP_STRIDE == 0) \
             & (bidx < SNAP * SNAP_STRIDE)
-        sbit = sbit.at[rows, col].set(
-            jnp.where(w, bitpos, sbit[rows, col]))
-        sk = sk.at[rows, col].set(jnp.where(w, k, sk[rows, col]))
-        ssub = ssub.at[rows, col].set(jnp.where(w, sub, ssub[rows, col]))
-        sblk = sblk.at[rows, col].set(jnp.where(w, blk, sblk[rows, col]))
-        sdc = sdc.at[rows, col].set(
-            jnp.where(w[:, None], dcs, sdc[rows, col]))
+        rec = jnp.stack([bitpos, k, sub, blk,
+                         dcs[:, 0], dcs[:, 1], dcs[:, 2]], axis=1)
+        snap = snap.at[rows, col].set(
+            jnp.where(w[:, None], rec, snap[rows, col]))
         bidx = bidx + active
         done = done | (bitpos >= bit_end) \
             | (bidx >= SNAP * SNAP_STRIDE)
@@ -467,26 +465,31 @@ def spec_snap_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
         k = jnp.where(active, k_next, k)
         sub = jnp.where(active, sub_next, sub)
         blk = blk + (block_end & active)
-        return (bitpos, k, sub, blk, dcs, sbit, sk, ssub, sblk, sdc,
-                done, bidx)
+        return (bitpos, k, sub, blk, dcs, snap, done, bidx)
 
     z = jnp.zeros(L, jnp.int32)
+    snap0 = jnp.full((L, SNAP, 7), -1, jnp.int32)
     st = (bit0.astype(jnp.int32), z, z, z,
-          jnp.zeros((L, 3), jnp.int32),
-          jnp.full((L, SNAP), -1, jnp.int32),
-          jnp.zeros((L, SNAP), jnp.int32),
-          jnp.zeros((L, SNAP), jnp.int32),
-          jnp.zeros((L, SNAP), jnp.int32),
-          jnp.zeros((L, SNAP, 3), jnp.int32),
+          jnp.zeros((L, 3), jnp.int32), snap0,
           bit0 >= bit_end, z)
+    if unroll > 1:
+        one = body
+
+        def body(st):
+            for _ in range(unroll):
+                st = one(st)
+            return st
+
     st = jax.lax.while_loop(cond, body, st)
-    return st[5], st[6], st[7], st[8], st[9]
+    snap = st[5]
+    return (snap[:, :, 0], snap[:, :, 1], snap[:, :, 2],
+            snap[:, :, 3], snap[:, :, 4:7])
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("unroll",))
 def spec_merge_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
                      ent_b, ent_k, ent_s, bpm_arr,
-                     sbit, sk, ssub, sblk, sdc):
+                     sbit, sk, ssub, sblk, sdc, unroll: int = 8):
     """Short re-decode from each lane's TRUE entry state (predecessor
     exit) until it merges with the lane's own snapshot list — the
     sync-validation pass.  At the merge boundary m, the lane's
@@ -538,6 +541,14 @@ def spec_merge_lanes(u32win, luts, comp_of_sub, tclass_of_sub,
     st = (ent_b.astype(jnp.int32), ent_k.astype(jnp.int32),
           ent_s.astype(jnp.int32), z, jnp.zeros((L, 3), jnp.int32),
           jnp.zeros(L, bool), z, jnp.zeros(L, bool), jnp.int32(0))
+    if unroll > 1:
+        one = body
+
+        def body(st):
+            for _ in range(unroll):
+                st = one(st)
+            return st
+
     st = jax.lax.while_loop(cond, body, st)
     return st[5], st[6], st[3], st[4]   # matched, midx, mblk, mdc
 
