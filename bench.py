@@ -62,6 +62,17 @@ def main():
             best = min(best, fn())
         return best
 
+    def _anchor(arr):
+        """Force true completion: on the axon tunnel backend,
+        block_until_ready was observed returning before long kernels
+        finish (PARITY.md measurement addendum) — fetching one element
+        is the reliable completion barrier."""
+        import numpy as _np
+        a = arr
+        while hasattr(a, "ndim") and a.ndim > 0:
+            a = a[0]
+        _np.asarray(a)
+
     # ---- host entropy stage ------------------------------------------
     j, _ = jpg.parse_and_decode(data)          # warm (also builds tables)
     n_host = 6
@@ -96,16 +107,19 @@ def main():
     cq_d = jnp.asarray(cq)
 
     # ---- end-to-end FIRST (fresh device queue): measured pipelined
-    # loop — packed host entropy emission -> ~2.4x-smaller staging ->
-    # fused unpack|dequant|IDCT|upsample|color launch per frame
-    from ffpic_tpu.ops.jpeg_kernels import decode_frame_420_packed
+    # loop — packed host entropy emission -> ~2.4x-smaller staging
+    # fused into ONE uint8 transfer per frame -> fused
+    # unpack|dequant|IDCT|upsample|color launch per frame
+    from ffpic_tpu.ops.jpeg_kernels import (
+        decode_frame_420_packed_fused, fuse_packed)
     jp, _ = jpg.parse_and_decode(data, packed=True)
     shapes = tuple((c.nby, c.nbx) for c in jp.comps)
     bmap = jpg.packed_block_map(jp)
     cnts, kss, vls, _nnz = jp.packed
-    warm = decode_frame_420_packed(jnp.asarray(cnts), jnp.asarray(kss),
-                                   jnp.asarray(vls), bmap, yq_d, cq_d,
-                                   shapes)
+    G, E = len(cnts), len(kss)
+    warm = decode_frame_420_packed_fused(
+        jnp.asarray(fuse_packed(cnts, kss, vls)), bmap, yq_d, cq_d,
+        G, E, shapes)
     warm.block_until_ready()
     del warm
     K = 12
@@ -115,11 +129,12 @@ def main():
         outs = []
         for _ in range(K):
             jj, _ = jpg.parse_and_decode(data, packed=True)
-            cnts_, kss_, vls_, _n = jj.packed
-            outs.append(decode_frame_420_packed(
-                jnp.asarray(cnts_), jnp.asarray(kss_), jnp.asarray(vls_),
-                bmap, yq_d, cq_d, shapes))
+            c_, k_, v_, _n = jj.packed
+            outs.append(decode_frame_420_packed_fused(
+                jnp.asarray(fuse_packed(c_, k_, v_)), bmap, yq_d,
+                cq_d, len(c_), len(k_), shapes))
         jax.block_until_ready(outs)
+        _anchor(outs[-1])
         return (time.perf_counter() - t0) / K
     e2e_mps = mp / best_of(e2e_trial)
 
@@ -156,6 +171,7 @@ def main():
             jnp.asarray(c_), jnp.asarray(k_), jnp.asarray(v_), bmap,
             yqs, cqs, shapes)
         out.block_until_ready()
+        _anchor(out)
         return time.perf_counter() - t0
     e2e_batch_mps = KB * mp / best_of(e2e_batch_trial)
 
@@ -177,6 +193,7 @@ def main():
         for _ in range(ITERS):
             o = decode_batch_420(ycb_d, ucb_d, vcb_d, yq_d, cq_d)
         o.block_until_ready()
+        _anchor(o)
         return (time.perf_counter() - t0) / ITERS
     dev_mps = BATCH * mp / best_of(dev_trial)
 
@@ -203,6 +220,7 @@ def main():
             t0 = time.perf_counter()
             outs = [ffpic_tpu.load(wdata).pixels for _ in range(5)]
             jax.block_until_ready(outs)
+            _anchor(outs[-1])
             return (time.perf_counter() - t0) / 5
         webp_mps = 512 * 512 / 1e6 / best_of(webp_trial)
 
@@ -229,8 +247,9 @@ def main():
 
             def dev_ent_trial():
                 t0 = time.perf_counter()
-                jax.block_until_ready(
-                    decode_batch_device_entropy(datas, unroll=64))
+                r = decode_batch_device_entropy(datas, unroll=64)
+                jax.block_until_ready(r)
+                _anchor(r)
                 return time.perf_counter() - t0
             dev_ent_mps = BATCH * mp / best_of(dev_ent_trial)
         except Exception:
@@ -252,9 +271,10 @@ def main():
 
             def dev_spec_trial():
                 t0 = time.perf_counter()
-                jax.block_until_ready(
-                    decode_batch_device_entropy_spec(datas_p,
-                                                     chunk_bytes=4096))
+                r = decode_batch_device_entropy_spec(datas_p,
+                                                     chunk_bytes=4096)
+                jax.block_until_ready(r)
+                _anchor(r)
                 return time.perf_counter() - t0
             dev_spec_mps = BATCH * mp / best_of(dev_spec_trial)
         except Exception:

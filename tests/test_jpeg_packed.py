@@ -153,3 +153,38 @@ def test_decode_batch_420_packed_matches_per_frame(rng):
         np.testing.assert_array_equal(
             out[i][:want.shape[0], :want.shape[1]], want,
             err_msg=f"vs host img {i}")
+
+
+def test_decode_frame_420_packed_fused_matches(rng):
+    """Single-transfer fused staging == three-array packed path."""
+    import io
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ffpic_tpu.formats import jpg
+    from ffpic_tpu.formats.jpg import packed_block_map
+    from ffpic_tpu.ops.jpeg_kernels import (decode_frame_420_packed,
+                                            decode_frame_420_packed_fused,
+                                            fuse_packed)
+
+    arr = np.kron(rng.integers(0, 256, (4, 6, 3)),
+                  np.ones((16, 16, 1))).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "JPEG", quality=85,
+                              subsampling="4:2:0")
+    j, _ = jpg.parse_and_decode(b.getvalue(), packed=True)
+    c, k, v, nnz = j.packed
+    shapes = tuple((cc.nby, cc.nbx) for cc in j.comps)
+    bmap = packed_block_map(j)
+    yq = jnp.asarray(j.dqt[j.comps[0].tq].reshape(8, 8))
+    cq = jnp.asarray(j.dqt[j.comps[1].tq].reshape(8, 8))
+    ref = np.asarray(decode_frame_420_packed(
+        jnp.asarray(np.array(c)), jnp.asarray(np.array(k)),
+        jnp.asarray(np.array(v)), bmap, yq, cq, shapes, mode="bt601"))
+    buf = fuse_packed(c, k, v)
+    got = np.asarray(decode_frame_420_packed_fused(
+        jnp.asarray(buf), bmap, yq, cq, len(c), len(k), shapes,
+        mode="bt601"))
+    np.testing.assert_array_equal(got, ref)
