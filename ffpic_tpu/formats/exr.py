@@ -1,13 +1,16 @@
-"""OpenEXR codec — parity with format/exr.c: scanline files with
-half/float/uint channels (exr.c:156-174), the half→float conversion
-(exr.c:128-144), linear→sRGB transfer (exr.c:146-153), and
-INCREASING/DECREASING_Y line orders. Adds ZIP/ZIPS compression support
-(zlib + EXR byte-deinterleave predictor) — the reference assumes
-uncompressed (exr.c:207).
+"""OpenEXR codec — parity-plus vs format/exr.c: the reference reads
+only UNCOMPRESSED scanline files (exr.c:156-174, 207); this module
+decodes all standard lossless/lossy compressions (RLE, ZIPS, ZIP,
+PIZ, PXR24, B44, B44A — coding/exr_codec.py), single-part TILED files
+(one-level fully; mipmap/ripmap at full resolution), MULTIPART files,
+half/float/uint channels (exr.c:128-144), the linear→sRGB transfer
+(exr.c:146-153) and both line orders.  A scanline/tiled encoder with
+every compression is provided (the reference has no EXR writer).
 
-TPU split: half-decode, transfer curve and channel packing are
-vectorized (numpy here; jnp for batches) — the reference does all of
-it per-pixel in C."""
+TPU split: half-decode, transfer curve, channel packing and the block
+codecs' array math are vectorized (numpy here; jnp for batches) — the
+reference does all of it per-pixel in C.  Only the PIZ Huffman bit
+loop is serial (Python here; see coding/exr_codec.py)."""
 
 from __future__ import annotations
 
@@ -16,6 +19,7 @@ import zlib
 
 import numpy as np
 
+from ffpic_tpu.coding import exr_codec
 from ffpic_tpu.formats.pic import Pic, PixelFormat
 from ffpic_tpu.formats.registry import Codec, register
 
@@ -23,6 +27,12 @@ MAGIC = b"\x76\x2f\x31\x01"
 
 PXT_UINT, PXT_HALF, PXT_FLOAT = 0, 1, 2
 _PXSIZE = {PXT_UINT: 4, PXT_HALF: 2, PXT_FLOAT: 4}
+
+C_NONE, C_RLE, C_ZIPS, C_ZIP, C_PIZ, C_PXR24, C_B44, C_B44A = range(8)
+_LINES_PER_BLOCK = {C_NONE: 1, C_RLE: 1, C_ZIPS: 1, C_ZIP: 16, C_PIZ: 32,
+                    C_PXR24: 16, C_B44: 32, C_B44A: 32}
+_COMP_NAMES = {C_NONE: "none", C_RLE: "RLE", C_ZIPS: "ZIPS", C_ZIP: "ZIP",
+               C_PIZ: "PIZ", C_PXR24: "PXR24", C_B44: "B44", C_B44A: "B44A"}
 
 
 def probe(data: bytes) -> bool:
@@ -103,69 +113,155 @@ def _linear_to_srgb(x: np.ndarray) -> np.ndarray:
                     (1 + a) * np.power(np.clip(x, 0, None), 1 / 2.4) - a)
 
 
-def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
-    version = data[4]
-    flags = struct.unpack_from("<I", data, 4)[0] >> 8
-    if flags & 0x200:
-        raise ValueError("multipart EXR unsupported")
-    tiled = bool(flags & 0x2)
-    attrs, pos = _parse_header(data, 8)
+def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    a = 0.055
+    return np.where(x <= 0.04045, x / 12.92,
+                    np.power((x + a) / (1 + a), 2.4))
 
+
+def _decode_block(blob: bytes, comp: int, chans, w: int,
+                  nlines: int, pixsz: int) -> bytes:
+    """One compressed chunk -> scanline-interleaved raw bytes.  A blob
+    at least as large as the raw size is stored uncompressed (the
+    OpenEXR writer falls back to raw when compression does not
+    shrink)."""
+    want = w * pixsz * nlines
+    if comp == C_NONE or len(blob) >= want:
+        return blob[:want]
+    if comp == C_RLE:
+        return _zip_reconstruct(_rle_decode(blob, want))[:want]
+    if comp in (C_ZIPS, C_ZIP):
+        return _zip_reconstruct(zlib.decompress(blob))[:want]
+    if comp == C_PIZ:
+        return exr_codec.piz_decompress(blob, chans, w, nlines)
+    if comp == C_PXR24:
+        return exr_codec.pxr24_decompress(blob, chans, w, nlines)
+    if comp in (C_B44, C_B44A):
+        return exr_codec.b44_decompress(blob, chans, w, nlines)
+    raise ValueError(f"unsupported EXR compression {comp}")
+
+
+def _scatter_raw(raw: bytes, planes, chans, w: int, ystart: int,
+                 nlines: int, xoff: int = 0) -> None:
+    """Distribute a raw scanline-interleaved block into the per-channel
+    float planes (channels sorted by name within each line)."""
+    rpos = 0
+    order = sorted(chans, key=lambda c: c["name"])
+    for ln in range(nlines):
+        for c in order:
+            nbytes = w * _PXSIZE[c["type"]]
+            seg = raw[rpos:rpos + nbytes]
+            rpos += nbytes
+            if c["type"] == PXT_HALF:
+                vals = np.frombuffer(seg, np.float16).astype(np.float32)
+            elif c["type"] == PXT_FLOAT:
+                vals = np.frombuffer(seg, np.float32)
+            else:
+                vals = np.frombuffer(seg, np.uint32).astype(np.float32)
+            planes[c["name"]][ystart + ln, xoff:xoff + len(vals)] = vals
+
+
+def _num_levels(n: int, rounding: int) -> int:
+    lv = 0
+    while (n >> lv) > 1:
+        lv += 1
+    if rounding == 1 and (1 << lv) < n:  # ROUND_UP
+        lv += 1
+    return lv + 1
+
+
+def _tile_counts(w: int, h: int, tx: int, ty: int, mode: int):
+    """Total number of tiles across all levels for the offset table."""
+    level_mode = mode & 0xF
+    rounding = mode >> 4
+    if level_mode == 0:  # ONE_LEVEL
+        return ((w + tx - 1) // tx) * ((h + ty - 1) // ty)
+
+    def dim(n, l):
+        d = n >> l
+        if rounding == 1 and (d << l) < n:
+            d += 1
+        return max(1, d)
+
+    total = 0
+    if level_mode == 1:  # MIPMAP
+        for l in range(_num_levels(max(w, h), rounding)):
+            lw, lh = dim(w, l), dim(h, l)
+            total += ((lw + tx - 1) // tx) * ((lh + ty - 1) // ty)
+    else:  # RIPMAP
+        for ly in range(_num_levels(h, rounding)):
+            for lx in range(_num_levels(w, rounding)):
+                lw, lh = dim(w, lx), dim(h, ly)
+                total += ((lw + tx - 1) // tx) * ((lh + ty - 1) // ty)
+    return total
+
+
+def _decode_part(data: bytes, attrs: dict, offsets, tiled: bool,
+                 multipart: bool, skip_decode: bool):
     dw = struct.unpack("<iiii", attrs["dataWindow"][1])
     x0, y0, x1, y1 = dw
     w, h = x1 - x0 + 1, y1 - y0 + 1
     chans = _parse_channels(attrs["channels"][1])
     comp = attrs.get("compression", ("c", b"\0"))[1][0]
     line_order = attrs.get("lineOrder", ("l", b"\0"))[1][0]
+    part_name = None
+    if "name" in attrs:
+        part_name = attrs["name"][1].split(b"\0")[0].decode("latin1")
 
-    meta = dict(width=w, height=h, version=version, tiled=tiled,
+    meta = dict(width=w, height=h, tiled=tiled,
                 channels=[c["name"] for c in chans], compression=comp,
                 line_order=line_order)
+    if part_name:
+        meta["part_name"] = part_name
     if skip_decode:
-        return [Pic(width=w, height=h, depth=32, pitch=w * 4, codec="EXR",
-                    meta=meta)]
-    if tiled:
-        raise ValueError("tiled EXR unsupported")
-    if comp not in (0, 1, 2, 3):
+        return Pic(width=w, height=h, depth=32, pitch=w * 4, codec="EXR",
+                   meta=meta)
+    if comp not in _LINES_PER_BLOCK:
         raise ValueError(f"unsupported EXR compression {comp}")
-
-    lines_per_block = 1 if comp in (0, 2, 1) else 16
-    nblocks = (h + lines_per_block - 1) // lines_per_block
-    offsets = struct.unpack_from(f"<{nblocks}Q", data, pos)
+    if any(c["xs"] != 1 or c["ys"] != 1 for c in chans):
+        raise ValueError("subsampled EXR channels unsupported")
 
     pixsz = sum(_PXSIZE[c["type"]] for c in chans)
     planes = {c["name"]: np.zeros((h, w), np.float32) for c in chans}
+    pref = 4 if multipart else 0
 
-    for off in offsets:
-        y, size = struct.unpack_from("<iI", data, off)
-        blob = data[off + 8:off + 8 + size]
-        ystart = y - y0
-        nlines = min(lines_per_block, h - ystart)
-        want = w * pixsz * nlines
-        if comp == 0 or len(blob) >= want:
-            # blocks whose compressed size is not smaller are stored
-            # raw per the EXR spec
-            raw = blob[:want]
-        elif comp == 1:
-            raw = _zip_reconstruct(_rle_decode(blob, want))[:want]
-        else:
-            raw = _zip_reconstruct(zlib.decompress(blob))[:want]
-        # channels are stored per scanline, sorted by name, plane-major
-        rpos = 0
-        for ln in range(nlines):
-            for c in sorted(chans, key=lambda c: c["name"]):
-                nbytes = w * _PXSIZE[c["type"]]
-                seg = raw[rpos:rpos + nbytes]
-                rpos += nbytes
-                if c["type"] == PXT_HALF:
-                    vals = np.frombuffer(seg, np.float16).astype(np.float32)
-                elif c["type"] == PXT_FLOAT:
-                    vals = np.frombuffer(seg, np.float32)
-                else:
-                    vals = np.frombuffer(seg, np.uint32).astype(np.float32)
-                planes[c["name"]][ystart + ln, :len(vals)] = vals
+    if tiled:
+        ttyp, tblob = attrs["tiles"]
+        tx, ty, tmode = struct.unpack_from("<IIB", tblob, 0)
+        if tx == 0 or ty == 0:
+            raise ValueError("EXR tile size 0")
+        meta["tile_size"] = (tx, ty)
+        for off in offsets:
+            if off == 0 or off + pref + 20 > len(data):
+                continue
+            tcx, tcy, tlx, tly, size = struct.unpack_from(
+                "<iiiiI", data, off + pref)
+            if tlx != 0 or tly != 0:
+                continue  # mip/rip levels beyond full resolution
+            bx0 = tcx * tx
+            by0 = tcy * ty
+            if bx0 >= w or by0 >= h or tcx < 0 or tcy < 0:
+                raise ValueError("EXR tile coords out of range")
+            tw = min(tx, w - bx0)
+            th = min(ty, h - by0)
+            blob = data[off + pref + 20:off + pref + 20 + size]
+            raw = _decode_block(blob, comp, chans, tw, th, pixsz)
+            _scatter_raw(raw, planes, chans, tw, by0, th, xoff=bx0)
+    else:
+        lines_per_block = _LINES_PER_BLOCK[comp]
+        for off in offsets:
+            if off == 0 or off + pref + 8 > len(data):
+                continue
+            y, size = struct.unpack_from("<iI", data, off + pref)
+            ystart = y - y0
+            if ystart < 0 or ystart >= h:
+                raise ValueError("EXR block y out of range")
+            nlines = min(lines_per_block, h - ystart)
+            blob = data[off + pref + 8:off + pref + 8 + size]
+            raw = _decode_block(blob, comp, chans, w, nlines, pixsz)
+            _scatter_raw(raw, planes, chans, w, ystart, nlines)
 
-    if line_order == 1:  # DECREASING_Y
+    if line_order == 1 and not tiled:  # DECREASING_Y
         for k in planes:
             planes[k] = planes[k][::-1]
 
@@ -189,20 +285,310 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
 
     rgba = np.dstack([to8(r), to8(g), to8(b),
                       np.clip(a * 255 + 0.5, 0, 255).astype(np.uint8)])
-    return [Pic(pixels=rgba, width=w, height=h, depth=32, pitch=w * 4,
-                format=PixelFormat.RGBA32, codec="EXR", meta=meta)]
+    pic = Pic(pixels=rgba, width=w, height=h, depth=32, pitch=w * 4,
+              format=PixelFormat.RGBA32, codec="EXR", meta=meta)
+    pic.meta["exr_planes"] = planes
+    return pic
+
+
+def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
+    word = struct.unpack_from("<I", data, 4)[0]
+    version = word & 0xFF
+    flags = word >> 8
+    multipart = bool(flags & 0x10)
+    deep = bool(flags & 0x8)
+    tiled_bit = bool(flags & 0x2)
+    if deep and not multipart:
+        raise ValueError("deep EXR unsupported")
+
+    pos = 8
+    headers = []
+    if multipart:
+        while data[pos] != 0:
+            attrs, pos = _parse_header(data, pos)
+            headers.append(attrs)
+        pos += 1
+    else:
+        attrs, pos = _parse_header(data, 8)
+        headers.append(attrs)
+
+    parts = []
+    for i, attrs in enumerate(headers):
+        ptype = ""
+        if "type" in attrs:
+            ptype = attrs["type"][1].split(b"\0")[0].decode("latin1")
+        if multipart:
+            tiled = ptype in ("tiledimage", "deeptile")
+            deep_part = ptype in ("deepscanline", "deeptile")
+            n_chunks = struct.unpack("<i", attrs["chunkCount"][1])[0]
+        else:
+            tiled = tiled_bit
+            deep_part = False
+            dw = struct.unpack("<iiii", attrs["dataWindow"][1])
+            w, h = dw[2] - dw[0] + 1, dw[3] - dw[1] + 1
+            comp = attrs.get("compression", ("c", b"\0"))[1][0]
+            if tiled:
+                ttyp, tblob = attrs["tiles"]
+                tx, ty, tmode = struct.unpack_from("<IIB", tblob, 0)
+                if tx == 0 or ty == 0:
+                    raise ValueError("EXR tile size 0")
+                n_chunks = _tile_counts(w, h, tx, ty, tmode)
+            else:
+                lpb = _LINES_PER_BLOCK.get(comp)
+                if lpb is None:
+                    raise ValueError(f"unsupported EXR compression {comp}")
+                n_chunks = (h + lpb - 1) // lpb
+        if n_chunks < 0 or pos + 8 * n_chunks > len(data):
+            raise ValueError("EXR offset table out of range")
+        offsets = struct.unpack_from(f"<{n_chunks}Q", data, pos)
+        pos += 8 * n_chunks
+        parts.append((attrs, offsets, tiled, deep_part))
+
+    pics = []
+    for attrs, offsets, tiled, deep_part in parts:
+        if deep_part:
+            continue  # deep parts carry samples-per-pixel lists, no grid
+        pics.append(_decode_part(data, attrs, offsets, tiled, multipart,
+                                 skip_decode))
+    if not pics:
+        raise ValueError("EXR contains no decodable (non-deep) parts")
+    for p in pics:
+        p.meta["version"] = version
+        p.meta["parts"] = len(headers)
+    return pics
+
+
+# ---------------------------------------------------------------------------
+# encoder (the reference has no EXR writer)
+
+def _attr(name: str, typ: str, payload: bytes) -> bytes:
+    return name.encode() + b"\0" + typ.encode() + b"\0" + \
+        struct.pack("<I", len(payload)) + payload
+
+
+def _chlist(chans) -> bytes:
+    out = b""
+    for c in sorted(chans, key=lambda c: c["name"]):
+        out += c["name"].encode() + b"\0"
+        out += struct.pack("<IB3xII", c["type"], 0, 1, 1)
+    return out + b"\0"
+
+
+def _compress_block(raw: bytes, comp: int, chans, w: int,
+                    nlines: int) -> bytes:
+    if comp == C_NONE:
+        return raw
+    if comp == C_RLE:
+        blob = exr_codec.rle_compress(exr_codec.zip_deconstruct(raw))
+    elif comp in (C_ZIPS, C_ZIP):
+        blob = zlib.compress(exr_codec.zip_deconstruct(raw))
+    elif comp == C_PIZ:
+        blob = exr_codec.piz_compress(raw, chans, w, nlines)
+    elif comp == C_PXR24:
+        blob = exr_codec.pxr24_compress(raw, chans, w, nlines)
+    elif comp in (C_B44, C_B44A):
+        blob = exr_codec.b44_compress(raw, chans, w, nlines,
+                                      optimize_flat=(comp == C_B44A))
+    else:
+        raise ValueError(f"unsupported EXR compression {comp}")
+    return blob if len(blob) < len(raw) else raw
+
+
+_DTYPE_TO_PXT = {np.dtype(np.float16): PXT_HALF,
+                 np.dtype(np.float32): PXT_FLOAT,
+                 np.dtype(np.uint32): PXT_UINT}
+
+
+def _gather_raw(named, chans, w: int, ystart: int, nlines: int,
+                xoff: int = 0) -> bytes:
+    """Per-channel arrays -> scanline-interleaved raw block bytes."""
+    order = sorted(chans, key=lambda c: c["name"])
+    segs = []
+    for ln in range(nlines):
+        for c in order:
+            arr = named[c["name"]][ystart + ln, xoff:xoff + w]
+            segs.append(np.ascontiguousarray(arr).tobytes())
+    return b"".join(segs)
+
+
+def write_exr(channels, compression: int = C_ZIP, tiled: bool = False,
+              tile_size: tuple[int, int] = (64, 64)) -> bytes:
+    """Write a single-part EXR.  ``channels``: list of (name, array)
+    with dtype float16/float32/uint32 (HALF/FLOAT/UINT), all the same
+    (h, w) shape."""
+    named = dict(channels)
+    shapes = {a.shape for a in named.values()}
+    if len(shapes) != 1:
+        raise ValueError("EXR channels must share one shape")
+    h, w = shapes.pop()
+    chans = [dict(name=n, type=_DTYPE_TO_PXT[a.dtype], xs=1, ys=1)
+             for n, a in named.items()]
+    chans.sort(key=lambda c: c["name"])
+
+    head = MAGIC
+    head += struct.pack("<I", 2 | (0x200 if tiled else 0))
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    attrs = [
+        _attr("channels", "chlist", _chlist(chans)),
+        _attr("compression", "compression", bytes([compression])),
+        _attr("dataWindow", "box2i", box),
+        _attr("displayWindow", "box2i", box),
+        _attr("lineOrder", "lineOrder", b"\0"),
+        _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+        _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0)),
+        _attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+    ]
+    if tiled:
+        tx, ty = tile_size
+        attrs.append(_attr("tiles", "tiledesc",
+                           struct.pack("<IIB", tx, ty, 0)))
+    header = b"".join(attrs) + b"\0"
+
+    chunks = []
+    if tiled:
+        tx, ty = tile_size
+        for tcy in range((h + ty - 1) // ty):
+            for tcx in range((w + tx - 1) // tx):
+                bw = min(tx, w - tcx * tx)
+                bh = min(ty, h - tcy * ty)
+                raw = _gather_raw(named, chans, bw, tcy * ty, bh,
+                                  xoff=tcx * tx)
+                blob = _compress_block(raw, compression, chans, bw, bh)
+                chunks.append(struct.pack("<iiiiI", tcx, tcy, 0, 0,
+                                          len(blob)) + blob)
+    else:
+        lpb = _LINES_PER_BLOCK[compression]
+        for ystart in range(0, h, lpb):
+            nlines = min(lpb, h - ystart)
+            raw = _gather_raw(named, chans, w, ystart, nlines)
+            blob = _compress_block(raw, compression, chans, w, nlines)
+            chunks.append(struct.pack("<iI", ystart, len(blob)) + blob)
+
+    base = len(MAGIC) + 4 + len(header) + 8 * len(chunks)
+    offsets = []
+    pos = base
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    return head + header + struct.pack(f"<{len(chunks)}Q", *offsets) + \
+        b"".join(chunks)
+
+
+def write_exr_multipart(parts) -> bytes:
+    """Write a multi-part EXR.  ``parts``: list of (part_name,
+    channels, compression[, tiled, tile_size]) tuples; channels as in
+    :func:`write_exr`."""
+    headers = []
+    chunk_lists = []
+    for spec in parts:
+        part_name, channels, compression = spec[:3]
+        tiled = spec[3] if len(spec) > 3 else False
+        tile_size = spec[4] if len(spec) > 4 else (64, 64)
+        named = dict(channels)
+        h, w = next(iter(named.values())).shape
+        chans = [dict(name=n, type=_DTYPE_TO_PXT[a.dtype], xs=1, ys=1)
+                 for n, a in named.items()]
+        chans.sort(key=lambda c: c["name"])
+        chunks = []
+        if tiled:
+            tx, ty = tile_size
+            for tcy in range((h + ty - 1) // ty):
+                for tcx in range((w + tx - 1) // tx):
+                    bw = min(tx, w - tcx * tx)
+                    bh = min(ty, h - tcy * ty)
+                    raw = _gather_raw(named, chans, bw, tcy * ty, bh,
+                                      xoff=tcx * tx)
+                    blob = _compress_block(raw, compression, chans, bw, bh)
+                    chunks.append(struct.pack("<iiiiI", tcx, tcy, 0, 0,
+                                              len(blob)) + blob)
+        else:
+            lpb = _LINES_PER_BLOCK[compression]
+            for ystart in range(0, h, lpb):
+                nlines = min(lpb, h - ystart)
+                raw = _gather_raw(named, chans, w, ystart, nlines)
+                blob = _compress_block(raw, compression, chans, w, nlines)
+                chunks.append(struct.pack("<iI", ystart, len(blob)) + blob)
+        box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+        ptype = b"tiledimage\0" if tiled else b"scanlineimage\0"
+        attrs = [
+            _attr("channels", "chlist", _chlist(chans)),
+            _attr("chunkCount", "int", struct.pack("<i", len(chunks))),
+            _attr("compression", "compression", bytes([compression])),
+            _attr("dataWindow", "box2i", box),
+            _attr("displayWindow", "box2i", box),
+            _attr("lineOrder", "lineOrder", b"\0"),
+            _attr("name", "string", part_name.encode() + b"\0"),
+            _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0)),
+            _attr("screenWindowCenter", "v2f",
+                  struct.pack("<ff", 0.0, 0.0)),
+            _attr("screenWindowWidth", "float", struct.pack("<f", 1.0)),
+            _attr("type", "string", ptype),
+        ]
+        if tiled:
+            tx, ty = tile_size
+            attrs.append(_attr("tiles", "tiledesc",
+                               struct.pack("<IIB", tx, ty, 0)))
+        headers.append(b"".join(attrs) + b"\0")
+        chunk_lists.append(chunks)
+
+    head = MAGIC + struct.pack("<I", 2 | 0x1000)
+    hdr_blob = b"".join(headers) + b"\0"
+    n_total = sum(len(cl) for cl in chunk_lists)
+    base = len(head) + len(hdr_blob) + 8 * n_total
+    offsets_per_part = []
+    pos = base
+    body = []
+    for part_idx, chunks in enumerate(chunk_lists):
+        offs = []
+        for c in chunks:
+            offs.append(pos)
+            chunk = struct.pack("<I", part_idx) + c
+            body.append(chunk)
+            pos += len(chunk)
+        offsets_per_part.append(offs)
+    tables = b"".join(struct.pack(f"<{len(o)}Q", *o)
+                      for o in offsets_per_part)
+    return head + hdr_blob + tables + b"".join(body)
+
+
+_COMP_BY_NAME = {v.lower(): k for k, v in _COMP_NAMES.items()}
+
+
+def encode(pic: Pic, compression="zip", pixel_type="half",
+           tiled: bool = False, tile_size=(64, 64), **options) -> bytes:
+    """Encode a Pic's RGBA pixels as EXR (sRGB -> linear transfer,
+    inverse of the loader's; alpha stored linearly)."""
+    if pic.pixels is None:
+        raise ValueError("no pixels to encode")
+    comp = compression if isinstance(compression, int) \
+        else _COMP_BY_NAME[str(compression).lower()]
+    dt = {"half": np.float16, "float": np.float32}[pixel_type]
+    px = np.asarray(pic.pixels)
+    if px.ndim == 2:
+        px = np.dstack([px] * 3 + [np.full_like(px, 255)])
+    lin = _srgb_to_linear(px[:, :, :3].astype(np.float32) / 255.0)
+    chans = [("R", lin[:, :, 0].astype(dt)),
+             ("G", lin[:, :, 1].astype(dt)),
+             ("B", lin[:, :, 2].astype(dt))]
+    if px.shape[2] > 3 and not np.all(px[:, :, 3] == 255):
+        chans.append(("A", (px[:, :, 3] / 255.0).astype(dt)))
+    return write_exr(chans, comp, tiled=tiled, tile_size=tile_size)
 
 
 def info(pic: Pic) -> str:
     m = pic.meta
-    comp_names = {0: "none", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ"}
+    extra = ""
+    if m.get("parts", 1) > 1:
+        extra = f", {m['parts']} parts"
     return ("EXR file format\n"
             f"\twidth {m['width']}, height {m['height']}\n"
             f"\tchannels {' '.join(m['channels'])}\n"
-            f"\tcompression {comp_names.get(m['compression'], m['compression'])}, "
+            f"\tcompression "
+            f"{_COMP_NAMES.get(m['compression'], m['compression'])}, "
             f"{'tiled' if m['tiled'] else 'scanline'}, "
-            f"{'decreasing' if m['line_order'] else 'increasing'} Y")
+            f"{'decreasing' if m['line_order'] else 'increasing'} Y"
+            + extra)
 
 
 register(Codec(name="EXR", alias="OPENEXR", probe=probe, load=load,
-               info=info))
+               info=info, encode=encode))
