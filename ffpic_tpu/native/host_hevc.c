@@ -150,7 +150,9 @@ static inline int dec_bin(Cabac *c, int id) {
     uint32_t rmps = c->range - lps;
     /* branchless: the LPS/MPS choice is data-dependent on noisy
      * residual bins (~40% LPS), so a predicted branch mispredicts
-     * constantly; masked selects are ~8% faster end-to-end */
+     * constantly; masked selects are ~8% faster end-to-end
+     * (a fused lps|nextstate u32 table was tried and measured ~15%
+     * WORSE — the 2KB footprint loses to these hot 256B tables) */
     uint32_t mask = -(uint32_t)(c->offset >= rmps);
     int bin = (sm & 1) ^ (int)(mask & 1);
     c->offset -= rmps & mask;
@@ -173,12 +175,27 @@ static inline int dec_bypass(Cabac *c) {
     return 0;
 }
 
+/* exact divide-by-range via reciprocal multiply: range is always
+ * renormalized to [256, 510] wherever bypass bins are decoded, and
+ * the numerators are < 2^25 (offset:16 extra bits), so
+ * floor(ext/range) == (ext * (floor(2^39/range)+1)) >> 39 exactly
+ * (round-up magic, error bound 2^25 * 510 < 2^39) — a 64-bit udiv
+ * here costs 30-90 cycles, the mul ~4 */
+static uint32_t MAGIC_R[512];
+__attribute__((constructor)) static void magic_r_init(void) {
+    for (int r = 2; r < 512; r++)
+        MAGIC_R[r] = (uint32_t)(((1ULL << 39) / r) + 1);
+}
+static inline uint32_t div_range(uint32_t range, uint64_t ext) {
+    return (uint32_t)((ext * MAGIC_R[range]) >> 39);
+}
+
 /* n bypass bins at once: the bit-serial recurrence
  * (off = 2*off + b; out_i = off >= range; off -= out_i*range) is long
  * division of (off << n | bits) by range, since off < range */
 static inline uint32_t dec_bypass_chunk(Cabac *c, int n) { /* n <= 16 */
     uint64_t ext = ((uint64_t)c->offset << n) | rd_bits(c, n);
-    uint32_t q = (uint32_t)(ext / c->range);
+    uint32_t q = div_range(c->range, ext);
     c->offset = (uint32_t)(ext - (uint64_t)q * c->range);
     return q;
 }
@@ -192,6 +209,43 @@ static inline uint32_t dec_bypass_n(Cabac *c, int n) {
     if (n)
         v = (v << n) | dec_bypass_chunk(c, n);
     return v;
+}
+
+/* coeff_abs_level_remaining (9.3.3.13): TR prefix + EGk suffix, all
+ * bypass bins — decoded via ONE 16-bin bypass peek.  n bypass bins
+ * are the top-n quotient bits of (offset:bits16)/range (long
+ * division, see dec_bypass_chunk), and a k-bin consume is exact with
+ * q_k = q >> (16-k), so the unconsumed tail just rewinds nbits.
+ * Replaces a ~50%-mispredicting unary loop + a second division for
+ * the suffix.  Returns -1 when the value needs > 16 bins (long EGk
+ * tail, rare) — caller falls back to the serial path. */
+static inline int dec_calr16(Cabac *c, int rice) {
+    if (c->nbits < 16)
+        refill(c);
+    uint32_t bits16 = (uint32_t)((c->cache >> (c->nbits - 16))
+                                 & 0xFFFF);
+    uint64_t ext = ((uint64_t)c->offset << 16) | bits16;
+    uint32_t q = div_range(c->range, ext);
+    uint32_t inv = (~q) & 0xFFFF;
+    int pre = inv ? (__builtin_clz(inv) - 16) : 16;
+    int m, rem;
+    if (pre < 3) {
+        m = pre + 1 + rice;
+        rem = (pre << rice)
+            + (int)((q >> (16 - m)) & ((1u << rice) - 1u));
+    } else {
+        int nb = pre - 3 + rice;
+        m = pre + 1 + nb;
+        if (m > 16)
+            return -1;
+        rem = (((1 << (pre - 3)) + 2) << rice)
+            + (int)((q >> (16 - m)) & ((1u << nb) - 1u));
+    }
+    c->nbits -= m;
+    uint32_t qm = q >> (16 - m);
+    uint64_t extm = ((uint64_t)c->offset << m) | (bits16 >> (16 - m));
+    c->offset = (uint32_t)(extm - (uint64_t)qm * c->range);
+    return rem;
 }
 
 static inline int dec_term(Cabac *c) {
@@ -546,17 +600,20 @@ static long residual(Dec *d, int x0, int y0, int log2, int c_idx,
                 : (k < 8 ? 2 : 1);
             int lvl = base;
             if (base == threshold) {
-                int prefix = 0;
-                while (prefix < 32 && dec_bypass(c))
-                    prefix++;
-                int rem;
-                if (prefix < 3) {
-                    rem = (prefix << rice)
-                        + (rice ? (int)dec_bypass_n(c, rice) : 0);
-                } else {
-                    int nb = prefix - 3 + rice;
-                    rem = (((1 << (prefix - 3)) + 2) << rice)
-                        + (nb ? (int)dec_bypass_n(c, nb) : 0);
+                int rem = dec_calr16(c, rice);
+                if (rem < 0) {
+                    /* > 16-bin remainder: serial fallback */
+                    int prefix = 0;
+                    while (prefix < 32 && dec_bypass(c))
+                        prefix++;
+                    if (prefix < 3) {
+                        rem = (prefix << rice)
+                            + (rice ? (int)dec_bypass_n(c, rice) : 0);
+                    } else {
+                        int nb = prefix - 3 + rice;
+                        rem = (((1 << (prefix - 3)) + 2) << rice)
+                            + (nb ? (int)dec_bypass_n(c, nb) : 0);
+                    }
                 }
                 lvl = base + rem;
                 if (lvl > (3 << rice) && rice < 4)
@@ -1541,38 +1598,68 @@ static inline __attribute__((always_inline)) void r_residual_impl(
         log2n++;
     int bd_shift = bd + log2n - 5;
     int32_t scale = (int32_t)(16 * LEVEL_SCALE[qp % 6]) << (qp / 6);
-    /* branchless, vectorizable dequant: pre-clip levels so the
-     * product fits int32 without changing the saturated result
-     * (the scaling is monotone in the level), and track nonzero
-     * rows/cols with lane-wise ORs instead of per-element branches */
-    int32_t bound = (int32_t)((((int64_t)32768 << bd_shift) / scale)
-                              + 1);
-    int32_t half1 = 1 << (bd_shift - 1);
-    int32_t d[1024];
-    int32_t colacc[32] = {0};
+    /* occupancy pre-scan on the raw int16 levels (2 OR ops/element,
+     * 16 lanes) so the int32 dequant below only touches nonzero rows
+     * and the column extent — typical TUs are corner-sparse, so most
+     * elements never get the full clip|mul|shift|clamp treatment */
+    int16_t colacc[32];
+    memset(colacc, 0, sizeof(int16_t) * n);
     uint32_t row_nz = 0;
     for (int r = 0; r < n; r++) {
         const int16_t *lrow = lv + r * n;
-        int32_t *drow = d + r * n;
-        int32_t ror = 0;
+        int16_t any = 0;
         for (int c = 0; c < n; c++) {
-            int32_t l = lrow[c];
-            ror |= l;
-            colacc[c] |= l;
-            int32_t lc = l < -bound ? -bound : (l > bound ? bound : l);
-            int32_t v = (lc * scale + half1) >> bd_shift;
-            drow[c] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+            any |= lrow[c];
+            colacc[c] |= lrow[c];
         }
-        if (ror)
-            row_nz |= 1u << r;
+        row_nz |= (uint32_t)(any != 0) << r;
     }
-    int last_col = n - 1;
-    while (last_col >= 0 && !colacc[last_col])
-        last_col--;
     int shift2 = 20 - bd;
     if (!row_nz) {
         memset(res, 0, sizeof(int32_t) * n * n);
         return;
+    }
+    int last_col = n - 1;
+    while (last_col >= 0 && !colacc[last_col])
+        last_col--;
+    /* branchless, vectorizable dequant: pre-clip levels so the
+     * product fits int32 without changing the saturated result
+     * (the scaling is monotone in the level) */
+    int32_t bound = (int32_t)((((int64_t)32768 << bd_shift) / scale)
+                              + 1);
+    int32_t half1 = 1 << (bd_shift - 1);
+    int32_t d[1024];
+    if (skip || dst) {
+        /* these paths read every element of d */
+        for (int r = 0; r < n; r++) {
+            const int16_t *lrow = lv + r * n;
+            int32_t *drow = d + r * n;
+            for (int c = 0; c < n; c++) {
+                int32_t l = lrow[c];
+                int32_t lc = l < -bound ? -bound
+                    : (l > bound ? bound : l);
+                int32_t v = (lc * scale + half1) >> bd_shift;
+                drow[c] = v < -32768 ? -32768
+                    : (v > 32767 ? 32767 : v);
+            }
+        }
+    } else {
+        uint32_t bits = row_nz;
+        int ncq = last_col + 1;
+        while (bits) {
+            int r = __builtin_ctz(bits);
+            bits &= bits - 1;
+            const int16_t *lrow = lv + r * n;
+            int32_t *drow = d + r * n;
+            for (int c = 0; c < ncq; c++) {
+                int32_t l = lrow[c];
+                int32_t lc = l < -bound ? -bound
+                    : (l > bound ? bound : l);
+                int32_t v = (lc * scale + half1) >> bd_shift;
+                drow[c] = v < -32768 ? -32768
+                    : (v > 32767 ? 32767 : v);
+            }
+        }
     }
     if (skip) {
         for (int i = 0; i < n * n; i++) {
