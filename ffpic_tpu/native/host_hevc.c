@@ -18,6 +18,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #define FFPIC_API __attribute__((visibility("default")))
 
 /* table initializers run once at library load (constructor below) so
@@ -1296,7 +1300,7 @@ typedef struct {
 } Recon;
 
 static void r_gather(Recon *rc, int plane, int x, int y, int n,
-                     int64_t *vals /* 4n+1 */) {
+                     int32_t *vals /* 4n+1 */) {
     int32_t *pl = rc->pl[plane];
     uint8_t *mask = rc->mask[plane];
     int pw = rc->pw[plane], ph = rc->ph[plane], mw = rc->mw[plane];
@@ -1355,7 +1359,7 @@ static void r_gather(Recon *rc, int plane, int x, int y, int n,
             break;
         }
     if (!any) {
-        int64_t mid = 1 << (rc->bd - 1);
+        int32_t mid = 1 << (rc->bd - 1);
         for (int i = 0; i < total; i++)
             vals[i] = mid;
         return;
@@ -1375,15 +1379,15 @@ static void r_gather(Recon *rc, int plane, int x, int y, int n,
 /* predict one nxn TB into pred[n*n] */
 static void r_predict(Recon *rc, int plane, int x, int y, int n,
                       int mode, int32_t *pred) {
-    int64_t vals[129];
+    int32_t vals[129];
     r_gather(rc, plane, x, y, n, vals);
     /* left[i] = vals[2n-1-i], corner = vals[2n], top[i] = vals[2n+1+i] */
-    int64_t top[65], left[65];
+    int32_t top[65], left[65];
     for (int i = 0; i < 2 * n; i++) {
         left[i] = vals[2 * n - 1 - i];
         top[i] = vals[2 * n + 1 + i];
     }
-    int64_t corner = vals[2 * n];
+    int32_t corner = vals[2 * n];
     int bd = rc->bd, maxv = (1 << bd) - 1;
 
     if (plane == 0 && mode != 1 && n != 4) {
@@ -1396,10 +1400,10 @@ static void r_predict(Recon *rc, int plane, int x, int y, int n,
         int mind = md < md2 ? md : md2;
         int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
         if (mode == 0 || mind > thres) {
-            int64_t ft[65], fl[65];
+            int32_t ft[65], fl[65];
             if (n == 32 && rc->strong) {
-                int64_t dt = corner + top[2 * n - 1] - 2 * top[n - 1];
-                int64_t dl = corner + left[2 * n - 1] - 2 * left[n - 1];
+                int32_t dt = corner + top[2 * n - 1] - 2 * top[n - 1];
+                int32_t dl = corner + left[2 * n - 1] - 2 * left[n - 1];
                 if (dt < 0)
                     dt = -dt;
                 if (dl < 0)
@@ -1413,8 +1417,8 @@ static void r_predict(Recon *rc, int plane, int x, int y, int n,
                     }
                     ft[2 * n - 1] = top[2 * n - 1];
                     fl[2 * n - 1] = left[2 * n - 1];
-                    memcpy(top, ft, sizeof(int64_t) * 2 * n);
-                    memcpy(left, fl, sizeof(int64_t) * 2 * n);
+                    memcpy(top, ft, sizeof(int32_t) * 2 * n);
+                    memcpy(left, fl, sizeof(int32_t) * 2 * n);
                     goto predict;
                 }
             }
@@ -1427,9 +1431,9 @@ static void r_predict(Recon *rc, int plane, int x, int y, int n,
             }
             ft[2 * n - 1] = top[2 * n - 1];
             fl[2 * n - 1] = left[2 * n - 1];
-            int64_t fc = (left[0] + 2 * corner + top[0] + 2) >> 2;
-            memcpy(top, ft, sizeof(int64_t) * 2 * n);
-            memcpy(left, fl, sizeof(int64_t) * 2 * n);
+            int32_t fc = (left[0] + 2 * corner + top[0] + 2) >> 2;
+            memcpy(top, ft, sizeof(int32_t) * 2 * n);
+            memcpy(left, fl, sizeof(int32_t) * 2 * n);
             corner = fc;
         }
     }
@@ -1447,7 +1451,7 @@ predict:;
         return;
     }
     if (mode == 1) {                          /* DC */
-        int64_t s = n;
+        int32_t s = n;
         for (int i = 0; i < n; i++)
             s += top[i] + left[i];
         int dc = (int)(s >> (log2n + 1));
@@ -1464,9 +1468,9 @@ predict:;
     }
     /* angular */
     int angle = ANGLE_T[mode - 2];
-    int64_t *main_a = mode >= 18 ? top : left;
-    int64_t *side_a = mode >= 18 ? left : top;
-    int64_t ref[129];                         /* index offset n */
+    int32_t *main_a = mode >= 18 ? top : left;
+    int32_t *side_a = mode >= 18 ? left : top;
+    int32_t ref[129];                         /* index offset n */
     for (int i = 0; i < 3 * n + 1; i++)
         ref[i] = 0;
     ref[n] = corner;
@@ -1487,8 +1491,8 @@ predict:;
         int ii = pos >> 5, ff = pos & 31;
         for (int c = 0; c < n; c++) {
             int base = n + 1 + ii + c;
-            int64_t a = ref[base];
-            int64_t b = ff ? ref[base + 1] : a;
+            int32_t a = ref[base];
+            int32_t b = ff ? ref[base + 1] : a;
             int v = (int)(((32 - ff) * a + ff * b + 16) >> 5);
             if (mode >= 18)
                 pred[d * n + c] = v;          /* rows = y */
@@ -1520,6 +1524,11 @@ static int16_t DCT_MT4[4][4], DCT_MT8[8][8], DCT_MT16[16][16],
  * MTD[i][k] = M[2k][i] (k < n/2), MTD[i][n/2 + k] = M[2k+1][i] */
 static int16_t DCT_MTD4[4][4], DCT_MTD8[8][8], DCT_MTD16[16][16],
     DCT_MTD32[32][32];
+/* paired-row tables for the _mm256_madd_epi16 stage 2: PE_n[t] holds,
+ * interleaved per output i, the i-th coefficients of even-freq rows
+ * (4t, 4t+2); PO_n[t] the odd-freq rows (4t+1, 4t+3) */
+static int16_t PE32[8][32], PO32[8][32], PE16[4][16], PO16[4][16],
+    PE8[2][8], PO8[2][8];
 static int mt_ready = 0;
 
 static void mt_init(void) {
@@ -1555,6 +1564,27 @@ static void mt_init(void) {
         for (int j = 0; j < 32; j++)
             DCT_MTD32[i][(j & 1) ? 16 + (j >> 1) : (j >> 1)] =
                 DCT_MT32[i][j];
+    for (int t = 0; t < 8; t++)
+        for (int i = 0; i < 16; i++) {
+            PE32[t][2 * i] = (int16_t)dct_m(4 * t, i, 32);
+            PE32[t][2 * i + 1] = (int16_t)dct_m(4 * t + 2, i, 32);
+            PO32[t][2 * i] = (int16_t)dct_m(4 * t + 1, i, 32);
+            PO32[t][2 * i + 1] = (int16_t)dct_m(4 * t + 3, i, 32);
+        }
+    for (int t = 0; t < 4; t++)
+        for (int i = 0; i < 8; i++) {
+            PE16[t][2 * i] = (int16_t)dct_m(4 * t, i, 16);
+            PE16[t][2 * i + 1] = (int16_t)dct_m(4 * t + 2, i, 16);
+            PO16[t][2 * i] = (int16_t)dct_m(4 * t + 1, i, 16);
+            PO16[t][2 * i + 1] = (int16_t)dct_m(4 * t + 3, i, 16);
+        }
+    for (int t = 0; t < 2; t++)
+        for (int i = 0; i < 4; i++) {
+            PE8[t][2 * i] = (int16_t)dct_m(4 * t, i, 8);
+            PE8[t][2 * i + 1] = (int16_t)dct_m(4 * t + 2, i, 8);
+            PO8[t][2 * i] = (int16_t)dct_m(4 * t + 1, i, 8);
+            PO8[t][2 * i + 1] = (int16_t)dct_m(4 * t + 3, i, 8);
+        }
     mt_ready = 1;
 }
 
@@ -1628,19 +1658,21 @@ static inline __attribute__((always_inline)) void r_residual_impl(
     int32_t bound = (int32_t)((((int64_t)32768 << bd_shift) / scale)
                               + 1);
     int32_t half1 = 1 << (bd_shift - 1);
-    int32_t d[1024];
+    /* dequant output is clamped to int16 — store it as int16 so the
+     * madd stage-1 can pair-load it directly */
+    int16_t d[1024];
     if (skip || dst) {
         /* these paths read every element of d */
         for (int r = 0; r < n; r++) {
             const int16_t *lrow = lv + r * n;
-            int32_t *drow = d + r * n;
+            int16_t *drow = d + r * n;
             for (int c = 0; c < n; c++) {
                 int32_t l = lrow[c];
                 int32_t lc = l < -bound ? -bound
                     : (l > bound ? bound : l);
                 int32_t v = (lc * scale + half1) >> bd_shift;
-                drow[c] = v < -32768 ? -32768
-                    : (v > 32767 ? 32767 : v);
+                drow[c] = (int16_t)(v < -32768 ? -32768
+                                    : (v > 32767 ? 32767 : v));
             }
         }
     } else {
@@ -1650,14 +1682,14 @@ static inline __attribute__((always_inline)) void r_residual_impl(
             int r = __builtin_ctz(bits);
             bits &= bits - 1;
             const int16_t *lrow = lv + r * n;
-            int32_t *drow = d + r * n;
+            int16_t *drow = d + r * n;
             for (int c = 0; c < ncq; c++) {
                 int32_t l = lrow[c];
                 int32_t lc = l < -bound ? -bound
                     : (l > bound ? bound : l);
                 int32_t v = (lc * scale + half1) >> bd_shift;
-                drow[c] = v < -32768 ? -32768
-                    : (v > 32767 ? 32767 : v);
+                drow[c] = (int16_t)(v < -32768 ? -32768
+                                    : (v > 32767 ? 32767 : v));
             }
         }
     }
@@ -1711,57 +1743,244 @@ static inline __attribute__((always_inline)) void r_residual_impl(
      * out[n-1-i] = E-O — exactly half the multiplies. */
     const int16_t *MT = mt_for(n, 0);
     int half = n >> 1;
-    /* stage 1: accE/accO[i][x] over nonzero freq rows j */
+    /* stage 1: accE/accO[i][x] over nonzero freq rows j.  Row stride
+     * is padded to a vector multiple so the madd path needs no tail */
+    int astr = ncols;
+#ifdef __AVX2__
+    if (n > 4)
+        astr = (ncols + 7) & ~7;
+#endif
     int32_t accE[512], accO[512];
-    memset(accE, 0, sizeof(int32_t) * half * ncols);
-    memset(accO, 0, sizeof(int32_t) * half * ncols);
-    uint32_t bits = row_nz;
-    while (bits) {
-        int j = __builtin_ctz(bits);
-        bits &= bits - 1;
-        const int32_t *drow = d + j * n;
-        int32_t *tgt = (j & 1) ? accO : accE;
-        for (int i = 0; i < half; i++) {
-            int32_t m = MT[i * n + j];
-            if (!m)
-                continue;
-            int32_t *arow = tgt + i * ncols;
-            for (int xx = 0; xx < ncols; xx++)
-                arow[xx] += m * drow[xx];
+    memset(accE, 0, sizeof(int32_t) * half * astr);
+    memset(accO, 0, sizeof(int32_t) * half * astr);
+#ifdef __AVX2__
+    if (n > 4) {
+        /* pair nonzero rows within each parity class: one madd
+         * covers two rows x 8 columns (int16 products, int32 acc) */
+        int8_t lists[2][32];
+        int cnt[2] = {0, 0};
+        uint32_t bits = row_nz;
+        while (bits) {
+            int j = __builtin_ctz(bits);
+            bits &= bits - 1;
+            lists[j & 1][cnt[j & 1]++] = (int8_t)j;
+        }
+        int16_t din[64];
+        for (int par = 0; par < 2; par++) {
+            int32_t *tgt = par ? accO : accE;
+            for (int p = 0; p < cnt[par]; p += 2) {
+                int ja = lists[par][p];
+                int jb = p + 1 < cnt[par] ? lists[par][p + 1] : -1;
+                const int16_t *da = d + ja * n;
+                const int16_t *db = jb >= 0 ? d + jb * n : NULL;
+                for (int xx = 0; xx < ncols; xx++) {
+                    din[2 * xx] = da[xx];
+                    din[2 * xx + 1] = db ? db[xx] : 0;
+                }
+                for (int xx = ncols; xx < astr; xx++) {
+                    din[2 * xx] = 0;
+                    din[2 * xx + 1] = 0;
+                }
+                for (int i = 0; i < half; i++) {
+                    int32_t ma = MT[i * n + ja];
+                    int32_t mb = jb >= 0 ? MT[i * n + jb] : 0;
+                    if (!(ma | mb))
+                        continue;
+                    __m256i bm = _mm256_set1_epi32(
+                        (int32_t)((uint16_t)ma
+                                  | ((uint32_t)(uint16_t)mb << 16)));
+                    int32_t *arow = tgt + i * astr;
+                    for (int xx = 0; xx < astr; xx += 8) {
+                        __m256i dv = _mm256_loadu_si256(
+                            (const __m256i *)(din + 2 * xx));
+                        __m256i av = _mm256_loadu_si256(
+                            (__m256i *)(arow + xx));
+                        av = _mm256_add_epi32(
+                            av, _mm256_madd_epi16(dv, bm));
+                        _mm256_storeu_si256((__m256i *)(arow + xx),
+                                            av);
+                    }
+                }
+            }
+        }
+    } else
+#endif
+    {
+        uint32_t bits = row_nz;
+        while (bits) {
+            int j = __builtin_ctz(bits);
+            bits &= bits - 1;
+            const int16_t *drow = d + j * n;
+            int32_t *tgt = (j & 1) ? accO : accE;
+            for (int i = 0; i < half; i++) {
+                int32_t m = MT[i * n + j];
+                if (!m)
+                    continue;
+                int32_t *arow = tgt + i * astr;
+                for (int xx = 0; xx < ncols; xx++)
+                    arow[xx] += m * drow[xx];
+            }
         }
     }
-    /* e stored x-deinterleaved per row: even cols first (nce of
-     * them), then odd cols — so stage 2's even/odd dots both run
-     * contiguous */
+    /* e stored int16, x-deinterleaved per row: even cols at [0, nce),
+     * odd cols at [half, half + nco), gaps zeroed — stage 2 reads
+     * fixed half-offset lanes (clipping to int16 here is exact: the
+     * scalar path always clamped e to [-32768, 32767]) */
     int nce = (ncols + 1) >> 1, nco = ncols >> 1;
-    int32_t e[1024];
+    int16_t e16[1024];
+#ifdef __AVX2__
+    memset(e16, 0, sizeof(int16_t) * n * n);
+#endif
     for (int i = 0; i < half; i++) {
-        int32_t *etop = e + i * n;
-        int32_t *ebot = e + (n - 1 - i) * n;
-        const int32_t *aE = accE + i * ncols;
-        const int32_t *aO = accO + i * ncols;
+        int16_t *etop = e16 + i * n;
+        int16_t *ebot = e16 + (n - 1 - i) * n;
+        const int32_t *aE = accE + i * astr;
+        const int32_t *aO = accO + i * astr;
         for (int xx = 0; xx < ncols; xx++) {
-            int pos = (xx & 1) ? nce + (xx >> 1) : (xx >> 1);
+            int pos = (xx & 1) ? half + (xx >> 1) : (xx >> 1);
             int32_t s = (aE[xx] + aO[xx] + 64) >> 7;
-            etop[pos] = s < -32768 ? -32768 : (s > 32767 ? 32767 : s);
+            etop[pos] = (int16_t)(s < -32768 ? -32768
+                                  : (s > 32767 ? 32767 : s));
             s = (aE[xx] - aO[xx] + 64) >> 7;
-            ebot[pos] = s < -32768 ? -32768 : (s > 32767 ? 32767 : s);
+            ebot[pos] = (int16_t)(s < -32768 ? -32768
+                                  : (s > 32767 ? 32767 : s));
         }
     }
+#ifdef __AVX2__
+    /* stage 2 as broadcast-pair madds: for each output row, ev[i] =
+     * sum_k M[2k][i] * e_even[k] accumulates with one madd per
+     * (e-pair, 8 outputs); butterfly combine + clamp vectorized.
+     * |ev|,|od| <= (n/2)*91*32767 < 2^31. */
+    if (n == 32) {
+        const __m128i vsh = _mm_cvtsi32_si128(shift2);
+        const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+        const __m256i vh2 = _mm256_set1_epi32(half2);
+        const __m256i vmin = _mm256_set1_epi32(-32768);
+        const __m256i vmax = _mm256_set1_epi32(32767);
+        for (int yy = 0; yy < 32; yy++) {
+            const int16_t *erow = e16 + yy * 32;
+            __m256i ev0 = _mm256_setzero_si256(), ev1 = ev0,
+                    od0 = ev0, od1 = ev0;
+            for (int t = 0; t < 8; t++) {
+                int32_t be_p; memcpy(&be_p, erow + 2 * t, 4);
+                __m256i be = _mm256_set1_epi32(be_p);
+                int32_t bo_p; memcpy(&bo_p, erow + 16 + 2 * t, 4);
+                __m256i bo = _mm256_set1_epi32(bo_p);
+                ev0 = _mm256_add_epi32(ev0, _mm256_madd_epi16(
+                    be, _mm256_loadu_si256((const __m256i *)PE32[t])));
+                ev1 = _mm256_add_epi32(ev1, _mm256_madd_epi16(
+                    be, _mm256_loadu_si256(
+                        (const __m256i *)(PE32[t] + 16))));
+                od0 = _mm256_add_epi32(od0, _mm256_madd_epi16(
+                    bo, _mm256_loadu_si256((const __m256i *)PO32[t])));
+                od1 = _mm256_add_epi32(od1, _mm256_madd_epi16(
+                    bo, _mm256_loadu_si256(
+                        (const __m256i *)(PO32[t] + 16))));
+            }
+            int32_t *rrow = res + yy * 32;
+            __m256i s;
+            s = _mm256_sra_epi32(_mm256_add_epi32(
+                _mm256_add_epi32(ev0, od0), vh2), vsh);
+            s = _mm256_min_epi32(_mm256_max_epi32(s, vmin), vmax);
+            _mm256_storeu_si256((__m256i *)rrow, s);
+            s = _mm256_sra_epi32(_mm256_add_epi32(
+                _mm256_add_epi32(ev1, od1), vh2), vsh);
+            s = _mm256_min_epi32(_mm256_max_epi32(s, vmin), vmax);
+            _mm256_storeu_si256((__m256i *)(rrow + 8), s);
+            s = _mm256_sra_epi32(_mm256_add_epi32(
+                _mm256_sub_epi32(ev0, od0), vh2), vsh);
+            s = _mm256_min_epi32(_mm256_max_epi32(s, vmin), vmax);
+            _mm256_storeu_si256((__m256i *)(rrow + 24),
+                                _mm256_permutevar8x32_epi32(s, rev));
+            s = _mm256_sra_epi32(_mm256_add_epi32(
+                _mm256_sub_epi32(ev1, od1), vh2), vsh);
+            s = _mm256_min_epi32(_mm256_max_epi32(s, vmin), vmax);
+            _mm256_storeu_si256((__m256i *)(rrow + 16),
+                                _mm256_permutevar8x32_epi32(s, rev));
+        }
+        return;
+    }
+    if (n == 16) {
+        const __m128i vsh = _mm_cvtsi32_si128(shift2);
+        const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+        const __m256i vh2 = _mm256_set1_epi32(half2);
+        const __m256i vmin = _mm256_set1_epi32(-32768);
+        const __m256i vmax = _mm256_set1_epi32(32767);
+        for (int yy = 0; yy < 16; yy++) {
+            const int16_t *erow = e16 + yy * 16;
+            __m256i ev = _mm256_setzero_si256(), od = ev;
+            for (int t = 0; t < 4; t++) {
+                int32_t be_p; memcpy(&be_p, erow + 2 * t, 4);
+                __m256i be = _mm256_set1_epi32(be_p);
+                int32_t bo_p; memcpy(&bo_p, erow + 8 + 2 * t, 4);
+                __m256i bo = _mm256_set1_epi32(bo_p);
+                ev = _mm256_add_epi32(ev, _mm256_madd_epi16(
+                    be, _mm256_loadu_si256((const __m256i *)PE16[t])));
+                od = _mm256_add_epi32(od, _mm256_madd_epi16(
+                    bo, _mm256_loadu_si256((const __m256i *)PO16[t])));
+            }
+            int32_t *rrow = res + yy * 16;
+            __m256i s;
+            s = _mm256_sra_epi32(_mm256_add_epi32(
+                _mm256_add_epi32(ev, od), vh2), vsh);
+            s = _mm256_min_epi32(_mm256_max_epi32(s, vmin), vmax);
+            _mm256_storeu_si256((__m256i *)rrow, s);
+            s = _mm256_sra_epi32(_mm256_add_epi32(
+                _mm256_sub_epi32(ev, od), vh2), vsh);
+            s = _mm256_min_epi32(_mm256_max_epi32(s, vmin), vmax);
+            _mm256_storeu_si256((__m256i *)(rrow + 8),
+                                _mm256_permutevar8x32_epi32(s, rev));
+        }
+        return;
+    }
+    if (n == 8) {
+        const __m128i vsh = _mm_cvtsi32_si128(shift2);
+        const __m128i vh2 = _mm_set1_epi32(half2);
+        const __m128i vmin = _mm_set1_epi32(-32768);
+        const __m128i vmax = _mm_set1_epi32(32767);
+        for (int yy = 0; yy < 8; yy++) {
+            const int16_t *erow = e16 + yy * 8;
+            __m128i ev = _mm_setzero_si128(), od = ev;
+            for (int t = 0; t < 2; t++) {
+                int32_t be_p; memcpy(&be_p, erow + 2 * t, 4);
+                __m128i be = _mm_set1_epi32(be_p);
+                int32_t bo_p; memcpy(&bo_p, erow + 4 + 2 * t, 4);
+                __m128i bo = _mm_set1_epi32(bo_p);
+                ev = _mm_add_epi32(ev, _mm_madd_epi16(
+                    be, _mm_loadu_si128((const __m128i *)PE8[t])));
+                od = _mm_add_epi32(od, _mm_madd_epi16(
+                    bo, _mm_loadu_si128((const __m128i *)PO8[t])));
+            }
+            int32_t *rrow = res + yy * 8;
+            __m128i s;
+            s = _mm_sra_epi32(_mm_add_epi32(
+                _mm_add_epi32(ev, od), vh2), vsh);
+            s = _mm_min_epi32(_mm_max_epi32(s, vmin), vmax);
+            _mm_storeu_si128((__m128i *)rrow, s);
+            s = _mm_sra_epi32(_mm_add_epi32(
+                _mm_sub_epi32(ev, od), vh2), vsh);
+            s = _mm_min_epi32(_mm_max_epi32(s, vmin), vmax);
+            _mm_storeu_si128((__m128i *)(rrow + 4),
+                             _mm_shuffle_epi32(s, 0x1B));
+        }
+        return;
+    }
+#endif
     /* stage 2 with the deinterleaved matrix rows (MTD): even-freq
-     * coefficients first, odd after — matching e's layout */
+     * coefficients first (at 0), odd at the half offset — matching
+     * e16's layout */
     const int16_t *MTD = mtd_for(n);
     for (int yy = 0; yy < n; yy++) {
-        const int32_t *erow = e + yy * n;
-        const int32_t *erow_o = erow + nce;
+        const int16_t *erow = e16 + yy * n;
+        const int16_t *erow_o = erow + half;
         for (int i = 0; i < half; i++) {
             const int16_t *mrow = MTD + i * n;
             const int16_t *mrow_o = mrow + half;
             int32_t ev = 0, od = 0;
             for (int j = 0; j < nce; j++)
-                ev += mrow[j] * erow[j];
+                ev += mrow[j] * (int32_t)erow[j];
             for (int j = 0; j < nco; j++)
-                od += mrow_o[j] * erow_o[j];
+                od += mrow_o[j] * (int32_t)erow_o[j];
             int32_t s = (ev + od + half2) >> shift2;
             res[yy * n + i] = s < -32768 ? -32768
                 : (s > 32767 ? 32767 : s);

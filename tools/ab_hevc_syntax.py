@@ -1,12 +1,12 @@
-"""Same-moment A/B for host_hevc.c syntax variants.
+"""Same-moment A/B for host_hevc.c syntax OR recon variants.
 
 Co-tenant noise on this box swings identical-build cycle counts 25%
 between runs minutes apart, so sequential measurement cannot resolve
 <20% effects.  This harness compiles TWO source variants to /tmp,
-captures the 48 tiles' syntax inputs once, then interleaves A/B trial
+captures the 48 tiles' stage inputs once, then interleaves A/B trial
 pairs so both variants see the same noise window.
 
-    JAX_PLATFORMS=cpu python tools/ab_hevc_syntax.py A.c B.c [pairs]
+    JAX_PLATFORMS=cpu python tools/ab_hevc_syntax.py A.c B.c [pairs] [recon]
 """
 
 import ctypes
@@ -32,6 +32,7 @@ def main():
 
     src_a, src_b = sys.argv[1], sys.argv[2]
     pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    stage = sys.argv[4] if len(sys.argv) > 4 else "syntax"
     lib_a, lib_b = build(src_a), build(src_b)
 
     data = open(os.path.join(os.path.dirname(os.path.dirname(
@@ -39,7 +40,9 @@ def main():
         "heic_12mp_grid.heic"), "rb").read()
     reg = registry.probe(data)
     syntax_args = []
+    recon_args = []
     orig = native.hevc_decode_slice
+    orig_recon = native.hevc_recon
 
     def cap(d, params, st, mp):
         syntax_args.append((np.frombuffer(d, np.uint8), len(d),
@@ -47,9 +50,80 @@ def main():
                             np.ascontiguousarray(st, np.uint8),
                             np.ascontiguousarray(mp, np.uint8)))
         return orig(d, params, st, mp)
+
+    def cap_recon(planes, bd, strong, ops_, tu, levels,
+                  residuals=None):
+        recon_args.append((tuple(p.copy() for p in planes), bd,
+                           strong,
+                           np.ascontiguousarray(ops_, np.int32),
+                           np.ascontiguousarray(tu, np.int32),
+                           np.ascontiguousarray(levels, np.int16)))
+        return orig_recon(planes, bd, strong, ops_, tu, levels,
+                          residuals)
     native.hevc_decode_slice = cap
+    native.hevc_recon = cap_recon
     reg.load(data)
     native.hevc_decode_slice = orig
+    native.hevc_recon = orig_recon
+
+    if stage == "recon":
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+
+        def run_recon(lib):
+            fn = lib.ffpic_hevc_recon2
+            fn.restype = ctypes.c_int
+            t0 = time.perf_counter()
+            for planes, bd, strong, ops_, tu, lv in recon_args:
+                Y, U, V = planes[0], planes[1], planes[2]
+                r = fn(vp(Y), vp(U), vp(V),
+                       ctypes.c_int(Y.shape[1]),
+                       ctypes.c_int(Y.shape[0]),
+                       ctypes.c_int(U.shape[1]),
+                       ctypes.c_int(U.shape[0]),
+                       ctypes.c_int(len(planes)), ctypes.c_int(bd),
+                       ctypes.c_int(1 if strong else 0),
+                       vp(ops_), ctypes.c_long(len(ops_)),
+                       vp(tu), ctypes.c_long(len(tu)), vp(lv), None)
+                assert r == 0, r
+            return time.perf_counter() - t0
+
+        run_recon(lib_a)
+        run_recon(lib_b)
+        # cross-check outputs once
+        outs = []
+        for lib in (lib_a, lib_b):
+            snap = []
+            for planes, bd, strong, ops_, tu, lv in recon_args:
+                cp = tuple(p.copy() for p in planes)
+                fn = lib.ffpic_hevc_recon2
+                fn.restype = ctypes.c_int
+                Y, U, V = cp
+                fn(vp(Y), vp(U), vp(V), ctypes.c_int(Y.shape[1]),
+                   ctypes.c_int(Y.shape[0]), ctypes.c_int(U.shape[1]),
+                   ctypes.c_int(U.shape[0]), ctypes.c_int(3),
+                   ctypes.c_int(bd), ctypes.c_int(1 if strong else 0),
+                   vp(ops_), ctypes.c_long(len(ops_)), vp(tu),
+                   ctypes.c_long(len(tu)), vp(lv), None)
+                snap.append(cp)
+            outs.append(snap)
+        if not os.environ.get("AB_NOCHECK"):
+            for sa, sb in zip(*outs):
+                for pa, pb in zip(sa, sb):
+                    assert np.array_equal(pa, pb), "A/B outputs differ!"
+        best_a = best_b = float("inf")
+        ratios = []
+        for _ in range(pairs):
+            a = run_recon(lib_a)
+            b = run_recon(lib_b)
+            best_a = min(best_a, a)
+            best_b = min(best_b, b)
+            ratios.append(b / a)
+        ratios.sort()
+        print(f"recon A min {best_a*1e3:7.1f} ms   B min "
+              f"{best_b*1e3:7.1f} ms   B/A min-ratio "
+              f"{best_b/best_a:.3f}  median-pair-ratio "
+              f"{ratios[len(ratios)//2]:.3f}")
+        return
 
     # scratch buffers sized like the wrapper's
     w, h, ctb_log2 = (int(syntax_args[0][2][0]),
