@@ -126,6 +126,35 @@ _USE_FI_PERM = [21, 20, 18, 17, 16, 13, 12, 11, 8, 7, 6, 4, 3, 2, 1,
                 0, 19, 14, 15, 9, 10, 5]
 
 
+# AV1 quantizer step lookup tables (spec "Dequantization functions",
+# dc_q/ac_q): one contiguous 6x256 int16 block in libaom .rodata,
+# order ac12/ac10/ac8/dc12/dc10/dc8; validated by known head/tail
+# values (ac8 4..1828, dc8 4..1336) and monotonicity, cross-checked
+# against dav1d's interleaved (dc,ac)-pair dq table.
+_QLOOKUP_ADDR = 0x476c60
+_QLOOKUP_ORDER = ["ac12", "ac10", "ac8", "dc12", "dc10", "dc8"]
+
+
+def extract_qlookup(aom_i16, raws):
+    base = _QLOOKUP_ADDR // 2
+    out = {}
+    for k, name in enumerate(_QLOOKUP_ORDER):
+        t = aom_i16[base + 256 * k: base + 256 * (k + 1)]
+        if t[0] != 4 or (np.diff(t) < 0).any():
+            raise ValueError(f"qlookup {name}: bad table {t[:8]}")
+        out[name] = t.astype(np.int32)
+    if out["ac8"][-1] != 1828 or out["dc8"][-1] != 1336:
+        raise ValueError("qlookup: 8-bit tails mismatch")
+    # dav1d stores [bitdepth][qidx][dc,ac] interleaved - verify
+    for bd in ("8", "10", "12"):
+        inter = np.empty(512, "<u2")
+        inter[0::2] = out["dc" + bd]
+        inter[1::2] = out["ac" + bd]
+        if sum(inter.tobytes() in r for r in raws) < 1:
+            raise ValueError(f"qlookup {bd}: not confirmed by dav1d")
+    return out
+
+
 def load_u16(path):
     raw = open(path, "rb").read()
     return np.frombuffer(raw[:len(raw) // 2 * 2], "<u2")
@@ -228,6 +257,10 @@ def main():
         arr = tabs.reshape(tuple(shape) + (tabs.shape[1],))
         out[name] = arr.astype(np.uint16)
         report.append((name, len(tabs), miss))
+    for name, t in extract_qlookup(
+            srcs["aom"].view(np.int16), raws).items():
+        out["q_" + name] = t.astype(np.uint16)
+        report.append(("q_" + name, 1, []))
     ok = True
     for name, n, miss in report:
         flag = "" if not miss else f"  <-- {len(miss)} NOT IN DAV1D {miss[:6]}"
