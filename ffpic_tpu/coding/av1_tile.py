@@ -1,0 +1,844 @@
+"""AV1 tile symbol decoder: partition walk, intra mode info,
+coefficient decode (spec 5.11).
+
+Two-pass design like this repo's HEVC decoder: this module parses one
+tile's arithmetic-coded symbols into per-frame mode arrays plus an
+ordered transform-block list; ffpic_tpu/formats/av1_recon.py replays
+that list to reconstruct pixels.  No parse step depends on
+reconstructed samples (palette/intrabc, which would not change that,
+are gated NotImplementedError until the corpus needs them).
+
+The C reference (junka/ffpic) stubs AV1 at the frame level
+(avif.c:382-405); dav1d is the conformance oracle (tests/test_av1.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ffpic_tpu.coding.av1_msac import Msac, CdfContext
+from ffpic_tpu.coding import av1_consts as C
+from ffpic_tpu.coding import av1_headers as H
+
+MAX_ANGLE_DELTA = 3
+DELTA_Q_SMALL = 3
+DELTA_LF_SMALL = 3
+NUM_BASE_LEVELS = 2
+COEFF_BASE_RANGE = 12
+BR_CDF_SIZE = 4
+
+# Max_Tx_Depth[bsize] (spec)
+MAX_TX_DEPTH = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
+                2, 2, 3, 3, 4, 4]
+
+
+def qctx_for_base_q(base_q_idx: int) -> int:
+    if base_q_idx <= 20:
+        return 0
+    if base_q_idx <= 60:
+        return 1
+    if base_q_idx <= 120:
+        return 2
+    return 3
+
+
+class Block:
+    """Per-coding-block mode record referenced by transform blocks."""
+
+    __slots__ = ("mi_row", "mi_col", "bsize", "seg_id", "skip",
+                 "y_mode", "uv_mode", "angle_y", "angle_uv",
+                 "filter_intra_mode", "cfl_alpha_u", "cfl_alpha_v",
+                 "tx_size", "qindex", "has_chroma")
+
+    def __init__(self):
+        self.filter_intra_mode = -1
+        self.cfl_alpha_u = 0
+        self.cfl_alpha_v = 0
+        self.angle_y = 0
+        self.angle_uv = 0
+        self.uv_mode = C.DC_PRED
+        self.has_chroma = False
+
+
+class TransformBlock:
+    __slots__ = ("plane", "x", "y", "tx_size", "tx_type", "eob",
+                 "coeffs", "block")
+
+    def __init__(self, plane, x, y, tx_size, tx_type, eob, coeffs,
+                 block):
+        self.plane = plane
+        self.x = x          # plane-sample coords
+        self.y = y
+        self.tx_size = tx_size
+        self.tx_type = tx_type
+        self.eob = eob
+        self.coeffs = coeffs    # dequantized int64 (h, w) adjusted
+        self.block = block
+
+
+class FrameState:
+    """Cross-tile output of the parse pass."""
+
+    def __init__(self, seq: H.SequenceHeader, fh: H.FrameHeader):
+        self.seq = seq
+        self.fh = fh
+        mr, mc = fh.mi_rows, fh.mi_cols
+        self.mi_rows, self.mi_cols = mr, mc
+        u8 = lambda fill=0: np.full((mr, mc), fill, np.uint8)
+        self.bsize = u8(255)
+        self.y_mode = u8(C.DC_PRED)
+        self.uv_mode = u8(C.DC_PRED)
+        self.skip = u8()
+        self.seg = u8()
+        self.tx_w4 = [u8(1), u8(1)]     # per plane class (y, uv)
+        self.tx_h4 = [u8(1), u8(1)]
+        self.palette_size = u8()
+        sb4 = 32 if seq.use_128x128_superblock else 16
+        self.cdef_idx = np.full(((mr + 15) >> 4, (mc + 15) >> 4), -1,
+                                np.int32)
+        self.delta_lf = np.zeros((mr, mc, 4), np.int8)
+        self.qindex_mi = np.full((mr, mc), fh.base_q_idx, np.uint8)
+        self.blocks: list[Block] = []
+        self.tbs: list[TransformBlock] = []
+        self.sb4 = sb4
+
+
+class TileDecoder:
+    def __init__(self, fs: FrameState, data: bytes,
+                 mi_row_start, mi_row_end, mi_col_start, mi_col_end):
+        self.fs = fs
+        self.seq = fs.seq
+        self.fh = fs.fh
+        self.m = Msac(data,
+                      allow_update=not fs.fh.disable_cdf_update)
+        self.cdf = CdfContext(qctx_for_base_q(fs.fh.base_q_idx))
+        t = self.cdf.tables
+        # expand the shared delta_lf default into independent cdfs
+        self.delta_lf_single = [list(t["delta_lf"][0])]
+        self.delta_lf_multi = [list(t["delta_lf"][1])
+                               for _ in range(4)]
+        self.r0, self.r1 = mi_row_start, mi_row_end
+        self.c0, self.c1 = mi_col_start, mi_col_end
+        # above context arrays span the tile columns; left arrays span
+        # one superblock and reset per sb row
+        mc = fs.mi_cols
+        sb4 = fs.sb4
+        nplanes = fs.seq.num_planes
+        self.a_coef = [np.zeros(mc + 32, np.uint8)
+                       for _ in range(nplanes)]
+        self.l_coef = [np.zeros(sb4 + 32, np.uint8)
+                       for _ in range(nplanes)]
+        self.a_txw = np.full(mc + 32, 64, np.int16)
+        self.l_txh = np.full(sb4 + 32, 64, np.int16)
+        self.current_qindex = fs.fh.base_q_idx
+        self.cur_delta_lf = [0, 0, 0, 0]
+        self.read_deltas = False
+
+    # ---------------------------------------------------------- helpers
+    def sym(self, cdf) -> int:
+        return self.m.decode_symbol(cdf)
+
+    def boolean(self) -> int:
+        return self.m.decode_bool(1 << 14)
+
+    def literal(self, n: int) -> int:
+        return self.m.decode_literal(n)
+
+    # ---------------------------------------------------------- tile loop
+    def decode(self):
+        fs = self.fs
+        sb4 = fs.sb4
+        sb_bsize = C.BLOCK_128X128 if sb4 == 32 else C.BLOCK_64X64
+        for r in range(self.r0, self.r1, sb4):
+            for p in range(len(self.l_coef)):
+                self.l_coef[p][:] = 0
+            self.l_txh[:] = 64
+            self.sb_row = r
+            for c in range(self.c0, self.c1, sb4):
+                self.read_deltas = (self.fh.delta_q_present or
+                                    self.fh.delta_lf_present)
+                self.decode_partition(r, c, sb_bsize)
+
+    # ---------------------------------------------------------- partitions
+    def _partition_ctx(self, r, c, bsize):
+        fs = self.fs
+        wlog = (C.BLOCK_W4[bsize]).bit_length() - 1
+        hlog = (C.BLOCK_H4[bsize]).bit_length() - 1
+        above = 0
+        if r > self.r0:
+            nb = fs.bsize[r - 1, c]
+            if nb != 255 and (C.BLOCK_W4[nb]).bit_length() - 1 < wlog:
+                above = 1
+        left = 0
+        if c > self.c0:
+            nb = fs.bsize[r, c - 1]
+            if nb != 255 and (C.BLOCK_H4[nb]).bit_length() - 1 < hlog:
+                left = 1
+        return left * 2 + above, wlog
+
+    @staticmethod
+    def _gather(cdf, syms):
+        """Sum P(sym) over syms from an inverted-cdf list."""
+        n = len(cdf) - 1
+        total = 0
+        for s in syms:
+            hi = 32768 if s == 0 else cdf[s - 1]
+            lo = 0 if s == n - 1 else cdf[s]
+            total += hi - lo
+        return total
+
+    def decode_partition(self, r, c, bsize):
+        fs = self.fs
+        if r >= fs.mi_rows or c >= fs.mi_cols:
+            return
+        w4 = C.BLOCK_W4[bsize]
+        half = w4 >> 1
+        quarter = w4 >> 2
+        has_rows = (r + half) < fs.mi_rows
+        has_cols = (c + half) < fs.mi_cols
+        P = C
+        if bsize < C.BLOCK_8X8:
+            part = C.PARTITION_NONE
+        else:
+            ctx, wlog = self._partition_ctx(r, c, bsize)
+            cdf = self.cdf["partition"][wlog - 1][ctx]
+            if has_rows and has_cols:
+                part = self.sym(cdf)
+            elif has_cols:
+                syms = [P.PARTITION_VERT, P.PARTITION_SPLIT,
+                        P.PARTITION_VERT_A, P.PARTITION_VERT_B,
+                        P.PARTITION_HORZ_A]
+                if bsize != C.BLOCK_128X128:
+                    syms.append(P.PARTITION_VERT_4)
+                psplit = self._gather(cdf, syms)
+                part = (C.PARTITION_SPLIT
+                        if self.m.decode_bool(max(1, psplit))
+                        else C.PARTITION_HORZ)
+            elif has_rows:
+                syms = [P.PARTITION_HORZ, P.PARTITION_SPLIT,
+                        P.PARTITION_HORZ_A, P.PARTITION_HORZ_B,
+                        P.PARTITION_VERT_A]
+                if bsize != C.BLOCK_128X128:
+                    syms.append(P.PARTITION_HORZ_4)
+                psplit = self._gather(cdf, syms)
+                part = (C.PARTITION_SPLIT
+                        if self.m.decode_bool(max(1, psplit))
+                        else C.PARTITION_VERT)
+            else:
+                part = C.PARTITION_SPLIT
+        sub = C.partition_subsize(part, bsize)
+        split = C.partition_subsize(C.PARTITION_SPLIT, bsize)
+        blk = self.decode_block
+        if part == C.PARTITION_NONE:
+            blk(r, c, bsize)
+        elif part == C.PARTITION_HORZ:
+            blk(r, c, sub)
+            if has_rows:
+                blk(r + half, c, sub)
+        elif part == C.PARTITION_VERT:
+            blk(r, c, sub)
+            if has_cols:
+                blk(r, c + half, sub)
+        elif part == C.PARTITION_SPLIT:
+            self.decode_partition(r, c, sub)
+            self.decode_partition(r, c + half, sub)
+            self.decode_partition(r + half, c, sub)
+            self.decode_partition(r + half, c + half, sub)
+        elif part == C.PARTITION_HORZ_A:
+            blk(r, c, split)
+            blk(r, c + half, split)
+            blk(r + half, c, sub)
+        elif part == C.PARTITION_HORZ_B:
+            blk(r, c, sub)
+            blk(r + half, c, split)
+            blk(r + half, c + half, split)
+        elif part == C.PARTITION_VERT_A:
+            blk(r, c, split)
+            blk(r + half, c, split)
+            blk(r, c + half, sub)
+        elif part == C.PARTITION_VERT_B:
+            blk(r, c, sub)
+            blk(r, c + half, split)
+            blk(r + half, c + half, split)
+        elif part == C.PARTITION_HORZ_4:
+            for i in range(4):
+                rr = r + i * quarter
+                if i > 0 and rr >= fs.mi_rows:
+                    break
+                blk(rr, c, sub)
+        elif part == C.PARTITION_VERT_4:
+            for i in range(4):
+                cc = c + i * quarter
+                if i > 0 and cc >= fs.mi_cols:
+                    break
+                blk(r, cc, sub)
+
+    # ---------------------------------------------------------- block
+    def decode_block(self, r, c, bsize):
+        fs = self.fs
+        seq, fh = self.seq, self.fh
+        bw4, bh4 = C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]
+        b = Block()
+        b.mi_row, b.mi_col, b.bsize = r, c, bsize
+        avail_u = r > self.r0
+        avail_l = c > self.c0
+        sx, sy = seq.subsampling_x, seq.subsampling_y
+        b.has_chroma = (seq.num_planes > 1 and
+                        (bw4 != 1 or sx == 0 or (c & 1)) and
+                        (bh4 != 1 or sy == 0 or (r & 1)))
+        re = min(r + bh4, fs.mi_rows)
+        ce = min(c + bw4, fs.mi_cols)
+
+        # --- segment id (pre-skip variant)
+        b.seg_id = 0
+        if fh.segmentation_enabled and fh.seg_id_pre_skip:
+            b.seg_id = self._read_segment_id(r, c, re, ce, False)
+        # --- skip
+        ctx = 0
+        if avail_u and fs.skip[r - 1, c]:
+            ctx += 1
+        if avail_l and fs.skip[r, c - 1]:
+            ctx += 1
+        b.skip = self.sym(self.cdf["skip"][ctx])
+        # --- segment id (post-skip variant)
+        if fh.segmentation_enabled and not fh.seg_id_pre_skip:
+            b.seg_id = self._read_segment_id(r, c, re, ce, b.skip)
+        # --- cdef
+        self._read_cdef(r, c, bsize, b.skip)
+        # --- delta q / lf
+        self._read_deltas(r, c, bsize, b.skip)
+        b.qindex = self.current_qindex
+        fs.delta_lf[r:re, c:ce] = np.array(self.cur_delta_lf,
+                                           np.int8)
+        # --- intrabc
+        if fh.allow_intrabc:
+            if self.sym(self.cdf["intrabc"]):
+                raise NotImplementedError("intrabc block copy")
+        # --- y mode
+        am = fs.y_mode[r - 1, c] if avail_u else C.DC_PRED
+        lm = fs.y_mode[r, c - 1] if avail_l else C.DC_PRED
+        cdf = self.cdf["kf_y_mode"][C.INTRA_MODE_CONTEXT[am]][
+            C.INTRA_MODE_CONTEXT[lm]]
+        b.y_mode = self.sym(cdf)
+        if bsize >= C.BLOCK_8X8 and b.y_mode in C.MODE_TO_ANGLE:
+            b.angle_y = self.sym(
+                self.cdf["angle_delta"][b.y_mode - C.V_PRED]) - \
+                MAX_ANGLE_DELTA
+        # --- uv mode
+        if b.has_chroma:
+            cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32 and
+                           C.BLOCK_H4[bsize] * 4 <= 32)
+            b.uv_mode = self.sym(
+                self.cdf["uv_mode"][1 if cfl_allowed else 0][
+                    b.y_mode])
+            if b.uv_mode == C.UV_CFL_PRED:
+                self._read_cfl(b)
+            if bsize >= C.BLOCK_8X8 and b.uv_mode in C.MODE_TO_ANGLE:
+                b.angle_uv = self.sym(
+                    self.cdf["angle_delta"][b.uv_mode - C.V_PRED]) \
+                    - MAX_ANGLE_DELTA
+        # --- palette
+        if (fh.allow_screen_content_tools and
+                bsize >= C.BLOCK_8X8 and bw4 * 4 <= 64 and
+                bh4 * 4 <= 64):
+            bctx = (C.BLOCK_W4[bsize] * 4).bit_length() + \
+                (C.BLOCK_H4[bsize] * 4).bit_length() - 8
+            if b.y_mode == C.DC_PRED:
+                pal_ctx = 0
+                if avail_u and fs.palette_size[r - 1, c]:
+                    pal_ctx += 1
+                if avail_l and fs.palette_size[r, c - 1]:
+                    pal_ctx += 1
+                if self.sym(
+                        self.cdf["palette_y_mode"][bctx][pal_ctx]):
+                    raise NotImplementedError("palette mode")
+            if b.has_chroma and b.uv_mode == C.DC_PRED:
+                if self.sym(self.cdf["palette_uv_mode"][0]):
+                    raise NotImplementedError("palette mode (uv)")
+        # --- filter intra
+        if (seq.enable_filter_intra and b.y_mode == C.DC_PRED and
+                max(bw4, bh4) * 4 <= 32):
+            if self.sym(self.cdf["use_filter_intra"][bsize]):
+                b.filter_intra_mode = self.sym(
+                    self.cdf["filter_intra_mode"])
+        # --- record mode info
+        fs.bsize[r:re, c:ce] = bsize
+        fs.y_mode[r:re, c:ce] = b.y_mode
+        fs.uv_mode[r:re, c:ce] = b.uv_mode
+        fs.skip[r:re, c:ce] = b.skip
+        fs.seg[r:re, c:ce] = b.seg_id
+        fs.qindex_mi[r:re, c:ce] = self._block_qindex(b)
+        fs.blocks.append(b)
+        # --- tx size + residual
+        self._read_tx_size(r, c, re, ce, b)
+        self._residual(r, c, b)
+
+    def _block_qindex(self, b) -> int:
+        fh = self.fh
+        q = H.get_qindex(fh, b.seg_id, b.qindex)
+        return q
+
+    # ------------------------------------------------------- segment id
+    def _read_segment_id(self, r, c, re, ce, skip):
+        fs = self.fs
+        fh = self.fh
+        pu = int(fs.seg[r - 1, c]) if r > self.r0 else -1
+        pl = int(fs.seg[r, c - 1]) if c > self.c0 else -1
+        pul = int(fs.seg[r - 1, c - 1]) \
+            if (r > self.r0 and c > self.c0) else -1
+        if pu == -1:
+            pred = 0 if pl == -1 else pl
+        elif pl == -1:
+            pred = pu
+        else:
+            pred = pu if pul == pu else pl
+        if skip:
+            return pred
+        if pul >= 0 and pul == pu and pul == pl:
+            ctx = 2
+        elif pul >= 0 and (pul == pu or pul == pl or pu == pl):
+            ctx = 1
+        else:
+            ctx = 0
+        diff = self.sym(self.cdf["spatial_seg"][ctx])
+        seg = _neg_deinterleave(diff, pred,
+                                fh.last_active_seg_id + 1)
+        return max(0, min(fh.last_active_seg_id, seg))
+
+    # ------------------------------------------------------------- cdef
+    def _read_cdef(self, r, c, bsize, skip):
+        fh, fs = self.fh, self.fs
+        if (skip or fh.coded_lossless or not self.seq.enable_cdef or
+                fh.allow_intrabc):
+            return
+        bw4, bh4 = C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]
+        for rr in range(r >> 4, min((r + bh4 + 15) >> 4,
+                                    fs.cdef_idx.shape[0])):
+            for cc in range(c >> 4, min((c + bw4 + 15) >> 4,
+                                        fs.cdef_idx.shape[1])):
+                if fs.cdef_idx[rr, cc] < 0:
+                    fs.cdef_idx[rr, cc] = self.literal(fh.cdef_bits)
+
+    # ----------------------------------------------------------- deltas
+    def _read_deltas(self, r, c, bsize, skip):
+        fh = self.fh
+        if not self.read_deltas:
+            return
+        sb_bsize = C.BLOCK_128X128 if self.fs.sb4 == 32 else \
+            C.BLOCK_64X64
+        if bsize == sb_bsize and skip:
+            return
+        self.read_deltas = False
+        if fh.delta_q_present:
+            dq_abs = self.sym(self.cdf["delta_q"][0])
+            if dq_abs == DELTA_Q_SMALL:
+                rem_bits = self.literal(3) + 1
+                dq_abs = self.literal(rem_bits) + \
+                    (1 << rem_bits) + 1
+            if dq_abs:
+                sign = self.boolean()
+                delta = -dq_abs if sign else dq_abs
+                self.current_qindex = max(1, min(255,
+                    self.current_qindex +
+                    (delta << fh.delta_q_res)))
+        if fh.delta_lf_present:
+            n = 4 if self.seq.num_planes > 1 else 2
+            count = n if fh.delta_lf_multi else 1
+            for i in range(count):
+                cdf = (self.delta_lf_multi[i] if fh.delta_lf_multi
+                       else self.delta_lf_single[0])
+                lf_abs = self.sym(cdf)
+                if lf_abs == DELTA_LF_SMALL:
+                    rem_bits = self.literal(3) + 1
+                    lf_abs = self.literal(rem_bits) + \
+                        (1 << rem_bits) + 1
+                if lf_abs:
+                    sign = self.boolean()
+                    delta = -lf_abs if sign else lf_abs
+                    v = self.cur_delta_lf[i] + \
+                        (delta << fh.delta_lf_res)
+                    v = max(-63, min(63, v))
+                    if fh.delta_lf_multi:
+                        self.cur_delta_lf[i] = v
+                    else:
+                        self.cur_delta_lf = [v] * 4
+
+    # -------------------------------------------------------------- cfl
+    def _read_cfl(self, b):
+        joint = self.sym(self.cdf["cfl_sign"])
+        sign_u = (joint + 1) // 3
+        sign_v = (joint + 1) % 3
+        if sign_u != 0:
+            idx = self.sym(self.cdf["cfl_alpha"][joint - 2])
+            b.cfl_alpha_u = (idx + 1) * (1 if sign_u == 2 else -1)
+        if sign_v != 0:
+            ctx = sign_v * 3 + sign_u - 3
+            idx = self.sym(self.cdf["cfl_alpha"][ctx])
+            b.cfl_alpha_v = (idx + 1) * (1 if sign_v == 2 else -1)
+
+    # ---------------------------------------------------------- tx size
+    def _read_tx_size(self, r, c, re, ce, b):
+        fs, fh = self.fs, self.fh
+        lossless = fh.lossless_segs[b.seg_id]
+        if lossless:
+            b.tx_size = C.TX_4X4
+        else:
+            max_rect = C.max_tx_size_rect(b.bsize)
+            b.tx_size = max_rect
+            if (fh.tx_mode == H.TX_MODE_SELECT and
+                    b.bsize > C.BLOCK_4X4 and not b.skip):
+                max_depth = MAX_TX_DEPTH[b.bsize]
+                cat = C.TX_SIZE_SQR_UP[max_rect] - 1
+                maxw = C.TX_W[max_rect]
+                maxh = C.TX_H[max_rect]
+                above = int(self.a_txw[c]) >= maxw
+                left = int(self.l_txh[r & (fs.sb4 - 1)]) >= maxh
+                if r > self.r0 and c > self.c0:
+                    ctx = above + left
+                elif r > self.r0:
+                    ctx = above
+                elif c > self.c0:
+                    ctx = left
+                else:
+                    ctx = 0
+                depth = self.sym(self.cdf["tx_depth"][cat][ctx])
+                for _ in range(depth):
+                    b.tx_size = C.SPLIT_TX_SIZE[b.tx_size]
+        self.a_txw[c:ce] = C.TX_W[b.tx_size]
+        self.l_txh[(r & (fs.sb4 - 1)):(r & (fs.sb4 - 1)) + (re - r)] \
+            = C.TX_H[b.tx_size]
+        fs.tx_w4[0][r:re, c:ce] = C.TX_W[b.tx_size] >> 2
+        fs.tx_h4[0][r:re, c:ce] = C.TX_H[b.tx_size] >> 2
+
+    # --------------------------------------------------------- residual
+    def _residual(self, r, c, b):
+        fs, seq, fh = self.fs, self.seq, self.fh
+        bw4, bh4 = C.BLOCK_W4[b.bsize], C.BLOCK_H4[b.bsize]
+        lossless = fh.lossless_segs[b.seg_id]
+        w_chunks = max(1, bw4 >> 4)
+        h_chunks = max(1, bh4 >> 4)
+        chunk_bsize = C.block_from_dims(min(bw4, 16), min(bh4, 16))
+        nplanes = 3 if b.has_chroma else 1
+        for cy in range(h_chunks):
+            for cx in range(w_chunks):
+                for plane in range(min(nplanes, seq.num_planes)):
+                    sx = seq.subsampling_x if plane else 0
+                    sy = seq.subsampling_y if plane else 0
+                    plane_bsize = C.plane_block_size(chunk_bsize,
+                                                     sx, sy)
+                    if lossless:
+                        tx = C.TX_4X4
+                    elif plane == 0:
+                        tx = b.tx_size
+                    else:
+                        tx = C.max_uv_tx_size(b.bsize, sx, sy)
+                    num4w = C.BLOCK_W4[plane_bsize]
+                    num4h = C.BLOCK_H4[plane_bsize]
+                    step_x = C.TX_W[tx] >> 2
+                    step_y = C.TX_H[tx] >> 2
+                    base_x = ((c >> sx) + (cx << (4 - sx))) * 4
+                    base_y = ((r >> sy) + (cy << (4 - sy))) * 4
+                    max_x = (fs.mi_cols * 4) >> sx
+                    max_y = (fs.mi_rows * 4) >> sy
+                    for yy in range(0, num4h, step_y):
+                        for xx in range(0, num4w, step_x):
+                            start_x = base_x + 4 * xx
+                            start_y = base_y + 4 * yy
+                            if start_x >= max_x or start_y >= max_y:
+                                continue
+                            self._transform_block(
+                                plane, start_x, start_y, tx, b,
+                                plane_bsize)
+
+    def _transform_block(self, plane, x, y, tx, b, plane_bsize):
+        fs = self.fs
+        x4 = x >> 2
+        y4 = y >> 2
+        w4 = C.TX_W[tx] >> 2
+        h4 = C.TX_H[tx] >> 2
+        a = self.a_coef[plane]
+        l = self.l_coef[plane]
+        # left array indexed by plane 4-sample row within the sb row
+        sy = self.seq.subsampling_y if plane else 0
+        l_base = y4 - (self.sb_row >> sy)
+        if plane > 0:
+            # record chroma tx dims (chroma 4-px units) for deblock
+            sx = self.seq.subsampling_x
+            r0 = y4 << sy
+            c0 = x4 << sx
+            re = min(r0 + (h4 << sy), fs.mi_rows)
+            ce = min(c0 + (w4 << sx), fs.mi_cols)
+            fs.tx_w4[1][r0:re, c0:ce] = w4
+            fs.tx_h4[1][r0:re, c0:ce] = h4
+        if b.skip:
+            a[x4:x4 + w4] = 0
+            l[l_base:l_base + h4] = 0
+            return
+        eob, coeffs, tx_type = self._coeffs(
+            plane, x4, y4, tx, b, plane_bsize, a, l, l_base)
+        if eob > 0:
+            fs.tbs.append(TransformBlock(
+                plane, x, y, tx, tx_type, eob, coeffs, b))
+
+    # ------------------------------------------------- coefficients
+    def _luma_tx_type(self, tx, b):
+        fh = self.fh
+        tset = C.get_tx_set_intra(tx, fh.reduced_tx_set)
+        qidx = H.get_qindex(fh, b.seg_id)
+        if tset == C.TX_SET_DCTONLY or qidx <= 0:
+            return C.DCT_DCT
+        if b.filter_intra_mode >= 0:
+            intra_dir = C.FIMODE_TO_INTRA_DIR[b.filter_intra_mode]
+        else:
+            intra_dir = b.y_mode
+        cdf = self.cdf["intra_ext_tx"][tset - 1][
+            C.TX_SIZE_SQR[tx]][intra_dir]
+        sym = self.sym(cdf)
+        inv = (C.TX_TYPE_INTRA_INV_SET1 if tset == C.TX_SET_INTRA_1
+               else C.TX_TYPE_INTRA_INV_SET2)
+        return inv[sym]
+
+    def _chroma_tx_type(self, tx, b):
+        if C.TX_SIZE_SQR_UP[tx] > C.TX_32X32:
+            return C.DCT_DCT
+        tt = C.INTRA_MODE_TO_TX_TYPE[b.uv_mode]
+        tset = C.get_tx_set_intra(tx, self.fh.reduced_tx_set)
+        if not C.tx_type_in_set(tset, tt):
+            return C.DCT_DCT
+        return tt
+
+    def _coeffs(self, plane, x4, y4, tx, b, plane_bsize, a, l,
+                l_base):
+        t = self.cdf
+        seq, fh = self.seq, self.fh
+        ptype = 1 if plane else 0
+        txs_ctx = C.TX_SIZE_CTX[tx]
+        adj = C.adjusted_tx_size(tx)
+        w, h = C.TX_W[adj], C.TX_H[adj]
+        w4 = C.TX_W[tx] >> 2
+        h4 = C.TX_H[tx] >> 2
+        tw, th = C.TX_W[tx], C.TX_H[tx]
+        # ---- all_zero
+        if plane == 0:
+            pbw = C.BLOCK_W4[plane_bsize] * 4
+            pbh = C.BLOCK_H4[plane_bsize] * 4
+            if pbw == tw and pbh == th:
+                ctx = 0
+            else:
+                top = 0
+                for k in range(w4):
+                    top |= int(a[x4 + k])
+                left = 0
+                for k in range(h4):
+                    left |= int(l[l_base + k])
+                top &= 63
+                left &= 63
+                mx = min(top | left, 4)
+                mn = min(top, left, 4)
+                ctx = C.SKIP_CONTEXTS[mn][mx]
+        else:
+            above_nz = any(a[x4 + k] & 63 for k in range(w4))
+            left_nz = any(l[l_base + k] & 63 for k in range(h4))
+            pbw = C.BLOCK_W4[plane_bsize] * 4
+            pbh = C.BLOCK_H4[plane_bsize] * 4
+            off = 10 if pbw * pbh > tw * th else 7
+            ctx = int(above_nz) + int(left_nz) + off
+        all_zero = self.sym(t["txb_skip"][txs_ctx][ctx])
+        if all_zero:
+            a[x4:x4 + w4] = 0
+            l[l_base:l_base + h4] = 0
+            return 0, None, C.DCT_DCT
+        # ---- tx type + scan
+        if plane == 0:
+            tx_type = self._luma_tx_type(tx, b)
+        else:
+            tx_type = self._chroma_tx_type(tx, b)
+        if fh.lossless_segs[b.seg_id]:
+            tx_type = C.DCT_DCT
+        scan = C.get_scan(tx, tx_type)
+        cls = C.tx_type_class(tx_type)
+        # ---- eob
+        area = w * h
+        emul = (w.bit_length() - 1) + (h.bit_length() - 1) - 4
+        eob_cdf = t[f"eob_pt_{16 << emul}"][ptype][
+            0 if cls == C.TX_CLASS_2D else 1]
+        eob_pt = self.sym(eob_cdf) + 1
+        if eob_pt < 2:
+            eob = eob_pt
+        else:
+            eob = (1 << (eob_pt - 2)) + 1
+            if eob_pt >= 3:
+                extra = self.sym(
+                    t["eob_extra"][txs_ctx][ptype][eob_pt - 3])
+                if extra:
+                    eob += 1 << (eob_pt - 3)
+                for i in range(1, eob_pt - 2):
+                    shift = eob_pt - 2 - 1 - i
+                    if self.boolean():
+                        eob += 1 << shift
+        # ---- base levels (reverse scan)
+        levels = np.zeros((h + 5, w + 5), np.int32)
+        quant = np.zeros(area, np.int64)
+        base_eob_cdf = t["coeff_base_eob"][txs_ctx][ptype]
+        base_cdf = t["coeff_base"][txs_ctx][ptype]
+        br_cdf = t["coeff_br"][min(txs_ctx, 3)][ptype]
+        offtab = C.lo_ctx_offset_table(w, h)
+        lv = levels
+        for c_i in range(eob - 1, -1, -1):
+            pos = int(scan[c_i])
+            row = pos // w
+            col = pos - row * w
+            if c_i == eob - 1:
+                if c_i == 0:
+                    bctx = 0
+                elif c_i <= area // 8:
+                    bctx = 1
+                elif c_i <= area // 4:
+                    bctx = 2
+                else:
+                    bctx = 3
+                level = self.sym(base_eob_cdf[bctx]) + 1
+            else:
+                if cls == C.TX_CLASS_2D:
+                    if pos == 0:
+                        bctx = 0
+                    else:
+                        mag = (min(int(lv[row, col + 1]), 3) +
+                               min(int(lv[row + 1, col]), 3) +
+                               min(int(lv[row + 1, col + 1]), 3) +
+                               min(int(lv[row, col + 2]), 3) +
+                               min(int(lv[row + 2, col]), 3))
+                        bctx = min((mag + 1) >> 1, 4) + \
+                            offtab[min(row, 4)][min(col, 4)]
+                else:
+                    mag = min(int(lv[row, col + 1]), 3) + \
+                        min(int(lv[row + 1, col]), 3)
+                    if cls == C.TX_CLASS_HORIZ:
+                        mag += min(int(lv[row, col + 2]), 3)
+                        mag += min(int(lv[row, col + 3]), 3)
+                        mag += min(int(lv[row, col + 4]), 3)
+                        idx = col
+                    else:
+                        mag += min(int(lv[row + 2, col]), 3)
+                        mag += min(int(lv[row + 3, col]), 3)
+                        mag += min(int(lv[row + 4, col]), 3)
+                        idx = row
+                    bctx = min((mag + 1) >> 1, 4) + \
+                        C.LO_CTX_OFFSETS_1D[min(idx, 2)]
+                level = self.sym(base_cdf[bctx])
+            if level > NUM_BASE_LEVELS:
+                # coeff_br extension, up to +12
+                if cls == C.TX_CLASS_2D:
+                    mag = int(lv[row, col + 1]) + \
+                        int(lv[row + 1, col]) + \
+                        int(lv[row + 1, col + 1])
+                elif cls == C.TX_CLASS_HORIZ:
+                    mag = int(lv[row, col + 1]) + \
+                        int(lv[row + 1, col]) + \
+                        int(lv[row, col + 2])
+                else:
+                    mag = int(lv[row, col + 1]) + \
+                        int(lv[row + 1, col]) + \
+                        int(lv[row + 2, col])
+                bmag = min((mag + 1) >> 1, 6)
+                if pos == 0:
+                    brctx = bmag
+                elif cls == C.TX_CLASS_2D:
+                    brctx = bmag + (7 if (row < 2 and col < 2)
+                                    else 14)
+                elif cls == C.TX_CLASS_HORIZ:
+                    brctx = bmag + (7 if col == 0 else 14)
+                else:
+                    brctx = bmag + (7 if row == 0 else 14)
+                for _ in range(COEFF_BASE_RANGE //
+                               (BR_CDF_SIZE - 1)):
+                    br = self.sym(br_cdf[brctx])
+                    level += br
+                    if br < BR_CDF_SIZE - 1:
+                        break
+            quant[pos] = level
+            lv[row, col] = min(level, 127)
+        # ---- signs + golomb tail (forward scan)
+        cul = 0
+        dc_cat = 0
+        signs = np.zeros(area, np.int8)
+        for c_i in range(eob):
+            pos = int(scan[c_i])
+            level = int(quant[pos])
+            sign = 0
+            if level:
+                if c_i == 0:
+                    dcs = 0
+                    for k in range(w4):
+                        v = int(a[x4 + k]) >> 6
+                        dcs += 1 if v == 2 else (-1 if v == 1
+                                                 else 0)
+                    for k in range(h4):
+                        v = int(l[l_base + k]) >> 6
+                        dcs += 1 if v == 2 else (-1 if v == 1
+                                                 else 0)
+                    sctx = 0 if dcs == 0 else (1 if dcs < 0 else 2)
+                    sign = self.sym(t["dc_sign"][ptype][sctx])
+                else:
+                    sign = self.boolean()
+            if level > NUM_BASE_LEVELS + COEFF_BASE_RANGE:
+                level += self._golomb()
+                quant[pos] = level
+            if c_i == 0:
+                dc_cat = 0 if level == 0 else (1 if sign else 2)
+            cul += level
+            signs[pos] = sign
+        cul = min(cul, 63)
+        a[x4:x4 + w4] = cul | (dc_cat << 6)
+        l[l_base:l_base + h4] = cul | (dc_cat << 6)
+        # ---- dequant
+        qidx = H.get_qindex(fh, b.seg_id, b.qindex)
+        if plane == 0:
+            dc_delta, ac_delta = fh.delta_q_y_dc, 0
+        elif plane == 1:
+            dc_delta, ac_delta = fh.delta_q_u_dc, fh.delta_q_u_ac
+        else:
+            dc_delta, ac_delta = fh.delta_q_v_dc, fh.delta_q_v_ac
+        if fh.using_qmatrix:
+            raise NotImplementedError("quantizer matrices")
+        from ffpic_tpu.coding.av1_cdf_tables import TABLES
+        sfx = str(seq.bit_depth)
+        dc_q = int(TABLES["q_dc" + sfx][
+            max(0, min(255, qidx + dc_delta))])
+        ac_q = int(TABLES["q_ac" + sfx][
+            max(0, min(255, qidx + ac_delta))])
+        shift = max(0, C.TX_SIZE_SQR_UP[tx] - 2)
+        bd = seq.bit_depth
+        clip = 1 << (bd + 7)
+        out = np.zeros((h, w), np.int64)
+        flat = out.reshape(-1)
+        for c_i in range(eob):
+            pos = int(scan[c_i])
+            level = int(quant[pos])
+            if not level:
+                continue
+            dqv = dc_q if pos == 0 else ac_q
+            dq = (level * dqv) & 0xFFFFFF
+            dq >>= shift
+            if signs[pos]:
+                dq = -dq
+            flat[pos] = max(-clip, min(clip - 1, dq))
+        return eob, out, tx_type
+
+
+def _neg_deinterleave(diff, ref, max_val):
+    if not ref:
+        return diff
+    if ref >= max_val - 1:
+        return max_val - diff - 1
+    if 2 * ref < max_val:
+        if diff <= 2 * ref:
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return diff
+    if diff <= 2 * (max_val - ref - 1):
+        if diff & 1:
+            return ref + ((diff + 1) >> 1)
+        return ref - (diff >> 1)
+    return max_val - (diff + 1)
