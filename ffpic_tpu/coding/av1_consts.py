@@ -185,12 +185,10 @@ TX_TYPE_INTRA_INV_SET2 = [IDTX, DCT_DCT, ADST_ADST, ADST_DCT,
 
 
 def get_tx_set_intra(tx_size: int, reduced_tx_set: bool) -> int:
-    """get_tx_set for intra blocks (spec 5.11.48)."""
-    sqr_up = TX_SIZE_SQR_UP[tx_size]
-    if sqr_up > TX_32X32:
+    """get_tx_set for intra blocks (spec 5.11.48): DCT-only at any
+    32-point dimension (intra has no IDTX-at-32 set, unlike inter)."""
+    if TX_SIZE_SQR_UP[tx_size] >= TX_32X32:
         return TX_SET_DCTONLY
-    if sqr_up == TX_32X32:
-        return TX_SET_INTRA_2
     if reduced_tx_set:
         return TX_SET_INTRA_2
     if TX_SIZE_SQR[tx_size] == TX_16X16:

@@ -48,7 +48,9 @@ class Block:
     __slots__ = ("mi_row", "mi_col", "bsize", "seg_id", "skip",
                  "y_mode", "uv_mode", "angle_y", "angle_uv",
                  "filter_intra_mode", "cfl_alpha_u", "cfl_alpha_v",
-                 "tx_size", "qindex", "has_chroma")
+                 "tx_size", "qindex", "has_chroma",
+                 "avail_u", "avail_l", "avail_uc", "avail_lc",
+                 "tile", "coeff_map")
 
     def __init__(self):
         self.filter_intra_mode = -1
@@ -58,6 +60,7 @@ class Block:
         self.angle_uv = 0
         self.uv_mode = C.DC_PRED
         self.has_chroma = False
+        self.coeff_map = None
 
 
 class TransformBlock:
@@ -97,6 +100,9 @@ class FrameState:
         self.cdef_idx = np.full(((mr + 15) >> 4, (mc + 15) >> 4), -1,
                                 np.int32)
         self.delta_lf = np.zeros((mr, mc, 4), np.int8)
+        # coding-block origin per mi (for deblock block-edge tests)
+        self.b_col0 = np.zeros((mr, mc), np.uint16)
+        self.b_row0 = np.zeros((mr, mc), np.uint16)
         self.qindex_mi = np.full((mr, mc), fh.base_q_idx, np.uint8)
         self.blocks: list[Block] = []
         self.tbs: list[TransformBlock] = []
@@ -143,6 +149,18 @@ class TileDecoder:
 
     def literal(self, n: int) -> int:
         return self.m.decode_literal(n)
+
+    def _golomb(self) -> int:
+        """Spec read_golomb: zero-run prefix then that many bits."""
+        length = 0
+        while not self.literal(1):
+            length += 1
+            if length > 31:
+                break
+        x = 1
+        for _ in range(length):
+            x = (x << 1) | self.literal(1)
+        return x - 1
 
     # ---------------------------------------------------------- tile loop
     def decode(self):
@@ -226,12 +244,13 @@ class TileDecoder:
                         else C.PARTITION_VERT)
             else:
                 part = C.PARTITION_SPLIT
-        sub = C.partition_subsize(part, bsize)
-        split = C.partition_subsize(C.PARTITION_SPLIT, bsize)
         blk = self.decode_block
         if part == C.PARTITION_NONE:
             blk(r, c, bsize)
-        elif part == C.PARTITION_HORZ:
+            return
+        sub = C.partition_subsize(part, bsize)
+        split = C.partition_subsize(C.PARTITION_SPLIT, bsize)
+        if part == C.PARTITION_HORZ:
             blk(r, c, sub)
             if has_rows:
                 blk(r + half, c, sub)
@@ -286,6 +305,15 @@ class TileDecoder:
         b.has_chroma = (seq.num_planes > 1 and
                         (bw4 != 1 or sx == 0 or (c & 1)) and
                         (bh4 != 1 or sy == 0 or (r & 1)))
+        b.avail_u, b.avail_l = avail_u, avail_l
+        b.avail_uc, b.avail_lc = avail_u, avail_l
+        if b.has_chroma:
+            if sy and bh4 == 1:
+                b.avail_uc = (r - 2) >= self.r0
+            if sx and bw4 == 1:
+                b.avail_lc = (c - 2) >= self.c0
+        b.tile = (self.r0, self.r1, self.c0, self.c1)
+        b.coeff_map = {}
         re = min(r + bh4, fs.mi_rows)
         ce = min(c + bw4, fs.mi_cols)
 
@@ -312,7 +340,7 @@ class TileDecoder:
                                            np.int8)
         # --- intrabc
         if fh.allow_intrabc:
-            if self.sym(self.cdf["intrabc"]):
+            if self.sym(self.cdf["intrabc"][0]):
                 raise NotImplementedError("intrabc block copy")
         # --- y mode
         am = fs.y_mode[r - 1, c] if avail_u else C.DC_PRED
@@ -360,9 +388,11 @@ class TileDecoder:
                 max(bw4, bh4) * 4 <= 32):
             if self.sym(self.cdf["use_filter_intra"][bsize]):
                 b.filter_intra_mode = self.sym(
-                    self.cdf["filter_intra_mode"])
+                    self.cdf["filter_intra_mode"][0])
         # --- record mode info
         fs.bsize[r:re, c:ce] = bsize
+        fs.b_col0[r:re, c:ce] = c
+        fs.b_row0[r:re, c:ce] = r
         fs.y_mode[r:re, c:ce] = b.y_mode
         fs.uv_mode[r:re, c:ce] = b.uv_mode
         fs.skip[r:re, c:ce] = b.skip
@@ -465,7 +495,7 @@ class TileDecoder:
 
     # -------------------------------------------------------------- cfl
     def _read_cfl(self, b):
-        joint = self.sym(self.cdf["cfl_sign"])
+        joint = self.sym(self.cdf["cfl_sign"][0])
         sign_u = (joint + 1) // 3
         sign_v = (joint + 1) % 3
         if sign_u != 0:
@@ -512,43 +542,10 @@ class TileDecoder:
 
     # --------------------------------------------------------- residual
     def _residual(self, r, c, b):
-        fs, seq, fh = self.fs, self.seq, self.fh
-        bw4, bh4 = C.BLOCK_W4[b.bsize], C.BLOCK_H4[b.bsize]
-        lossless = fh.lossless_segs[b.seg_id]
-        w_chunks = max(1, bw4 >> 4)
-        h_chunks = max(1, bh4 >> 4)
-        chunk_bsize = C.block_from_dims(min(bw4, 16), min(bh4, 16))
-        nplanes = 3 if b.has_chroma else 1
-        for cy in range(h_chunks):
-            for cx in range(w_chunks):
-                for plane in range(min(nplanes, seq.num_planes)):
-                    sx = seq.subsampling_x if plane else 0
-                    sy = seq.subsampling_y if plane else 0
-                    plane_bsize = C.plane_block_size(chunk_bsize,
-                                                     sx, sy)
-                    if lossless:
-                        tx = C.TX_4X4
-                    elif plane == 0:
-                        tx = b.tx_size
-                    else:
-                        tx = C.max_uv_tx_size(b.bsize, sx, sy)
-                    num4w = C.BLOCK_W4[plane_bsize]
-                    num4h = C.BLOCK_H4[plane_bsize]
-                    step_x = C.TX_W[tx] >> 2
-                    step_y = C.TX_H[tx] >> 2
-                    base_x = ((c >> sx) + (cx << (4 - sx))) * 4
-                    base_y = ((r >> sy) + (cy << (4 - sy))) * 4
-                    max_x = (fs.mi_cols * 4) >> sx
-                    max_y = (fs.mi_rows * 4) >> sy
-                    for yy in range(0, num4h, step_y):
-                        for xx in range(0, num4w, step_x):
-                            start_x = base_x + 4 * xx
-                            start_y = base_y + 4 * yy
-                            if start_x >= max_x or start_y >= max_y:
-                                continue
-                            self._transform_block(
-                                plane, start_x, start_y, tx, b,
-                                plane_bsize)
+        for plane, start_x, start_y, tx, plane_bsize in \
+                iter_tx_geometry(self.seq, self.fs, b):
+            self._transform_block(plane, start_x, start_y, tx, b,
+                                  plane_bsize)
 
     def _transform_block(self, plane, x, y, tx, b, plane_bsize):
         fs = self.fs
@@ -577,8 +574,10 @@ class TileDecoder:
         eob, coeffs, tx_type = self._coeffs(
             plane, x4, y4, tx, b, plane_bsize, a, l, l_base)
         if eob > 0:
-            fs.tbs.append(TransformBlock(
-                plane, x, y, tx, tx_type, eob, coeffs, b))
+            tb = TransformBlock(plane, x, y, tx, tx_type, eob,
+                                coeffs, b)
+            fs.tbs.append(tb)
+            b.coeff_map[(plane, x, y)] = tb
 
     # ------------------------------------------------- coefficients
     def _luma_tx_type(self, tx, b):
@@ -824,6 +823,48 @@ class TileDecoder:
                 dq = -dq
             flat[pos] = max(-clip, min(clip - 1, dq))
         return eob, out, tx_type
+
+
+def iter_tx_geometry(seq, fs, b):
+    """Yield (plane, start_x, start_y, tx_size, plane_bsize) in the
+    exact spec residual() order for block b.  Shared between the parse
+    pass (coefficient decode) and the recon replay so both walk the
+    same transform blocks."""
+    fh = fs.fh
+    r, c = b.mi_row, b.mi_col
+    bw4, bh4 = C.BLOCK_W4[b.bsize], C.BLOCK_H4[b.bsize]
+    lossless = fh.lossless_segs[b.seg_id]
+    w_chunks = max(1, bw4 >> 4)
+    h_chunks = max(1, bh4 >> 4)
+    chunk_bsize = C.block_from_dims(min(bw4, 16), min(bh4, 16))
+    nplanes = 3 if b.has_chroma else 1
+    for cy in range(h_chunks):
+        for cx in range(w_chunks):
+            for plane in range(min(nplanes, seq.num_planes)):
+                sx = seq.subsampling_x if plane else 0
+                sy = seq.subsampling_y if plane else 0
+                plane_bsize = C.plane_block_size(chunk_bsize, sx, sy)
+                if lossless:
+                    tx = C.TX_4X4
+                elif plane == 0:
+                    tx = b.tx_size
+                else:
+                    tx = C.max_uv_tx_size(b.bsize, sx, sy)
+                num4w = C.BLOCK_W4[plane_bsize]
+                num4h = C.BLOCK_H4[plane_bsize]
+                step_x = C.TX_W[tx] >> 2
+                step_y = C.TX_H[tx] >> 2
+                base_x = ((c >> sx) + (cx << (4 - sx))) * 4
+                base_y = ((r >> sy) + (cy << (4 - sy))) * 4
+                max_x = (fs.mi_cols * 4) >> sx
+                max_y = (fs.mi_rows * 4) >> sy
+                for yy in range(0, num4h, step_y):
+                    for xx in range(0, num4w, step_x):
+                        start_x = base_x + 4 * xx
+                        start_y = base_y + 4 * yy
+                        if start_x >= max_x or start_y >= max_y:
+                            continue
+                        yield plane, start_x, start_y, tx, plane_bsize
 
 
 def _neg_deinterleave(diff, ref, max_val):

@@ -1,10 +1,13 @@
-"""AV1 intra-frame reconstruction: frame driver, intra prediction,
-inverse transforms, in-loop filters (spec 7.11-7.17).
+"""AV1 intra-frame reconstruction: frame driver, per-TB intra
+prediction replay, inverse transforms, CfL (spec 7.11-7.13); in-loop
+filters (deblock/CDEF/restoration, spec 7.14-7.17) staged in
+av1_loopfilter.py.
 
 Drives ffpic_tpu/coding/av1_tile.py's parse pass, then replays the
-transform-block list: per-TB intra prediction from reconstructed
-neighbors, fixed-point inverse transforms, CfL, filter-intra.  The C
-reference (junka/ffpic) decodes no AV1 pixels (avif.c:382-405 stub);
+transform-block geometry in decode order: prediction from
+reconstructed neighbors (availability via the spec's per-superblock
+BlockDecoded bitmaps), residual add, clip.  The C reference
+(junka/ffpic) decodes no AV1 pixels (avif.c:382-405 stub);
 conformance oracle is dav1d (tests/test_av1.py), staged per in-loop
 filter via its inloop_filters mask.
 """
@@ -15,14 +18,20 @@ import numpy as np
 
 from ffpic_tpu.coding import av1_headers as H
 from ffpic_tpu.coding import av1_consts as C
-from ffpic_tpu.coding.av1_tile import FrameState, TileDecoder
+from ffpic_tpu.coding.av1_tile import (FrameState, TileDecoder,
+                                       iter_tx_geometry)
+from ffpic_tpu.coding.av1_itx import inverse_transform
+from ffpic_tpu.formats import av1_intra as intra
 
 
-def decode_frame(obus_data: bytes):
+def decode_frame(obus_data: bytes, apply_filters: bool = True,
+                 filter_stages: int = 7):
     """Decode the first frame of a raw OBU stream.
 
     Returns (planes, meta): [Y] or [Y, U, V] uint8/uint16 numpy
-    arrays plus header info.
+    arrays plus header info.  filter_stages is a bitmask (1 = deblock,
+    2 = CDEF, 4 = loop restoration) matching dav1d's inloop_filters
+    enum, for stage-by-stage differential testing.
     """
     seq = None
     fs = None
@@ -46,12 +55,13 @@ def decode_frame(obus_data: bytes):
     if fs is None:
         raise ValueError("no frame in OBU stream")
     planes = _reconstruct(fs)
-    _loop_filters(fs, planes)
+    if apply_filters:
+        from ffpic_tpu.formats.av1_loopfilter import apply_loop_filters
+        planes = apply_loop_filters(fs, planes, filter_stages)
     meta = dict(width=fs.fh.width, height=fs.fh.height,
                 bit_depth=seq.bit_depth,
                 mono=seq.mono_chrome,
                 subsampling=(seq.subsampling_x, seq.subsampling_y))
-    # crop padded mi area to frame dims
     w, h = fs.fh.width, fs.fh.height
     out = [planes[0][:h, :w]]
     if len(planes) > 1:
@@ -96,31 +106,157 @@ def _decode_tile_group(fs: FrameState, data: bytes):
 
 
 # ------------------------------------------------------------------ recon
+class _SbDecoded:
+    """Spec BlockDecoded bitmaps for one superblock (per plane),
+    with the -1 halo row/column (spec 5.11.30)."""
+
+    def __init__(self, seq, sb4):
+        self.sb4 = sb4
+        self.maps = []
+        for plane in range(seq.num_planes):
+            sx = seq.subsampling_x if plane else 0
+            sy = seq.subsampling_y if plane else 0
+            h = (sb4 >> sy) + 2
+            w = (sb4 >> sx) + 2
+            self.maps.append(np.zeros((h + 1, w + 1), np.uint8))
+        self.seq = seq
+
+    def reset(self, sb_r, sb_c, tile):
+        r0, r1, c0, c1 = tile
+        for plane, m in enumerate(self.maps):
+            sx = self.seq.subsampling_x if plane else 0
+            sy = self.seq.subsampling_y if plane else 0
+            m[:] = 0
+            sb_w4 = ((c1 - sb_c) + sx) >> sx
+            sb_h4 = ((r1 - sb_r) + sy) >> sy
+            # above halo: available up to the tile's right edge
+            m[0, 1:1 + min(sb_w4, m.shape[1] - 1)] = 1
+            m[0, 0] = 1
+            # left halo
+            m[1:1 + min(sb_h4, m.shape[0] - 1), 0] = 1
+            m[0, 0] = 1
+            # bottom-left corner past the SB is never available
+            m[min((self.sb4 >> sy) + 1, m.shape[0] - 1), 0] = 0
+
+    def get(self, plane, rel_y4, rel_x4) -> bool:
+        m = self.maps[plane]
+        y, x = rel_y4 + 1, rel_x4 + 1
+        if y < 0 or x < 0 or y >= m.shape[0] or x >= m.shape[1]:
+            return False
+        return bool(m[y, x])
+
+    def mark(self, plane, rel_y4, rel_x4, h4, w4):
+        m = self.maps[plane]
+        m[rel_y4 + 1:rel_y4 + 1 + h4,
+          rel_x4 + 1:rel_x4 + 1 + w4] = 1
+
+
+def _is_smooth(mode: int) -> bool:
+    return mode in (C.SMOOTH_PRED, C.SMOOTH_V_PRED, C.SMOOTH_H_PRED)
+
+
+def _filter_type(fs, b, plane) -> int:
+    """Spec get_filter_type: 1 if an above/left neighbor block uses
+    smooth prediction (per plane's mode array)."""
+    r, c = b.mi_row, b.mi_col
+    modes = fs.y_mode if plane == 0 else fs.uv_mode
+    above = left = 0
+    if b.avail_u:
+        above = _is_smooth(int(modes[r - 1, c]))
+    if b.avail_l:
+        left = _is_smooth(int(modes[r, c - 1]))
+    return int(above or left)
+
+
 def _reconstruct(fs: FrameState):
     seq = fs.seq
     bd = seq.bit_depth
     dt = np.uint8 if bd == 8 else np.uint16
     w = fs.mi_cols * 4
     h = fs.mi_rows * 4
-    planes = [np.zeros((h, w), dt)]
+    planes = [np.zeros((h, w), np.int32)]
     if seq.num_planes > 1:
         cw = w >> seq.subsampling_x
         ch = h >> seq.subsampling_y
-        planes += [np.zeros((ch, cw), dt), np.zeros((ch, cw), dt)]
-    decoded = [np.zeros(((p.shape[0] + 3) >> 2,
-                         (p.shape[1] + 3) >> 2), bool)
-               for p in planes]
-    for blk in fs.blocks:
-        _recon_block(fs, planes, decoded, blk)
-    return planes
+        planes += [np.zeros((ch, cw), np.int32),
+                   np.zeros((ch, cw), np.int32)]
+    sb4 = fs.sb4
+    sb_log2 = sb4.bit_length() - 1
+    dec = _SbDecoded(seq, sb4)
+    cur_sb = None
+    max_luma = [4, 4]     # MaxLumaW, MaxLumaH (spec, running)
+    pix_max = (1 << bd) - 1
+    for b in fs.blocks:
+        sb_r = (b.mi_row >> sb_log2) << sb_log2
+        sb_c = (b.mi_col >> sb_log2) << sb_log2
+        if (sb_r, sb_c) != cur_sb:
+            dec.reset(sb_r, sb_c, b.tile)
+            cur_sb = (sb_r, sb_c)
+        _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma,
+                     pix_max)
+    return [p.astype(dt) for p in planes]
 
 
-def _recon_block(fs, planes, decoded, blk):
-    # Reconstruction replays per-block: luma TBs in order, then
-    # chroma.  TB lists are materialised on FrameState keyed by
-    # block id during parse; see _index_tbs.
-    raise NotImplementedError
-
-
-def _loop_filters(fs, planes):
-    pass
+def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):
+    seq, fh = fs.seq, fs.fh
+    bd = seq.bit_depth
+    lossless = fh.lossless_segs[b.seg_id]
+    r0, r1, c0, c1 = b.tile
+    for plane, x, y, tx, plane_bsize in iter_tx_geometry(seq, fs, b):
+        sx = seq.subsampling_x if plane else 0
+        sy = seq.subsampling_y if plane else 0
+        w, h = C.TX_W[tx], C.TX_H[tx]
+        w4, h4 = w >> 2, h >> 2
+        x4, y4 = x >> 2, y >> 2
+        arr = planes[plane]
+        # block origin in plane pixels
+        blk_px = (b.mi_col >> sx) << 2
+        blk_py = (b.mi_row >> sy) << 2
+        avail_u = b.avail_uc if plane else b.avail_u
+        avail_l = b.avail_lc if plane else b.avail_l
+        have_above = bool(avail_u) or y > blk_py
+        have_left = bool(avail_l) or x > blk_px
+        rel_x4 = x4 - ((sb_c >> sx) if sx else sb_c)
+        rel_y4 = y4 - ((sb_r >> sy) if sy else sb_r)
+        har = dec.get(plane, rel_y4 - 1, rel_x4 + w4)
+        hbl = dec.get(plane, rel_y4 + h4, rel_x4 - 1)
+        # tile-clamped plane bounds for edge reads
+        max_x = ((c1 * 4) >> sx) - 1
+        max_y = ((r1 * 4) >> sy) - 1
+        if plane == 0:
+            mode = b.y_mode
+            angle = b.angle_y
+            fim = b.filter_intra_mode
+        else:
+            mode = b.uv_mode
+            angle = b.angle_uv
+            fim = -1
+        is_cfl = plane > 0 and mode == C.UV_CFL_PRED
+        pred_mode = C.DC_PRED if is_cfl else mode
+        ft = _filter_type(fs, b, plane)
+        pred = intra.predict(
+            arr, x, y, w, h, pred_mode, angle, fim,
+            have_left, have_above, har, hbl, max_x, max_y, bd,
+            seq.enable_intra_edge_filter, ft)
+        if is_cfl:
+            alpha = b.cfl_alpha_u if plane == 1 else b.cfl_alpha_v
+            if alpha:
+                pred = intra.cfl_predict(
+                    pred, planes[0], x, y, w, h, alpha, sx, sy,
+                    max_luma[0], max_luma[1], bd)
+        tb = b.coeff_map.get((plane, x, y))
+        if tb is not None:
+            res = inverse_transform(tb.coeffs, tx, tb.tx_type, bd,
+                                    lossless)
+            blk = pred + res
+        else:
+            blk = pred
+        # clamped write (TB may overhang the mi grid edge)
+        we = min(w, arr.shape[1] - x)
+        he = min(h, arr.shape[0] - y)
+        np.clip(blk[:he, :we], 0, pix_max, out=blk[:he, :we])
+        arr[y:y + he, x:x + we] = blk[:he, :we]
+        dec.mark(plane, rel_y4, rel_x4, h4, w4)
+        if plane == 0:
+            max_luma[0] = x + w
+            max_luma[1] = y + h

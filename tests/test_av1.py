@@ -1,0 +1,104 @@
+"""AV1 intra decoder differential tests vs dav1d.
+
+Streams are encoded in-test with the system libaom (via Pillow's AVIF
+writer) and decoded with both our decoder and dav1d (statically linked
+into Pillow's libavif; see tools/dav1d_oracle.py).  Recon is compared
+PLANE-EXACT with dav1d's in-loop filters masked off (inloop_filters=0)
+until the deblock/CDEF/LR stages land.
+
+The C reference (junka/ffpic) decodes no AV1 pixels at all
+(format/avif.c:382-405 parses the container and stops), so every test
+here is beyond-reference coverage.
+"""
+
+import numpy as np
+import pytest
+
+from tools.dav1d_oracle import decode_obus, avif_item_obus
+from ffpic_tpu.formats.av1_recon import decode_frame
+
+
+def _encode(img, tmp_path, name, **kw):
+    from PIL import Image
+    fn = tmp_path / name
+    Image.fromarray(img).save(fn, **kw)
+    return avif_item_obus(fn.read_bytes())
+
+
+def _gradient(w, h, rng, noise=20):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    g = (x[None, :] + y[:, None]) / 2
+    img = np.stack([g, g[::-1], np.abs(g - 128) * 2], -1)
+    img = img.astype(np.uint8)
+    img += rng.integers(0, noise, img.shape, dtype=np.uint8)
+    return img
+
+
+def _assert_exact(obus):
+    ref, meta = decode_obus(obus, inloop_filters=0)
+    ours, m2 = decode_frame(obus, apply_filters=False)
+    assert len(ours) == len(ref)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+    return m2
+
+
+@pytest.mark.parametrize("q,speed", [(30, 6), (60, 6), (85, 4)])
+def test_av1_recon_64_420(tmp_path, q, speed):
+    rng = np.random.default_rng(q)
+    img = _gradient(64, 64, rng)
+    obus = _encode(img, tmp_path, f"a{q}.avif", quality=q, speed=speed)
+    _assert_exact(obus)
+
+
+@pytest.mark.parametrize("sub", ["4:2:0", "4:4:4", "4:2:2", "4:0:0"])
+def test_av1_recon_subsampling(tmp_path, sub):
+    rng = np.random.default_rng(7)
+    img = _gradient(128, 128, rng)
+    obus = _encode(img, tmp_path, "s.avif", quality=70, speed=6,
+                   subsampling=sub)
+    _assert_exact(obus)
+
+
+def test_av1_recon_odd_size(tmp_path):
+    rng = np.random.default_rng(11)
+    img = _gradient(200, 136, rng)
+    obus = _encode(img, tmp_path, "o.avif", quality=55, speed=6)
+    meta = _assert_exact(obus)
+    assert meta["width"] == 200 and meta["height"] == 136
+
+
+def test_av1_recon_multi_tile(tmp_path):
+    rng = np.random.default_rng(13)
+    img = _gradient(256, 256, rng)
+    obus = _encode(img, tmp_path, "t.avif", quality=60, speed=6,
+                   tile_rows=1, tile_cols=1)
+    _assert_exact(obus)
+
+
+@pytest.mark.parametrize("q", [30, 60, 85])
+def test_av1_deblock(tmp_path, q):
+    """Recon + deblocking vs dav1d with inloop_filters=1 (deblock
+    only; CDEF/LR masked off)."""
+    rng = np.random.default_rng(q + 1)
+    img = _gradient(128, 128, rng)
+    obus = _encode(img, tmp_path, f"d{q}.avif", quality=q, speed=6)
+    ref, _ = decode_obus(obus, inloop_filters=1)
+    ours, _ = decode_frame(obus, apply_filters=True, filter_stages=1)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+
+
+def test_av1_recon_no_cdf_update(tmp_path):
+    """disable_cdf_update streams: every symbol reads default CDFs, so
+    any table/ctx-selection bug fails immediately (no adaptation to
+    mask it)."""
+    rng = np.random.default_rng(17)
+    img = _gradient(96, 96, rng)
+    obus = _encode(img, tmp_path, "n.avif", quality=80, speed=5,
+                   advanced={"cdf-update-mode": "0"})
+    _assert_exact(obus)

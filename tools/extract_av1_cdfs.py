@@ -73,9 +73,13 @@ SPEC = [
     ("partition",       0x443ba0, (5, 4), [4, 10, 10, 10, 8]),
     ("uv_mode",         0x443d60, (2, 13), [13, 14]),
     ("kf_y_mode",       0x444080, (5, 5), 13),
-    ("angle_delta",     0x444380, (8,), 7),
-    ("palette_y_size",  0x444380 + 8 * 16, (7,), 7),
-    ("palette_uv_size", 0x444380 + 15 * 16, (7,), 7),
+    # layout in libaom .rodata: palette_y_size (7 tables), then
+    # palette_uv_size (7), then angle_delta (8 rows, anchored by
+    # row0[0]=30588=32768-2180 and the delta=0 peak at symbol 3 that
+    # the normative table must have; both dav1d builds confirm)
+    ("angle_delta",     0x444460, (8,), 7),
+    ("palette_y_size",  0x444380, (7,), 7),
+    ("palette_uv_size", 0x4443f0, (7,), 7),
     ("palette_y_color", 0x441cc0, (7, 5), [2, 3, 4, 5, 6, 7, 8]),
     ("palette_uv_color", 0x441f40, (7, 5), [2, 3, 4, 5, 6, 7, 8]),
     ("intra_ext_tx",    0x442dc8, (2, 4, 13), [7, 5]),
