@@ -174,14 +174,19 @@ def _reconstruct(fs: FrameState):
     dt = np.uint8 if bd == 8 else np.uint16
     w = fs.mi_cols * 4
     h = fs.mi_rows * 4
-    planes = [np.zeros((h, w), np.int32)]
-    if seq.num_planes > 1:
-        cw = w >> seq.subsampling_x
-        ch = h >> seq.subsampling_y
-        planes += [np.zeros((ch, cw), np.int32),
-                   np.zeros((ch, cw), np.int32)]
     sb4 = fs.sb4
     sb_log2 = sb4.bit_length() - 1
+    # superblock-aligned working extent: TBs may overhang the mi grid
+    # and CfL legally reads those reconstructed overhang pixels
+    # (spec MaxLumaW/H clamp); crop to the mi grid on return.
+    aw = -(-w // (sb4 * 4)) * sb4 * 4
+    ah = -(-h // (sb4 * 4)) * sb4 * 4
+    planes = [np.zeros((ah, aw), np.int32)]
+    if seq.num_planes > 1:
+        cw = aw >> seq.subsampling_x
+        ch = ah >> seq.subsampling_y
+        planes += [np.zeros((ch, cw), np.int32),
+                   np.zeros((ch, cw), np.int32)]
     dec = _SbDecoded(seq, sb4)
     cur_sb = None
     max_luma = [4, 4]     # MaxLumaW, MaxLumaH (spec, running)
@@ -194,7 +199,11 @@ def _reconstruct(fs: FrameState):
             cur_sb = (sb_r, sb_c)
         _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma,
                      pix_max)
-    return [p.astype(dt) for p in planes]
+    out = [planes[0][:h, :w]]
+    if seq.num_planes > 1:
+        out += [p[:h >> seq.subsampling_y, :w >> seq.subsampling_x]
+                for p in planes[1:]]
+    return [p.astype(dt) for p in out]
 
 
 def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):

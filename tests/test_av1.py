@@ -93,6 +93,45 @@ def test_av1_deblock(tmp_path, q):
         assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
 
 
+@pytest.mark.parametrize("q,sub", [(20, "4:2:0"), (40, "4:2:0"),
+                                   (60, "4:4:4"), (40, "4:2:2"),
+                                   (30, "4:0:0")])
+def test_av1_cdef(tmp_path, q, sub):
+    """Recon + deblock + CDEF vs dav1d inloop_filters=3 (LR masked)."""
+    rng = np.random.default_rng(q * 3)
+    img = _gradient(128, 128, rng)
+    obus = _encode(img, tmp_path, f"c{q}.avif", quality=q, speed=6,
+                   subsampling=sub)
+    ref, _ = decode_obus(obus, inloop_filters=3)
+    ours, _ = decode_frame(obus, apply_filters=True, filter_stages=3)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+
+
+def test_av1_cdef_odd_size(tmp_path):
+    """CDEF on a non-square, non-SB-aligned frame (exercises the
+    partial 64x64 unit and frame-edge CDEF_VERY_LARGE padding)."""
+    rng = np.random.default_rng(99)
+    img = _gradient(200, 136, rng)
+    obus = _encode(img, tmp_path, "co.avif", quality=40, speed=6)
+    ref, _ = decode_obus(obus, inloop_filters=3)
+    ours, _ = decode_frame(obus, apply_filters=True, filter_stages=3)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+
+
+def test_av1_cfl_overhang(tmp_path):
+    """CfL on blocks overhanging the mi grid: the luma AC source must
+    read real reconstructed overhang pixels (SB-aligned buffers), not
+    clamped plane edges (regression: 200x136 4:2:0 q40)."""
+    rng = np.random.default_rng(240)
+    img = _gradient(200, 136, rng)
+    obus = _encode(img, tmp_path, "cf.avif", quality=40, speed=6)
+    _assert_exact(obus)
+
+
 def test_av1_recon_no_cdf_update(tmp_path):
     """disable_cdf_update streams: every symbol reads default CDFs, so
     any table/ctx-selection bug fails immediately (no adaptation to
