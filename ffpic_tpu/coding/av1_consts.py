@@ -391,3 +391,42 @@ INTRA_FILTER_TAPS = [
 
 # Mode_To_Angle helper for filter ctx
 ANGLE_STEP = 3
+
+
+# ------------------------------------------------------------- loop restore
+# Sgr_Params (spec 7.17.3): per lr_sgr_set (r0, s0, r1, s1) where s =
+# Round((1 << SGRPROJ_MTABLE_BITS) / (n^2 * e)) is the precomputed scale
+# the decoders store instead of e.  Machine-carved from libaom 3.6.0
+# .rodata (av1_sgr_params, int32 {r[2], s[2]}) and byte-cross-validated
+# against dav1d 1.0.0 and Pillow's static dav1d 1.5.1
+# (dav1d_sgr_params uint16 {s0, s1}); see session notes.  The C
+# reference (junka/ffpic) has no AV1 decode at all (avif.c:382-405).
+SGR_PARAMS = [
+    (2, 140, 1, 3236), (2, 112, 1, 2158), (2, 93, 1, 1618),
+    (2, 80, 1, 1438), (2, 70, 1, 1295), (2, 58, 1, 1177),
+    (2, 47, 1, 1079), (2, 37, 1, 996), (2, 30, 1, 925),
+    (2, 25, 1, 863), (0, 0, 1, 2589), (0, 0, 1, 1618),
+    (0, 0, 1, 1177), (0, 0, 1, 925), (2, 56, 0, 0), (2, 22, 0, 0),
+]
+
+# Wiener_Taps_{Min,Max,Mid,K} (spec 5.11.58 / 6.10.15)
+WIENER_TAPS_MIN = [-5, -23, -17]
+WIENER_TAPS_MAX = [10, 8, 46]
+WIENER_TAPS_MID = [3, -7, 15]
+WIENER_TAPS_K = [1, 2, 3]
+
+# Sgrproj_Xqd_{Min,Max,Mid} (spec 5.11.58)
+SGRPROJ_XQD_MIN = [-96, -32]
+SGRPROJ_XQD_MAX = [31, 95]
+SGRPROJ_XQD_MID = [-32, 31]
+SGRPROJ_PRJ_SUBEXP_K = 4
+SGRPROJ_PRJ_BITS = 7
+SGRPROJ_RST_BITS = 4
+SGRPROJ_SGR_BITS = 8
+SGRPROJ_MTABLE_BITS = 20
+SGRPROJ_RECIP_BITS = 12
+
+
+def count_units_in_frame(unit_size: int, frame_size: int) -> int:
+    """Spec count_units_in_frame (5.9.22)."""
+    return max((frame_size + (unit_size >> 1)) // unit_size, 1)

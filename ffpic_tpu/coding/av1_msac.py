@@ -144,12 +144,11 @@ class Msac:
             v = (v << 1) | self.decode_bool(1 << 14)
         return v
 
-    def decode_subexp(self, num_syms: int) -> int:
+    def decode_subexp(self, num_syms: int, k: int = 3) -> int:
         """read_subexp / decode_subexp_bool (spec 9.2.x) over literal
         bits, used for loop-restoration etc. (not golomb)."""
         i = 0
         mk = 0
-        k = 3
         while True:
             b2 = k + i - 1 if i else k
             a = 1 << b2

@@ -107,6 +107,10 @@ class FrameState:
         self.blocks: list[Block] = []
         self.tbs: list[TransformBlock] = []
         self.sb4 = sb4
+        # loop-restoration unit state keyed (plane, unit_row, unit_col)
+        self.lr_rtype: dict = {}     # -> RESTORE_* actually used
+        self.lr_wiener: dict = {}    # -> [[v0,v1,v2], [h0,h1,h2]]
+        self.lr_sgr: dict = {}       # -> (set_idx, [xqd0, xqd1])
 
 
 class TileDecoder:
@@ -139,6 +143,12 @@ class TileDecoder:
         self.current_qindex = fs.fh.base_q_idx
         self.cur_delta_lf = [0, 0, 0, 0]
         self.read_deltas = False
+        # loop-restoration prediction refs, reset per tile (spec
+        # clear_loop_restoration, 7.4)
+        self.lr_ref_wiener = [[list(C.WIENER_TAPS_MID) for _ in range(2)]
+                              for _ in range(nplanes)]
+        self.lr_ref_sgr = [list(C.SGRPROJ_XQD_MID)
+                           for _ in range(nplanes)]
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -175,7 +185,96 @@ class TileDecoder:
             for c in range(self.c0, self.c1, sb4):
                 self.read_deltas = (self.fh.delta_q_present or
                                     self.fh.delta_lf_present)
+                self._read_lr(r, c)
                 self.decode_partition(r, c, sb_bsize)
+
+    # ----------------------------------------------------- loop restoration
+    def _read_lr(self, r, c):
+        """Spec 5.11.57 read_lr: per-superblock loop-restoration unit
+        syntax.  The reference decoder has no AV1 support at all; the
+        analogous HEVC syntax walk lives in hevc_slice.py."""
+        fh, fs, seq = self.fh, self.fs, self.seq
+        if fh.allow_intrabc or not getattr(fh, "uses_lr", False):
+            return
+        w4 = h4 = fs.sb4
+        for plane in range(seq.num_planes):
+            if fh.lr_type[plane] == H.RESTORE_NONE:
+                continue
+            sx = seq.subsampling_x if plane else 0
+            sy = seq.subsampling_y if plane else 0
+            unit = fh.lr_unit_size[plane]
+            ph = (fh.height + sy) >> sy
+            pw = (fh.width + sx) >> sx
+            unit_rows = C.count_units_in_frame(unit, ph)
+            unit_cols = C.count_units_in_frame(unit, pw)
+            ur0 = (r * (4 >> sy) + unit - 1) // unit
+            ur1 = min(unit_rows,
+                      ((r + h4) * (4 >> sy) + unit - 1) // unit)
+            uc0 = (c * (4 >> sx) + unit - 1) // unit
+            uc1 = min(unit_cols,
+                      ((c + w4) * (4 >> sx) + unit - 1) // unit)
+            for ur in range(ur0, ur1):
+                for uc in range(uc0, uc1):
+                    self._read_lr_unit(plane, ur, uc)
+
+    def _subexp_ref(self, low, high, k, ref):
+        """decode_signed_subexp_with_ref_bool (spec 5.11.61-63)."""
+        mx = high - low
+        r = ref - low
+        v = self.m.decode_subexp(mx, k)
+        if (r << 1) <= mx:
+            x = _inverse_recenter(r, v)
+        else:
+            x = mx - 1 - _inverse_recenter(mx - 1 - r, v)
+        return x + low
+
+    def _read_lr_unit(self, plane, ur, uc):
+        """Spec 5.11.58 read_lr_unit."""
+        fh, fs = self.fh, self.fs
+        t = self.cdf
+        ftype = fh.lr_type[plane]
+        if ftype == H.RESTORE_WIENER:
+            use = self.m.decode_bool_adapt(t["restore_wiener"][0])
+            rtype = H.RESTORE_WIENER if use else H.RESTORE_NONE
+        elif ftype == H.RESTORE_SGRPROJ:
+            use = self.m.decode_bool_adapt(t["restore_sgrproj"][0])
+            rtype = H.RESTORE_SGRPROJ if use else H.RESTORE_NONE
+        else:
+            rtype = (H.RESTORE_NONE, H.RESTORE_WIENER,
+                     H.RESTORE_SGRPROJ)[
+                self.sym(t["restore_switchable"][0])]
+        fs.lr_rtype[(plane, ur, uc)] = rtype
+        if rtype == H.RESTORE_WIENER:
+            taps = [[0, 0, 0], [0, 0, 0]]
+            for p in range(2):
+                first = 1 if plane else 0
+                for j in range(first, 3):
+                    v = self._subexp_ref(
+                        C.WIENER_TAPS_MIN[j], C.WIENER_TAPS_MAX[j] + 1,
+                        C.WIENER_TAPS_K[j],
+                        self.lr_ref_wiener[plane][p][j])
+                    taps[p][j] = v
+                    self.lr_ref_wiener[plane][p][j] = v
+            fs.lr_wiener[(plane, ur, uc)] = taps
+        elif rtype == H.RESTORE_SGRPROJ:
+            set_idx = self.literal(4)
+            xqd = [0, 0]
+            for i in range(2):
+                radius = C.SGR_PARAMS[set_idx][i * 2]
+                lo = C.SGRPROJ_XQD_MIN[i]
+                hi = C.SGRPROJ_XQD_MAX[i]
+                if radius:
+                    v = self._subexp_ref(lo, hi + 1,
+                                         C.SGRPROJ_PRJ_SUBEXP_K,
+                                         self.lr_ref_sgr[plane][i])
+                else:
+                    v = 0
+                    if i == 1:
+                        v = min(hi, max(lo, (1 << C.SGRPROJ_PRJ_BITS) -
+                                        self.lr_ref_sgr[plane][0]))
+                xqd[i] = v
+                self.lr_ref_sgr[plane][i] = v
+            fs.lr_sgr[(plane, ur, uc)] = (set_idx, xqd)
 
     # ---------------------------------------------------------- partitions
     def _partition_ctx(self, r, c, bsize):
@@ -394,7 +493,13 @@ class TileDecoder:
         fs.b_col0[r:re, c:ce] = c
         fs.b_row0[r:re, c:ce] = r
         fs.y_mode[r:re, c:ce] = b.y_mode
-        fs.uv_mode[r:re, c:ce] = b.uv_mode
+        if b.has_chroma:
+            # propagate over the full chroma-covering mi extent so
+            # chroma-neighbor lookups (e.g. get_filter_type) see the
+            # pair's uv mode on 4xN/Nx4 sub-8x8 partners too
+            sx, sy = seq.subsampling_x, seq.subsampling_y
+            fs.uv_mode[r - (r & (sy & (bh4 == 1))):re,
+                       c - (c & (sx & (bw4 == 1))):ce] = b.uv_mode
         fs.skip[r:re, c:ce] = b.skip
         fs.seg[r:re, c:ce] = b.seg_id
         fs.qindex_mi[r:re, c:ce] = self._block_qindex(b)
@@ -617,6 +722,15 @@ class TileDecoder:
         w4 = C.TX_W[tx] >> 2
         h4 = C.TX_H[tx] >> 2
         tw, th = C.TX_W[tx], C.TX_H[tx]
+        # level-context reads/writes are clipped to the frame's mi
+        # extent for TBs overhanging the right/bottom edge (dav1d
+        # bounds its coef ctx loops by the frame, and the adapted-CDF
+        # stream depends on it — found via the 4:4:4 200x136 overhang
+        # divergence)
+        sx = seq.subsampling_x if plane else 0
+        sy = seq.subsampling_y if plane else 0
+        cw4 = min(w4, (self.fs.mi_cols >> sx) - x4)
+        ch4 = min(h4, (self.fs.mi_rows >> sy) - y4)
         # ---- all_zero
         if plane == 0:
             pbw = C.BLOCK_W4[plane_bsize] * 4
@@ -625,10 +739,10 @@ class TileDecoder:
                 ctx = 0
             else:
                 top = 0
-                for k in range(w4):
+                for k in range(cw4):
                     top |= int(a[x4 + k])
                 left = 0
-                for k in range(h4):
+                for k in range(ch4):
                     left |= int(l[l_base + k])
                 top &= 63
                 left &= 63
@@ -636,16 +750,16 @@ class TileDecoder:
                 mn = min(top, left, 4)
                 ctx = C.SKIP_CONTEXTS[mn][mx]
         else:
-            above_nz = any(a[x4 + k] & 63 for k in range(w4))
-            left_nz = any(l[l_base + k] & 63 for k in range(h4))
+            above_nz = any(a[x4 + k] & 63 for k in range(cw4))
+            left_nz = any(l[l_base + k] & 63 for k in range(ch4))
             pbw = C.BLOCK_W4[plane_bsize] * 4
             pbh = C.BLOCK_H4[plane_bsize] * 4
             off = 10 if pbw * pbh > tw * th else 7
             ctx = int(above_nz) + int(left_nz) + off
         all_zero = self.sym(t["txb_skip"][txs_ctx][ctx])
         if all_zero:
-            a[x4:x4 + w4] = 0
-            l[l_base:l_base + h4] = 0
+            a[x4:x4 + cw4] = 0
+            l[l_base:l_base + ch4] = 0
             return 0, None, C.DCT_DCT
         # ---- tx type + scan
         if plane == 0:
@@ -768,11 +882,11 @@ class TileDecoder:
             if level:
                 if c_i == 0:
                     dcs = 0
-                    for k in range(w4):
+                    for k in range(cw4):
                         v = int(a[x4 + k]) >> 6
                         dcs += 1 if v == 2 else (-1 if v == 1
                                                  else 0)
-                    for k in range(h4):
+                    for k in range(ch4):
                         v = int(l[l_base + k]) >> 6
                         dcs += 1 if v == 2 else (-1 if v == 1
                                                  else 0)
@@ -788,8 +902,8 @@ class TileDecoder:
             cul += level
             signs[pos] = sign
         cul = min(cul, 63)
-        a[x4:x4 + w4] = cul | (dc_cat << 6)
-        l[l_base:l_base + h4] = cul | (dc_cat << 6)
+        a[x4:x4 + cw4] = cul | (dc_cat << 6)
+        l[l_base:l_base + ch4] = cul | (dc_cat << 6)
         # ---- dequant
         qidx = H.get_qindex(fh, b.seg_id, b.qindex)
         if plane == 0:
@@ -806,7 +920,11 @@ class TileDecoder:
             max(0, min(255, qidx + dc_delta))])
         ac_q = int(TABLES["q_ac" + sfx][
             max(0, min(255, qidx + ac_delta))])
-        shift = max(0, C.TX_SIZE_SQR_UP[tx] - 2)
+        # dequant scale (spec dqDenom / libaom av1_get_tx_scale): by
+        # FULL tx area, not sqr-up size — 8x32 (256 pels) shifts 0,
+        # 16x64 (1024 pels) shifts 1
+        pels = C.TX_W[tx] * C.TX_H[tx]
+        shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         bd = seq.bit_depth
         clip = 1 << (bd + 7)
         out = np.zeros((h, w), np.int64)
@@ -865,6 +983,15 @@ def iter_tx_geometry(seq, fs, b):
                         if start_x >= max_x or start_y >= max_y:
                             continue
                         yield plane, start_x, start_y, tx, plane_bsize
+
+
+def _inverse_recenter(r, v):
+    """Spec 5.9.27 inverse_recenter."""
+    if v > 2 * r:
+        return v
+    if v & 1:
+        return r + ((v + 1) >> 1)
+    return r - (v >> 1)
 
 
 def _neg_deinterleave(diff, ref, max_val):

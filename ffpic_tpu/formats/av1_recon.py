@@ -156,14 +156,27 @@ def _is_smooth(mode: int) -> bool:
 
 
 def _filter_type(fs, b, plane) -> int:
-    """Spec get_filter_type: 1 if an above/left neighbor block uses
-    smooth prediction (per plane's mode array)."""
+    """Spec 7.11.2.8 get_filter_type: 1 if an above/left neighbor
+    block uses smooth prediction.  For chroma the neighbors are those
+    of the CHROMA block (whose origin is the sub-8x8 pair's first mi),
+    checked against the uv-mode array (propagated over the pair)."""
     r, c = b.mi_row, b.mi_col
-    modes = fs.y_mode if plane == 0 else fs.uv_mode
+    if plane == 0:
+        above_ok, left_ok = b.avail_u, b.avail_l
+        modes = fs.y_mode
+    else:
+        above_ok, left_ok = b.avail_uc, b.avail_lc
+        modes = fs.uv_mode
+        sy = fs.seq.subsampling_y
+        sx = fs.seq.subsampling_x
+        if sy and C.BLOCK_H4[b.bsize] == 1:
+            r -= r & 1
+        if sx and C.BLOCK_W4[b.bsize] == 1:
+            c -= c & 1
     above = left = 0
-    if b.avail_u:
+    if above_ok:
         above = _is_smooth(int(modes[r - 1, c]))
-    if b.avail_l:
+    if left_ok:
         left = _is_smooth(int(modes[r, c - 1]))
     return int(above or left)
 

@@ -141,3 +141,49 @@ def test_av1_recon_no_cdf_update(tmp_path):
     obus = _encode(img, tmp_path, "n.avif", quality=80, speed=5,
                    advanced={"cdf-update-mode": "0"})
     _assert_exact(obus)
+
+
+def test_av1_444_overhang_ctx_clip(tmp_path):
+    """Coefficient-level ctx reads/writes must be clipped to the
+    frame's mi extent for TBs overhanging the right/bottom edge: a
+    16x32 block in an 8-px partial SB column adapts txb_skip/dc_sign
+    rows through the overhang cells otherwise, desyncing the adapted
+    CDFs hundreds of symbols later (regression: 4:4:4 200x136 q20)."""
+    rng = np.random.default_rng(20336)
+    img = _gradient(200, 136, rng)
+    obus = _encode(img, tmp_path, "ov.avif", quality=20, speed=6,
+                   subsampling="4:4:4")
+    _assert_exact(obus)
+
+
+def test_av1_dequant_area_scale(tmp_path):
+    """Dequant scale is keyed on full tx AREA (spec dqDenom /
+    av1_get_tx_scale), not sqr-up size: an 8x32 TB (256 pels) shifts
+    0 where sqr-up-32 wrongly shifted 1 (regression: speed-1 q60)."""
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 255, 128)
+    g = (x[None, :] + x[:, None]) / 2
+    img = np.stack([g, g[::-1], np.abs(g - 128) * 2], -1).astype(np.uint8)
+    img += rng.integers(0, 30, img.shape, dtype=np.uint8)
+    obus = _encode(img, tmp_path, "dq.avif", quality=60, speed=1)
+    _assert_exact(obus)
+
+
+def test_av1_lr_syntax_and_filter_type(tmp_path):
+    """speed-2 streams enable loop restoration (per-SB read_lr units
+    must be consumed to stay in entropy sync) and 4xN/Nx4 partition
+    pairs (get_filter_type must look at the CHROMA block's neighbors
+    via the propagated uv-mode array).  Recon + deblock + CDEF exact;
+    the LR filter itself is covered separately."""
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 255, 128)
+    g = (x[None, :] + x[:, None]) / 2
+    img = np.stack([g, g[::-1], np.abs(g - 128) * 2], -1).astype(np.uint8)
+    img += rng.integers(0, 30, img.shape, dtype=np.uint8)
+    obus = _encode(img, tmp_path, "lr.avif", quality=60, speed=2)
+    _assert_exact(obus)
+    ref, _ = decode_obus(obus, inloop_filters=3)
+    ours, _ = decode_frame(obus, apply_filters=True, filter_stages=3)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
