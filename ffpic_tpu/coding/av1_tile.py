@@ -986,12 +986,15 @@ def iter_tx_geometry(seq, fs, b):
 
 
 def _inverse_recenter(r, v):
-    """Spec 5.9.27 inverse_recenter."""
+    """Spec 5.9.27 inverse_recenter (libaom inv_recenter_nonneg):
+    even v maps above the reference, odd v below.  The parity matters
+    but is invisible to entropy-sync tests (bit consumption is
+    identical either way) — pinned by the Wiener-exact LR tests."""
     if v > 2 * r:
         return v
     if v & 1:
-        return r + ((v + 1) >> 1)
-    return r - (v >> 1)
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
 
 
 def _neg_deinterleave(diff, ref, max_val):

@@ -28,12 +28,13 @@ def apply_loop_filters(fs, planes, stages=7):
     pin each stage independently."""
     if stages & 1:
         planes = deblock_frame(fs, planes)
+    deblocked = planes    # pre-CDEF frame: LR stripe-boundary source
     if stages & 2:
         from ffpic_tpu.formats.av1_cdef import cdef_frame
         planes = cdef_frame(fs, planes)
     if stages & 4:
         from ffpic_tpu.formats.av1_lr import lr_frame
-        planes = lr_frame(fs, planes)
+        planes = lr_frame(fs, planes, deblocked)
     return planes
 
 
@@ -201,9 +202,11 @@ def deblock_frame(fs, planes):
             continue
         sx = seq.subsampling_x if plane else 0
         sy = seq.subsampling_y if plane else 0
+        # NB: no per-pass luma gate on loop_filter_level[pass]: a zero
+        # base level can still yield nonzero edge levels via
+        # ref/mode/segment/delta-lf adjustments (spec 7.14.4 — only
+        # the both-levels-zero plane gate above is normative).
         for pass_ in (0, 1):
-            if plane == 0 and not fh.loop_filter_level[pass_]:
-                continue
             _deblock_pass(fs, out[plane], plane, pass_, sx, sy, bd,
                           sharp)
     return [p.astype(dt) for p in out]

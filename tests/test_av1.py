@@ -169,6 +169,57 @@ def test_av1_dequant_area_scale(tmp_path):
     _assert_exact(obus)
 
 
+def _assert_filtered_exact(obus, mask=7):
+    ref, _ = decode_obus(obus, inloop_filters=mask)
+    ours, _ = decode_frame(obus, apply_filters=True, filter_stages=mask)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+
+
+def test_av1_lr_wiener(tmp_path):
+    """Loop restoration, Wiener-only luma unit (spec 7.17.4), plus
+    the inverse_recenter parity this stream pins (libaom
+    inv_recenter_nonneg: even v above the ref — the opposite parity
+    decodes plausible-but-wrong taps with identical bit consumption,
+    invisible to every entropy-sync test)."""
+    rng = np.random.default_rng(7)
+    img = _gradient(200, 136, rng, noise=30)
+    obus = _encode(img, tmp_path, "lw.avif", quality=40, speed=2)
+    _assert_filtered_exact(obus)
+
+
+def test_av1_lr_sgr_multiunit(tmp_path):
+    """Self-guided restoration over a 2x2 unit grid with multiple
+    64-row stripes (stripe-boundary rows read the deblocked pre-CDEF
+    frame per get_source_sample), mixed SGR sets incl. an r0==0 set.
+    Also pins the deblock vertical pass with loop_filter_level[0]==0
+    but ref_deltas raising edge levels (no per-pass gate, 7.14.4)."""
+    rng = np.random.default_rng(1)
+    img = _gradient(512, 512, rng, noise=40)
+    obus = _encode(img, tmp_path, "ls.avif", quality=50, speed=2)
+    _assert_filtered_exact(obus)
+
+
+def test_av1_lr_444_mixed(tmp_path):
+    """4:4:4 frame mixing Wiener luma units with SGR chroma units
+    (incl. r1==0 sets 14/15) across a multi-unit grid."""
+    rng = np.random.default_rng(5)
+    img = _gradient(512, 512, rng, noise=50)
+    obus = _encode(img, tmp_path, "l4.avif", quality=40, speed=2,
+                   subsampling="4:4:4")
+    _assert_filtered_exact(obus)
+
+
+def test_av1_lr_monochrome(tmp_path):
+    """4:0:0 with mixed Wiener/SGR units on the single plane."""
+    rng = np.random.default_rng(7)
+    img = _gradient(512, 512, rng, noise=50)
+    obus = _encode(img, tmp_path, "lm.avif", quality=40, speed=2,
+                   subsampling="4:0:0")
+    _assert_filtered_exact(obus)
+
+
 def test_av1_lr_syntax_and_filter_type(tmp_path):
     """speed-2 streams enable loop restoration (per-SB read_lr units
     must be consumed to stay in entropy sync) and 4xN/Nx4 partition
