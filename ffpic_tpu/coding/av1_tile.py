@@ -542,17 +542,23 @@ class TileDecoder:
 
     # ------------------------------------------------------------- cdef
     def _read_cdef(self, r, c, bsize, skip):
+        """Spec 5.11.56 read_cdef: ONE cdef_idx literal per block,
+        anchored at its 64x64-aligned corner and propagated over every
+        64x64 unit the block covers — a >64 block (e.g. unpartitioned
+        128x128) still reads a single symbol (reading per-unit
+        over-consumes 3x cdef_bits and desyncs at the first such
+        block)."""
         fh, fs = self.fh, self.fs
         if (skip or fh.coded_lossless or not self.seq.enable_cdef or
                 fh.allow_intrabc):
             return
-        bw4, bh4 = C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]
-        for rr in range(r >> 4, min((r + bh4 + 15) >> 4,
-                                    fs.cdef_idx.shape[0])):
-            for cc in range(c >> 4, min((c + bw4 + 15) >> 4,
-                                        fs.cdef_idx.shape[1])):
-                if fs.cdef_idx[rr, cc] < 0:
-                    fs.cdef_idx[rr, cc] = self.literal(fh.cdef_bits)
+        r1, c1 = r >> 4, c >> 4
+        if fs.cdef_idx[r1, c1] < 0:
+            v = self.literal(fh.cdef_bits)
+            bw4, bh4 = C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]
+            re = min(((r & ~15) + bh4 + 15) >> 4, fs.cdef_idx.shape[0])
+            ce = min(((c & ~15) + bw4 + 15) >> 4, fs.cdef_idx.shape[1])
+            fs.cdef_idx[r1:re, c1:ce] = v
 
     # ----------------------------------------------------------- deltas
     def _read_deltas(self, r, c, bsize, skip):

@@ -238,3 +238,29 @@ def test_av1_lr_syntax_and_filter_type(tmp_path):
     for i, (a, b) in enumerate(zip(ours, ref)):
         bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
         assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+
+
+def test_av1_sb128(tmp_path):
+    """128x128 superblocks (speed-0 encodes set use_128x128_superblock):
+    read_cdef must consume exactly ONE cdef_idx literal per coded block
+    anchored at its 64x64-aligned corner, propagated over every unit the
+    block covers — per-unit reads over-consume cdef_bits and desync on
+    the first unpartitioned >64px block.  Full in-loop filter chain
+    (deblock + CDEF + LR) vs dav1d."""
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 255, 256)
+    g = (x[None, :] + x[:, None]) / 2
+    img = np.stack([g, g[::-1], np.abs(g - 128) * 2], -1).astype(np.uint8)
+    img += rng.integers(0, 20, img.shape, dtype=np.uint8)
+    obus = _encode(img, tmp_path, "sb128.avif", quality=60, speed=0)
+    from ffpic_tpu.coding import av1_headers as H
+    for obu in H.parse_obus(obus):
+        if obu["type"] == 1:
+            assert H.parse_sequence_header(
+                obu["payload"]).use_128x128_superblock
+            break
+    ref, _ = decode_obus(obus, inloop_filters=7)
+    ours, _ = decode_frame(obus, apply_filters=True, filter_stages=7)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+        assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
