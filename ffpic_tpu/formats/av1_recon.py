@@ -61,7 +61,11 @@ def decode_frame(obus_data: bytes, apply_filters: bool = True,
     meta = dict(width=fs.fh.width, height=fs.fh.height,
                 bit_depth=seq.bit_depth,
                 mono=seq.mono_chrome,
-                subsampling=(seq.subsampling_x, seq.subsampling_y))
+                subsampling=(seq.subsampling_x, seq.subsampling_y),
+                color_primaries=seq.color_primaries,
+                transfer_characteristics=seq.transfer_characteristics,
+                matrix_coefficients=seq.matrix_coefficients,
+                color_range=seq.color_range)
     w, h = fs.fh.width, fs.fh.height
     out = [planes[0][:h, :w]]
     if len(planes) > 1:

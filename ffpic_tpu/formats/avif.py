@@ -1,19 +1,28 @@
-"""AVIF codec (parse level — parity+ with format/avif.c).
+"""AVIF codec — full pixel decode (beyond-reference).
 
-Reuses the ISOBMFF layer; parses the av1C config record and walks AV1
-OBUs with a full sequence-header parse (dimensions, profile, bit
-depth, color config — avif.c:124-257). Frame/tile-group decode is not
-implemented (the reference's is an empty stub as well, avif.c:382-405).
+The C reference parses the container and the AV1 sequence header and
+stops (format/avif.c:382-405 is a frame stub); here the primary item
+(single av01, or a grid of av01 tiles) is decoded to pixels with the
+in-repo AV1 intra decoder (coding/av1_tile.py + formats/av1_recon.py,
+bit-exact vs dav1d including deblock/CDEF/loop-restoration), then
+converted to RGBA honoring the colr/nclx box (CICP matrix + range),
+the auxiliary alpha item, and irot/imir transforms.
+
+Reuses the ISOBMFF layer from formats/heif.py (same meta/iloc/iref
+structure; only the coded payload differs).
 """
 
 from __future__ import annotations
 
-import struct
+import logging
+
+import numpy as np
 
 from ffpic_tpu.formats.pic import Pic
 from ffpic_tpu.formats.registry import Codec, register
 from ffpic_tpu.formats import heif as heif_mod
-from ffpic_tpu.utils.bitstream import BitReader
+
+log = logging.getLogger("ffpic")
 
 
 def probe(data: bytes) -> bool:
@@ -21,69 +30,198 @@ def probe(data: bytes) -> bool:
             data[8:12] in (b"avif", b"avis"))
 
 
-def _parse_obus(data: bytes) -> list[dict]:
-    obus = []
-    pos = 0
-    while pos < len(data):
-        b0 = data[pos]
-        otype = (b0 >> 3) & 0xF
-        has_ext = b0 & 4
-        has_size = b0 & 2
-        pos += 1 + (1 if has_ext else 0)
-        if has_size:
-            size = 0
-            shift = 0
-            while True:
-                c = data[pos]
-                pos += 1
-                size |= (c & 0x7F) << shift
-                shift += 7
-                if not (c & 0x80):
-                    break
-        else:
-            size = len(data) - pos
-        obus.append(dict(type=otype, payload=data[pos:pos + size]))
-        pos += size
-    return obus
+# ---------------------------------------------------------------- YUV->RGBA
+
+# CICP MatrixCoefficients -> (Kr, Kb).  2 (unspecified) falls back to
+# BT.601 — what libavif assumes for display when nothing else is
+# signalled.
+_CICP_KR_KB = {
+    1: (0.2126, 0.0722),    # BT.709
+    4: (0.30, 0.11),        # FCC
+    5: (0.299, 0.114),      # BT.470BG
+    6: (0.299, 0.114),      # BT.601
+    7: (0.299, 0.114),      # SMPTE 240 (approx)
+    9: (0.2627, 0.0593),    # BT.2020 NCL
+    10: (0.2627, 0.0593),   # BT.2020 CL (approximated as NCL)
+}
 
 
-def _parse_sequence_header(payload: bytes) -> dict:
-    r = BitReader(payload)
-    profile = r.read_bits(3)
-    still = r.read_bit()
-    reduced = r.read_bit()
-    out = dict(profile=profile, still_picture=bool(still),
-               reduced_header=bool(reduced))
-    if reduced:
-        out["level"] = r.read_bits(5)
+def _norm_plane(p, bd: int, limited: bool, chroma: bool) -> np.ndarray:
+    """Code values -> float 0..255 (luma) / centred (chroma)."""
+    x = p.astype(np.float32)
+    lo = 16 << (bd - 8)
+    if chroma:
+        x -= float(1 << (bd - 1))
+        x *= 255.0 / ((224 << (bd - 8)) if limited else ((1 << bd) - 1))
     else:
-        timing = r.read_bit()
-        if timing:
-            return out  # timing info parse not needed for stills
-        r.read_bit()    # initial_display_delay
-        n_op = r.read_bits(5) + 1
-        for _ in range(n_op):
-            r.read_bits(12)
-            lvl = r.read_bits(5)
-            if lvl > 7:
-                r.read_bit()
-        out["operating_points"] = n_op
-    wbits = r.read_bits(4) + 1
-    hbits = r.read_bits(4) + 1
-    out["width"] = r.read_bits(wbits) + 1
-    out["height"] = r.read_bits(hbits) + 1
-    if not reduced:
-        if r.read_bit():            # frame_id_numbers
-            r.read_bits(7)
-    r.read_bit()                    # use_128x128_superblock
-    r.read_bits(2)                  # filter_intra, intra_edge_filter
-    if not reduced:
-        r.read_bits(4)              # interintra..dual_filter
-        if r.read_bit():            # enable_order_hint
-            r.read_bits(2)
-            # jnt_comp/ref_frame_mvs then seq_choose flags follow
-    return out
+        if limited:
+            x = (x - lo) * (255.0 / (219 << (bd - 8)))
+        else:
+            x *= 255.0 / ((1 << bd) - 1)
+    return x
 
+
+def _up2(a: np.ndarray, axis: int) -> np.ndarray:
+    """2x bilinear upsample for center-sited chroma (libjpeg 'fancy'
+    weights 3/4-1/4): out[2i] = (3c[i]+c[i-1]+2)>>2,
+    out[2i+1] = (3c[i]+c[i+1]+2)>>2 — matches libavif's filtered
+    chroma upsampling to within rounding."""
+    a = np.moveaxis(a, axis, 0).astype(np.int32)
+    prev = np.concatenate([a[:1], a[:-1]], 0)
+    nxt = np.concatenate([a[1:], a[-1:]], 0)
+    out = np.empty((a.shape[0] * 2,) + a.shape[1:], np.int32)
+    out[0::2] = (3 * a + prev + 2) >> 2
+    out[1::2] = (3 * a + nxt + 2) >> 2
+    return np.moveaxis(out, 0, axis)
+
+
+def _upsample(p, sx: int, sy: int, h: int, w: int) -> np.ndarray:
+    if sy:
+        p = _up2(p, 0)
+    if sx:
+        p = _up2(p, 1)
+    return p[:h, :w]
+
+
+def _yuv_to_rgba(planes, meta, nclx) -> np.ndarray:
+    """CICP color conversion.  The nclx box wins over the sequence
+    header's color_config (both carry CICP; MIAF says the container
+    overrides), defaulting to BT.601 when both say 'unspecified'."""
+    bd = meta["bit_depth"]
+    if nclx:
+        mc = nclx.get("matrix", 2)
+        full = bool(nclx.get("full_range", True))
+    else:
+        mc = meta["matrix_coefficients"]
+        full = bool(meta["color_range"])
+    limited = not full
+
+    h, w = planes[0].shape
+    if meta["mono"] or len(planes) == 1:
+        g8 = np.clip(np.floor(
+            _norm_plane(planes[0], bd, limited, False) + 0.5),
+            0, 255).astype(np.uint8)
+        rgba = np.empty((h, w, 4), np.uint8)
+        rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g8
+        rgba[:, :, 3] = 255
+        return rgba
+
+    if mc == 0:                           # identity: planes are G, B, R
+        sc = 255.0 / ((1 << bd) - 1)
+        g, b, r = (np.clip(np.floor(p.astype(np.float32) * sc + 0.5),
+                           0, 255) for p in planes)
+        return np.stack([r, g, b, np.full((h, w), 255.0)],
+                        -1).astype(np.uint8)
+
+    sx, sy = meta["subsampling"]
+    yy = _norm_plane(planes[0], bd, limited, False)
+    uu = _norm_plane(_upsample(planes[1], sx, sy, h, w), bd, limited,
+                     True)
+    vv = _norm_plane(_upsample(planes[2], sx, sy, h, w), bd, limited,
+                     True)
+    kr, kb = _CICP_KR_KB.get(mc, (0.299, 0.114))
+    kg = 1.0 - kr - kb
+    r = np.floor(yy + 2 * (1 - kr) * vv + 0.5)
+    b = np.floor(yy + 2 * (1 - kb) * uu + 0.5)
+    g = np.floor(yy - (2 * kb * (1 - kb) / kg) * uu
+                 - (2 * kr * (1 - kr) / kg) * vv + 0.5)
+    rgba = np.stack([np.clip(r, 0, 255), np.clip(g, 0, 255),
+                     np.clip(b, 0, 255), np.full((h, w), 255.0)],
+                    -1).astype(np.uint8)
+    return rgba
+
+
+# ------------------------------------------------------------- item decode
+
+def _decode_item_yuv(data, s, item_id):
+    from ffpic_tpu.formats.av1_recon import decode_frame
+    payload = heif_mod.read_item(data, s, item_id)
+    return decode_frame(payload)
+
+
+def _decode_item_rgba(data, s, item_id, nclx):
+    planes, meta = _decode_item_yuv(data, s, item_id)
+    props = s["items"][item_id].get("properties", {})
+    rgba = _yuv_to_rgba(planes, meta, nclx)
+    w = min(props.get("width") or rgba.shape[1], rgba.shape[1])
+    h = min(props.get("height") or rgba.shape[0], rgba.shape[0])
+    return rgba[:h, :w]
+
+
+def _decode_grid(data, s, tile_ids, grid, nclx):
+    """Grid of av01 tiles — each an independent entropy+recon unit
+    (the host-thread split point, heif.c:273-312 analog).  Tiles are
+    pasted in YUV space and color-converted ONCE so chroma upsampling
+    crosses tile seams (per-tile RGB conversion leaves visible seam
+    rounding; libavif reassembles in YUV too)."""
+    W, H = grid["width"], grid["height"]
+    cols = grid["cols"]
+    nw = heif_mod._grid_workers(len(tile_ids))
+    if nw > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            tiles = list(ex.map(
+                lambda tid: _decode_item_yuv(data, s, tid), tile_ids))
+    else:
+        tiles = [_decode_item_yuv(data, s, tid) for tid in tile_ids]
+
+    meta0 = tiles[0][1]
+    sx, sy = meta0["subsampling"]
+    nplanes = 1 if meta0["mono"] else 3
+    cw, ch = (W + sx) >> sx, (H + sy) >> sy
+    dt = tiles[0][0][0].dtype
+    canvases = [np.zeros((H, W), dt)] + \
+        [np.zeros((ch, cw), dt) for _ in range(nplanes - 1)]
+    for idx, (planes, _m) in enumerate(tiles):
+        r, c = divmod(idx, cols)
+        th, tw = planes[0].shape
+        y0, x0 = r * th, c * tw
+        if y0 >= H or x0 >= W:
+            continue
+        canvases[0][y0:y0 + th, x0:x0 + tw] = \
+            planes[0][:H - y0, :W - x0]
+        for pi in range(1, nplanes):
+            cy0, cx0 = y0 >> sy, x0 >> sx
+            p = planes[pi]
+            canvases[pi][cy0:cy0 + p.shape[0], cx0:cx0 + p.shape[1]] \
+                = p[:ch - cy0, :cw - cx0]
+    return _yuv_to_rgba(canvases, meta0, nclx)
+
+
+def _decode_alpha(data, s, alpha_id):
+    """Aux alpha item: a monochrome (or luma-only-used) av01 item,
+    possibly itself a grid."""
+    item = s["items"][alpha_id]
+    if item.get("type") == "grid":
+        grid = heif_mod._grid_layout(heif_mod.read_item(data, s,
+                                                        alpha_id))
+        a_tiles = []
+        for rtype, frm, tos in s["refs"]:
+            if rtype == "dimg" and frm == alpha_id:
+                a_tiles = tos
+        W, H = grid["width"], grid["height"]
+        canvas = np.zeros((H, W), np.uint8)
+        for idx, tid in enumerate(a_tiles):
+            r, c = divmod(idx, grid["cols"])
+            canvas_tile = _alpha_plane(*_decode_item_yuv(data, s, tid))
+            th, tw = canvas_tile.shape
+            y0, x0 = r * th, c * tw
+            if y0 < H and x0 < W:
+                canvas[y0:y0 + th, x0:x0 + tw] = \
+                    canvas_tile[:H - y0, :W - x0]
+        return canvas
+    return _alpha_plane(*_decode_item_yuv(data, s, alpha_id))
+
+
+def _alpha_plane(planes, meta):
+    bd = meta["bit_depth"]
+    limited = not bool(meta["color_range"])
+    return np.clip(np.floor(
+        _norm_plane(planes[0], bd, limited, False) + 0.5),
+        0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------- load
 
 def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
     s = heif_mod.parse_structure(data)
@@ -95,25 +233,88 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
     H = props.get("height", 0)
     meta = dict(primary=primary_id, n_items=len(items),
                 items={i: it["type"] for i, it in items.items()})
-    if primary.get("type") == "av01":
-        payload = heif_mod.read_item(data, s, primary_id)
+
+    tile_ids = []
+    if primary.get("type") == "grid":
+        grid = heif_mod._grid_layout(heif_mod.read_item(data, s,
+                                                        primary_id))
+        meta["grid"] = grid
+        W, H = grid["width"], grid["height"]
+        for rtype, frm, tos in s["refs"]:
+            if rtype == "dimg" and frm == primary_id:
+                tile_ids = tos
+
+    # sequence-header info for picinfo (full parser — the lightweight
+    # duplicate this module used to carry is gone)
+    seq_item = primary_id if primary.get("type") == "av01" else \
+        (tile_ids[0] if tile_ids else None)
+    if seq_item is not None:
         try:
-            for obu in _parse_obus(payload):
-                if obu["type"] == 1:  # sequence header
-                    meta["sequence_header"] = _parse_sequence_header(
-                        obu["payload"])
+            from ffpic_tpu.coding import av1_headers as Hh
+            payload = heif_mod.read_item(data, s, seq_item)
+            for obu in Hh.parse_obus(payload):
+                if obu["type"] == Hh.OBU_SEQUENCE_HEADER:
+                    sh = Hh.parse_sequence_header(obu["payload"])
+                    meta["sequence_header"] = dict(
+                        profile=sh.profile,
+                        still_picture=sh.still_picture,
+                        width=sh.max_frame_width,
+                        height=sh.max_frame_height,
+                        bit_depth=sh.bit_depth,
+                        mono=sh.mono_chrome,
+                        subsampling=(sh.subsampling_x,
+                                     sh.subsampling_y))
+                    if not W:
+                        W, H = sh.max_frame_width, sh.max_frame_height
                     break
         except (IndexError, ValueError):
             pass
+
     meta.update(width=W, height=H)
     pic = Pic(width=W, height=H, depth=32, pitch=W * 4, codec="AVIF",
               meta=meta)
     if skip_decode:
         return [pic]
-    raise NotImplementedError(
-        "AVIF pixel decode (AV1 intra) not implemented; metadata "
-        "available via skip_decode — the C reference is frame-stub "
-        "only as well (avif.c:382-405)")
+
+    nclx = props.get("nclx")
+    if nclx is None and tile_ids:
+        nclx = items[tile_ids[0]]["properties"].get("nclx")
+
+    if primary.get("type") == "grid":
+        rgba = _decode_grid(data, s, tile_ids, meta["grid"], nclx)
+    elif primary.get("type") == "av01":
+        rgba = _decode_item_rgba(data, s, primary_id, nclx)[:H, :W]
+    else:
+        raise NotImplementedError(
+            f"AVIF primary item type {primary.get('type')!r}")
+
+    alpha_id = heif_mod._find_alpha_item(s, primary_id, tile_ids)
+    if alpha_id is not None:
+        try:
+            a = _decode_alpha(data, s, alpha_id)
+            if a is not None and a.shape == rgba.shape[:2]:
+                rgba = rgba.copy()
+                rgba[:, :, 3] = a
+                meta["alpha"] = True
+        except (ValueError, NotImplementedError) as e:
+            log.warning("alpha aux item decode failed: %s", e)
+
+    # irot (anti-clockwise 90s) then imir, libavif's application order
+    rot = props.get("rotation", 0)
+    if rot:
+        rgba = np.ascontiguousarray(np.rot90(rgba, rot // 90))
+        meta["rotation"] = rot
+    mir = props.get("mirror")
+    if mir is not None:
+        rgba = np.ascontiguousarray(
+            np.fliplr(rgba) if mir == 0 else np.flipud(rgba))
+        meta["mirror"] = mir
+    pic.width, pic.height = rgba.shape[1], rgba.shape[0]
+    pic.pitch = pic.width * 4
+    meta.update(width=pic.width, height=pic.height)
+
+    pic.pixels = rgba
+    return [pic]
 
 
 def info(pic: Pic) -> str:
@@ -121,11 +322,17 @@ def info(pic: Pic) -> str:
     lines = ["AVIF file format",
              f"\twidth {m['width']}, height {m['height']}",
              f"\tprimary item {m['primary']}, {m['n_items']} items"]
+    if m.get("grid"):
+        g = m["grid"]
+        lines.append(f"\tgrid {g['rows']}x{g['cols']} tiles")
     if "sequence_header" in m:
         sh = m["sequence_header"]
         lines.append(f"\tAV1 profile {sh.get('profile')} "
                      f"{sh.get('width')}x{sh.get('height')} "
+                     f"{sh.get('bit_depth')}-bit "
                      f"still={sh.get('still_picture')}")
+    if m.get("alpha"):
+        lines.append("\talpha: auxiliary item")
     return "\n".join(lines)
 
 

@@ -86,6 +86,10 @@ def _item_properties(data, boxes, item_id, ipma, ipco_children):
                 props["av1C"] = data[b.start:b.start + b.size]
             elif b.type == "irot":
                 props["rotation"] = (data[b.start] & 3) * 90
+            elif b.type == "imir":
+                # ISO 23008-12 6.5.12: axis 0 = vertical (left-right
+                # flip), 1 = horizontal (top-bottom flip)
+                props["mirror"] = data[b.start] & 1
             elif b.type == "colr":
                 ctype = data[b.start:b.start + 4]
                 props["colr"] = ctype

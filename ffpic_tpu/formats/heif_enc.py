@@ -196,9 +196,12 @@ def encode_heif(pic, quality: int = 75, tile: int | None = None,
     return _assemble(items, refs, primary_id)
 
 
-def _assemble(items, refs, primary_id) -> bytes:
-    """Build ftyp + meta (+iloc resolved) + mdat."""
-    ftyp = _box("ftyp", b"heic" + struct.pack(">I", 0) + b"heicmif1")
+def _assemble(items, refs, primary_id,
+              brand: bytes = b"heic",
+              compat: bytes = b"heicmif1") -> bytes:
+    """Build ftyp + meta (+iloc resolved) + mdat.  brand/compat let
+    the same assembler emit AVIF containers (av01 items)."""
+    ftyp = _box("ftyp", brand + struct.pack(">I", 0) + compat)
 
     hdlr = _full("hdlr", 0, 0,
                  struct.pack(">I", 0) + b"pict" + bytes(12) + b"\0")

@@ -28,8 +28,9 @@ def test_avif_structure(rng):
     assert "AVIF" in txt
     sh = pic.meta.get("sequence_header")
     assert sh and sh["width"] == 40 and sh["height"] == 24
-    with pytest.raises(NotImplementedError):
-        ffpic_tpu.load(data)
+    # full pixel decode (beyond-reference; RGBA vs PIL in test_avif.py)
+    pic = ffpic_tpu.load(data)
+    assert pic.pixels.shape == (24, 40, 4)
 
 
 def test_isobmff_box_walk(rng):
