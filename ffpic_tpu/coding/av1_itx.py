@@ -124,6 +124,12 @@ def _idct_odd(x, lo, hi):
 
 
 def _clip(v, lo, hi):
+    """Scalar or lane-vector clamp: every 1-D network below is generic
+    over python ints and int64 numpy lanes (same +,-,*,>> semantics;
+    numpy >> on negative int64 is arithmetic like python's), so the
+    batched driver reuses the exact scalar networks bit-for-bit."""
+    if isinstance(v, np.ndarray):
+        return np.clip(v, lo, hi)
     return lo if v < lo else (hi if v > hi else v)
 
 
@@ -397,4 +403,62 @@ def inverse_transform(coeffs: np.ndarray, tx_size: int, tx_type: int,
         out = out[:, ::-1]
     if vk == _FLIP:
         out = out[::-1, :]
+    return np.ascontiguousarray(out)
+
+
+def inverse_transform_batch(coeffs: np.ndarray, tx_size: int,
+                            tx_type: int, bit_depth: int = 8,
+                            lossless: bool = False) -> np.ndarray:
+    """Batched 2D inverse transform: (B, ah, aw) -> (B, h, w) int32.
+
+    Same 1-D butterfly networks as inverse_transform, applied once
+    with numpy int64 LANES (lane = one row/column of one TU) instead
+    of per-scalar recursion — bit-exact by construction since every
+    op (+,-,*,arithmetic >>, clip) is elementwise.  This is where the
+    AV1 decode time went (scalar transforms were ~75% of a frame);
+    batching all same-(size,type) TUs of a frame amortizes the
+    network's Python overhead across B*rows lanes."""
+    if lossless:
+        return np.stack([inv_wht4x4(c) for c in coeffs]).astype(
+            np.int32)
+    B = coeffs.shape[0]
+    w, h = TX_W[tx_size], TX_H[tx_size]
+    adj = adjusted_tx_size(tx_size)
+    aw, ah = TX_W[adj], TX_H[adj]
+    vk, hk = _TYPE_1D[tx_type]
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    rect2 = abs(log2w - log2h) == 1
+    row_shift = _ROW_SHIFT[(w, h)]
+    row_bits = bit_depth + 8
+    col_bits = max(bit_depth + 6, 16)
+    rlo, rhi = -(1 << (row_bits - 1)), (1 << (row_bits - 1)) - 1
+    clo, chi = -(1 << (col_bits - 1)), (1 << (col_bits - 1)) - 1
+
+    src = coeffs.astype(np.int64)
+    lanes = B * ah
+    zero = np.zeros(lanes, np.int64)
+    row = [src[:, :, c].reshape(lanes) for c in range(aw)] + \
+        [zero] * (w - aw)
+    if rect2:
+        row = [(v * 2896 + 2048) >> 12 for v in row]
+    row = [np.clip(v, rlo, rhi) for v in row]
+    row = _apply_1d(hk, row, w, rlo, rhi)
+    if row_shift:
+        add = 1 << (row_shift - 1)
+        row = [(v + add) >> row_shift for v in row]
+    # rows >= ah carry all-zero coefficients and every network maps
+    # zero lanes to zero, so only the first ah rows are materialized
+    buf = np.zeros((B, h, w), np.int64)
+    for c in range(w):
+        buf[:, :ah, c] = row[c].reshape(B, ah)
+    col = [np.clip(buf[:, r, :].reshape(B * w), clo, chi)
+           for r in range(h)]
+    col = _apply_1d(vk, col, h, clo, chi)
+    out = np.empty((B, h, w), np.int32)
+    for r in range(h):
+        out[:, r, :] = ((col[r] + 8) >> 4).reshape(B, w)
+    if hk == _FLIP:
+        out = out[:, :, ::-1]
+    if vk == _FLIP:
+        out = out[:, ::-1, :]
     return np.ascontiguousarray(out)

@@ -65,7 +65,7 @@ class Block:
 
 class TransformBlock:
     __slots__ = ("plane", "x", "y", "tx_size", "tx_type", "eob",
-                 "coeffs", "block")
+                 "coeffs", "block", "residual")
 
     def __init__(self, plane, x, y, tx_size, tx_type, eob, coeffs,
                  block):
@@ -77,6 +77,8 @@ class TransformBlock:
         self.eob = eob
         self.coeffs = coeffs    # dequantized int64 (h, w) adjusted
         self.block = block
+        self.residual = None    # filled by the batched inverse
+                                # transform pre-pass (av1_recon)
 
 
 class FrameState:

@@ -185,9 +185,30 @@ def _filter_type(fs, b, plane) -> int:
     return int(above or left)
 
 
+def _precompute_residuals(fs: FrameState):
+    """Residuals depend only on coefficients, never on prediction, so
+    every TU's inverse transform runs BEFORE the sequential intra
+    wavefront — grouped by (tx_size, tx_type, lossless) into one
+    lane-vectorized network application each
+    (av1_itx.inverse_transform_batch)."""
+    from ffpic_tpu.coding.av1_itx import inverse_transform_batch
+    bd = fs.seq.bit_depth
+    groups = {}
+    for tb in fs.tbs:
+        lossless = fs.fh.lossless_segs[tb.block.seg_id]
+        groups.setdefault((tb.tx_size, tb.tx_type, lossless),
+                          []).append(tb)
+    for (tx, tt, lossless), tbs in groups.items():
+        res = inverse_transform_batch(
+            np.stack([tb.coeffs for tb in tbs]), tx, tt, bd, lossless)
+        for i, tb in enumerate(tbs):
+            tb.residual = res[i]
+
+
 def _reconstruct(fs: FrameState):
     seq = fs.seq
     bd = seq.bit_depth
+    _precompute_residuals(fs)
     dt = np.uint8 if bd == 8 else np.uint16
     w = fs.mi_cols * 4
     h = fs.mi_rows * 4
@@ -272,8 +293,9 @@ def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):
                     max_luma[0], max_luma[1], bd)
         tb = b.coeff_map.get((plane, x, y))
         if tb is not None:
-            res = inverse_transform(tb.coeffs, tx, tb.tx_type, bd,
-                                    lossless)
+            res = tb.residual if tb.residual is not None else \
+                inverse_transform(tb.coeffs, tx, tb.tx_type, bd,
+                                  lossless)
             blk = pred + res
         else:
             blk = pred
