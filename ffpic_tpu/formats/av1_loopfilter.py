@@ -212,9 +212,245 @@ def deblock_frame(fs, planes):
     return [p.astype(dt) for p in out]
 
 
+def _filter_level_grid(fs, plane, pass_, MR, MC):
+    """Vectorized spec 7.14.4 over (n4r, n4c) mi-coordinate grids."""
+    fh = fs.fh
+    i = pass_ if plane == 0 else plane + 1
+    base = fh.loop_filter_level[i]
+    lvl = np.full(MR.shape, base, np.int32)
+    if fh.delta_lf_present:
+        d = fs.delta_lf[MR, MC, i if fh.delta_lf_multi else 0]
+        lvl = np.clip(base + d.astype(np.int32), 0, MAX_LOOP_FILTER)
+    if fh.segmentation_enabled:
+        seg = fs.seg[MR, MC].astype(np.int32)
+        feat = SEG_LVL_ALT_LF_Y_V + i
+        en = np.asarray([fh.feature_enabled[s][feat]
+                         for s in range(len(fh.feature_enabled))],
+                        bool)[seg]
+        dat = np.asarray([fh.feature_data[s][feat]
+                          for s in range(len(fh.feature_data))],
+                         np.int32)[seg]
+        lvl = np.where(en, np.clip(lvl + dat, 0, MAX_LOOP_FILTER),
+                       lvl)
+    if fh.loop_filter_delta_enabled:
+        lvl = np.clip(
+            lvl + (fh.loop_filter_ref_deltas[INTRA_FRAME]
+                   << (lvl >> 5)), 0, MAX_LOOP_FILTER)
+    return lvl
+
+
+def _filter_edges_vec(seg, limit, blimit, thresh, wd, bd):
+    """Vectorized _filter_edge over N lanes: seg (N, 2*reach) int32,
+    limit/blimit/thresh (N,).  Returns (out, changed_mask).  Same
+    normative math; lanes whose filter mask fails keep their input."""
+    n = seg.shape[1] // 2
+    ps = seg[:, :n][:, ::-1]
+    qs = seg[:, n:]
+    p0, p1 = ps[:, 0], ps[:, 1]
+    q0, q1 = qs[:, 0], qs[:, 1]
+    ad = lambda a, b: np.abs(a - b)
+    fm = ((ad(p1, p0) <= limit) & (ad(q1, q0) <= limit) &
+          (ad(p0, q0) * 2 + (ad(p1, q1) >> 1) <= blimit))
+    if wd > 4:
+        fm &= (ad(ps[:, 2], p1) <= limit) & (ad(qs[:, 2], q1) <= limit)
+        if wd > 6:
+            fm &= (ad(ps[:, 3], ps[:, 2]) <= limit) & \
+                (ad(qs[:, 3], qs[:, 2]) <= limit)
+    F = 1 << (bd - 8)
+    out_p = ps.copy()
+    out_q = qs.copy()
+    if wd >= 6:
+        flat = ((ad(p1, p0) <= F) & (ad(q1, q0) <= F) &
+                (ad(ps[:, 2], p0) <= F) & (ad(qs[:, 2], q0) <= F))
+        if wd >= 8:
+            flat &= (ad(ps[:, 3], p0) <= F) & (ad(qs[:, 3], q0) <= F)
+    else:
+        flat = np.zeros(len(seg), bool)
+
+    # narrow filter (filter4) with high-edge-variance check — computed
+    # for every lane, selected where not flat
+    hev = (ad(p1, p0) > thresh) | (ad(q1, q0) > thresh)
+    lo, hi = -128 * F, 128 * F - 1
+    cd = lambda x: np.clip(x, lo, hi)
+    f_hev = cd(cd(p1 - q1) + 3 * (q0 - p0))
+    f_no = cd(3 * (q0 - p0))
+    f = np.where(hev, f_hev, f_no)
+    f1 = cd(f + 4) >> 3
+    f2 = cd(f + 3) >> 3
+    pmax = (1 << bd) - 1
+    n_p0 = np.clip(p0 + f2, 0, pmax)
+    n_q0 = np.clip(q0 - f1, 0, pmax)
+    f3 = (f1 + 1) >> 1
+    n_p1 = np.where(hev, p1, np.clip(p1 + f3, 0, pmax))
+    n_q1 = np.where(hev, q1, np.clip(q1 - f3, 0, pmax))
+    sel4 = ~flat
+    out_p[:, 0] = np.where(sel4, n_p0, out_p[:, 0])
+    out_q[:, 0] = np.where(sel4, n_q0, out_q[:, 0])
+    out_p[:, 1] = np.where(sel4, n_p1, out_p[:, 1])
+    out_q[:, 1] = np.where(sel4, n_q1, out_q[:, 1])
+
+    if wd == 6:
+        p2, q2 = ps[:, 2], qs[:, 2]
+        w_p = [(p2 * 3 + p1 * 2 + p0 * 2 + q0 + 4) >> 3,
+               (p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + 4) >> 3]
+        w_q = [(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 + 4) >> 3,
+               (p0 + q0 * 2 + q1 * 2 + q2 * 3 + 4) >> 3]
+        out_p[:, 1] = np.where(flat, w_p[0], out_p[:, 1])
+        out_p[:, 0] = np.where(flat, w_p[1], out_p[:, 0])
+        out_q[:, 0] = np.where(flat, w_q[0], out_q[:, 0])
+        out_q[:, 1] = np.where(flat, w_q[1], out_q[:, 1])
+    elif wd >= 8:
+        if wd >= 16:
+            flat_out = flat.copy()
+            for j in range(4, 7):
+                flat_out &= (ad(ps[:, j], p0) <= F) & \
+                    (ad(qs[:, j], q0) <= F)
+            flat8 = flat & ~flat_out
+        else:
+            flat_out = np.zeros(len(seg), bool)
+            flat8 = flat
+        p3, p2 = ps[:, 3], ps[:, 2]
+        q2, q3 = qs[:, 2], qs[:, 3]
+        e_p = [(p3 * 3 + p2 * 2 + p1 + p0 + q0 + 4) >> 3,
+               (p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1 + 4) >> 3,
+               (p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2 + 4) >> 3]
+        e_q = [(p2 + p1 + p0 + q0 * 2 + q1 + q2 + q3 + 4) >> 3,
+               (p1 + p0 + q0 + q1 * 2 + q2 + q3 * 2 + 4) >> 3,
+               (p0 + q0 + q1 + q2 * 2 + q3 * 3 + 4) >> 3]
+        for k in range(3):
+            out_p[:, 2 - k] = np.where(flat8, e_p[k], out_p[:, 2 - k])
+            out_q[:, k] = np.where(flat8, e_q[k], out_q[:, k])
+        if wd >= 16:
+            p6, p5, p4 = ps[:, 6], ps[:, 5], ps[:, 4]
+            q4, q5, q6 = qs[:, 4], qs[:, 5], qs[:, 6]
+            g_p = [
+                (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0
+                 + 8) >> 4,
+                (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0
+                 + q0 + q1 + 8) >> 4,
+                (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0
+                 + q0 + q1 + q2 + 8) >> 4,
+                (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0
+                 + q0 + q1 + q2 + q3 + 8) >> 4,
+                (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2
+                 + q0 + q1 + q2 + q3 + q4 + 8) >> 4,
+                (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2
+                 + q1 + q2 + q3 + q4 + q5 + 8) >> 4]
+            g_q = [
+                (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2
+                 + q2 + q3 + q4 + q5 + q6 + 8) >> 4,
+                (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2
+                 + q3 + q4 + q5 + q6 * 2 + 8) >> 4,
+                (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2
+                 + q4 + q5 + q6 * 3 + 8) >> 4,
+                (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2
+                 + q5 + q6 * 4 + 8) >> 4,
+                (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2
+                 + q6 * 5 + 8) >> 4,
+                (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7
+                 + 8) >> 4]
+            for k in range(6):
+                out_p[:, 5 - k] = np.where(flat_out, g_p[k],
+                                           out_p[:, 5 - k])
+                out_q[:, k] = np.where(flat_out, g_q[k],
+                                       out_q[:, k])
+    out = np.concatenate([out_p[:, ::-1], out_q], axis=1)
+    return out, fm
+
+
 def _deblock_pass(fs, arr, plane, pass_, sx, sy, bd, sharp):
+    """Vectorized deblock pass: all edges of one orientation at once.
+    Edge independence within a pass is structural — wd is the min of
+    the adjacent tx widths, so a filter's write reach (<=6 of 16px,
+    <=3 of 8px, <=2 of 4px) never enters a neighboring edge's read
+    span; scatter order is therefore free (libaom SIMD relies on the
+    same property)."""
+    h, w = arr.shape
+    n4c = w >> 2
+    n4r = h >> 2
+    txw = fs.tx_w4[0 if plane == 0 else 1]
+    txh = fs.tx_h4[0 if plane == 0 else 1]
+    mi_rows, mi_cols = fs.mi_rows, fs.mi_cols
+    r4 = np.arange(n4r)
+    c4 = np.arange(n4c)
+    mr = np.minimum((r4 << sy) | sy, mi_rows - 1)
+    mc = np.minimum((c4 << sx) | sx, mi_cols - 1)
+    MR = np.broadcast_to(mr[:, None], (n4r, n4c))
+    MC = np.broadcast_to(mc[None, :], (n4r, n4c))
+    if pass_ == 0:
+        pmc = np.minimum((np.maximum(c4 - 1, 0) << sx) | sx,
+                         mi_cols - 1)
+        PMR, PMC = MR, np.broadcast_to(pmc[None, :], (n4r, n4c))
+        tcur = txw[MR, MC].astype(np.int32)
+        tprev = txw[PMR, PMC].astype(np.int32)
+        on_edge = (np.broadcast_to(c4[None, :], (n4r, n4c))
+                   % np.maximum(tcur, 1) == 0) & (c4 > 0)[None, :]
+        is_block_edge = (fs.b_col0[MR, MC] >> sx) == c4[None, :]
+    else:
+        pmr = np.minimum((np.maximum(r4 - 1, 0) << sy) | sy,
+                         mi_rows - 1)
+        PMR, PMC = np.broadcast_to(pmr[:, None], (n4r, n4c)), MC
+        tcur = txh[MR, MC].astype(np.int32)
+        tprev = txh[PMR, PMC].astype(np.int32)
+        on_edge = (np.broadcast_to(r4[:, None], (n4r, n4c))
+                   % np.maximum(tcur, 1) == 0) & (r4 > 0)[:, None]
+        is_block_edge = (fs.b_row0[MR, MC] >> sy) == r4[:, None]
+    active = on_edge & (is_block_edge | ~fs.skip[MR, MC].astype(bool)
+                        | ~fs.skip[PMR, PMC].astype(bool))
+    if not active.any():
+        return
+    lvl = _filter_level_grid(fs, plane, pass_, MR, MC)
+    lvlp = _filter_level_grid(fs, plane, pass_, PMR, PMC)
+    lvl = np.where(lvl == 0, lvlp, lvl)
+    active &= lvl > 0
+    m = np.minimum(tcur, tprev)
+    if plane == 0:
+        wd = np.where(m >= 4, 16, np.where(m >= 2, 8, 4))
+    else:
+        wd = np.where(m >= 2, 6, 4)
+
+    # vectorized _thresholds
+    shift = 2 if sharp > 4 else (1 if sharp > 0 else 0)
+    if sharp > 0:
+        limit = np.clip(lvl >> shift, 1, 9 - sharp)
+    else:
+        limit = np.maximum(1, lvl)
+    blimit = 2 * (lvl + 2) + limit
+    thresh = lvl >> 4
+    sc = 1 << (bd - 8)
+
+    for wdc in ((4, 8, 16) if plane == 0 else (4, 6)):
+        sel = active & (wd == wdc)
+        rr, cc = np.nonzero(sel)
+        if rr.size == 0:
+            continue
+        reach = 7 if wdc == 16 else (wdc >> 1)
+        offs = np.arange(-reach, reach)
+        if pass_ == 0:
+            ys = (rr[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+            xs = np.repeat(cc * 4, 4)
+            seg = arr[ys[:, None], xs[:, None] + offs[None, :]]
+        else:
+            ys = np.repeat(rr * 4, 4)
+            xs = (cc[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+            seg = arr[ys[:, None] + offs[None, :], xs[:, None]]
+        lim = np.repeat(limit[rr, cc] * sc, 4)
+        blim = np.repeat(blimit[rr, cc] * sc, 4)
+        thr = np.repeat(thresh[rr, cc] * sc, 4)
+        out, changed = _filter_edges_vec(seg, lim, blim, thr, wdc, bd)
+        if not changed.any():
+            continue
+        res = np.where(changed[:, None], out, seg)
+        if pass_ == 0:
+            arr[ys[:, None], xs[:, None] + offs[None, :]] = res
+        else:
+            arr[ys[:, None] + offs[None, :], xs[:, None]] = res
+
+
+def _deblock_pass_scalar(fs, arr, plane, pass_, sx, sy, bd, sharp):
     """pass_ 0: vertical edges (filter across columns);
-    pass_ 1: horizontal edges."""
+    pass_ 1: horizontal edges.  Scalar oracle for _deblock_pass
+    (kept for differential testing; bit-identical by construction)."""
     h, w = arr.shape
     n4c = w >> 2
     n4r = h >> 2
