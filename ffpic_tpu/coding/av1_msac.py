@@ -97,7 +97,7 @@ class Msac:
             sym += 1
             prev = cur
             if sym < n - 1:
-                f = cdf[sym]
+                f = int(cdf[sym])   # plain int: rows may be numpy
                 cur = ((r8 * (f >> EC_PROB_SHIFT)) >> 1) + \
                     EC_MIN_PROB * (n - 1 - sym)
             else:
@@ -189,7 +189,21 @@ class CdfContext:
     """Per-tile adaptive CDF state: mutable list copies of the default
     tables, laid out [p0..pn-2, 0, counter]."""
 
+    # Coefficient-decode families live in contiguous int32 numpy
+    # arenas instead of nested lists: the stored default width is
+    # already [p0..p_{n-2}, 0(zero slot), 0(counter)], so the arrays
+    # are decode-ready as-is.  Python's decode_symbol works on the
+    # rows unchanged (len/index/in-place add), and the native hot
+    # path (native/host_av1.c) adapts the SAME memory so Python and C
+    # symbols interleave within a tile.
+    _NUMPY_FAMILIES = ("txb_skip", "eob_pt_16", "eob_pt_32",
+                       "eob_pt_64", "eob_pt_128", "eob_pt_256",
+                       "eob_pt_512", "eob_pt_1024", "eob_extra",
+                       "coeff_base_eob", "coeff_base", "coeff_br",
+                       "dc_sign")
+
     def __init__(self, qctx: int):
+        import numpy as np
         self.qctx = qctx
         t = TABLES
         self.tables = {}
@@ -200,7 +214,11 @@ class CdfContext:
             if name.startswith(("txb_skip", "eob_", "coeff_",
                                 "dc_sign")):
                 a = arr[qctx]
-            self.tables[name] = _to_lists(a)
+            if name in self._NUMPY_FAMILIES:
+                self.tables[name] = np.ascontiguousarray(
+                    a.astype(np.int32))
+            else:
+                self.tables[name] = _to_lists(a)
 
     def __getitem__(self, name):
         return self.tables[name]

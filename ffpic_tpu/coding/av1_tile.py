@@ -115,6 +115,9 @@ class FrameState:
         self.lr_sgr: dict = {}       # -> (set_idx, [xqd0, xqd1])
 
 
+_OFFTAB_CACHE: dict = {}
+
+
 class TileDecoder:
     def __init__(self, fs: FrameState, data: bytes,
                  mi_row_start, mi_row_end, mi_col_start, mi_col_end):
@@ -151,6 +154,14 @@ class TileDecoder:
                               for _ in range(nplanes)]
         self.lr_ref_sgr = [list(C.SGRPROJ_XQD_MID)
                            for _ in range(nplanes)]
+        # native coefficient decode (host_av1.c) shares the CDF
+        # arenas; FFPIC_AV1_NO_NATIVE pins the pure-Python oracle
+        import os
+        from ffpic_tpu import native
+        self._use_native = (native.available()
+                            and not os.environ.get(
+                                "FFPIC_AV1_NO_NATIVE"))
+        self._mstate = np.zeros(5, np.int64)
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -778,6 +789,10 @@ class TileDecoder:
             tx_type = C.DCT_DCT
         scan = C.get_scan(tx, tx_type)
         cls = C.tx_type_class(tx_type)
+        if self._use_native:
+            return self._coeffs_native(plane, x4, y4, tx, b, a, l,
+                                       l_base, cw4, ch4, w, h, scan,
+                                       cls, tx_type, txs_ctx, ptype)
         # ---- eob
         area = w * h
         emul = (w.bit_length() - 1) + (h.bit_length() - 1) - 4
@@ -913,6 +928,26 @@ class TileDecoder:
         a[x4:x4 + cw4] = cul | (dc_cat << 6)
         l[l_base:l_base + ch4] = cul | (dc_cat << 6)
         # ---- dequant
+        dc_q, ac_q, shift, clip = self._dequant_params(plane, b,
+                                                       tx)
+        bd = self.seq.bit_depth
+        out = np.zeros((h, w), np.int64)
+        flat = out.reshape(-1)
+        for c_i in range(eob):
+            pos = int(scan[c_i])
+            level = int(quant[pos])
+            if not level:
+                continue
+            dqv = dc_q if pos == 0 else ac_q
+            dq = (level * dqv) & 0xFFFFFF
+            dq >>= shift
+            if signs[pos]:
+                dq = -dq
+            flat[pos] = max(-clip, min(clip - 1, dq))
+        return eob, out, tx_type
+
+    def _dequant_params(self, plane, b, tx):
+        seq, fh = self.seq, self.fh
         qidx = H.get_qindex(fh, b.seg_id, b.qindex)
         if plane == 0:
             dc_delta, ac_delta = fh.delta_q_y_dc, 0
@@ -933,22 +968,65 @@ class TileDecoder:
         # 16x64 (1024 pels) shifts 1
         pels = C.TX_W[tx] * C.TX_H[tx]
         shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
-        bd = seq.bit_depth
-        clip = 1 << (bd + 7)
-        out = np.zeros((h, w), np.int64)
-        flat = out.reshape(-1)
-        for c_i in range(eob):
-            pos = int(scan[c_i])
-            level = int(quant[pos])
-            if not level:
-                continue
-            dqv = dc_q if pos == 0 else ac_q
-            dq = (level * dqv) & 0xFFFFFF
-            dq >>= shift
-            if signs[pos]:
-                dq = -dq
-            flat[pos] = max(-clip, min(clip - 1, dq))
+        clip = 1 << (seq.bit_depth + 7)
+        return dc_q, ac_q, shift, clip
+
+    def _coeffs_native(self, plane, x4, y4, tx, b, a, l, l_base,
+                       cw4, ch4, w, h, scan, cls, tx_type, txs_ctx,
+                       ptype):
+        """Hand the post-tx_type symbol stream to host_av1.c: eob,
+        base/br levels, signs, golomb tails and dequant run in C on
+        the same CDF arenas; the msac state round-trips through
+        self._mstate."""
+        from ffpic_tpu import native
+        t = self.cdf
+        m = self.m
+        # dc_sign context from the pre-update a/l accumulators
+        dcs = 0
+        for k in range(cw4):
+            v = int(a[x4 + k]) >> 6
+            dcs += 1 if v == 2 else (-1 if v == 1 else 0)
+        for k in range(ch4):
+            v = int(l[l_base + k]) >> 6
+            dcs += 1 if v == 2 else (-1 if v == 1 else 0)
+        dc_sctx = 0 if dcs == 0 else (1 if dcs < 0 else 2)
+        dc_q, ac_q, shift, clip = self._dequant_params(plane, b, tx)
+        emul = (w.bit_length() - 1) + (h.bit_length() - 1) - 4
+        eob_pt_cdf = t[f"eob_pt_{16 << emul}"][ptype][
+            0 if cls == C.TX_CLASS_2D else 1]
+        st = self._mstate
+        st[0] = m.dif
+        st[1] = m.rng
+        st[2] = m.cnt
+        st[3] = m.bitpos
+        st[4] = 1 if m.allow_update else 0
+        out = np.zeros((h, w), np.int32)
+        eob, cul, dc_cat = native.av1_coeffs(
+            m.data, st, eob_pt_cdf,
+            t["eob_extra"][txs_ctx][ptype],
+            t["coeff_base_eob"][txs_ctx][ptype],
+            t["coeff_base"][txs_ctx][ptype],
+            t["coeff_br"][min(txs_ctx, 3)][ptype],
+            t["dc_sign"][ptype],
+            scan, w, h, cls, dc_sctx, dc_q, ac_q, shift, clip,
+            self._offtab(w, h), out)
+        m.dif = int(st[0])
+        m.rng = int(st[1])
+        m.cnt = int(st[2])
+        m.bitpos = int(st[3])
+        a[x4:x4 + cw4] = cul | (dc_cat << 6)
+        l[l_base:l_base + ch4] = cul | (dc_cat << 6)
         return eob, out, tx_type
+
+    @staticmethod
+    def _offtab(w, h):
+        key = (w, h)
+        tab = _OFFTAB_CACHE.get(key)
+        if tab is None:
+            tab = np.ascontiguousarray(
+                np.asarray(C.lo_ctx_offset_table(w, h), np.int32))
+            _OFFTAB_CACHE[key] = tab
+        return tab
 
 
 def iter_tx_geometry(seq, fs, b):

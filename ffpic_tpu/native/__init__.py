@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c", "host_jp2.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c", "host_jp2.c", "host_av1.c"]
 _lib = None
 _tried = False
 
@@ -767,3 +767,34 @@ def vp8l_entropy(data: bytes, pos: int, bit: int, w: int, h: int,
     if rc != 0:
         raise ValueError(f"corrupt VP8L stream ({rc})")
     return out, p.value, b.value
+
+
+def av1_coeffs(data: bytes, st, eob_pt_cdf, eob_extra, base_eob,
+               base, br, dc_sign, scan, w: int, h: int, cls: int,
+               dc_sctx: int, dc_q: int, ac_q: int, shift: int,
+               clip: int, offtab, out):
+    """Native AV1 coefficient decode from the EOB symbol onward
+    (host_av1.c).  Mutates the int32 CDF arenas and the msac state
+    buffer ``st`` ([dif, rng, cnt, bitpos, allow_update] int64)
+    in place; fills ``out`` (h, w) int32.  Returns (eob, cul,
+    dc_cat)."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    ret = np.zeros(3, np.int64)
+    fn = lib.av1_coeffs
+    fn.restype = None
+    vp = ctypes.c_void_p
+    fn(buf.ctypes.data_as(vp), ctypes.c_longlong(len(data)),
+       st.ctypes.data_as(vp),
+       eob_pt_cdf.ctypes.data_as(vp),
+       ctypes.c_int(len(eob_pt_cdf) - 1),
+       eob_extra.ctypes.data_as(vp), base_eob.ctypes.data_as(vp),
+       base.ctypes.data_as(vp), br.ctypes.data_as(vp),
+       dc_sign.ctypes.data_as(vp), scan.ctypes.data_as(vp),
+       ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(cls),
+       ctypes.c_int(dc_sctx),
+       ctypes.c_longlong(dc_q), ctypes.c_longlong(ac_q),
+       ctypes.c_int(shift), ctypes.c_longlong(clip),
+       offtab.ctypes.data_as(vp), out.ctypes.data_as(vp),
+       ret.ctypes.data_as(vp))
+    return int(ret[0]), int(ret[1]), int(ret[2])
