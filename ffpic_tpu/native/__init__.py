@@ -779,22 +779,22 @@ def av1_coeffs(data: bytes, st, eob_pt_cdf, eob_extra, base_eob,
     in place; fills ``out`` (h, w) int32.  Returns (eob, cul,
     dc_cat)."""
     lib = _load()
-    buf = np.frombuffer(data, np.uint8)
-    ret = np.zeros(3, np.int64)
     fn = lib.av1_coeffs
-    fn.restype = None
-    vp = ctypes.c_void_p
-    fn(buf.ctypes.data_as(vp), ctypes.c_longlong(len(data)),
-       st.ctypes.data_as(vp),
-       eob_pt_cdf.ctypes.data_as(vp),
-       ctypes.c_int(len(eob_pt_cdf) - 1),
-       eob_extra.ctypes.data_as(vp), base_eob.ctypes.data_as(vp),
-       base.ctypes.data_as(vp), br.ctypes.data_as(vp),
-       dc_sign.ctypes.data_as(vp), scan.ctypes.data_as(vp),
-       ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(cls),
-       ctypes.c_int(dc_sctx),
-       ctypes.c_longlong(dc_q), ctypes.c_longlong(ac_q),
-       ctypes.c_int(shift), ctypes.c_longlong(clip),
-       offtab.ctypes.data_as(vp), out.ctypes.data_as(vp),
-       ret.ctypes.data_as(vp))
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_char_p, c.c_longlong] + \
+            [c.c_void_p, c.c_void_p, c.c_int] + \
+            [c.c_void_p] * 5 + \
+            [c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int,
+             c.c_longlong, c.c_longlong, c.c_int, c.c_longlong,
+             c.c_void_p, c.c_void_p, c.c_void_p]
+        fn._bound = True
+    ret = np.zeros(3, np.int64)
+    fn(data, len(data), st.ctypes.data,
+       eob_pt_cdf.ctypes.data, len(eob_pt_cdf) - 1,
+       eob_extra.ctypes.data, base_eob.ctypes.data,
+       base.ctypes.data, br.ctypes.data, dc_sign.ctypes.data,
+       scan.ctypes.data, w, h, cls, dc_sctx, dc_q, ac_q, shift,
+       clip, offtab.ctypes.data, out.ctypes.data, ret.ctypes.data)
     return int(ret[0]), int(ret[1]), int(ret[2])
