@@ -299,6 +299,25 @@ def main():
             return time.perf_counter() - t0
         heic_mps = hmp / best_of(heic_trial)
 
+    # ---- AVIF e2e: AV1 intra decode (Python tile syntax + C
+    # coefficient loops + vectorized transforms/filters) -------------
+    avif_mps = None
+    ap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "corpus", "avif_512.avif")
+    if os.path.exists(ap):
+        import ffpic_tpu
+        with open(ap, "rb") as f:
+            adata = f.read()
+        apic = ffpic_tpu.load(adata)                      # warm
+        amp = (apic.np_pixels().shape[0]
+               * apic.np_pixels().shape[1]) / 1e6
+
+        def avif_trial():
+            t0 = time.perf_counter()
+            ffpic_tpu.load(adata)
+            return time.perf_counter() - t0
+        avif_mps = amp / best_of(avif_trial)
+
     result = {
         "metric": "jpeg_1080p_420_decode_end_to_end",
         "value": round(e2e_mps, 1),
@@ -309,6 +328,7 @@ def main():
         "e2e_batch_mps": round(e2e_batch_mps, 1),
         "webp_512_mps": round(webp_mps, 2) if webp_mps else None,
         "heic_12mp_mps": round(heic_mps, 2) if heic_mps else None,
+        "avif_512_mps": round(avif_mps, 2) if avif_mps else None,
         "device_entropy_dri_mps": (round(dev_ent_mps, 1)
                                    if dev_ent_mps else None),
         "device_entropy_spec_mps": (round(dev_spec_mps, 1)

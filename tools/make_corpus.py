@@ -77,6 +77,8 @@ def main():
     Image.fromarray(arr).save(os.path.join(OUT, "webp_512.webp"),
                               lossless=False, quality=80)
     Image.fromarray(arr).save(os.path.join(OUT, "tga_512.tga"))
+    Image.fromarray(arr).save(os.path.join(OUT, "avif_512.avif"),
+                              quality=60)
     Image.fromarray(arr).save(os.path.join(OUT, "ppm_512.ppm"))
 
     # 12MP iPhone-style grid HEIC (48 x 512^2 tiles, ~2.6 MB at q50 —
