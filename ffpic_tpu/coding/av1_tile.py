@@ -162,6 +162,8 @@ class TileDecoder:
                             and not os.environ.get(
                                 "FFPIC_AV1_NO_NATIVE"))
         self._mstate = np.zeros(5, np.int64)
+        self._dq_cache: dict = {}
+        self._eob_pt_rows = None
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -990,9 +992,17 @@ class TileDecoder:
             v = int(l[l_base + k]) >> 6
             dcs += 1 if v == 2 else (-1 if v == 1 else 0)
         dc_sctx = 0 if dcs == 0 else (1 if dcs < 0 else 2)
-        dc_q, ac_q, shift, clip = self._dequant_params(plane, b, tx)
+        dq = self._dq_cache.get((plane, b.seg_id, b.qindex, tx))
+        if dq is None:
+            dq = self._dequant_params(plane, b, tx)
+            self._dq_cache[(plane, b.seg_id, b.qindex, tx)] = dq
+        dc_q, ac_q, shift, clip = dq
         emul = (w.bit_length() - 1) + (h.bit_length() - 1) - 4
-        eob_pt_cdf = t[f"eob_pt_{16 << emul}"][ptype][
+        ept = self._eob_pt_rows
+        if ept is None:
+            ept = self._eob_pt_rows = [
+                t[f"eob_pt_{16 << e}"] for e in range(7)]
+        eob_pt_cdf = ept[emul][ptype][
             0 if cls == C.TX_CLASS_2D else 1]
         st = self._mstate
         st[0] = m.dif

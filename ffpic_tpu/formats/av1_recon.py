@@ -205,6 +205,133 @@ def _precompute_residuals(fs: FrameState):
             tb.residual = res[i]
 
 
+_OP_NF = 21
+(_OP_PLANE, _OP_X, _OP_Y, _OP_W, _OP_H, _OP_KIND, _OP_P1, _OP_HL,
+ _OP_HA, _OP_HAR, _OP_HBL, _OP_MAXX, _OP_MAXY, _OP_CFL_ALPHA,
+ _OP_FT, _OP_EEF, _OP_RES, _OP_MLW, _OP_MLH, _OP_SUBX,
+ _OP_SUBY) = range(_OP_NF)
+_K_DC, _K_DIR, _K_SMOOTH, _K_SMOOTH_V, _K_SMOOTH_H, _K_PAETH, \
+    _K_FILTER = range(7)
+
+_KIND_OF_MODE = {C.SMOOTH_PRED: _K_SMOOTH, C.SMOOTH_V_PRED:
+                 _K_SMOOTH_V, C.SMOOTH_H_PRED: _K_SMOOTH_H,
+                 C.PAETH_PRED: _K_PAETH}
+
+_RECON_TABLES = None
+
+
+def _recon_tables():
+    """Prediction tables for the C executor, built once from the
+    Python single source of truth (av1_consts)."""
+    global _RECON_TABLES
+    if _RECON_TABLES is None:
+        dr = np.zeros(91, np.int32)
+        for k, v in C.DR_INTRA_DERIVATIVE.items():
+            dr[k] = v
+        smw = np.zeros(124, np.int32)
+        off = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
+        for s, o in off.items():
+            smw[o:o + s] = C.SM_WEIGHTS[s]
+        taps = np.ascontiguousarray(
+            np.asarray(C.INTRA_FILTER_TAPS, np.int32))
+        _RECON_TABLES = (dr, smw, taps)
+    return _RECON_TABLES
+
+
+def _reconstruct_native(fs: FrameState, planes):
+    """Build the flat op list (every control decision precomputes —
+    no AV1 parse/mode step depends on reconstructed pixels) and run
+    the sequential prediction+residual wavefront in C
+    (native/host_av1.c:av1_recon), mirroring the host_hevc
+    execute_ops design."""
+    from ffpic_tpu import native
+    seq = fs.seq
+    sb4 = fs.sb4
+    sb_log2 = sb4.bit_length() - 1
+    dec = _SbDecoded(seq, sb4)
+    cur_sb = None
+    max_luma = [4, 4]
+    ops = []
+    res_chunks = []
+    res_total = 0
+    for b in fs.blocks:
+        sb_r = (b.mi_row >> sb_log2) << sb_log2
+        sb_c = (b.mi_col >> sb_log2) << sb_log2
+        if (sb_r, sb_c) != cur_sb:
+            dec.reset(sb_r, sb_c, b.tile)
+            cur_sb = (sb_r, sb_c)
+        lossless = fs.fh.lossless_segs[b.seg_id]
+        r0, r1, c0, c1 = b.tile
+        for plane, x, y, tx, plane_bsize in iter_tx_geometry(seq, fs,
+                                                             b):
+            sx = seq.subsampling_x if plane else 0
+            sy = seq.subsampling_y if plane else 0
+            w, h = C.TX_W[tx], C.TX_H[tx]
+            w4, h4 = w >> 2, h >> 2
+            x4, y4 = x >> 2, y >> 2
+            blk_px = (b.mi_col >> sx) << 2
+            blk_py = (b.mi_row >> sy) << 2
+            avail_u = b.avail_uc if plane else b.avail_u
+            avail_l = b.avail_lc if plane else b.avail_l
+            have_above = bool(avail_u) or y > blk_py
+            have_left = bool(avail_l) or x > blk_px
+            rel_x4 = x4 - ((sb_c >> sx) if sx else sb_c)
+            rel_y4 = y4 - ((sb_r >> sy) if sy else sb_r)
+            har = dec.get(plane, rel_y4 - 1, rel_x4 + w4)
+            hbl = dec.get(plane, rel_y4 + h4, rel_x4 - 1)
+            max_x = ((c1 * 4) >> sx) - 1
+            max_y = ((r1 * 4) >> sy) - 1
+            if plane == 0:
+                mode, angle, fim = b.y_mode, b.angle_y, \
+                    b.filter_intra_mode
+            else:
+                mode, angle, fim = b.uv_mode, b.angle_uv, -1
+            is_cfl = plane > 0 and mode == C.UV_CFL_PRED
+            pred_mode = C.DC_PRED if is_cfl else mode
+            alpha = 0
+            if is_cfl:
+                alpha = b.cfl_alpha_u if plane == 1 else \
+                    b.cfl_alpha_v
+            if fim >= 0:
+                kind, p1 = _K_FILTER, fim
+            elif pred_mode == C.DC_PRED:
+                kind, p1 = _K_DC, 0
+            elif pred_mode in C.MODE_TO_ANGLE:
+                kind = _K_DIR
+                p1 = C.MODE_TO_ANGLE[pred_mode] + \
+                    angle * C.ANGLE_STEP
+            else:
+                kind, p1 = _KIND_OF_MODE[pred_mode], 0
+            tb = b.coeff_map.get((plane, x, y))
+            if tb is not None:
+                res_off = res_total
+                res_chunks.append(np.ascontiguousarray(
+                    tb.residual, np.int32).ravel())
+                res_total += w * h
+            else:
+                res_off = -1
+            ops.append((plane, x, y, w, h, kind, p1,
+                        int(have_left), int(have_above), int(har),
+                        int(hbl), max_x, max_y, alpha,
+                        _filter_type(fs, b, plane),
+                        int(seq.enable_intra_edge_filter), res_off,
+                        max_luma[0], max_luma[1], sx, sy))
+            dec.mark(plane, rel_y4, rel_x4, h4, w4)
+            if plane == 0:
+                max_luma[0] = x + w
+                max_luma[1] = y + h
+    op_arr = np.asarray(ops, np.int32).reshape(-1, _OP_NF)
+    res_buf = (np.concatenate(res_chunks) if res_chunks
+               else np.zeros(1, np.int32))
+    dr, smw, taps = _recon_tables()
+    pw = np.asarray([p.shape[1] for p in planes] + [0, 0],
+                    np.int32)[:3]
+    ph = np.asarray([p.shape[0] for p in planes] + [0, 0],
+                    np.int32)[:3]
+    native.av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
+                     seq.bit_depth)
+
+
 def _reconstruct(fs: FrameState):
     seq = fs.seq
     bd = seq.bit_depth
@@ -225,18 +352,24 @@ def _reconstruct(fs: FrameState):
         ch = ah >> seq.subsampling_y
         planes += [np.zeros((ch, cw), np.int32),
                    np.zeros((ch, cw), np.int32)]
-    dec = _SbDecoded(seq, sb4)
-    cur_sb = None
-    max_luma = [4, 4]     # MaxLumaW, MaxLumaH (spec, running)
-    pix_max = (1 << bd) - 1
-    for b in fs.blocks:
-        sb_r = (b.mi_row >> sb_log2) << sb_log2
-        sb_c = (b.mi_col >> sb_log2) << sb_log2
-        if (sb_r, sb_c) != cur_sb:
-            dec.reset(sb_r, sb_c, b.tile)
-            cur_sb = (sb_r, sb_c)
-        _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma,
-                     pix_max)
+    import os
+    from ffpic_tpu import native
+    if native.available() and not os.environ.get(
+            "FFPIC_AV1_NO_NATIVE"):
+        _reconstruct_native(fs, planes)
+    else:
+        dec = _SbDecoded(seq, sb4)
+        cur_sb = None
+        max_luma = [4, 4]     # MaxLumaW, MaxLumaH (spec, running)
+        pix_max = (1 << bd) - 1
+        for b in fs.blocks:
+            sb_r = (b.mi_row >> sb_log2) << sb_log2
+            sb_c = (b.mi_col >> sb_log2) << sb_log2
+            if (sb_r, sb_c) != cur_sb:
+                dec.reset(sb_r, sb_c, b.tile)
+                cur_sb = (sb_r, sb_c)
+            _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma,
+                         pix_max)
     out = [planes[0][:h, :w]]
     if seq.num_planes > 1:
         out += [p[:h >> seq.subsampling_y, :w >> seq.subsampling_x]

@@ -798,3 +798,23 @@ def av1_coeffs(data: bytes, st, eob_pt_cdf, eob_extra, base_eob,
        scan.ctypes.data, w, h, cls, dc_sctx, dc_q, ac_q, shift,
        clip, offtab.ctypes.data, out.ctypes.data, ret.ctypes.data)
     return int(ret[0]), int(ret[1]), int(ret[2])
+
+
+def av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
+              bd: int):
+    """Native AV1 intra reconstruction (host_av1.c:av1_recon): replay
+    the precomputed op list sequentially over the int32 plane
+    buffers (mutated in place)."""
+    lib = _load()
+    fn = lib.av1_recon
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_void_p, c.c_longlong] + [c.c_void_p] * 9 \
+            + [c.c_int]
+        fn._bound = True
+    assert op_arr.dtype == np.int32 and op_arr.flags.c_contiguous
+    p = [pl.ctypes.data for pl in planes] + [None] * (3 - len(planes))
+    fn(op_arr.ctypes.data, op_arr.shape[0], p[0], p[1], p[2],
+       pw.ctypes.data, ph.ctypes.data, res_buf.ctypes.data,
+       dr.ctypes.data, smw.ctypes.data, taps.ctypes.data, bd)

@@ -318,3 +318,463 @@ EXPORT void av1_coeffs(
     ret[1] = cul;
     ret[2] = dc_cat;
 }
+
+/* ------------------------------------------------------------------ *
+ * Intra reconstruction executor: Python builds a flat per-TB op list
+ * (all control decisions — availability, angles, edge-filter params,
+ * CfL geometry — precompute before any pixel math since no AV1 parse
+ * step depends on reconstructed samples), C replays it sequentially
+ * over the int32 plane buffers.  1:1 port of formats/av1_intra.py /
+ * av1_recon.py:_recon_block; prediction tables (dr derivative,
+ * smooth weights, filter-intra taps) are passed in from the Python
+ * single source of truth.
+ * ------------------------------------------------------------------ */
+
+enum {
+    OP_PLANE, OP_X, OP_Y, OP_W, OP_H, OP_KIND, OP_P1,
+    OP_HL, OP_HA, OP_HAR, OP_HBL, OP_MAXX, OP_MAXY,
+    OP_CFL_ALPHA, OP_FT, OP_EEF, OP_RES,
+    OP_MLW, OP_MLH, OP_SUBX, OP_SUBY,
+    OP_NF
+};
+
+enum { K_DC, K_DIR, K_SMOOTH, K_SMOOTH_V, K_SMOOTH_H, K_PAETH,
+       K_FILTER };
+
+static inline int clip1(int v, int pixmax)
+{
+    return v < 0 ? 0 : (v > pixmax ? pixmax : v);
+}
+
+static inline int r2n(int v, int n) { return (v + (1 << (n - 1))) >> n; }
+static inline int r2sn(int v, int n)
+{
+    return v >= 0 ? r2n(v, n) : -r2n(-v, n);
+}
+
+typedef struct {
+    int32_t buf[2 * 132 + 4];
+    int off;
+} Edge;
+
+#define EG(e, i) ((e)->buf[(e)->off + (i)])
+
+static const int EDGE_KERNEL[3][5] = {
+    {0, 4, 8, 4, 0}, {0, 5, 6, 5, 0}, {2, 4, 4, 4, 2}
+};
+
+static void edge_smooth(Edge *e, int num_px, int strength)
+{
+    if (!strength)
+        return;
+    const int *k = EDGE_KERNEL[strength - 1];
+    int32_t orig[140];
+    for (int i = 0; i < num_px; i++)
+        orig[i] = EG(e, -1 + i);
+    for (int i = 1; i < num_px; i++) {
+        int s = 0;
+        for (int j = 0; j < 5; j++) {
+            int idx = i - 2 + j;
+            if (idx < 0) idx = 0;
+            if (idx > num_px - 1) idx = num_px - 1;
+            s += orig[idx] * k[j];
+        }
+        EG(e, -1 + i) = (s + 8) >> 4;
+    }
+}
+
+static void edge_upsample(Edge *e, int num_px, int pixmax)
+{
+    int32_t dup[140];
+    dup[0] = EG(e, -1);
+    dup[1] = EG(e, -1);
+    for (int i = 0; i < num_px; i++)
+        dup[2 + i] = EG(e, i);
+    dup[2 + num_px] = dup[1 + num_px];
+    int32_t out[270];
+    out[0] = dup[0];
+    for (int i = 0; i < num_px; i++) {
+        int s = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2]
+              - dup[i + 3];
+        out[2 * i + 1] = clip1((s + 8) >> 4, pixmax);
+        out[2 * i + 2] = dup[i + 2];
+    }
+    for (int i = 0; i < 2 * num_px + 1; i++)
+        e->buf[e->off - 2 + i] = out[i];
+}
+
+static int edge_filter_strength_c(int wh, int d, int ft)
+{
+    if (d < 0) d = -d;
+    int s = 0;
+    if (ft == 0) {
+        if (wh <= 8)       { if (d >= 56) s = 1; }
+        else if (wh <= 12) { if (d >= 40) s = 1; }
+        else if (wh <= 16) { if (d >= 40) s = 1; }
+        else if (wh <= 24) {
+            if (d >= 8) s = 1;
+            if (d >= 16) s = 2;
+            if (d >= 32) s = 3;
+        } else if (wh <= 32) {
+            s = 1;
+            if (d >= 4) s = 2;
+            if (d >= 32) s = 3;
+        } else s = 3;
+    } else {
+        if (wh <= 8) {
+            if (d >= 40) s = 1;
+            if (d >= 64) s = 2;
+        } else if (wh <= 16) {
+            if (d >= 20) s = 1;
+            if (d >= 48) s = 2;
+        } else if (wh <= 24) {
+            if (d >= 4) s = 3;
+        } else s = 3;
+    }
+    return s;
+}
+
+static int use_upsample_c(int wh, int d, int ft)
+{
+    if (d < 0) d = -d;
+    if (d <= 0 || d >= 40)
+        return 0;
+    return ft ? (wh <= 8) : (wh <= 16);
+}
+
+static inline int sm_off(int s)
+{
+    return s == 4 ? 0 : s == 8 ? 4 : s == 16 ? 12 : s == 32 ? 28 : 60;
+}
+
+EXPORT void av1_recon(
+    const int32_t *ops, long long n_ops,
+    int32_t *p0, int32_t *p1, int32_t *p2,
+    const int32_t *pw, const int32_t *ph,
+    const int32_t *residuals,
+    const int32_t *dr_deriv,    /* [91] */
+    const int32_t *smw,         /* flat smooth weights */
+    const int32_t *fi_taps,     /* 5*8*7 */
+    int bd)
+{
+    int32_t *planes[3] = { p0, p1, p2 };
+    int pixmax = (1 << bd) - 1;
+    int32_t pred[64 * 64];
+
+    for (long long oi = 0; oi < n_ops; oi++) {
+        const int32_t *op = ops + oi * OP_NF;
+        int plane = op[OP_PLANE];
+        int x = op[OP_X], y = op[OP_Y];
+        int w = op[OP_W], h = op[OP_H];
+        int kind = op[OP_KIND];
+        int have_left = op[OP_HL], have_above = op[OP_HA];
+        int har = op[OP_HAR], hbl = op[OP_HBL];
+        int max_x = op[OP_MAXX], max_y = op[OP_MAXY];
+        int32_t *arr = planes[plane];
+        int stride = pw[plane];
+
+        /* ---- prepare_edges (spec 7.11.2 steps 2-8) */
+        Edge above, left;
+        above.off = 2;
+        left.off = 2;
+        int n = w + h;
+        int base = 1 << (bd - 1);
+        if (!have_above && have_left) {
+            int v = arr[y * stride + x - 1];
+            for (int i = -1; i < n; i++) EG(&above, i) = v;
+        } else if (!have_above) {
+            for (int i = -1; i < n; i++) EG(&above, i) = base - 1;
+        } else {
+            int limit = x + (har ? 2 * w : w) - 1;
+            if (limit > max_x) limit = max_x;
+            const int32_t *row = arr + (y - 1) * stride;
+            for (int i = 0; i < n; i++) {
+                int xi = x + i;
+                EG(&above, i) = row[xi < limit ? xi : limit];
+            }
+        }
+        if (!have_left && have_above) {
+            int v = arr[(y - 1) * stride + x];
+            for (int i = -1; i < n; i++) EG(&left, i) = v;
+        } else if (!have_left) {
+            for (int i = -1; i < n; i++) EG(&left, i) = base + 1;
+        } else {
+            int limit = y + (hbl ? 2 * h : h) - 1;
+            if (limit > max_y) limit = max_y;
+            for (int i = 0; i < n; i++) {
+                int yi = y + i;
+                EG(&left, i) =
+                    arr[(yi < limit ? yi : limit) * stride + x - 1];
+            }
+        }
+        int corner;
+        if (have_above && have_left)
+            corner = arr[(y - 1) * stride + x - 1];
+        else if (have_above)
+            corner = arr[(y - 1) * stride + x];
+        else if (have_left)
+            corner = arr[y * stride + x - 1];
+        else
+            corner = base;
+        EG(&above, -1) = corner;
+        EG(&left, -1) = corner;
+
+        /* ---- predict */
+        if (kind == K_FILTER) {
+            int fmode = op[OP_P1];
+            const int32_t *taps = fi_taps + fmode * 8 * 7;
+            int32_t buf[65 * 65];
+            int bs = w + 1;
+            buf[0] = EG(&above, -1);
+            for (int j = 0; j < w; j++) buf[j + 1] = EG(&above, j);
+            for (int i = 0; i < h; i++) buf[(i + 1) * bs] = EG(&left, i);
+            for (int r = 1; r < h + 1; r += 2) {
+                for (int c = 1; c < w + 1; c += 4) {
+                    int p[7] = {
+                        buf[(r - 1) * bs + c - 1],
+                        buf[(r - 1) * bs + c],
+                        buf[(r - 1) * bs + c + 1],
+                        buf[(r - 1) * bs + c + 2],
+                        buf[(r - 1) * bs + c + 3],
+                        buf[r * bs + c - 1],
+                        buf[(r + 1) * bs + c - 1],
+                    };
+                    for (int k = 0; k < 8; k++) {
+                        int ro = k >> 2, co = k & 3;
+                        int s = 0;
+                        for (int t = 0; t < 7; t++)
+                            s += taps[k * 7 + t] * p[t];
+                        buf[(r + ro) * bs + c + co] =
+                            clip1(r2sn(s, 4), pixmax);
+                    }
+                }
+            }
+            for (int i = 0; i < h; i++)
+                for (int j = 0; j < w; j++)
+                    pred[i * w + j] = buf[(i + 1) * bs + j + 1];
+        } else if (kind == K_DC) {
+            int avg;
+            if (have_above && have_left) {
+                long long s = 0;
+                for (int i = 0; i < w; i++) s += EG(&above, i);
+                for (int i = 0; i < h; i++) s += EG(&left, i);
+                avg = (int)((s + ((w + h) >> 1)) / (w + h));
+            } else if (have_above) {
+                long long s = 0;
+                for (int i = 0; i < w; i++) s += EG(&above, i);
+                avg = r2n((int)s, __builtin_ctz(w));
+            } else if (have_left) {
+                long long s = 0;
+                for (int i = 0; i < h; i++) s += EG(&left, i);
+                avg = r2n((int)s, __builtin_ctz(h));
+            } else {
+                avg = base;
+            }
+            for (int i = 0; i < h * w; i++) pred[i] = avg;
+        } else if (kind == K_DIR) {
+            int p_angle = op[OP_P1];
+            int ft = op[OP_FT];
+            int up_a = 0, up_l = 0;
+            if (op[OP_EEF]) {
+                if (p_angle != 90 && p_angle != 180) {
+                    if (p_angle > 90 && p_angle < 180 && w + h >= 24) {
+                        int v = r2n(EG(&left, 0) * 5
+                                    + EG(&above, -1) * 6
+                                    + EG(&above, 0) * 5, 4);
+                        EG(&above, -1) = v;
+                        EG(&left, -1) = v;
+                    }
+                    if (have_above) {
+                        int st = edge_filter_strength_c(
+                            w + h, p_angle - 90, ft);
+                        int np_ = (w < max_x - x + 1 ? w
+                                   : max_x - x + 1)
+                                + (p_angle < 90 ? h : 0) + 1;
+                        edge_smooth(&above, np_, st);
+                    }
+                    if (have_left) {
+                        int st = edge_filter_strength_c(
+                            w + h, p_angle - 180, ft);
+                        int np_ = (h < max_y - y + 1 ? h
+                                   : max_y - y + 1)
+                                + (p_angle > 180 ? w : 0) + 1;
+                        edge_smooth(&left, np_, st);
+                    }
+                }
+                up_a = use_upsample_c(w + h, p_angle - 90, ft);
+                up_l = use_upsample_c(w + h, p_angle - 180, ft);
+                if (up_a)
+                    edge_upsample(&above,
+                                  w + (p_angle < 90 ? h : 0), pixmax);
+                if (up_l)
+                    edge_upsample(&left,
+                                  h + (p_angle > 180 ? w : 0), pixmax);
+            }
+            if (p_angle == 90) {
+                for (int i = 0; i < h; i++)
+                    for (int j = 0; j < w; j++)
+                        pred[i * w + j] = EG(&above, j);
+            } else if (p_angle == 180) {
+                for (int i = 0; i < h; i++)
+                    for (int j = 0; j < w; j++)
+                        pred[i * w + j] = EG(&left, i);
+            } else if (p_angle < 90) {
+                int dx = dr_deriv[p_angle];
+                int max_base = (w + h - 1) << up_a;
+                for (int i = 0; i < h; i++) {
+                    int idx = (i + 1) * dx;
+                    for (int j = 0; j < w; j++) {
+                        int b = (idx >> (6 - up_a)) + (j << up_a);
+                        if (b < max_base) {
+                            int sh = ((idx << up_a) >> 1) & 0x1F;
+                            pred[i * w + j] = r2n(
+                                EG(&above, b) * (32 - sh)
+                                + EG(&above, b + 1) * sh, 5);
+                        } else {
+                            pred[i * w + j] = EG(&above, max_base);
+                        }
+                    }
+                }
+            } else if (p_angle < 180) {
+                int dx = dr_deriv[180 - p_angle];
+                int dy = dr_deriv[p_angle - 90];
+                for (int i = 0; i < h; i++) {
+                    for (int j = 0; j < w; j++) {
+                        int idx = (j << 6) - (i + 1) * dx;
+                        int b = idx >> (6 - up_a);
+                        if (b >= -(1 << up_a)) {
+                            int sh = ((idx << up_a) >> 1) & 0x1F;
+                            pred[i * w + j] = r2n(
+                                EG(&above, b) * (32 - sh)
+                                + EG(&above, b + 1) * sh, 5);
+                        } else {
+                            int idx2 = (i << 6) - (j + 1) * dy;
+                            int b2 = idx2 >> (6 - up_l);
+                            int sh = ((idx2 << up_l) >> 1) & 0x1F;
+                            pred[i * w + j] = r2n(
+                                EG(&left, b2) * (32 - sh)
+                                + EG(&left, b2 + 1) * sh, 5);
+                        }
+                    }
+                }
+            } else {
+                int dy = dr_deriv[270 - p_angle];
+                int max_base = (w + h - 1) << up_l;
+                for (int j = 0; j < w; j++) {
+                    int idx = (j + 1) * dy;
+                    for (int i = 0; i < h; i++) {
+                        int b = (idx >> (6 - up_l)) + (i << up_l);
+                        if (b < max_base) {
+                            int sh = ((idx << up_l) >> 1) & 0x1F;
+                            pred[i * w + j] = r2n(
+                                EG(&left, b) * (32 - sh)
+                                + EG(&left, b + 1) * sh, 5);
+                        } else {
+                            pred[i * w + j] = EG(&left, max_base);
+                        }
+                    }
+                }
+            }
+        } else if (kind == K_SMOOTH) {
+            const int32_t *wv = smw + sm_off(h);
+            const int32_t *ww = smw + sm_off(w);
+            int br = EG(&left, h - 1), ar = EG(&above, w - 1);
+            for (int i = 0; i < h; i++)
+                for (int j = 0; j < w; j++)
+                    pred[i * w + j] = r2n(
+                        wv[i] * EG(&above, j) + (256 - wv[i]) * br
+                        + ww[j] * EG(&left, i) + (256 - ww[j]) * ar,
+                        9);
+        } else if (kind == K_SMOOTH_V) {
+            const int32_t *wv = smw + sm_off(h);
+            int br = EG(&left, h - 1);
+            for (int i = 0; i < h; i++)
+                for (int j = 0; j < w; j++)
+                    pred[i * w + j] = r2n(
+                        wv[i] * EG(&above, j) + (256 - wv[i]) * br,
+                        8);
+        } else if (kind == K_SMOOTH_H) {
+            const int32_t *ww = smw + sm_off(w);
+            int ar = EG(&above, w - 1);
+            for (int i = 0; i < h; i++)
+                for (int j = 0; j < w; j++)
+                    pred[i * w + j] = r2n(
+                        ww[j] * EG(&left, i) + (256 - ww[j]) * ar,
+                        8);
+        } else { /* K_PAETH */
+            int tl = EG(&above, -1);
+            for (int i = 0; i < h; i++) {
+                int l = EG(&left, i);
+                for (int j = 0; j < w; j++) {
+                    int a = EG(&above, j);
+                    int bse = a + l - tl;
+                    int pa = bse - a; if (pa < 0) pa = -pa;
+                    int pl = bse - l; if (pl < 0) pl = -pl;
+                    int pt = bse - tl; if (pt < 0) pt = -pt;
+                    pred[i * w + j] = (pa <= pl && pa <= pt) ? a
+                                      : (pl <= pt ? l : tl);
+                }
+            }
+        }
+
+        /* ---- CfL (spec 7.11.5): dc pred + alpha-scaled luma AC */
+        int alpha = op[OP_CFL_ALPHA];
+        if (alpha) {
+            const int32_t *luma = planes[0];
+            int ls = pw[0];
+            int sub_x = op[OP_SUBX], sub_y = op[OP_SUBY];
+            int mlw = op[OP_MLW], mlh = op[OP_MLH];
+            int lx0 = x << sub_x, ly0 = y << sub_y;
+            int64_t L[32 * 32];
+            int64_t tot = 0;
+            for (int i = 0; i < h; i++) {
+                int ly = ly0 + (i << sub_y);
+                int lim = mlh - (1 << sub_y);
+                if (ly > lim) ly = lim;
+                for (int j = 0; j < w; j++) {
+                    int lx = lx0 + (j << sub_x);
+                    int lmx = mlw - (1 << sub_x);
+                    if (lx > lmx) lx = lmx;
+                    int64_t t;
+                    if (sub_x && sub_y)
+                        t = ((int64_t)luma[ly * ls + lx]
+                             + luma[ly * ls + lx + 1]
+                             + luma[(ly + 1) * ls + lx]
+                             + luma[(ly + 1) * ls + lx + 1]) << 1;
+                    else if (sub_x)
+                        t = ((int64_t)luma[ly * ls + lx]
+                             + luma[ly * ls + lx + 1]) << 2;
+                    else
+                        t = (int64_t)luma[ly * ls + lx] << 3;
+                    L[i * w + j] = t;
+                    tot += t;
+                }
+            }
+            int log2sz = __builtin_ctz(w) + __builtin_ctz(h);
+            int64_t avg = (tot + (1ll << (log2sz - 1))) >> log2sz;
+            for (int i = 0; i < h * w; i++) {
+                int ac = (int)(L[i] - avg);
+                pred[i] = clip1(pred[i] + r2sn(alpha * ac, 6),
+                                pixmax);
+            }
+        }
+
+        /* ---- add residual, clip, clamped write */
+        int we = w, he = h;
+        if (x + we > pw[plane]) we = pw[plane] - x;
+        if (y + he > ph[plane]) he = ph[plane] - y;
+        int res_off = op[OP_RES];
+        if (res_off >= 0) {
+            const int32_t *res = residuals + res_off;
+            for (int i = 0; i < he; i++)
+                for (int j = 0; j < we; j++)
+                    arr[(y + i) * stride + x + j] = clip1(
+                        pred[i * w + j] + res[i * w + j], pixmax);
+        } else {
+            for (int i = 0; i < he; i++)
+                for (int j = 0; j < we; j++)
+                    arr[(y + i) * stride + x + j] = clip1(
+                        pred[i * w + j], pixmax);
+        }
+    }
+}

@@ -264,3 +264,15 @@ def test_av1_sb128(tmp_path):
     for i, (a, b) in enumerate(zip(ours, ref)):
         bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
         assert bad == 0, f"plane {i}: {bad}/{a.size} mismatch"
+
+
+def test_av1_native_vs_oracle(tmp_path, monkeypatch):
+    """The C fast paths (host_av1.c coefficient decode + recon
+    executor) must be bit-identical to the pure-Python oracle."""
+    img = _gradient(160, 96, np.random.default_rng(3))
+    obus = _encode(img, tmp_path, "n.avif", quality=55, speed=4)
+    nat, _ = decode_frame(obus, apply_filters=True)
+    monkeypatch.setenv("FFPIC_AV1_NO_NATIVE", "1")
+    orc, _ = decode_frame(obus, apply_filters=True)
+    for a, b in zip(nat, orc):
+        assert (a == b).all()
