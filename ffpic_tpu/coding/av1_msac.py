@@ -219,6 +219,12 @@ class CdfContext:
                     a.astype(np.int32))
             else:
                 self.tables[name] = _to_lists(a)
+        # intra_ext_tx for the native path: fixed-width (2,4,13,8)
+        # arena where set2 rows have nsyms=5 (explicit n passed to C;
+        # the list copy above keeps serving the Python oracle, each
+        # path adapting its own copy)
+        self.intra_ext_tx_np = np.ascontiguousarray(
+            TABLES["intra_ext_tx"].astype(np.int32))
 
     def __getitem__(self, name):
         return self.tables[name]

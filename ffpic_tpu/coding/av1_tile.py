@@ -116,6 +116,50 @@ class FrameState:
 
 
 _OFFTAB_CACHE: dict = {}
+_NATIVE_STATIC = None
+
+
+def _native_static():
+    """Read-only tables for host_av1.c:av1_block_coeffs, built once
+    from the Python single source of truth (layout matches the S_*
+    offsets in the C)."""
+    global _NATIVE_STATIC
+    if _NATIVE_STATIC is not None:
+        return _NATIVE_STATIC
+    ntx = 19
+    blob = np.zeros(303, np.int32)
+    scans = []
+    scan_off = np.zeros(ntx * 3, np.int32)
+    pos = 0
+    for tx in range(ntx):
+        adj = C.adjusted_tx_size(tx)
+        blob[0 + tx] = C.TX_W[tx]
+        blob[19 + tx] = C.TX_H[tx]
+        blob[38 + tx] = C.TX_W[adj]
+        blob[57 + tx] = C.TX_H[adj]
+        blob[76 + tx] = C.TX_SIZE_CTX[tx]
+        blob[95 + tx] = (C.TX_W[adj].bit_length() - 1) +             (C.TX_H[adj].bit_length() - 1) - 4
+        # scans per class kind: 0 default (2D), 1 mrow (VERT),
+        # 2 mcol (HORIZ) — representative tx_types 0/V_DCT/H_DCT
+        for kind, tt in enumerate((C.DCT_DCT, C.V_DCT, C.H_DCT)):
+            sc = np.ascontiguousarray(C.get_scan(tx, tt), np.int32)
+            scans.append(sc)
+            scan_off[tx * 3 + kind] = pos
+            pos += len(sc)
+    blob[114:114 + ntx * 3] = scan_off
+    off = 171
+    for tab in (C.LO_CTX_OFFSETS_SQUARE, C.LO_CTX_OFFSETS_WIDE,
+                C.LO_CTX_OFFSETS_TALL):
+        blob[off:off + 25] = np.asarray(tab, np.int32).ravel()
+        off += 25
+    blob[246:246 + 25] = np.asarray(C.SKIP_CONTEXTS, np.int32).ravel()
+    blob[271:271 + 16] = [C.tx_type_class(t) for t in range(16)]
+    blob[287:287 + 7] = C.TX_TYPE_INTRA_INV_SET1
+    blob[295:295 + 5] = C.TX_TYPE_INTRA_INV_SET2
+    scan_arena = np.ascontiguousarray(np.concatenate(scans),
+                                      np.int32)
+    _NATIVE_STATIC = (blob, scan_arena)
+    return _NATIVE_STATIC
 
 
 class TileDecoder:
@@ -163,7 +207,7 @@ class TileDecoder:
                                 "FFPIC_AV1_NO_NATIVE"))
         self._mstate = np.zeros(5, np.int64)
         self._dq_cache: dict = {}
-        self._eob_pt_rows = None
+        self._ptrs = None
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -668,10 +712,124 @@ class TileDecoder:
 
     # --------------------------------------------------------- residual
     def _residual(self, r, c, b):
+        if self._use_native and not b.skip:
+            return self._residual_native(b)
         for plane, start_x, start_y, tx, plane_bsize in \
                 iter_tx_geometry(self.seq, self.fs, b):
             self._transform_block(plane, start_x, start_y, tx, b,
                                   plane_bsize)
+
+    def _native_ptrs(self):
+        """Per-tile pointer table for av1_block_coeffs (the arenas it
+        indexes are this tile's adaptive CDF copies)."""
+        t = self.cdf
+        blob, scan_arena = _native_static()
+        nplanes = len(self.a_coef)
+        a = [self.a_coef[min(p, nplanes - 1)] for p in range(3)]
+        l = [self.l_coef[min(p, nplanes - 1)] for p in range(3)]
+        arrs = a + l + [t[f"eob_pt_{16 << e}"] for e in range(7)] + [
+            t["txb_skip"], t["eob_extra"], t["coeff_base_eob"],
+            t["coeff_base"], t["coeff_br"], t["dc_sign"],
+            self.cdf.intra_ext_tx_np, scan_arena, blob]
+        ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
+        self._ptr_refs = arrs          # keep the buffers alive
+        return ptrs
+
+    def _residual_native(self, b):
+        """Per-block coefficient decode in C (host_av1.c): build the
+        TB records (geometry + context-mode + tx-type selection — all
+        symbol-free), run one native call for the block's whole
+        residual() walk, then materialize TransformBlocks."""
+        from ffpic_tpu import native
+        fs, seq, fh = self.fs, self.seq, self.fh
+        if self._ptrs is None:
+            self._ptrs = self._native_ptrs()
+        lossless = fh.lossless_segs[b.seg_id]
+        qidx = H.get_qindex(fh, b.seg_id, b.qindex)
+        recs = []
+        geo = []
+        total = 0
+        for plane, x, y, tx, pbs in iter_tx_geometry(seq, fs, b):
+            sx = seq.subsampling_x if plane else 0
+            sy = seq.subsampling_y if plane else 0
+            x4, y4 = x >> 2, y >> 2
+            w4, h4 = C.TX_W[tx] >> 2, C.TX_H[tx] >> 2
+            l_base = y4 - (self.sb_row >> sy)
+            if plane > 0:
+                r0 = y4 << sy
+                c0 = x4 << sx
+                re_ = min(r0 + (h4 << sy), fs.mi_rows)
+                ce = min(c0 + (w4 << sx), fs.mi_cols)
+                fs.tx_w4[1][r0:re_, c0:ce] = w4
+                fs.tx_h4[1][r0:re_, c0:ce] = h4
+            cw4 = min(w4, (fs.mi_cols >> sx) - x4)
+            ch4 = min(h4, (fs.mi_rows >> sy) - y4)
+            tw, th = C.TX_W[tx], C.TX_H[tx]
+            pbw = C.BLOCK_W4[pbs] * 4
+            pbh = C.BLOCK_H4[pbs] * 4
+            if plane == 0:
+                az = 0 if (pbw == tw and pbh == th) else 1
+            else:
+                az = 3 if pbw * pbh > tw * th else 2
+            if plane > 0:
+                ett_set, ett_dir, ett_sqr = -1, 0, 0
+                fixed_tt = C.DCT_DCT if lossless else \
+                    self._chroma_tx_type(tx, b)
+            elif lossless:
+                ett_set, ett_dir, ett_sqr, fixed_tt = -1, 0, 0, \
+                    C.DCT_DCT
+            else:
+                tset = C.get_tx_set_intra(tx, fh.reduced_tx_set)
+                if tset == C.TX_SET_DCTONLY or qidx <= 0:
+                    ett_set, ett_dir, ett_sqr, fixed_tt = -1, 0, 0, \
+                        C.DCT_DCT
+                else:
+                    ett_set = tset - 1
+                    ett_sqr = C.TX_SIZE_SQR[tx]
+                    ett_dir = (C.FIMODE_TO_INTRA_DIR[
+                        b.filter_intra_mode]
+                        if b.filter_intra_mode >= 0 else b.y_mode)
+                    fixed_tt = 0
+            key = (plane, b.seg_id, b.qindex, tx)
+            dq = self._dq_cache.get(key)
+            if dq is None:
+                dq = self._dequant_params(plane, b, tx)
+                self._dq_cache[key] = dq
+            dc_q, ac_q, shift, clip = dq
+            adj = C.adjusted_tx_size(tx)
+            aw, ah = C.TX_W[adj], C.TX_H[adj]
+            recs.append((plane, x4, y4, tx, cw4, ch4, l_base, az,
+                         ett_set, ett_dir, ett_sqr, fixed_tt,
+                         dc_q, ac_q, shift, total))
+            geo.append((plane, x, y, tx, total, aw, ah))
+            total += aw * ah
+        if not recs:
+            return
+        out = np.zeros(total, np.int32)
+        tb_out = np.empty((len(recs), 2), np.int32)
+        rec_arr = np.asarray(recs, np.int32)
+        m = self.m
+        st = self._mstate
+        st[0] = m.dif
+        st[1] = m.rng
+        st[2] = m.cnt
+        st[3] = m.bitpos
+        st[4] = 1 if m.allow_update else 0
+        native.av1_block_coeffs(m.data, st, self._ptrs, rec_arr,
+                                out, 1 << (seq.bit_depth + 7),
+                                tb_out)
+        m.dif = int(st[0])
+        m.rng = int(st[1])
+        m.cnt = int(st[2])
+        m.bitpos = int(st[3])
+        for i, (plane, x, y, tx, off, aw, ah) in enumerate(geo):
+            eob = int(tb_out[i, 0])
+            if eob > 0:
+                tb = TransformBlock(
+                    plane, x, y, tx, int(tb_out[i, 1]), eob,
+                    out[off:off + aw * ah].reshape(ah, aw), b)
+                fs.tbs.append(tb)
+                b.coeff_map[(plane, x, y)] = tb
 
     def _transform_block(self, plane, x, y, tx, b, plane_bsize):
         fs = self.fs
@@ -791,10 +949,6 @@ class TileDecoder:
             tx_type = C.DCT_DCT
         scan = C.get_scan(tx, tx_type)
         cls = C.tx_type_class(tx_type)
-        if self._use_native:
-            return self._coeffs_native(plane, x4, y4, tx, b, a, l,
-                                       l_base, cw4, ch4, w, h, scan,
-                                       cls, tx_type, txs_ctx, ptype)
         # ---- eob
         area = w * h
         emul = (w.bit_length() - 1) + (h.bit_length() - 1) - 4
@@ -972,61 +1126,6 @@ class TileDecoder:
         shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         clip = 1 << (seq.bit_depth + 7)
         return dc_q, ac_q, shift, clip
-
-    def _coeffs_native(self, plane, x4, y4, tx, b, a, l, l_base,
-                       cw4, ch4, w, h, scan, cls, tx_type, txs_ctx,
-                       ptype):
-        """Hand the post-tx_type symbol stream to host_av1.c: eob,
-        base/br levels, signs, golomb tails and dequant run in C on
-        the same CDF arenas; the msac state round-trips through
-        self._mstate."""
-        from ffpic_tpu import native
-        t = self.cdf
-        m = self.m
-        # dc_sign context from the pre-update a/l accumulators
-        dcs = 0
-        for k in range(cw4):
-            v = int(a[x4 + k]) >> 6
-            dcs += 1 if v == 2 else (-1 if v == 1 else 0)
-        for k in range(ch4):
-            v = int(l[l_base + k]) >> 6
-            dcs += 1 if v == 2 else (-1 if v == 1 else 0)
-        dc_sctx = 0 if dcs == 0 else (1 if dcs < 0 else 2)
-        dq = self._dq_cache.get((plane, b.seg_id, b.qindex, tx))
-        if dq is None:
-            dq = self._dequant_params(plane, b, tx)
-            self._dq_cache[(plane, b.seg_id, b.qindex, tx)] = dq
-        dc_q, ac_q, shift, clip = dq
-        emul = (w.bit_length() - 1) + (h.bit_length() - 1) - 4
-        ept = self._eob_pt_rows
-        if ept is None:
-            ept = self._eob_pt_rows = [
-                t[f"eob_pt_{16 << e}"] for e in range(7)]
-        eob_pt_cdf = ept[emul][ptype][
-            0 if cls == C.TX_CLASS_2D else 1]
-        st = self._mstate
-        st[0] = m.dif
-        st[1] = m.rng
-        st[2] = m.cnt
-        st[3] = m.bitpos
-        st[4] = 1 if m.allow_update else 0
-        out = np.zeros((h, w), np.int32)
-        eob, cul, dc_cat = native.av1_coeffs(
-            m.data, st, eob_pt_cdf,
-            t["eob_extra"][txs_ctx][ptype],
-            t["coeff_base_eob"][txs_ctx][ptype],
-            t["coeff_base"][txs_ctx][ptype],
-            t["coeff_br"][min(txs_ctx, 3)][ptype],
-            t["dc_sign"][ptype],
-            scan, w, h, cls, dc_sctx, dc_q, ac_q, shift, clip,
-            self._offtab(w, h), out)
-        m.dif = int(st[0])
-        m.rng = int(st[1])
-        m.cnt = int(st[2])
-        m.bitpos = int(st[3])
-        a[x4:x4 + cw4] = cul | (dc_cat << 6)
-        l[l_base:l_base + ch4] = cul | (dc_cat << 6)
-        return eob, out, tx_type
 
     @staticmethod
     def _offtab(w, h):

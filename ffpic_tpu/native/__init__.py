@@ -769,37 +769,6 @@ def vp8l_entropy(data: bytes, pos: int, bit: int, w: int, h: int,
     return out, p.value, b.value
 
 
-def av1_coeffs(data: bytes, st, eob_pt_cdf, eob_extra, base_eob,
-               base, br, dc_sign, scan, w: int, h: int, cls: int,
-               dc_sctx: int, dc_q: int, ac_q: int, shift: int,
-               clip: int, offtab, out):
-    """Native AV1 coefficient decode from the EOB symbol onward
-    (host_av1.c).  Mutates the int32 CDF arenas and the msac state
-    buffer ``st`` ([dif, rng, cnt, bitpos, allow_update] int64)
-    in place; fills ``out`` (h, w) int32.  Returns (eob, cul,
-    dc_cat)."""
-    lib = _load()
-    fn = lib.av1_coeffs
-    if not getattr(fn, "_bound", False):
-        c = ctypes
-        fn.restype = None
-        fn.argtypes = [c.c_char_p, c.c_longlong] + \
-            [c.c_void_p, c.c_void_p, c.c_int] + \
-            [c.c_void_p] * 5 + \
-            [c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int,
-             c.c_longlong, c.c_longlong, c.c_int, c.c_longlong,
-             c.c_void_p, c.c_void_p, c.c_void_p]
-        fn._bound = True
-    ret = np.zeros(3, np.int64)
-    fn(data, len(data), st.ctypes.data,
-       eob_pt_cdf.ctypes.data, len(eob_pt_cdf) - 1,
-       eob_extra.ctypes.data, base_eob.ctypes.data,
-       base.ctypes.data, br.ctypes.data, dc_sign.ctypes.data,
-       scan.ctypes.data, w, h, cls, dc_sctx, dc_q, ac_q, shift,
-       clip, offtab.ctypes.data, out.ctypes.data, ret.ctypes.data)
-    return int(ret[0]), int(ret[1]), int(ret[2])
-
-
 def av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
               bd: int):
     """Native AV1 intra reconstruction (host_av1.c:av1_recon): replay
@@ -818,3 +787,24 @@ def av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
     fn(op_arr.ctypes.data, op_arr.shape[0], p[0], p[1], p[2],
        pw.ctypes.data, ph.ctypes.data, res_buf.ctypes.data,
        dr.ctypes.data, smw.ctypes.data, taps.ctypes.data, bd)
+
+
+def av1_block_coeffs(data: bytes, st, ptrs, recs, out, clip: int,
+                     tb_out):
+    """Native per-block AV1 coefficient decode (host_av1.c:
+    av1_block_coeffs): replays one coding block's residual() TB walk
+    — all_zero, tx_type, eob/base/br/sign/golomb, dequant — mutating
+    the tile's CDF arenas, a/l context rows and msac state in
+    place."""
+    lib = _load()
+    fn = lib.av1_block_coeffs
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_char_p, c.c_longlong, c.c_void_p,
+                       c.c_void_p, c.c_void_p, c.c_int, c.c_void_p,
+                       c.c_longlong, c.c_void_p]
+        fn._bound = True
+    fn(data, len(data), st.ctypes.data, ptrs.ctypes.data,
+       recs.ctypes.data, recs.shape[0], out.ctypes.data, clip,
+       tb_out.ctypes.data)

@@ -289,3 +289,25 @@ def test_svg_corruption_never_crashes():
             ffpic_tpu.load(h)
         except (ValueError, NotImplementedError, OSError):
             pass
+
+
+def test_avif_corruption_never_crashes():
+    """AVIF byte corruption must surface as a clean error or a
+    (possibly wrong-pixel) decode — never a crash.  Exercises the
+    native coefficient/recon paths (host_av1.c) on hostile symbol
+    streams."""
+    import ffpic_tpu
+    path = os.path.join(CORPUS, "avif_512.avif")
+    if not os.path.exists(path):
+        pytest.skip("corpus missing")
+    data = bytearray(open(path, "rb").read())
+    rng = np.random.default_rng(0xA1F)
+    for trial in range(20):
+        d = bytearray(data)
+        for _ in range(rng.integers(1, 40)):
+            d[rng.integers(0, len(d))] = rng.integers(0, 256)
+        try:
+            ffpic_tpu.load(bytes(d))
+        except (ValueError, NotImplementedError, OSError, KeyError,
+                IndexError):
+            pass

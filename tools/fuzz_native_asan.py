@@ -57,6 +57,7 @@ def run(n_trials: int):
                        ("jpeg_prog_512_420.jpg", "jpeg"),
                        ("webp_512.webp", "riff"),
                        ("gif_512.gif", None),
+                       ("avif_512.avif", "isobmff"),
                        ("png_512_rgba.png", None)):
         p = os.path.join(cdir, name)
         if os.path.exists(p):
@@ -88,7 +89,8 @@ def run(n_trials: int):
             d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
         try:
             ffpic_tpu.load(bytes(d))
-        except (ValueError, NotImplementedError, OSError):
+        except (ValueError, NotImplementedError, OSError, KeyError,
+                IndexError):
             pass
         done += 1
         if done % 100 == 0:
