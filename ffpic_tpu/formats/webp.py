@@ -169,23 +169,34 @@ def load(data: bytes, skip_decode: bool = False,
         a = _decode_alpha(chunks.get("ALPH", b""), H, W)
         if mode == "libwebp":
             import os
-            if os.environ.get("FFPIC_HOST_COLOR"):
-                r, g, b = _yuv_to_rgb_libwebp(Y, U, V, H, W)
-                if a is None:
-                    a = np.full((H, W), 255, np.uint8)
-                rgba = np.dstack([r, g, b, a])
-            else:
-                # default: fancy upsample + fixed-point color matrix as
-                # one device launch (ops/vp8_kernels.vp8_yuv_to_rgba,
-                # bit-exact vs the host path — tests/test_webp.py);
-                # this is the VP8 analog of the reference's accel-layer
-                # dispatch (webp.c:1868 -> colorspace.c:291)
+            from ffpic_tpu import native
+            if os.environ.get("FFPIC_VP8_DEVICE_COLOR"):
+                # fancy upsample + fixed-point color matrix as one
+                # device launch (ops/vp8_kernels.vp8_yuv_to_rgba,
+                # bit-exact vs the host paths — tests/test_webp.py);
+                # the VP8 analog of the reference's accel-layer
+                # dispatch (webp.c:1868 -> colorspace.c:291).  Opt-in
+                # for single-image loads: shipping Y/U/V through the
+                # tunnel for ~0.2 ms of math loses at every observed
+                # tunnel rate (device color belongs to batched
+                # pipelines feeding further device work).
                 with trace.stage("webp.device_color"):
                     from ffpic_tpu.ops.vp8_kernels import vp8_yuv_to_rgba
                     rgba = vp8_yuv_to_rgba(Y, U, V, H, W)
                     if a is not None:
                         import jax.numpy as jnp
                         rgba = rgba.at[:, :, 3].set(jnp.asarray(a))
+            elif (native.available()
+                    and not os.environ.get("FFPIC_HOST_COLOR")):
+                with trace.stage("webp.host_color"):
+                    rgba = native.vp8_color_libwebp(
+                        np.ascontiguousarray(Y[:H, :W]), U, V, H, W,
+                        a)
+            else:
+                r, g, b = _yuv_to_rgb_libwebp(Y, U, V, H, W)
+                if a is None:
+                    a = np.full((H, W), 255, np.uint8)
+                rgba = np.dstack([r, g, b, a])
         else:
             r, g, b = _yuv_to_rgb_reference(Y, U, V, H, W)
             if a is None:

@@ -1004,3 +1004,48 @@ FFPIC_API void ffpic_vp8_mb_headers(
     }
     free(above_b);
 }
+
+/* libwebp-exact YUV420 -> RGBA on the host (upsampling.c 'fancy'
+ * diamond blend + yuv.h fixed-point matrix, bit-identical to the
+ * numpy oracle in formats/webp.py).  Rationale: for single-image
+ * loads the device color launch ships Y/U/V through the host<->TPU
+ * tunnel for ~0.2 ms of math — at observed tunnel rates that is
+ * never a win; the device kernel stays for batched pipelines. */
+__attribute__((visibility("default")))
+void vp8_color_libwebp(const unsigned char *Y, long y_stride,
+                       const unsigned char *U,
+                       const unsigned char *V, long c_stride,
+                       int H, int W, const unsigned char *A,
+                       unsigned char *rgba)
+{
+    int ch = (H + 1) >> 1, cw = (W + 1) >> 1;
+    for (int y = 0; y < H; y++) {
+        int cy = y >> 1;
+        int oy = (y & 1) ? (cy + 1 < ch ? cy + 1 : ch - 1)
+                         : (cy > 0 ? cy - 1 : 0);
+        const unsigned char *u0 = U + (long)cy * c_stride;
+        const unsigned char *u1 = U + (long)oy * c_stride;
+        const unsigned char *v0 = V + (long)cy * c_stride;
+        const unsigned char *v1 = V + (long)oy * c_stride;
+        const unsigned char *yr = Y + (long)y * y_stride;
+        unsigned char *out = rgba + (long)y * W * 4;
+        for (int x = 0; x < W; x++) {
+            int cx = x >> 1;
+            int ox = (x & 1) ? (cx + 1 < cw ? cx + 1 : cw - 1)
+                             : (cx > 0 ? cx - 1 : 0);
+            int u = (9 * u0[cx] + 3 * (u1[cx] + u0[ox]) + u1[ox] + 8)
+                    >> 4;
+            int v = (9 * v0[cx] + 3 * (v1[cx] + v0[ox]) + v1[ox] + 8)
+                    >> 4;
+            int yv = (yr[x] * 19077) >> 8;
+            int r = (yv + ((v * 26149) >> 8) - 14234) >> 6;
+            int g = (yv - ((u * 6419) >> 8) - ((v * 13320) >> 8)
+                     + 8708) >> 6;
+            int b = (yv + ((u * 33050) >> 8) - 17685) >> 6;
+            out[x * 4 + 0] = r < 0 ? 0 : (r > 255 ? 255 : r);
+            out[x * 4 + 1] = g < 0 ? 0 : (g > 255 ? 255 : g);
+            out[x * 4 + 2] = b < 0 ? 0 : (b > 255 ? 255 : b);
+            out[x * 4 + 3] = A ? A[(long)y * W + x] : 255;
+        }
+    }
+}
