@@ -108,6 +108,12 @@ class FrameState:
         self.qindex_mi = np.full((mr, mc), fh.base_q_idx, np.uint8)
         self.blocks: list[Block] = []
         self.tbs: list[TransformBlock] = []
+        # native-recon op list, emitted during the parse walk (one
+        # entry per TB incl. skip blocks); op_of_tb maps each tbs[i]
+        # to its op row so the residual offsets fill in post-transform
+        self.recon_ops: list = []
+        self.op_of_tb: list = []
+        self.max_luma = [4, 4]    # running MaxLumaW/H (spec)
         self.sb4 = sb4
         # loop-restoration unit state keyed (plane, unit_row, unit_col)
         self.lr_rtype: dict = {}     # -> RESTORE_* actually used
@@ -208,6 +214,8 @@ class TileDecoder:
         self._mstate = np.zeros(5, np.int64)
         self._dq_cache: dict = {}
         self._ptrs = None
+        self._dec = None          # parse-side BlockDecoded tracker
+        self._cur_sb = None       # (shared semantics with av1_recon)
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -712,7 +720,7 @@ class TileDecoder:
 
     # --------------------------------------------------------- residual
     def _residual(self, r, c, b):
-        if self._use_native and not b.skip:
+        if self._use_native:
             return self._residual_native(b)
         for plane, start_x, start_y, tx, plane_bsize in \
                 iter_tx_geometry(self.seq, self.fs, b):
@@ -736,24 +744,48 @@ class TileDecoder:
         return ptrs
 
     def _residual_native(self, b):
-        """Per-block coefficient decode in C (host_av1.c): build the
-        TB records (geometry + context-mode + tx-type selection — all
-        symbol-free), run one native call for the block's whole
-        residual() walk, then materialize TransformBlocks."""
+        """Per-block coefficient decode in C (host_av1.c) fused with
+        the recon OP-LIST emission: ONE iter_tx_geometry walk builds
+        the symbol-free TB records (geometry, az/tx-set selection,
+        dequant scalars) AND the intra-prediction op fields
+        (availability, angles, CfL geometry — none of which depend on
+        symbols or pixels), then one native call decodes the block's
+        whole residual() symbol stream.  av1_recon's native executor
+        replays fs.recon_ops directly, so the recon pre-pass walk is
+        gone."""
         from ffpic_tpu import native
+        from ffpic_tpu.formats.av1_recon import (
+            _SbDecoded, _filter_type, _K_DC, _K_DIR, _K_FILTER,
+            _KIND_OF_MODE)
         fs, seq, fh = self.fs, self.seq, self.fh
         if self._ptrs is None:
             self._ptrs = self._native_ptrs()
+        sb4 = fs.sb4
+        sb_log2 = sb4.bit_length() - 1
+        sb_r = (b.mi_row >> sb_log2) << sb_log2
+        sb_c = (b.mi_col >> sb_log2) << sb_log2
+        if self._dec is None:
+            self._dec = _SbDecoded(seq, sb4)
+        if (sb_r, sb_c) != self._cur_sb:
+            self._dec.reset(sb_r, sb_c, b.tile)
+            self._cur_sb = (sb_r, sb_c)
+        dec = self._dec
+        max_luma = fs.max_luma
+        eef = int(seq.enable_intra_edge_filter)
+        r0t, r1t, c0t, c1t = b.tile
         lossless = fh.lossless_segs[b.seg_id]
         qidx = H.get_qindex(fh, b.seg_id, b.qindex)
+        skip = b.skip
         recs = []
         geo = []
+        ops = fs.recon_ops
         total = 0
         for plane, x, y, tx, pbs in iter_tx_geometry(seq, fs, b):
             sx = seq.subsampling_x if plane else 0
             sy = seq.subsampling_y if plane else 0
             x4, y4 = x >> 2, y >> 2
-            w4, h4 = C.TX_W[tx] >> 2, C.TX_H[tx] >> 2
+            tw, th = C.TX_W[tx], C.TX_H[tx]
+            w4, h4 = tw >> 2, th >> 2
             l_base = y4 - (self.sb_row >> sy)
             if plane > 0:
                 r0 = y4 << sy
@@ -762,9 +794,60 @@ class TileDecoder:
                 ce = min(c0 + (w4 << sx), fs.mi_cols)
                 fs.tx_w4[1][r0:re_, c0:ce] = w4
                 fs.tx_h4[1][r0:re_, c0:ce] = h4
+
+            # ---- recon op (prediction is emitted for skip TBs too)
+            blk_px = (b.mi_col >> sx) << 2
+            blk_py = (b.mi_row >> sy) << 2
+            avail_u = b.avail_uc if plane else b.avail_u
+            avail_l = b.avail_lc if plane else b.avail_l
+            have_above = bool(avail_u) or y > blk_py
+            have_left = bool(avail_l) or x > blk_px
+            rel_x4 = x4 - ((sb_c >> sx) if sx else sb_c)
+            rel_y4 = y4 - ((sb_r >> sy) if sy else sb_r)
+            har = dec.get(plane, rel_y4 - 1, rel_x4 + w4)
+            hbl = dec.get(plane, rel_y4 + h4, rel_x4 - 1)
+            max_x = ((c1t * 4) >> sx) - 1
+            max_y = ((r1t * 4) >> sy) - 1
+            if plane == 0:
+                mode, angle, fim = b.y_mode, b.angle_y, \
+                    b.filter_intra_mode
+            else:
+                mode, angle, fim = b.uv_mode, b.angle_uv, -1
+            is_cfl = plane > 0 and mode == C.UV_CFL_PRED
+            pred_mode = C.DC_PRED if is_cfl else mode
+            alpha = 0
+            if is_cfl:
+                alpha = b.cfl_alpha_u if plane == 1 else \
+                    b.cfl_alpha_v
+            if fim >= 0:
+                kind, p1 = _K_FILTER, fim
+            elif pred_mode == C.DC_PRED:
+                kind, p1 = _K_DC, 0
+            elif pred_mode in C.MODE_TO_ANGLE:
+                kind = _K_DIR
+                p1 = C.MODE_TO_ANGLE[pred_mode] + \
+                    angle * C.ANGLE_STEP
+            else:
+                kind, p1 = _KIND_OF_MODE[pred_mode], 0
+            ops.append((plane, x, y, tw, th, kind, p1,
+                        int(have_left), int(have_above), int(har),
+                        int(hbl), max_x, max_y, alpha,
+                        _filter_type(fs, b, plane), eef, -1,
+                        max_luma[0], max_luma[1], sx, sy))
+            dec.mark(plane, rel_y4, rel_x4, h4, w4)
+            if plane == 0:
+                max_luma[0] = x + tw
+                max_luma[1] = y + th
+            a = self.a_coef[plane]
+            l = self.l_coef[plane]
+            if skip:
+                a[x4:x4 + w4] = 0
+                l[l_base:l_base + h4] = 0
+                continue
+
+            # ---- coefficient-decode record
             cw4 = min(w4, (fs.mi_cols >> sx) - x4)
             ch4 = min(h4, (fs.mi_rows >> sy) - y4)
-            tw, th = C.TX_W[tx], C.TX_H[tx]
             pbw = C.BLOCK_W4[pbs] * 4
             pbh = C.BLOCK_H4[pbs] * 4
             if plane == 0:
@@ -801,7 +884,8 @@ class TileDecoder:
             recs.append((plane, x4, y4, tx, cw4, ch4, l_base, az,
                          ett_set, ett_dir, ett_sqr, fixed_tt,
                          dc_q, ac_q, shift, total))
-            geo.append((plane, x, y, tx, total, aw, ah))
+            geo.append((plane, x, y, tx, total, aw, ah,
+                        len(ops) - 1))
             total += aw * ah
         if not recs:
             return
@@ -822,13 +906,15 @@ class TileDecoder:
         m.rng = int(st[1])
         m.cnt = int(st[2])
         m.bitpos = int(st[3])
-        for i, (plane, x, y, tx, off, aw, ah) in enumerate(geo):
+        for i, (plane, x, y, tx, off, aw, ah, op_row) in \
+                enumerate(geo):
             eob = int(tb_out[i, 0])
             if eob > 0:
                 tb = TransformBlock(
                     plane, x, y, tx, int(tb_out[i, 1]), eob,
                     out[off:off + aw * ah].reshape(ah, aw), b)
                 fs.tbs.append(tb)
+                fs.op_of_tb.append(op_row)
                 b.coeff_map[(plane, x, y)] = tb
 
     def _transform_block(self, plane, x, y, tx, b, plane_bsize):

@@ -239,88 +239,24 @@ def _recon_tables():
 
 
 def _reconstruct_native(fs: FrameState, planes):
-    """Build the flat op list (every control decision precomputes —
-    no AV1 parse/mode step depends on reconstructed pixels) and run
-    the sequential prediction+residual wavefront in C
+    """Run the sequential prediction+residual wavefront in C
     (native/host_av1.c:av1_recon), mirroring the host_hevc
-    execute_ops design."""
+    execute_ops design.  The op list was emitted DURING the parse
+    walk (av1_tile._residual_native — every control decision is
+    symbol- and pixel-independent); here only the residual offsets
+    fill in (they exist only after the batched inverse transforms)."""
     from ffpic_tpu import native
     seq = fs.seq
-    sb4 = fs.sb4
-    sb_log2 = sb4.bit_length() - 1
-    dec = _SbDecoded(seq, sb4)
-    cur_sb = None
-    max_luma = [4, 4]
-    ops = []
+    if not fs.recon_ops:
+        return
+    op_arr = np.asarray(fs.recon_ops, np.int32).reshape(-1, _OP_NF)
     res_chunks = []
     res_total = 0
-    for b in fs.blocks:
-        sb_r = (b.mi_row >> sb_log2) << sb_log2
-        sb_c = (b.mi_col >> sb_log2) << sb_log2
-        if (sb_r, sb_c) != cur_sb:
-            dec.reset(sb_r, sb_c, b.tile)
-            cur_sb = (sb_r, sb_c)
-        lossless = fs.fh.lossless_segs[b.seg_id]
-        r0, r1, c0, c1 = b.tile
-        for plane, x, y, tx, plane_bsize in iter_tx_geometry(seq, fs,
-                                                             b):
-            sx = seq.subsampling_x if plane else 0
-            sy = seq.subsampling_y if plane else 0
-            w, h = C.TX_W[tx], C.TX_H[tx]
-            w4, h4 = w >> 2, h >> 2
-            x4, y4 = x >> 2, y >> 2
-            blk_px = (b.mi_col >> sx) << 2
-            blk_py = (b.mi_row >> sy) << 2
-            avail_u = b.avail_uc if plane else b.avail_u
-            avail_l = b.avail_lc if plane else b.avail_l
-            have_above = bool(avail_u) or y > blk_py
-            have_left = bool(avail_l) or x > blk_px
-            rel_x4 = x4 - ((sb_c >> sx) if sx else sb_c)
-            rel_y4 = y4 - ((sb_r >> sy) if sy else sb_r)
-            har = dec.get(plane, rel_y4 - 1, rel_x4 + w4)
-            hbl = dec.get(plane, rel_y4 + h4, rel_x4 - 1)
-            max_x = ((c1 * 4) >> sx) - 1
-            max_y = ((r1 * 4) >> sy) - 1
-            if plane == 0:
-                mode, angle, fim = b.y_mode, b.angle_y, \
-                    b.filter_intra_mode
-            else:
-                mode, angle, fim = b.uv_mode, b.angle_uv, -1
-            is_cfl = plane > 0 and mode == C.UV_CFL_PRED
-            pred_mode = C.DC_PRED if is_cfl else mode
-            alpha = 0
-            if is_cfl:
-                alpha = b.cfl_alpha_u if plane == 1 else \
-                    b.cfl_alpha_v
-            if fim >= 0:
-                kind, p1 = _K_FILTER, fim
-            elif pred_mode == C.DC_PRED:
-                kind, p1 = _K_DC, 0
-            elif pred_mode in C.MODE_TO_ANGLE:
-                kind = _K_DIR
-                p1 = C.MODE_TO_ANGLE[pred_mode] + \
-                    angle * C.ANGLE_STEP
-            else:
-                kind, p1 = _KIND_OF_MODE[pred_mode], 0
-            tb = b.coeff_map.get((plane, x, y))
-            if tb is not None:
-                res_off = res_total
-                res_chunks.append(np.ascontiguousarray(
-                    tb.residual, np.int32).ravel())
-                res_total += w * h
-            else:
-                res_off = -1
-            ops.append((plane, x, y, w, h, kind, p1,
-                        int(have_left), int(have_above), int(har),
-                        int(hbl), max_x, max_y, alpha,
-                        _filter_type(fs, b, plane),
-                        int(seq.enable_intra_edge_filter), res_off,
-                        max_luma[0], max_luma[1], sx, sy))
-            dec.mark(plane, rel_y4, rel_x4, h4, w4)
-            if plane == 0:
-                max_luma[0] = x + w
-                max_luma[1] = y + h
-    op_arr = np.asarray(ops, np.int32).reshape(-1, _OP_NF)
+    for tb, op_row in zip(fs.tbs, fs.op_of_tb):
+        op_arr[op_row, _OP_RES] = res_total
+        res_chunks.append(np.ascontiguousarray(
+            tb.residual, np.int32).ravel())
+        res_total += tb.residual.size
     res_buf = (np.concatenate(res_chunks) if res_chunks
                else np.zeros(1, np.int32))
     dr, smw, taps = _recon_tables()
