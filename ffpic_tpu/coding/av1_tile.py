@@ -108,10 +108,12 @@ class FrameState:
         self.qindex_mi = np.full((mr, mc), fh.base_q_idx, np.uint8)
         self.blocks: list[Block] = []
         self.tbs: list[TransformBlock] = []
-        # native-recon op list, emitted during the parse walk (one
-        # entry per TB incl. skip blocks); op_of_tb maps each tbs[i]
-        # to its op row so the residual offsets fill in post-transform
-        self.recon_ops: list = []
+        # native-recon op arrays, emitted during the parse walk (one
+        # row per TB incl. skip blocks); op_of_tb maps each tbs[i]
+        # to its global op row so the residual offsets fill in
+        # post-transform
+        self.recon_ops: list = []          # list of (n, OP_NF) chunks
+        self.recon_op_count = 0
         self.op_of_tb: list = []
         self.max_luma = [4, 4]    # running MaxLumaW/H (spec)
         self.sb4 = sb4
@@ -214,8 +216,8 @@ class TileDecoder:
         self._mstate = np.zeros(5, np.int64)
         self._dq_cache: dict = {}
         self._ptrs = None
-        self._dec = None          # parse-side BlockDecoded tracker
-        self._cur_sb = None       # (shared semantics with av1_recon)
+        self._cur_sb = None       # superblock tracker (BlockDecoded
+        self._pp_scratch = [None] * 3    # bitmaps live in C buffers)
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -735,28 +737,38 @@ class TileDecoder:
         nplanes = len(self.a_coef)
         a = [self.a_coef[min(p, nplanes - 1)] for p in range(3)]
         l = [self.l_coef[min(p, nplanes - 1)] for p in range(3)]
+        fs = self.fs
+        seq = self.seq
+        sb4 = fs.sb4
+        self._dec_maps = []
+        for p in range(3):
+            pl = min(p, nplanes - 1)
+            sx = seq.subsampling_x if pl else 0
+            sy = seq.subsampling_y if pl else 0
+            self._dec_maps.append(np.zeros(
+                ((sb4 >> sy) + 3, (sb4 >> sx) + 3), np.uint8))
+        assert fs.tx_w4[1].flags.c_contiguous
         arrs = a + l + [t[f"eob_pt_{16 << e}"] for e in range(7)] + [
             t["txb_skip"], t["eob_extra"], t["coeff_base_eob"],
             t["coeff_base"], t["coeff_br"], t["dc_sign"],
-            self.cdf.intra_ext_tx_np, scan_arena, blob]
+            self.cdf.intra_ext_tx_np, scan_arena, blob] + \
+            self._dec_maps + [fs.tx_w4[1], fs.tx_h4[1]]
         ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
         self._ptr_refs = arrs          # keep the buffers alive
         return ptrs
 
     def _residual_native(self, b):
-        """Per-block coefficient decode in C (host_av1.c) fused with
-        the recon OP-LIST emission: ONE iter_tx_geometry walk builds
-        the symbol-free TB records (geometry, az/tx-set selection,
-        dequant scalars) AND the intra-prediction op fields
-        (availability, angles, CfL geometry — none of which depend on
-        symbols or pixels), then one native call decodes the block's
-        whole residual() symbol stream.  av1_recon's native executor
-        replays fs.recon_ops directly, so the recon pre-pass walk is
-        gone."""
+        """Whole-block residual parse in C (host_av1.c:
+        av1_block_parse): C iterates the spec residual() TB geometry
+        itself, decoding coefficients AND emitting the recon op list
+        while maintaining the BlockDecoded bitmaps, a/l contexts,
+        chroma tx-dim grids and MaxLuma.  Python supplies one compact
+        per-block + per-plane record (mode symbols were already
+        decoded; every field here is symbol-free)."""
         from ffpic_tpu import native
         from ffpic_tpu.formats.av1_recon import (
-            _SbDecoded, _filter_type, _K_DC, _K_DIR, _K_FILTER,
-            _KIND_OF_MODE)
+            _filter_type, _K_DC, _K_DIR, _K_FILTER, _KIND_OF_MODE,
+            _OP_NF)
         fs, seq, fh = self.fs, self.seq, self.fh
         if self._ptrs is None:
             self._ptrs = self._native_ptrs()
@@ -764,61 +776,51 @@ class TileDecoder:
         sb_log2 = sb4.bit_length() - 1
         sb_r = (b.mi_row >> sb_log2) << sb_log2
         sb_c = (b.mi_col >> sb_log2) << sb_log2
-        if self._dec is None:
-            self._dec = _SbDecoded(seq, sb4)
+        new_sb = 0
         if (sb_r, sb_c) != self._cur_sb:
-            self._dec.reset(sb_r, sb_c, b.tile)
+            new_sb = 1
             self._cur_sb = (sb_r, sb_c)
-        dec = self._dec
-        max_luma = fs.max_luma
-        eef = int(seq.enable_intra_edge_filter)
-        r0t, r1t, c0t, c1t = b.tile
         lossless = fh.lossless_segs[b.seg_id]
         qidx = H.get_qindex(fh, b.seg_id, b.qindex)
-        skip = b.skip
-        recs = []
-        geo = []
-        ops = fs.recon_ops
-        total = 0
-        for plane, x, y, tx, pbs in iter_tx_geometry(seq, fs, b):
+        bw4, bh4 = C.BLOCK_W4[b.bsize], C.BLOCK_H4[b.bsize]
+        w_chunks = max(1, bw4 >> 4)
+        h_chunks = max(1, bh4 >> 4)
+        chunk_bsize = C.block_from_dims(min(bw4, 16), min(bh4, 16))
+        nplanes = min(3 if b.has_chroma else 1, seq.num_planes)
+        pp = self._pp_scratch
+        max_tb = 0
+        max_coef = 0
+        for plane in range(nplanes):
             sx = seq.subsampling_x if plane else 0
             sy = seq.subsampling_y if plane else 0
-            x4, y4 = x >> 2, y >> 2
-            tw, th = C.TX_W[tx], C.TX_H[tx]
-            w4, h4 = tw >> 2, th >> 2
-            l_base = y4 - (self.sb_row >> sy)
-            if plane > 0:
-                r0 = y4 << sy
-                c0 = x4 << sx
-                re_ = min(r0 + (h4 << sy), fs.mi_rows)
-                ce = min(c0 + (w4 << sx), fs.mi_cols)
-                fs.tx_w4[1][r0:re_, c0:ce] = w4
-                fs.tx_h4[1][r0:re_, c0:ce] = h4
-
-            # ---- recon op (prediction is emitted for skip TBs too)
-            blk_px = (b.mi_col >> sx) << 2
-            blk_py = (b.mi_row >> sy) << 2
-            avail_u = b.avail_uc if plane else b.avail_u
-            avail_l = b.avail_lc if plane else b.avail_l
-            have_above = bool(avail_u) or y > blk_py
-            have_left = bool(avail_l) or x > blk_px
-            rel_x4 = x4 - ((sb_c >> sx) if sx else sb_c)
-            rel_y4 = y4 - ((sb_r >> sy) if sy else sb_r)
-            har = dec.get(plane, rel_y4 - 1, rel_x4 + w4)
-            hbl = dec.get(plane, rel_y4 + h4, rel_x4 - 1)
-            max_x = ((c1t * 4) >> sx) - 1
-            max_y = ((r1t * 4) >> sy) - 1
+            if lossless:
+                tx = C.TX_4X4
+            elif plane == 0:
+                tx = b.tx_size
+            else:
+                tx = C.max_uv_tx_size(b.bsize, sx, sy)
+            pbs = C.plane_block_size(chunk_bsize, sx, sy)
+            num4w = C.BLOCK_W4[pbs]
+            num4h = C.BLOCK_H4[pbs]
+            step_x = C.TX_W[tx] >> 2
+            step_y = C.TX_H[tx] >> 2
+            ntb = (w_chunks * h_chunks
+                   * (-(-num4w // step_x)) * (-(-num4h // step_y)))
+            max_tb += ntb
+            adj = C.adjusted_tx_size(tx)
+            max_coef += ntb * C.TX_W[adj] * C.TX_H[adj]
             if plane == 0:
                 mode, angle, fim = b.y_mode, b.angle_y, \
                     b.filter_intra_mode
+                alpha = 0
             else:
                 mode, angle, fim = b.uv_mode, b.angle_uv, -1
+                alpha = 0
+                if mode == C.UV_CFL_PRED:
+                    alpha = b.cfl_alpha_u if plane == 1 else \
+                        b.cfl_alpha_v
             is_cfl = plane > 0 and mode == C.UV_CFL_PRED
             pred_mode = C.DC_PRED if is_cfl else mode
-            alpha = 0
-            if is_cfl:
-                alpha = b.cfl_alpha_u if plane == 1 else \
-                    b.cfl_alpha_v
             if fim >= 0:
                 kind, p1 = _K_FILTER, fim
             elif pred_mode == C.DC_PRED:
@@ -829,69 +831,47 @@ class TileDecoder:
                     angle * C.ANGLE_STEP
             else:
                 kind, p1 = _KIND_OF_MODE[pred_mode], 0
-            ops.append((plane, x, y, tw, th, kind, p1,
-                        int(have_left), int(have_above), int(har),
-                        int(hbl), max_x, max_y, alpha,
-                        _filter_type(fs, b, plane), eef, -1,
-                        max_luma[0], max_luma[1], sx, sy))
-            dec.mark(plane, rel_y4, rel_x4, h4, w4)
-            if plane == 0:
-                max_luma[0] = x + tw
-                max_luma[1] = y + th
-            a = self.a_coef[plane]
-            l = self.l_coef[plane]
-            if skip:
-                a[x4:x4 + w4] = 0
-                l[l_base:l_base + h4] = 0
-                continue
-
-            # ---- coefficient-decode record
-            cw4 = min(w4, (fs.mi_cols >> sx) - x4)
-            ch4 = min(h4, (fs.mi_rows >> sy) - y4)
-            pbw = C.BLOCK_W4[pbs] * 4
-            pbh = C.BLOCK_H4[pbs] * 4
-            if plane == 0:
-                az = 0 if (pbw == tw and pbh == th) else 1
-            else:
-                az = 3 if pbw * pbh > tw * th else 2
             if plane > 0:
-                ett_set, ett_dir, ett_sqr = -1, 0, 0
-                fixed_tt = C.DCT_DCT if lossless else \
-                    self._chroma_tx_type(tx, b)
+                ett = (-1, 0, 0,
+                       C.DCT_DCT if lossless else
+                       self._chroma_tx_type(tx, b))
             elif lossless:
-                ett_set, ett_dir, ett_sqr, fixed_tt = -1, 0, 0, \
-                    C.DCT_DCT
+                ett = (-1, 0, 0, C.DCT_DCT)
             else:
                 tset = C.get_tx_set_intra(tx, fh.reduced_tx_set)
                 if tset == C.TX_SET_DCTONLY or qidx <= 0:
-                    ett_set, ett_dir, ett_sqr, fixed_tt = -1, 0, 0, \
-                        C.DCT_DCT
+                    ett = (-1, 0, 0, C.DCT_DCT)
                 else:
-                    ett_set = tset - 1
-                    ett_sqr = C.TX_SIZE_SQR[tx]
-                    ett_dir = (C.FIMODE_TO_INTRA_DIR[
-                        b.filter_intra_mode]
-                        if b.filter_intra_mode >= 0 else b.y_mode)
-                    fixed_tt = 0
+                    ett = (tset - 1,
+                           (C.FIMODE_TO_INTRA_DIR[fim] if fim >= 0
+                            else b.y_mode),
+                           C.TX_SIZE_SQR[tx], 0)
             key = (plane, b.seg_id, b.qindex, tx)
             dq = self._dq_cache.get(key)
             if dq is None:
                 dq = self._dequant_params(plane, b, tx)
                 self._dq_cache[key] = dq
-            dc_q, ac_q, shift, clip = dq
-            adj = C.adjusted_tx_size(tx)
-            aw, ah = C.TX_W[adj], C.TX_H[adj]
-            recs.append((plane, x4, y4, tx, cw4, ch4, l_base, az,
-                         ett_set, ett_dir, ett_sqr, fixed_tt,
-                         dc_q, ac_q, shift, total))
-            geo.append((plane, x, y, tx, total, aw, ah,
-                        len(ops) - 1))
-            total += aw * ah
-        if not recs:
-            return
-        out = np.zeros(total, np.int32)
-        tb_out = np.empty((len(recs), 2), np.int32)
-        rec_arr = np.asarray(recs, np.int32)
+            dmh = (sb4 >> sy) + 3
+            dmw = (sb4 >> sx) + 3
+            pp[plane] = (tx, num4w, num4h, sx, sy,
+                         int(b.avail_uc if plane else b.avail_u),
+                         int(b.avail_lc if plane else b.avail_l),
+                         ett[0], ett[1], ett[2], ett[3],
+                         dq[0], dq[1], dq[2],
+                         kind, p1, alpha,
+                         _filter_type(fs, b, plane),
+                         num4w * 4, num4h * 4, dmh, dmw)
+        blk = (b.mi_row, b.mi_col, w_chunks, h_chunks, int(b.skip),
+               new_sb, sb_r, sb_c, self.sb_row, fs.mi_rows,
+               fs.mi_cols, self.r1, self.c1,
+               int(seq.enable_intra_edge_filter))
+        blk_arr = np.asarray(blk, np.int32)
+        pp_arr = np.asarray(pp[:nplanes], np.int32)
+        ops = np.empty((max_tb, _OP_NF), np.int32)
+        coef = np.zeros(max_coef, np.int32)
+        tbmeta = np.empty((max_tb, 8), np.int32)
+        inout = np.asarray([fs.max_luma[0], fs.max_luma[1], 0, 0, 0],
+                           np.int32)
         m = self.m
         st = self._mstate
         st[0] = m.dif
@@ -899,23 +879,31 @@ class TileDecoder:
         st[2] = m.cnt
         st[3] = m.bitpos
         st[4] = 1 if m.allow_update else 0
-        native.av1_block_coeffs(m.data, st, self._ptrs, rec_arr,
-                                out, 1 << (seq.bit_depth + 7),
-                                tb_out)
+        native.av1_block_parse(m.data, st, self._ptrs, blk_arr,
+                               pp_arr, nplanes, ops, coef,
+                               tbmeta, 1 << (seq.bit_depth + 7),
+                               inout)
         m.dif = int(st[0])
         m.rng = int(st[1])
         m.cnt = int(st[2])
         m.bitpos = int(st[3])
-        for i, (plane, x, y, tx, off, aw, ah, op_row) in \
-                enumerate(geo):
-            eob = int(tb_out[i, 0])
-            if eob > 0:
-                tb = TransformBlock(
-                    plane, x, y, tx, int(tb_out[i, 1]), eob,
-                    out[off:off + aw * ah].reshape(ah, aw), b)
-                fs.tbs.append(tb)
-                fs.op_of_tb.append(op_row)
-                b.coeff_map[(plane, x, y)] = tb
+        fs.max_luma[0] = int(inout[0])
+        fs.max_luma[1] = int(inout[1])
+        n_ops, n_tbs = int(inout[2]), int(inout[3])
+        op_base = fs.recon_op_count
+        fs.recon_ops.append(ops[:n_ops])
+        fs.recon_op_count = op_base + n_ops
+        for i in range(n_tbs):
+            plane, x, y, tx, off, eob, tt, op_row = (
+                int(v) for v in tbmeta[i])
+            adj = C.adjusted_tx_size(tx)
+            aw, ah = C.TX_W[adj], C.TX_H[adj]
+            tb = TransformBlock(plane, x, y, tx, tt, eob,
+                                coef[off:off + aw * ah].reshape(
+                                    ah, aw), b)
+            fs.tbs.append(tb)
+            fs.op_of_tb.append(op_base + op_row)
+            b.coeff_map[(plane, x, y)] = tb
 
     def _transform_block(self, plane, x, y, tx, b, plane_bsize):
         fs = self.fs

@@ -249,7 +249,7 @@ def _reconstruct_native(fs: FrameState, planes):
     seq = fs.seq
     if not fs.recon_ops:
         return
-    op_arr = np.asarray(fs.recon_ops, np.int32).reshape(-1, _OP_NF)
+    op_arr = np.ascontiguousarray(np.concatenate(fs.recon_ops))
     res_chunks = []
     res_total = 0
     for tb, op_row in zip(fs.tbs, fs.op_of_tb):

@@ -836,3 +836,25 @@ def vp8_color_libwebp(Y, U, V, H: int, W: int, A=None):
     fn(Y.ctypes.data, Y.shape[1], U.ctypes.data, V.ctypes.data,
        U.shape[1], H, W, a_ptr, out.ctypes.data)
     return out
+
+
+def av1_block_parse(data: bytes, st, ptrs, blk, pp, nplanes: int,
+                    ops, coef, tbmeta, clip: int, inout):
+    """Whole-block AV1 residual parse (host_av1.c:av1_block_parse):
+    C iterates the residual() TB geometry, decodes coefficients and
+    emits recon ops, maintaining BlockDecoded bitmaps / a,l contexts
+    / chroma tx grids / MaxLuma in place."""
+    lib = _load()
+    fn = lib.av1_block_parse
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_char_p, c.c_longlong, c.c_void_p,
+                       c.c_void_p, c.c_void_p, c.c_void_p, c.c_int,
+                       c.c_void_p, c.c_void_p, c.c_void_p,
+                       c.c_longlong, c.c_void_p]
+        fn._bound = True
+    fn(data, len(data), st.ctypes.data, ptrs.ctypes.data,
+       blk.ctypes.data, pp.ctypes.data, nplanes, ops.ctypes.data,
+       coef.ctypes.data, tbmeta.ctypes.data, clip,
+       inout.ctypes.data)

@@ -886,3 +886,453 @@ EXPORT void av1_recon(
         }
     }
 }
+
+/* ------------------------------------------------------------------ *
+ * Whole-block residual parse: C iterates the spec residual() TB
+ * geometry itself (one compact per-block + per-plane record from
+ * Python), decoding coefficients AND emitting the recon op list,
+ * maintaining the BlockDecoded bitmaps, a/l coefficient contexts,
+ * chroma tx-dim grids and MaxLuma state.  Python's per-block glue
+ * shrinks to ~25 scalars; mode-symbol decode stays in Python.
+ * Mirrors av1_tile.py:_residual_native/iter_tx_geometry and
+ * av1_recon.py:_SbDecoded 1:1.
+ * ------------------------------------------------------------------ */
+
+/* additional pointer-table entries (extends the P_* enum) */
+enum { Q_DEC0 = P_NPTRS, Q_DEC1, Q_DEC2, Q_TXW4C, Q_TXH4C,
+       Q_NPTRS };
+
+/* per-block record */
+enum { B_R, B_C, B_WCH, B_HCH, B_SKIP, B_NEWSB, B_SBR, B_SBC,
+       B_SBROW, B_MIROWS, B_MICOLS, B_R1T, B_C1T, B_EEF, B_NF };
+
+/* per-plane record (3 rows) */
+enum { PPF_TX, PPF_NUM4W, PPF_NUM4H, PPF_SX, PPF_SY, PPF_AVAILU,
+       PPF_AVAILL, PPF_ETTSET, PPF_ETTDIR, PPF_ETTSQR, PPF_FIXEDTT,
+       PPF_DCQ, PPF_ACQ, PPF_SHIFT, PPF_KIND, PPF_P1, PPF_ALPHA,
+       PPF_FT, PPF_PBW, PPF_PBH, PPF_DMH, PPF_DMW, PPF_NF };
+
+/* tb meta out columns */
+enum { TBM_PLANE, TBM_X, TBM_Y, TBM_TX, TBM_OFF, TBM_EOB, TBM_TT,
+       TBM_OPROW, TBM_NF };
+
+static int decode_tb_coeffs(Msac *m, const long long *ptrs,
+                            const int32_t *S, const int32_t *scans,
+                            int plane, int x4, int y4, int tx,
+                            int cw4, int ch4, int l_base, int az,
+                            int ett_set, int ett_dir, int ett_sqr,
+                            int fixed_tt,
+                            long long dc_q, long long ac_q,
+                            int shift, long long clip,
+                            int32_t *dst, int32_t *tt_out)
+{
+    int ptype = plane ? 1 : 0;
+    uint8_t *a = (uint8_t *)ptrs[P_A0 + plane];
+    uint8_t *l = (uint8_t *)ptrs[P_L0 + plane];
+    int txs = S[S_TXSCTX + tx];
+
+    int ctx;
+    if (az == 0) {
+        ctx = 0;
+    } else if (az == 1) {
+        int top = 0, lft = 0;
+        for (int k = 0; k < cw4; k++) top |= a[x4 + k];
+        for (int k = 0; k < ch4; k++) lft |= l[l_base + k];
+        top &= 63;
+        lft &= 63;
+        int mx = top | lft; if (mx > 4) mx = 4;
+        int mn = top < lft ? top : lft; if (mn > 4) mn = 4;
+        ctx = S[S_SKIPCTX + mn * 5 + mx];
+    } else {
+        int anz = 0, lnz = 0;
+        for (int k = 0; k < cw4 && !anz; k++)
+            anz = (a[x4 + k] & 63) != 0;
+        for (int k = 0; k < ch4 && !lnz; k++)
+            lnz = (l[l_base + k] & 63) != 0;
+        ctx = anz + lnz + (az == 3 ? 10 : 7);
+    }
+    int32_t *skip_cdf = (int32_t *)ptrs[P_TXBSKIP]
+                      + (txs * 13 + ctx) * 3;
+    if (msac_symbol(m, skip_cdf, 2)) {
+        for (int k = 0; k < cw4; k++) a[x4 + k] = 0;
+        for (int k = 0; k < ch4; k++) l[l_base + k] = 0;
+        *tt_out = 0;
+        return 0;
+    }
+
+    int tt;
+    if (ett_set < 0) {
+        tt = fixed_tt;
+    } else {
+        int32_t *row = (int32_t *)ptrs[P_IETX]
+            + (((ett_set * 4) + ett_sqr) * 13 + ett_dir) * 8;
+        int n = ett_set == 0 ? 7 : 5;
+        int sym = msac_symbol(m, row, n);
+        tt = S[S_INV + ett_set * 8 + sym];
+    }
+    *tt_out = tt;
+    int cls = S[S_TTCLASS + tt];
+    int kind = cls == TX_CLASS_VERT ? 1
+             : cls == TX_CLASS_HORIZ ? 2 : 0;
+    const int32_t *scan = scans + S[S_SCANOFF + tx * 3 + kind];
+    int w = S[S_AW + tx], h = S[S_AH + tx];
+    int area = w * h;
+    const int32_t *offtab = S + S_OFFTABS
+        + (w == h ? 0 : (w > h ? 25 : 50));
+
+    int emul = S[S_EMUL + tx];
+    int eob_n = 5 + emul;
+    int32_t *eob_cdf = (int32_t *)ptrs[P_EOB16 + emul]
+        + (ptype * 2 + (cls == TX_CLASS_2D ? 0 : 1)) * (eob_n + 1);
+    int eob_pt = msac_symbol(m, eob_cdf, eob_n) + 1;
+    int eob;
+    if (eob_pt < 2) {
+        eob = eob_pt;
+    } else {
+        eob = (1 << (eob_pt - 2)) + 1;
+        if (eob_pt >= 3) {
+            int32_t *xr = (int32_t *)ptrs[P_EOBEXTRA]
+                + ((txs * 2 + ptype) * 9 + (eob_pt - 3)) * 3;
+            if (msac_symbol(m, xr, 2))
+                eob += 1 << (eob_pt - 3);
+            for (int i = 1; i < eob_pt - 2; i++) {
+                int sh = eob_pt - 2 - 1 - i;
+                if (msac_bool_equi(m))
+                    eob += 1 << sh;
+            }
+        }
+    }
+
+    int32_t lv[37 * 37];
+    memset(lv, 0, sizeof(int32_t) * (h + 5) * (w + 5));
+    int stride = w + 5;
+    int64_t quant[1024];
+    int8_t signs[1024];
+    memset(quant, 0, sizeof(int64_t) * area);
+    memset(signs, 0, sizeof(int8_t) * area);
+    int32_t *base_eob = (int32_t *)ptrs[P_BASEEOB]
+                      + (txs * 2 + ptype) * 4 * 4;
+    int32_t *base = (int32_t *)ptrs[P_BASE]
+                  + (txs * 2 + ptype) * 42 * 5;
+    int mt = txs < 3 ? txs : 3;
+    int32_t *br = (int32_t *)ptrs[P_BR] + (mt * 2 + ptype) * 21 * 5;
+
+    for (int ci = eob - 1; ci >= 0; ci--) {
+        int pos = scan[ci];
+        int row = pos / w;
+        int col = pos - row * w;
+        int32_t *L = lv + row * stride + col;
+        int64_t level;
+        if (ci == eob - 1) {
+            int bctx;
+            if (ci == 0) bctx = 0;
+            else if (ci <= area / 8) bctx = 1;
+            else if (ci <= area / 4) bctx = 2;
+            else bctx = 3;
+            level = msac_symbol(m, base_eob + bctx * 4, 3) + 1;
+        } else {
+            int bctx;
+            if (cls == TX_CLASS_2D) {
+                if (pos == 0) {
+                    bctx = 0;
+                } else {
+                    int mag = imin(L[1], 3) + imin(L[stride], 3)
+                            + imin(L[stride + 1], 3) + imin(L[2], 3)
+                            + imin(L[2 * stride], 3);
+                    bctx = imin((mag + 1) >> 1, 4)
+                         + offtab[imin(row, 4) * 5 + imin(col, 4)];
+                }
+            } else {
+                int mag = imin(L[1], 3) + imin(L[stride], 3);
+                int idx;
+                if (cls == TX_CLASS_HORIZ) {
+                    mag += imin(L[2], 3) + imin(L[3], 3)
+                         + imin(L[4], 3);
+                    idx = col;
+                } else {
+                    mag += imin(L[2 * stride], 3)
+                         + imin(L[3 * stride], 3)
+                         + imin(L[4 * stride], 3);
+                    idx = row;
+                }
+                bctx = imin((mag + 1) >> 1, 4) + 26
+                     + 5 * imin(idx, 2);
+            }
+            level = msac_symbol(m, base + bctx * 5, 4);
+        }
+        if (level > NUM_BASE_LEVELS) {
+            int mag;
+            if (cls == TX_CLASS_2D)
+                mag = L[1] + L[stride] + L[stride + 1];
+            else if (cls == TX_CLASS_HORIZ)
+                mag = L[1] + L[stride] + L[2];
+            else
+                mag = L[1] + L[stride] + L[2 * stride];
+            int bmag = imin((mag + 1) >> 1, 6);
+            int brctx;
+            if (pos == 0)
+                brctx = bmag;
+            else if (cls == TX_CLASS_2D)
+                brctx = bmag + ((row < 2 && col < 2) ? 7 : 14);
+            else if (cls == TX_CLASS_HORIZ)
+                brctx = bmag + (col == 0 ? 7 : 14);
+            else
+                brctx = bmag + (row == 0 ? 7 : 14);
+            for (int k = 0;
+                 k < COEFF_BASE_RANGE / (BR_CDF_SIZE - 1); k++) {
+                int v = msac_symbol(m, br + brctx * 5, 4);
+                level += v;
+                if (v < BR_CDF_SIZE - 1)
+                    break;
+            }
+        }
+        quant[pos] = level;
+        L[0] = (int32_t)(level < 127 ? level : 127);
+    }
+
+    int64_t cul = 0;
+    int dc_cat = 0;
+    for (int ci = 0; ci < eob; ci++) {
+        int pos = scan[ci];
+        int64_t level = quant[pos];
+        int sign = 0;
+        if (level) {
+            if (ci == 0) {
+                int dcs = 0;
+                for (int k = 0; k < cw4; k++) {
+                    int v = a[x4 + k] >> 6;
+                    dcs += v == 2 ? 1 : (v == 1 ? -1 : 0);
+                }
+                for (int k = 0; k < ch4; k++) {
+                    int v = l[l_base + k] >> 6;
+                    dcs += v == 2 ? 1 : (v == 1 ? -1 : 0);
+                }
+                int sctx = dcs == 0 ? 0 : (dcs < 0 ? 1 : 2);
+                int32_t *ds = (int32_t *)ptrs[P_DCSIGN]
+                            + (ptype * 3 + sctx) * 3;
+                sign = msac_symbol(m, ds, 2);
+            } else {
+                sign = msac_bool_equi(m);
+            }
+        }
+        if (level > NUM_BASE_LEVELS + COEFF_BASE_RANGE) {
+            level += golomb(m);
+            quant[pos] = level;
+        }
+        if (ci == 0)
+            dc_cat = level == 0 ? 0 : (sign ? 1 : 2);
+        cul += level;
+        signs[pos] = (int8_t)sign;
+    }
+    if (cul > 63)
+        cul = 63;
+    uint8_t av = (uint8_t)(cul | (dc_cat << 6));
+    for (int k = 0; k < cw4; k++) a[x4 + k] = av;
+    for (int k = 0; k < ch4; k++) l[l_base + k] = av;
+
+    for (int ci = 0; ci < eob; ci++) {
+        int pos = scan[ci];
+        int64_t level = quant[pos];
+        if (!level)
+            continue;
+        int64_t dq = (level * (pos == 0 ? dc_q : ac_q)) & 0xFFFFFF;
+        dq >>= shift;
+        if (signs[pos])
+            dq = -dq;
+        if (dq < -clip) dq = -clip;
+        if (dq > clip - 1) dq = clip - 1;
+        dst[pos] = (int32_t)dq;
+    }
+    return eob;
+}
+
+EXPORT void av1_block_parse(
+    const uint8_t *data, long long data_len, long long *st,
+    const long long *ptrs, const int32_t *blk, const int32_t *pp,
+    int nplanes, int32_t *ops, int32_t *coef_out, int32_t *tbmeta,
+    long long clip, int32_t *inout)
+{
+    Msac m;
+    m.data = data;
+    m.end8 = data_len * 8;
+    m.dif = (uint32_t)st[0];
+    m.rng = (uint32_t)st[1];
+    m.cnt = (int32_t)st[2];
+    m.bitpos = st[3];
+    m.allow_update = (int)st[4];
+
+    const int32_t *S = (const int32_t *)ptrs[P_STATIC];
+    const int32_t *scans = (const int32_t *)ptrs[P_SCANS];
+    int r = blk[B_R], c = blk[B_C];
+    int skip = blk[B_SKIP];
+    int sb_r = blk[B_SBR], sb_c = blk[B_SBC];
+    int sbrow = blk[B_SBROW];
+    int mi_rows = blk[B_MIROWS], mi_cols = blk[B_MICOLS];
+    int eef = blk[B_EEF];
+    int n_ops = 0, n_tbs = 0;
+    int coef_total = inout[4];
+
+    /* BlockDecoded reset on superblock entry (spec 5.11.30 halos,
+     * ported from av1_recon._SbDecoded.reset) */
+    if (blk[B_NEWSB]) {
+        for (int plane = 0; plane < nplanes; plane++) {
+            const int32_t *P = pp + plane * PPF_NF;
+            int dmh = P[PPF_DMH], dmw = P[PPF_DMW];
+            int sx = P[PPF_SX], sy = P[PPF_SY];
+            uint8_t *dmap = (uint8_t *)ptrs[Q_DEC0 + plane];
+            memset(dmap, 0, (size_t)dmh * dmw);
+            int sb_w4 = ((blk[B_C1T] - sb_c) + sx) >> sx;
+            int sb_h4 = ((blk[B_R1T] - sb_r) + sy) >> sy;
+            int w_lim = sb_w4 < dmw - 1 ? sb_w4 : dmw - 1;
+            for (int k = 0; k < w_lim; k++)
+                dmap[1 + k] = 1;
+            dmap[0] = 1;
+            int h_lim = sb_h4 < dmh - 1 ? sb_h4 : dmh - 1;
+            for (int k = 0; k < h_lim; k++)
+                dmap[(1 + k) * dmw] = 1;
+            /* sb4>>sy derived: dec map height = (sb4>>sy)+3 */
+            int bl = (dmh - 3) + 1;
+            if (bl > dmh - 1) bl = dmh - 1;
+            dmap[bl * dmw] = 0;
+        }
+    }
+
+    int w_chunks = blk[B_WCH], h_chunks = blk[B_HCH];
+    for (int cy = 0; cy < h_chunks; cy++)
+    for (int cx = 0; cx < w_chunks; cx++)
+    for (int plane = 0; plane < nplanes; plane++) {
+        const int32_t *P = pp + plane * PPF_NF;
+        int sx = P[PPF_SX], sy = P[PPF_SY];
+        int tx = P[PPF_TX];
+        int num4w = P[PPF_NUM4W], num4h = P[PPF_NUM4H];
+        int tw = S[S_TXW + tx], th = S[S_TXH + tx];
+        int step_x = tw >> 2, step_y = th >> 2;
+        int base_x = ((c >> sx) + (cx << (4 - sx))) * 4;
+        int base_y = ((r >> sy) + (cy << (4 - sy))) * 4;
+        int max_px = (mi_cols * 4) >> sx;
+        int max_py = (mi_rows * 4) >> sy;
+        int blk_px = (c >> sx) << 2;
+        int blk_py = (r >> sy) << 2;
+        int avail_u = P[PPF_AVAILU], avail_l = P[PPF_AVAILL];
+        int dmw = P[PPF_DMW];
+        uint8_t *dmap = (uint8_t *)ptrs[Q_DEC0 + plane];
+        uint8_t *a = (uint8_t *)ptrs[P_A0 + plane];
+        uint8_t *l = (uint8_t *)ptrs[P_L0 + plane];
+        for (int yy = 0; yy < num4h; yy += step_y)
+        for (int xx = 0; xx < num4w; xx += step_x) {
+            int x = base_x + 4 * xx;
+            int y = base_y + 4 * yy;
+            if (x >= max_px || y >= max_py)
+                continue;
+            int x4 = x >> 2, y4 = y >> 2;
+            int w4 = step_x, h4 = step_y;
+            int l_base = y4 - (sbrow >> sy);
+            if (plane > 0) {
+                int r0 = y4 << sy, c0 = x4 << sx;
+                int re_ = r0 + (h4 << sy);
+                if (re_ > mi_rows) re_ = mi_rows;
+                int ce = c0 + (w4 << sx);
+                if (ce > mi_cols) ce = mi_cols;
+                uint8_t *txw = (uint8_t *)ptrs[Q_TXW4C];
+                uint8_t *txh = (uint8_t *)ptrs[Q_TXH4C];
+                for (int rr = r0; rr < re_; rr++)
+                    for (int cc = c0; cc < ce; cc++) {
+                        txw[rr * mi_cols + cc] = (uint8_t)w4;
+                        txh[rr * mi_cols + cc] = (uint8_t)h4;
+                    }
+            }
+            /* recon op */
+            int have_above = avail_u || y > blk_py;
+            int have_left = avail_l || x > blk_px;
+            int rel_x4 = x4 - (sx ? (sb_c >> sx) : sb_c);
+            int rel_y4 = y4 - (sy ? (sb_r >> sy) : sb_r);
+            int har = 0, hbl = 0;
+            {
+                int gy = rel_y4 - 1 + 1, gx = rel_x4 + w4 + 1;
+                int dmh = P[PPF_DMH];
+                if (gy >= 0 && gx >= 0 && gy < dmh && gx < dmw)
+                    har = dmap[gy * dmw + gx];
+                gy = rel_y4 + h4 + 1;
+                gx = rel_x4 - 1 + 1;
+                if (gy >= 0 && gx >= 0 && gy < dmh && gx < dmw)
+                    hbl = dmap[gy * dmw + gx];
+            }
+            int32_t *op = ops + (long long)n_ops * OP_NF;
+            op[OP_PLANE] = plane;
+            op[OP_X] = x;
+            op[OP_Y] = y;
+            op[OP_W] = tw;
+            op[OP_H] = th;
+            op[OP_KIND] = P[PPF_KIND];
+            op[OP_P1] = P[PPF_P1];
+            op[OP_HL] = have_left;
+            op[OP_HA] = have_above;
+            op[OP_HAR] = har;
+            op[OP_HBL] = hbl;
+            op[OP_MAXX] = ((blk[B_C1T] * 4) >> sx) - 1;
+            op[OP_MAXY] = ((blk[B_R1T] * 4) >> sy) - 1;
+            op[OP_CFL_ALPHA] = P[PPF_ALPHA];
+            op[OP_FT] = P[PPF_FT];
+            op[OP_EEF] = eef;
+            op[OP_RES] = -1;
+            op[OP_MLW] = inout[0];
+            op[OP_MLH] = inout[1];
+            op[OP_SUBX] = sx;
+            op[OP_SUBY] = sy;
+            n_ops++;
+            /* dec.mark */
+            for (int rr = 0; rr < h4; rr++)
+                for (int cc = 0; cc < w4; cc++)
+                    dmap[(rel_y4 + 1 + rr) * dmw
+                         + (rel_x4 + 1 + cc)] = 1;
+            if (plane == 0) {
+                inout[0] = x + tw;
+                inout[1] = y + th;
+            }
+            if (skip) {
+                for (int k = 0; k < w4; k++) a[x4 + k] = 0;
+                for (int k = 0; k < h4; k++) l[l_base + k] = 0;
+                continue;
+            }
+            /* coefficient decode */
+            int cw4 = w4, ch4 = h4;
+            if ((mi_cols >> sx) - x4 < cw4)
+                cw4 = (mi_cols >> sx) - x4;
+            if ((mi_rows >> sy) - y4 < ch4)
+                ch4 = (mi_rows >> sy) - y4;
+            int az;
+            if (plane == 0)
+                az = (P[PPF_PBW] == tw && P[PPF_PBH] == th) ? 0 : 1;
+            else
+                az = P[PPF_PBW] * P[PPF_PBH] > tw * th ? 3 : 2;
+            int aw = S[S_AW + tx], ah = S[S_AH + tx];
+            int tt = 0;
+            int eob = decode_tb_coeffs(
+                &m, ptrs, S, scans, plane, x4, y4, tx, cw4, ch4,
+                l_base, az, P[PPF_ETTSET], P[PPF_ETTDIR],
+                P[PPF_ETTSQR], P[PPF_FIXEDTT],
+                P[PPF_DCQ], P[PPF_ACQ], P[PPF_SHIFT], clip,
+                coef_out + coef_total, &tt);
+            if (eob > 0) {
+                int32_t *tm = tbmeta + (long long)n_tbs * TBM_NF;
+                tm[TBM_PLANE] = plane;
+                tm[TBM_X] = x;
+                tm[TBM_Y] = y;
+                tm[TBM_TX] = tx;
+                tm[TBM_OFF] = coef_total;
+                tm[TBM_EOB] = eob;
+                tm[TBM_TT] = tt;
+                tm[TBM_OPROW] = n_ops - 1;
+                n_tbs++;
+                coef_total += aw * ah;
+            }
+        }
+    }
+    st[0] = m.dif;
+    st[1] = m.rng;
+    st[2] = m.cnt;
+    st[3] = m.bitpos;
+    inout[2] = n_ops;
+    inout[3] = n_tbs;
+    inout[4] = coef_total;
+}
