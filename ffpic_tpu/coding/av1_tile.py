@@ -861,12 +861,19 @@ class TileDecoder:
                          kind, p1, alpha,
                          _filter_type(fs, b, plane),
                          num4w * 4, num4h * 4, dmh, dmw)
+        # reset rows must exist for EVERY frame plane (a chroma-less
+        # sub-8x8 partner can be the first block of a superblock)
+        for plane in range(nplanes, seq.num_planes):
+            sx, sy = seq.subsampling_x, seq.subsampling_y
+            pp[plane] = (0,) * 3 + (sx, sy) + (0,) * 15 + \
+                ((sb4 >> sy) + 3, (sb4 >> sx) + 3)
         blk = (b.mi_row, b.mi_col, w_chunks, h_chunks, int(b.skip),
                new_sb, sb_r, sb_c, self.sb_row, fs.mi_rows,
                fs.mi_cols, self.r1, self.c1,
-               int(seq.enable_intra_edge_filter))
+               int(seq.enable_intra_edge_filter), seq.num_planes)
         blk_arr = np.asarray(blk, np.int32)
-        pp_arr = np.asarray(pp[:nplanes], np.int32)
+        pp_arr = np.asarray(pp[:max(nplanes, seq.num_planes)],
+                            np.int32)
         ops = np.empty((max_tb, _OP_NF), np.int32)
         coef = np.zeros(max_coef, np.int32)
         tbmeta = np.empty((max_tb, 8), np.int32)

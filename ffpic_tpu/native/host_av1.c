@@ -904,7 +904,13 @@ enum { Q_DEC0 = P_NPTRS, Q_DEC1, Q_DEC2, Q_TXW4C, Q_TXH4C,
 
 /* per-block record */
 enum { B_R, B_C, B_WCH, B_HCH, B_SKIP, B_NEWSB, B_SBR, B_SBC,
-       B_SBROW, B_MIROWS, B_MICOLS, B_R1T, B_C1T, B_EEF, B_NF };
+       B_SBROW, B_MIROWS, B_MICOLS, B_R1T, B_C1T, B_EEF,
+       B_NPALL,   /* seq.num_planes: the BlockDecoded reset covers
+                   * every frame plane even when the current block is
+                   * a chroma-less sub-8x8 partner (nplanes == 1) —
+                   * otherwise a new superblock entered via such a
+                   * block keeps the previous SB's chroma marks */
+       B_NF };
 
 /* per-plane record (3 rows) */
 enum { PPF_TX, PPF_NUM4W, PPF_NUM4H, PPF_SX, PPF_SY, PPF_AVAILU,
@@ -1175,7 +1181,7 @@ EXPORT void av1_block_parse(
     /* BlockDecoded reset on superblock entry (spec 5.11.30 halos,
      * ported from av1_recon._SbDecoded.reset) */
     if (blk[B_NEWSB]) {
-        for (int plane = 0; plane < nplanes; plane++) {
+        for (int plane = 0; plane < blk[B_NPALL]; plane++) {
             const int32_t *P = pp + plane * PPF_NF;
             int dmh = P[PPF_DMH], dmw = P[PPF_DMW];
             int sx = P[PPF_SX], sy = P[PPF_SY];
