@@ -163,7 +163,15 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
             # per bucket as a stacked transfer (decode_batch_420_packed)
             c, k, v, nnz = j.packed
             j.packed = (np.array(c), np.array(k), np.array(v), nnz)
-        return i, data, j
+        pic = None
+        if j is None:
+            # non-JPEG members (WebP/HEIC/AVIF/PNG/...) decode fully
+            # on the host INSIDE the pool — each is an independent
+            # entropy+recon unit and the native decoders release the
+            # GIL across their ctypes calls (same seam as HEIF grid
+            # tiles)
+            pic = registry.load(data)
+        return i, data, j, pic
 
     # host worker pool over the entropy-decode stage (SURVEY 2.6(a)):
     # the native parsers release the GIL, so reads+Huffman+staging of
@@ -180,12 +188,11 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     else:
         prepped = [_prep(it) for it in items]
 
-    for (i, data, j) in prepped:
+    for (i, data, j, pic) in prepped:
         if j is not None:
             key = (j.comps[0].nby, j.comps[0].nbx)
             buckets.setdefault(key, []).append((i, j))
         else:
-            pic = registry.load(data)
             slots[i] = jnp.asarray(pic.to_rgba32())
 
     # coalesced launches per geometry bucket, per-image quant tables;
