@@ -434,9 +434,16 @@ def inverse_transform_batch(coeffs: np.ndarray, tx_size: int,
     rlo, rhi = -(1 << (row_bits - 1)), (1 << (row_bits - 1)) - 1
     clo, chi = -(1 << (col_bits - 1)), (1 << (col_bits - 1)) - 1
 
-    src = coeffs.astype(np.int64)
+    # int32 lanes for <=10-bit: rotations are a clipped bd+8-bit value
+    # times a 12-bit cos (<= 2^30); the widest sums (ADST4 row-pass
+    # accumulators) sit at the int32 boundary exactly as in dav1d's
+    # int32_t production path (the spec's intermediate-range clamps
+    # are designed around it).  Half the memory traffic of int64;
+    # 12-bit (profile 2) would need int64 and is out of scope.
+    dt = np.int32 if bit_depth <= 10 else np.int64
+    src = coeffs.astype(dt)
     lanes = B * ah
-    zero = np.zeros(lanes, np.int64)
+    zero = np.zeros(lanes, dt)
     row = [src[:, :, c].reshape(lanes) for c in range(aw)] + \
         [zero] * (w - aw)
     if rect2:
@@ -448,7 +455,7 @@ def inverse_transform_batch(coeffs: np.ndarray, tx_size: int,
         row = [(v + add) >> row_shift for v in row]
     # rows >= ah carry all-zero coefficients and every network maps
     # zero lanes to zero, so only the first ah rows are materialized
-    buf = np.zeros((B, h, w), np.int64)
+    buf = np.zeros((B, h, w), dt)
     for c in range(w):
         buf[:, :ah, c] = row[c].reshape(B, ah)
     col = [np.clip(buf[:, r, :].reshape(B * w), clo, chi)
