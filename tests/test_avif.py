@@ -164,3 +164,41 @@ def test_avif_grid(tmp_path):
     pil = np.asarray(Image.open(fn).convert("RGB")).astype(int)
     d = np.abs(pic.pixels[:, :, :3].astype(int) - pil)
     assert d.max() <= 3 and d.mean() <= 0.6, (d.max(), d.mean())
+
+
+def test_avif_animation_cover(tmp_path):
+    """Animated AVIF (avis): the still-picture framework returns the
+    decodable cover/primary item rather than failing (inter-coded
+    animation frames are out of still-picture scope)."""
+    from PIL import Image
+    import numpy as np
+    frames = [Image.fromarray(np.full((48, 64, 3), i * 50, np.uint8))
+              for i in range(4)]
+    fn = tmp_path / "anim.avif"
+    frames[0].save(fn, save_all=True, append_images=frames[1:],
+                   duration=100)
+    pic = ffpic_tpu.load(str(fn))
+    assert pic.pixels.shape == (48, 64, 4)
+
+
+def test_avif_10bit_color_path():
+    """10-bit YUV -> RGBA conversion path (no 10-bit encoder exists in
+    this image, so the conversion is unit-checked against the 8-bit
+    path on upscaled planes: identical input content must produce
+    identical RGB)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    y8 = rng.integers(0, 256, (32, 48), np.uint16)
+    u8 = rng.integers(0, 256, (16, 24), np.uint16)
+    v8 = rng.integers(0, 256, (16, 24), np.uint16)
+    meta8 = dict(bit_depth=8, mono=False, subsampling=(1, 1),
+                 matrix_coefficients=6, color_range=1)
+    meta10 = dict(meta8, bit_depth=10)
+    nclx = dict(matrix=6, full_range=True)
+    a = avif_mod._yuv_to_rgba([y8, u8, v8], meta8, nclx)
+    b = avif_mod._yuv_to_rgba([y8 * 4, u8 * 4, v8 * 4], meta10, nclx)
+    # 10-bit = 4x the 8-bit code values -> same normalized floats up
+    # to the (1023 vs 255*4.0117) scale and the integer bilinear
+    # chroma upsample rounding at the finer scale: a few LSB
+    d = np.abs(a[:, :, :3].astype(int) - b[:, :, :3].astype(int))
+    assert d.max() <= 3 and d.mean() < 0.5

@@ -1,0 +1,60 @@
+"""Randomized AV1 conformance sweep vs dav1d: sizes x content kinds
+x quality x encoder speed x subsampling, full in-loop filters,
+bit-exact assertion.  Catches setting-specific bugs the fixed test
+matrix misses (e.g. the sub-8x8 BlockDecoded reset-scope bug was
+speed-1/2-only).  Run: python tools/av1_sweep.py  (~4 min, 70 cfgs)."""
+import numpy as np, tempfile, pathlib, itertools, sys
+from PIL import Image
+from tools.dav1d_oracle import decode_obus, avif_item_obus
+from ffpic_tpu.formats.av1_recon import decode_frame
+
+def img_for(w, h, seed, kind):
+    rng = np.random.default_rng(seed)
+    if kind == 'grad':
+        x = np.linspace(0, 255, w); y = np.linspace(0, 255, h)
+        g = (x[None,:] + y[:,None]) / 2
+        im = np.stack([g, g[::-1], np.abs(g-128)*2], -1).astype(np.uint8)
+        im += rng.integers(0, 25, im.shape, dtype=np.uint8)
+    elif kind == 'noise':
+        im = rng.integers(0, 256, (h, w, 3), np.uint8)
+    else:  # flat+edges
+        im = np.zeros((h, w, 3), np.uint8)
+        im[:, :w//2] = (200, 30, 90)
+        im[h//3:, w//3:] = (10, 220, 180)
+        im += rng.integers(0, 8, im.shape, dtype=np.uint8)
+    return im
+
+fails = 0
+n = 0
+cfgs = []
+for (w, h), kind, q, speed, sub in itertools.product(
+        [(128,128), (200,136), (96,64), (256,192)],
+        ['grad', 'noise', 'edges'],
+        [35, 60, 85], [0, 1, 2, 4, 6],
+        ['4:2:0', '4:4:4', '4:2:2']):
+    cfgs.append(((w,h), kind, q, speed, sub))
+rng = np.random.default_rng(12345)
+sel = [cfgs[i] for i in rng.choice(len(cfgs), 70, replace=False)]
+with tempfile.TemporaryDirectory() as td:
+    for (w, h), kind, q, speed, sub in sel:
+        im = img_for(w, h, (q*7+speed) & 0xFF, kind)
+        fn = pathlib.Path(td) / 'x.avif'
+        try:
+            Image.fromarray(im).save(fn, quality=q, speed=speed, subsampling=sub)
+        except Exception as e:
+            continue
+        obus = avif_item_obus(fn.read_bytes())
+        try:
+            ref, _ = decode_obus(obus, inloop_filters=7)
+            ours, _ = decode_frame(obus, apply_filters=True)
+            bad = sum(int((a.astype(np.int64)!=b.astype(np.int64)).sum())
+                      for a, b in zip(ours, ref))
+        except Exception as e:
+            bad = -1
+            err = repr(e)[:120]
+        n += 1
+        if bad != 0:
+            fails += 1
+            print(f'FAIL {w}x{h} {kind} q{q} s{speed} {sub}: '
+                  f'{"EXC " + err if bad < 0 else f"{bad} px"}', flush=True)
+print(f'sweep: {n} configs, {fails} failures')
