@@ -46,12 +46,21 @@ def decode_frame(obus_data: bytes, apply_filters: bool = True,
             fh, bitpos = H.parse_frame_header(payload, seq)
             fs = FrameState(seq, fh)
             if ot == H.OBU_FRAME:
+                # frame_obu = frame_header + byte_alignment +
+                # tile_group (spec 5.10) — the tail is one whole
+                # tile_group_obu payload
                 tile_data = payload[(bitpos + 7) >> 3:]
                 _decode_tile_group(fs, tile_data)
                 break
-            else:
-                raise NotImplementedError(
-                    "separate OBU_TILE_GROUP stream")
+            # separate OBU_FRAME_HEADER: tiles follow in one or more
+            # OBU_TILE_GROUPs
+        elif ot == H.OBU_TILE_GROUP:
+            if fs is None:
+                raise ValueError("tile group before frame header")
+            ntiles = fs.fh.tile_cols * fs.fh.tile_rows
+            done = _decode_tile_group(fs, obu["payload"])
+            if done >= ntiles:
+                break
     if fs is None:
         raise ValueError("no frame in OBU stream")
     planes = _reconstruct(fs)
@@ -76,6 +85,10 @@ def decode_frame(obus_data: bytes, apply_filters: bool = True,
 
 
 def _decode_tile_group(fs: FrameState, data: bytes):
+    """Decode one tile_group_obu payload.  A frame's tiles may arrive
+    split across SEVERAL tile-group OBUs (tile_start_and_end_present,
+    spec 5.11.1) — each call decodes its [tg_start, tg_end] range and
+    returns the next expected tile number."""
     from ffpic_tpu.utils.bitstream import BitReader
     fh = fs.fh
     num_tiles = fh.tile_cols * fh.tile_rows
@@ -89,8 +102,6 @@ def _decode_tile_group(fs: FrameState, data: bytes):
             tg_end = r.read_bits(bits)
     r.align_byte()
     pos = r.byte_offset
-    if tg_start != 0 or tg_end != num_tiles - 1:
-        raise NotImplementedError("multi-OBU tile groups")
     for tn in range(tg_start, tg_end + 1):
         last = tn == tg_end
         if last:
@@ -107,6 +118,7 @@ def _decode_tile_group(fs: FrameState, data: bytes):
             fh.mi_row_starts[trow], fh.mi_row_starts[trow + 1],
             fh.mi_col_starts[tcol], fh.mi_col_starts[tcol + 1])
         td.decode()
+    return tg_end + 1
 
 
 # ------------------------------------------------------------------ recon

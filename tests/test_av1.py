@@ -276,3 +276,73 @@ def test_av1_native_vs_oracle(tmp_path, monkeypatch):
     orc, _ = decode_frame(obus, apply_filters=True)
     for a, b in zip(nat, orc):
         assert (a == b).all()
+
+
+def _leb128(v):
+    out = b""
+    while True:
+        byte = v & 0x7F
+        v >>= 7
+        out += bytes([byte | (0x80 if v else 0)])
+        if not v:
+            return out
+
+
+def _obu(t, payload):
+    return bytes([(t << 3) | 2]) + _leb128(len(payload)) + payload
+
+
+def test_av1_split_obu_forms(tmp_path):
+    """OBU_FRAME_HEADER + OBU_TILE_GROUP streams (spec 5.10 allows
+    both the combined OBU_FRAME form and the split form; some
+    encoders emit the latter), including MULTIPLE tile-group OBUs
+    with tile_start_and_end_present ranges."""
+    from ffpic_tpu.coding import av1_headers as H
+    rng = np.random.default_rng(13)
+    img = _gradient(256, 256, rng)
+    obus = _encode(img, tmp_path, "s.avif", quality=60, speed=6,
+                   tile_rows=1, tile_cols=1)
+    seq = None
+    split = b""
+    multi = b""
+    for obu in H.parse_obus(obus):
+        if obu["type"] == H.OBU_SEQUENCE_HEADER:
+            seq = H.parse_sequence_header(obu["payload"])
+            split += _obu(1, obu["payload"])
+            multi += _obu(1, obu["payload"])
+        elif obu["type"] == H.OBU_FRAME:
+            payload = obu["payload"]
+            fh, bitpos = H.parse_frame_header(payload, seq)
+            nb = (bitpos + 7) >> 3
+            hdr, tg = payload[:nb], payload[nb:]
+            split += _obu(H.OBU_FRAME_HEADER, hdr)
+            split += _obu(H.OBU_TILE_GROUP, tg)
+            # split the tile group into one OBU per tile with
+            # explicit [tg_start, tg_end] ranges
+            ntiles = fh.tile_cols * fh.tile_rows
+            assert ntiles == 4
+            bits = fh.tile_cols_log2 + fh.tile_rows_log2
+            pos = 1     # original tg header: flag bit 0 + alignment
+            tiles = []
+            for tn in range(ntiles):
+                if tn == ntiles - 1:
+                    tiles.append(tg[pos:])
+                else:
+                    size = int.from_bytes(
+                        tg[pos:pos + fh.tile_size_bytes],
+                        "little") + 1
+                    pos += fh.tile_size_bytes
+                    tiles.append(tg[pos:pos + size])
+                    pos += size
+            multi += _obu(H.OBU_FRAME_HEADER, hdr)
+            assert bits == 2      # 2x2 tiles
+            for tn, tile in enumerate(tiles):
+                # flag=1 (bit 7), tg_start (bits 6-5), tg_end (4-3)
+                b0 = 0x80 | (tn << 5) | (tn << 3)
+                multi += _obu(H.OBU_TILE_GROUP, bytes([b0]) + tile)
+    ref, _ = decode_obus(obus, inloop_filters=7)
+    for name, stream in (("split", split), ("multi-tg", multi)):
+        ours, _ = decode_frame(stream, apply_filters=True)
+        for i, (a, b) in enumerate(zip(ours, ref)):
+            bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+            assert bad == 0, f"{name} plane {i}: {bad} mismatch"
