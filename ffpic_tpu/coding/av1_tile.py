@@ -123,7 +123,6 @@ class FrameState:
         self.lr_sgr: dict = {}       # -> (set_idx, [xqd0, xqd1])
 
 
-_OFFTAB_CACHE: dict = {}
 _NATIVE_STATIC = None
 
 
@@ -1207,16 +1206,6 @@ class TileDecoder:
         shift = (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
         clip = 1 << (seq.bit_depth + 7)
         return dc_q, ac_q, shift, clip
-
-    @staticmethod
-    def _offtab(w, h):
-        key = (w, h)
-        tab = _OFFTAB_CACHE.get(key)
-        if tab is None:
-            tab = np.ascontiguousarray(
-                np.asarray(C.lo_ctx_offset_table(w, h), np.int32))
-            _OFFTAB_CACHE[key] = tab
-        return tab
 
 
 def iter_tx_geometry(seq, fs, b):

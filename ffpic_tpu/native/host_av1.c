@@ -127,13 +127,9 @@ static int64_t golomb(Msac *m)
 static inline int imin(int a, int b) { return a < b ? a : b; }
 
 /* ------------------------------------------------------------------ *
- * Per-BLOCK coefficient decode: one call per coding block replays the
- * spec residual() TB order — all_zero (txb_skip with its a/l context
- * derivation), intra tx_type (intra_ext_tx with the inverse-set map),
- * then the eob/base/br/sign/golomb loops and dequant, all against the
- * shared int32 CDF arenas.  Mirrors av1_tile.py:_transform_block/
- * _coeffs/_luma_tx_type 1:1; the Python oracle remains the fallback
- * (FFPIC_AV1_NO_NATIVE).
+ * Shared tables for the block parse + recon executors below.  The
+ * Python oracle (av1_tile._coeffs / av1_recon._recon_block) remains
+ * the fallback (FFPIC_AV1_NO_NATIVE).
  * ------------------------------------------------------------------ */
 
 /* static blob offsets (int32 units; layout built in av1_tile.py) */
@@ -153,279 +149,6 @@ enum { P_A0, P_A1, P_A2, P_L0, P_L1, P_L2,
        P_EOB16, P_EOB32, P_EOB64, P_EOB128, P_EOB256, P_EOB512,
        P_EOB1024, P_TXBSKIP, P_EOBEXTRA, P_BASEEOB, P_BASE, P_BR,
        P_DCSIGN, P_IETX, P_SCANS, P_STATIC, P_NPTRS };
-
-/* per-TB record fields */
-enum { T_PLANE, T_X4, T_Y4, T_TX, T_CW4, T_CH4, T_LBASE, T_AZMODE,
-       T_ETTSET, T_ETTDIR, T_ETTSQR, T_FIXEDTT,
-       T_DCQ, T_ACQ, T_SHIFT, T_OUTOFF, T_NF };
-
-EXPORT void av1_block_coeffs(
-    const uint8_t *data, long long data_len, long long *st,
-    const long long *ptrs, const int32_t *tbs, int n_tbs,
-    int32_t *out, long long clip, int32_t *tb_out)
-{
-    Msac m;
-    m.data = data;
-    m.end8 = data_len * 8;
-    m.dif = (uint32_t)st[0];
-    m.rng = (uint32_t)st[1];
-    m.cnt = (int32_t)st[2];
-    m.bitpos = st[3];
-    m.allow_update = (int)st[4];
-
-    const int32_t *S = (const int32_t *)ptrs[P_STATIC];
-    const int32_t *scans = (const int32_t *)ptrs[P_SCANS];
-
-    for (int ti = 0; ti < n_tbs; ti++) {
-        const int32_t *tb = tbs + ti * T_NF;
-        int plane = tb[T_PLANE];
-        int ptype = plane ? 1 : 0;
-        int x4 = tb[T_X4];
-        int cw4 = tb[T_CW4], ch4 = tb[T_CH4];
-        int l_base = tb[T_LBASE];
-        int tx = tb[T_TX];
-        uint8_t *a = (uint8_t *)ptrs[P_A0 + plane];
-        uint8_t *l = (uint8_t *)ptrs[P_L0 + plane];
-        int txs = S[S_TXSCTX + tx];
-
-        /* ---- all_zero (txb_skip) */
-        int ctx;
-        int azm = tb[T_AZMODE];
-        if (azm == 0) {
-            ctx = 0;
-        } else if (azm == 1) {
-            int top = 0, lft = 0;
-            for (int k = 0; k < cw4; k++) top |= a[x4 + k];
-            for (int k = 0; k < ch4; k++) lft |= l[l_base + k];
-            top &= 63;
-            lft &= 63;
-            int mx = top | lft; if (mx > 4) mx = 4;
-            int mn = top < lft ? top : lft; if (mn > 4) mn = 4;
-            ctx = S[S_SKIPCTX + mn * 5 + mx];
-        } else {
-            int anz = 0, lnz = 0;
-            for (int k = 0; k < cw4 && !anz; k++)
-                anz = (a[x4 + k] & 63) != 0;
-            for (int k = 0; k < ch4 && !lnz; k++)
-                lnz = (l[l_base + k] & 63) != 0;
-            ctx = anz + lnz + (azm == 3 ? 10 : 7);
-        }
-        int32_t *skip_cdf = (int32_t *)ptrs[P_TXBSKIP]
-                          + (txs * 13 + ctx) * 3;
-        if (msac_symbol(&m, skip_cdf, 2)) {
-            for (int k = 0; k < cw4; k++) a[x4 + k] = 0;
-            for (int k = 0; k < ch4; k++) l[l_base + k] = 0;
-            tb_out[ti * 2] = 0;
-            tb_out[ti * 2 + 1] = 0;
-            continue;
-        }
-
-        /* ---- tx type */
-        int tt;
-        if (tb[T_ETTSET] < 0) {
-            tt = tb[T_FIXEDTT];
-        } else {
-            int set = tb[T_ETTSET];
-            int32_t *row = (int32_t *)ptrs[P_IETX]
-                + (((set * 4) + tb[T_ETTSQR]) * 13 + tb[T_ETTDIR])
-                  * 8;
-            int n = set == 0 ? 7 : 5;
-            int sym = msac_symbol(&m, row, n);
-            tt = S[S_INV + set * 8 + sym];
-        }
-        int cls = S[S_TTCLASS + tt];
-        int kind = cls == TX_CLASS_VERT ? 1
-                 : cls == TX_CLASS_HORIZ ? 2 : 0;
-        const int32_t *scan = scans + S[S_SCANOFF + tx * 3 + kind];
-        int w = S[S_AW + tx], h = S[S_AH + tx];
-        int area = w * h;
-        const int32_t *offtab = S + S_OFFTABS
-            + (w == h ? 0 : (w > h ? 25 : 50));
-
-        /* ---- eob */
-        int emul = S[S_EMUL + tx];
-        int eob_n = 5 + emul;
-        int32_t *eob_cdf = (int32_t *)ptrs[P_EOB16 + emul]
-            + (ptype * 2 + (cls == TX_CLASS_2D ? 0 : 1))
-              * (eob_n + 1);
-        int eob_pt = msac_symbol(&m, eob_cdf, eob_n) + 1;
-        int eob;
-        if (eob_pt < 2) {
-            eob = eob_pt;
-        } else {
-            eob = (1 << (eob_pt - 2)) + 1;
-            if (eob_pt >= 3) {
-                int32_t *xr = (int32_t *)ptrs[P_EOBEXTRA]
-                    + ((txs * 2 + ptype) * 9 + (eob_pt - 3)) * 3;
-                if (msac_symbol(&m, xr, 2))
-                    eob += 1 << (eob_pt - 3);
-                for (int i = 1; i < eob_pt - 2; i++) {
-                    int sh = eob_pt - 2 - 1 - i;
-                    if (msac_bool_equi(&m))
-                        eob += 1 << sh;
-                }
-            }
-        }
-
-        /* ---- base levels (reverse scan) */
-        int32_t lv[37 * 37];
-        memset(lv, 0, sizeof(int32_t) * (h + 5) * (w + 5));
-        int stride = w + 5;
-        int64_t quant[1024];
-        int8_t signs[1024];
-        memset(quant, 0, sizeof(int64_t) * area);
-        memset(signs, 0, sizeof(int8_t) * area);
-        int32_t *base_eob = (int32_t *)ptrs[P_BASEEOB]
-                          + (txs * 2 + ptype) * 4 * 4;
-        int32_t *base = (int32_t *)ptrs[P_BASE]
-                      + (txs * 2 + ptype) * 42 * 5;
-        int mt = txs < 3 ? txs : 3;
-        int32_t *br = (int32_t *)ptrs[P_BR]
-                    + (mt * 2 + ptype) * 21 * 5;
-
-        for (int ci = eob - 1; ci >= 0; ci--) {
-            int pos = scan[ci];
-            int row = pos / w;
-            int col = pos - row * w;
-            int32_t *L = lv + row * stride + col;
-            int64_t level;
-            if (ci == eob - 1) {
-                int bctx;
-                if (ci == 0) bctx = 0;
-                else if (ci <= area / 8) bctx = 1;
-                else if (ci <= area / 4) bctx = 2;
-                else bctx = 3;
-                level = msac_symbol(&m, base_eob + bctx * 4, 3) + 1;
-            } else {
-                int bctx;
-                if (cls == TX_CLASS_2D) {
-                    if (pos == 0) {
-                        bctx = 0;
-                    } else {
-                        int mag = imin(L[1], 3) + imin(L[stride], 3)
-                                + imin(L[stride + 1], 3)
-                                + imin(L[2], 3)
-                                + imin(L[2 * stride], 3);
-                        bctx = imin((mag + 1) >> 1, 4)
-                             + offtab[imin(row, 4) * 5
-                                      + imin(col, 4)];
-                    }
-                } else {
-                    int mag = imin(L[1], 3) + imin(L[stride], 3);
-                    int idx;
-                    if (cls == TX_CLASS_HORIZ) {
-                        mag += imin(L[2], 3) + imin(L[3], 3)
-                             + imin(L[4], 3);
-                        idx = col;
-                    } else {
-                        mag += imin(L[2 * stride], 3)
-                             + imin(L[3 * stride], 3)
-                             + imin(L[4 * stride], 3);
-                        idx = row;
-                    }
-                    bctx = imin((mag + 1) >> 1, 4) + 26
-                         + 5 * imin(idx, 2);
-                }
-                level = msac_symbol(&m, base + bctx * 5, 4);
-            }
-            if (level > NUM_BASE_LEVELS) {
-                int mag;
-                if (cls == TX_CLASS_2D)
-                    mag = L[1] + L[stride] + L[stride + 1];
-                else if (cls == TX_CLASS_HORIZ)
-                    mag = L[1] + L[stride] + L[2];
-                else
-                    mag = L[1] + L[stride] + L[2 * stride];
-                int bmag = imin((mag + 1) >> 1, 6);
-                int brctx;
-                if (pos == 0)
-                    brctx = bmag;
-                else if (cls == TX_CLASS_2D)
-                    brctx = bmag + ((row < 2 && col < 2) ? 7 : 14);
-                else if (cls == TX_CLASS_HORIZ)
-                    brctx = bmag + (col == 0 ? 7 : 14);
-                else
-                    brctx = bmag + (row == 0 ? 7 : 14);
-                for (int k = 0;
-                     k < COEFF_BASE_RANGE / (BR_CDF_SIZE - 1); k++) {
-                    int v = msac_symbol(&m, br + brctx * 5, 4);
-                    level += v;
-                    if (v < BR_CDF_SIZE - 1)
-                        break;
-                }
-            }
-            quant[pos] = level;
-            L[0] = (int32_t)(level < 127 ? level : 127);
-        }
-
-        /* ---- signs + golomb (forward scan) */
-        int64_t cul = 0;
-        int dc_cat = 0;
-        for (int ci = 0; ci < eob; ci++) {
-            int pos = scan[ci];
-            int64_t level = quant[pos];
-            int sign = 0;
-            if (level) {
-                if (ci == 0) {
-                    int dcs = 0;
-                    for (int k = 0; k < cw4; k++) {
-                        int v = a[x4 + k] >> 6;
-                        dcs += v == 2 ? 1 : (v == 1 ? -1 : 0);
-                    }
-                    for (int k = 0; k < ch4; k++) {
-                        int v = l[l_base + k] >> 6;
-                        dcs += v == 2 ? 1 : (v == 1 ? -1 : 0);
-                    }
-                    int sctx = dcs == 0 ? 0 : (dcs < 0 ? 1 : 2);
-                    int32_t *ds = (int32_t *)ptrs[P_DCSIGN]
-                                + (ptype * 3 + sctx) * 3;
-                    sign = msac_symbol(&m, ds, 2);
-                } else {
-                    sign = msac_bool_equi(&m);
-                }
-            }
-            if (level > NUM_BASE_LEVELS + COEFF_BASE_RANGE) {
-                level += golomb(&m);
-                quant[pos] = level;
-            }
-            if (ci == 0)
-                dc_cat = level == 0 ? 0 : (sign ? 1 : 2);
-            cul += level;
-            signs[pos] = (int8_t)sign;
-        }
-        if (cul > 63)
-            cul = 63;
-        uint8_t av = (uint8_t)(cul | (dc_cat << 6));
-        for (int k = 0; k < cw4; k++) a[x4 + k] = av;
-        for (int k = 0; k < ch4; k++) l[l_base + k] = av;
-
-        /* ---- dequant */
-        int64_t dc_q = tb[T_DCQ], ac_q = tb[T_ACQ];
-        int shift = tb[T_SHIFT];
-        int32_t *dst = out + tb[T_OUTOFF];
-        for (int ci = 0; ci < eob; ci++) {
-            int pos = scan[ci];
-            int64_t level = quant[pos];
-            if (!level)
-                continue;
-            int64_t dq = (level * (pos == 0 ? dc_q : ac_q))
-                       & 0xFFFFFF;
-            dq >>= shift;
-            if (signs[pos])
-                dq = -dq;
-            if (dq < -clip) dq = -clip;
-            if (dq > clip - 1) dq = clip - 1;
-            dst[pos] = (int32_t)dq;
-        }
-        tb_out[ti * 2] = eob;
-        tb_out[ti * 2 + 1] = tt;
-    }
-
-    st[0] = m.dif;
-    st[1] = m.rng;
-    st[2] = m.cnt;
-    st[3] = m.bitpos;
-}
 
 /* ------------------------------------------------------------------ *
  * Intra reconstruction executor: Python builds a flat per-TB op list
