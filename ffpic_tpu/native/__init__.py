@@ -789,6 +789,34 @@ def av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
        dr.ctypes.data, smw.ctypes.data, taps.ctypes.data, bd)
 
 
+def vp8_color_libwebp(Y, U, V, H: int, W: int, A=None):
+    """libwebp-exact host YUV420->RGBA (host_vp8.c): fancy chroma
+    upsample + fixed-point matrix; bit-identical to the numpy path in
+    formats/webp.py."""
+    lib = _load()
+    fn = lib.vp8_color_libwebp
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_void_p, c.c_long, c.c_void_p, c.c_void_p,
+                       c.c_long, c.c_int, c.c_int, c.c_void_p,
+                       c.c_void_p]
+        fn._bound = True
+    Y = np.ascontiguousarray(Y, np.uint8)
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    U = np.ascontiguousarray(U[:ch, :cw], np.uint8)
+    V = np.ascontiguousarray(V[:ch, :cw], np.uint8)
+    out = np.empty((H, W, 4), np.uint8)
+    a_ptr = None
+    if A is not None:
+        A = np.ascontiguousarray(A, np.uint8)
+        assert A.shape == (H, W)
+        a_ptr = A.ctypes.data
+    fn(Y.ctypes.data, Y.shape[1], U.ctypes.data, V.ctypes.data,
+       U.shape[1], H, W, a_ptr, out.ctypes.data)
+    return out
+
+
 def av1_block_parse(data: bytes, st, ptrs, blk, pp, nplanes: int,
                     ops, coef, tbmeta, clip: int, inout):
     """Whole-block AV1 residual parse (host_av1.c:av1_block_parse):
