@@ -837,3 +837,4 @@ def av1_block_parse(data: bytes, st, ptrs, blk, pp, nplanes: int,
        blk.ctypes.data, pp.ctypes.data, nplanes, ops.ctypes.data,
        coef.ctypes.data, tbmeta.ctypes.data, clip,
        inout.ctypes.data)
+
