@@ -225,6 +225,22 @@ class CdfContext:
         # path adapting its own copy)
         self.intra_ext_tx_np = np.ascontiguousarray(
             TABLES["intra_ext_tx"].astype(np.int32))
+        # mode-info families for native/host_av1.c:av1_block_mode —
+        # same dual-copy scheme; widths pad to n_max+1 so the counter
+        # slot exists (n is passed explicitly in C)
+        widths = {"skip": 3, "spatial_seg": 9, "kf_y_mode": 14,
+                  "angle_delta": 8, "uv_mode": 15, "cfl_sign": 9,
+                  "cfl_alpha": 17, "palette_y_mode": 3,
+                  "palette_uv_mode": 3, "use_filter_intra": 3,
+                  "filter_intra_mode": 6, "intrabc": 3,
+                  "delta_q": 5, "tx_depth": 4}
+        self.mode_np = {}
+        for name, wdt in widths.items():
+            a = TABLES[name].astype(np.int32)
+            if a.shape[-1] < wdt:
+                pad = [(0, 0)] * (a.ndim - 1) +                     [(0, wdt - a.shape[-1])]
+                a = np.pad(a, pad)
+            self.mode_np[name] = np.ascontiguousarray(a)
 
     def __getitem__(self, name):
         return self.tables[name]

@@ -124,6 +124,27 @@ class FrameState:
 
 
 _NATIVE_STATIC = None
+_NATIVE_STATIC2 = None
+
+
+def _native_static2():
+    """Static tables for host_av1.c:av1_block_mode (S2_* layout)."""
+    global _NATIVE_STATIC2
+    if _NATIVE_STATIC2 is not None:
+        return _NATIVE_STATIC2
+    blob = np.zeros(177, np.int32)
+    blob[0:13] = C.INTRA_MODE_CONTEXT
+    blob[13:35] = [C.max_tx_size_rect(b) for b in range(22)]
+    split = [C.SPLIT_TX_SIZE.get(t, t) for t in range(19)]
+    blob[35:54] = split
+    blob[54:73] = C.TX_SIZE_SQR_UP[:19]
+    blob[73:95] = MAX_TX_DEPTH
+    blob[95:114] = C.TX_W[:19]
+    blob[114:133] = C.TX_H[:19]
+    blob[133:155] = C.BLOCK_W4[:22]
+    blob[155:177] = C.BLOCK_H4[:22]
+    _NATIVE_STATIC2 = blob
+    return _NATIVE_STATIC2
 
 
 def _native_static():
@@ -215,6 +236,7 @@ class TileDecoder:
         self._mstate = np.zeros(5, np.int64)
         self._dq_cache: dict = {}
         self._ptrs = None
+        self._mode_ptrs = None
         self._cur_sb = None       # superblock tracker (BlockDecoded
         self._pp_scratch = [None] * 3    # bitmaps live in C buffers)
 
@@ -484,6 +506,14 @@ class TileDecoder:
         re = min(r + bh4, fs.mi_rows)
         ce = min(c + bw4, fs.mi_cols)
 
+        if self._use_native:
+            self._decode_block_mode_native(r, c, bsize, b)
+            fs.delta_lf[r:re, c:ce] = np.array(self.cur_delta_lf,
+                                               np.int8)
+            self._record_block(r, c, re, ce, bsize, b)
+            self._residual(r, c, b)
+            return
+
         # --- segment id (pre-skip variant)
         b.seg_id = 0
         if fh.segmentation_enabled and fh.seg_id_pre_skip:
@@ -556,7 +586,14 @@ class TileDecoder:
             if self.sym(self.cdf["use_filter_intra"][bsize]):
                 b.filter_intra_mode = self.sym(
                     self.cdf["filter_intra_mode"][0])
-        # --- record mode info
+        # --- record mode info + tx size + residual
+        self._record_block(r, c, re, ce, bsize, b)
+        self._read_tx_size(r, c, re, ce, b)
+        self._residual(r, c, b)
+
+    def _record_block(self, r, c, re, ce, bsize, b):
+        fs, seq = self.fs, self.seq
+        bw4, bh4 = C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]
         fs.bsize[r:re, c:ce] = bsize
         fs.b_col0[r:re, c:ce] = c
         fs.b_row0[r:re, c:ce] = r
@@ -572,9 +609,6 @@ class TileDecoder:
         fs.seg[r:re, c:ce] = b.seg_id
         fs.qindex_mi[r:re, c:ce] = self._block_qindex(b)
         fs.blocks.append(b)
-        # --- tx size + residual
-        self._read_tx_size(r, c, re, ce, b)
-        self._residual(r, c, b)
 
     def _block_qindex(self, b) -> int:
         fh = self.fh
@@ -755,6 +789,97 @@ class TileDecoder:
         ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
         self._ptr_refs = arrs          # keep the buffers alive
         return ptrs
+
+    def _native_mode_ptrs(self):
+        """Pointer table for av1_block_mode (mode CDF arenas + the
+        context grids it reads/updates)."""
+        fs = self.fs
+        mn = self.cdf.mode_np
+        self.delta_lf_np = np.zeros((5, 5), np.int32)
+        t = self.cdf.tables
+        row = t["delta_lf"][0]
+        self.delta_lf_np[0, :len(row)] = row
+        row = t["delta_lf"][1]
+        for i in range(4):
+            self.delta_lf_np[1 + i, :len(row)] = row
+        arrs = [mn["skip"], mn["spatial_seg"], mn["kf_y_mode"],
+                mn["angle_delta"], mn["uv_mode"][0],
+                mn["uv_mode"][1], mn["cfl_sign"], mn["cfl_alpha"],
+                mn["palette_y_mode"], mn["palette_uv_mode"],
+                mn["use_filter_intra"], mn["filter_intra_mode"],
+                mn["intrabc"], mn["delta_q"], self.delta_lf_np,
+                mn["tx_depth"],
+                fs.skip, fs.seg, fs.y_mode, fs.palette_size,
+                fs.cdef_idx, fs.tx_w4[0], fs.tx_h4[0],
+                self.a_txw, self.l_txh, _native_static2()]
+        ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
+        self._mode_ptr_refs = arrs
+        return ptrs
+
+    def _decode_block_mode_native(self, r, c, bsize, b):
+        """Mode-info symbols in C (av1_block_mode); returns False on
+        an unsupported-tool gate (palette/intrabc) so the caller can
+        raise the documented NotImplementedError."""
+        from ffpic_tpu import native
+        fs, seq, fh = self.fs, self.seq, self.fh
+        if self._mode_ptrs is None:
+            self._mode_ptrs = self._native_mode_ptrs()
+        sb_bsize = C.BLOCK_128X128 if fs.sb4 == 32 else             C.BLOCK_64X64
+        cdef_gate = (not fh.coded_lossless and seq.enable_cdef
+                     and not fh.allow_intrabc)
+        lossless_mask = 0
+        for i, ls in enumerate(fh.lossless_segs):
+            if ls:
+                lossless_mask |= 1 << i
+        blk = np.asarray((
+            r, c, bsize, int(b.avail_u), int(b.avail_l),
+            int(b.has_chroma), int(fh.segmentation_enabled),
+            int(fh.seg_id_pre_skip), fh.last_active_seg_id,
+            self.r0, self.c0, fs.sb4 - 1,
+            int(cdef_gate), fh.cdef_bits, 0,
+            int(self.read_deltas), int(fh.delta_q_present),
+            fh.delta_q_res, int(fh.delta_lf_present),
+            int(fh.delta_lf_multi), fh.delta_lf_res,
+            seq.num_planes, sb_bsize, int(fh.allow_intrabc),
+            int(fh.allow_screen_content_tools),
+            int(seq.enable_filter_intra),
+            int(fh.tx_mode == H.TX_MODE_SELECT), lossless_mask,
+            fs.mi_rows, fs.mi_cols), np.int32)
+        out = np.zeros(17, np.int32)
+        out[11] = self.current_qindex
+        out[12:16] = self.cur_delta_lf
+        m = self.m
+        st = self._mstate
+        st[0] = m.dif
+        st[1] = m.rng
+        st[2] = m.cnt
+        st[3] = m.bitpos
+        st[4] = 1 if m.allow_update else 0
+        native.av1_block_mode(m.data, st, self._mode_ptrs, blk, out)
+        m.dif = int(st[0])
+        m.rng = int(st[1])
+        m.cnt = int(st[2])
+        m.bitpos = int(st[3])
+        self.current_qindex = int(out[11])
+        self.cur_delta_lf = [int(v) for v in out[12:16]]
+        self.read_deltas = bool(out[16])
+        if out[0]:
+            raise NotImplementedError(
+                ("intrabc block copy", "palette mode",
+                 "palette mode", "palette mode (uv)")[int(out[0]) - 1]
+                if int(out[0]) <= 3 else "unsupported tool")
+        b.seg_id = int(out[1])
+        b.skip = int(out[2])
+        b.y_mode = int(out[3])
+        b.angle_y = int(out[4])
+        b.uv_mode = int(out[5]) if b.has_chroma else C.DC_PRED
+        b.angle_uv = int(out[6])
+        b.cfl_alpha_u = int(out[7])
+        b.cfl_alpha_v = int(out[8])
+        b.filter_intra_mode = int(out[9])
+        b.tx_size = int(out[10])
+        b.qindex = self.current_qindex
+        return True
 
     def _residual_native(self, b):
         """Whole-block residual parse in C (host_av1.c:

@@ -838,3 +838,20 @@ def av1_block_parse(data: bytes, st, ptrs, blk, pp, nplanes: int,
        coef.ctypes.data, tbmeta.ctypes.data, clip,
        inout.ctypes.data)
 
+
+
+def av1_block_mode(data: bytes, st, mode_ptrs, blk, out):
+    """Per-block AV1 mode-info symbol decode (host_av1.c:
+    av1_block_mode): seg/skip/cdef/deltas/modes/CfL/filter-intra/
+    tx-depth against the shared mode CDF arenas; mutates the context
+    grids and msac state in place."""
+    lib = _load()
+    fn = lib.av1_block_mode
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_char_p, c.c_longlong, c.c_void_p,
+                       c.c_void_p, c.c_void_p, c.c_void_p]
+        fn._bound = True
+    fn(data, len(data), st.ctypes.data, mode_ptrs.ctypes.data,
+       blk.ctypes.data, out.ctypes.data)

@@ -1065,3 +1065,362 @@ EXPORT void av1_block_parse(
     inout[3] = n_tbs;
     inout[4] = coef_total;
 }
+
+/* ------------------------------------------------------------------ *
+ * Per-block MODE-INFO symbol decode (spec 5.11.6 subset for intra
+ * frames): segment id (pre/post-skip), skip, cdef idx, delta q/lf,
+ * intrabc gate, y mode + angle, uv mode + CfL + angle, palette
+ * gates, filter-intra, tx-size depth — 1:1 port of
+ * av1_tile.py:decode_block's symbol reads.  Grid writes
+ * (bsize/modes/...) stay in Python; the a_txw/l_txh tx context rows,
+ * cdef_idx grid and luma tx grids update here (they gate later
+ * symbols).  Partition symbols stay in Python (few per superblock).
+ * ------------------------------------------------------------------ */
+
+/* mode pointer table */
+enum { M_SKIPCDF, M_SPATSEG, M_KFY, M_ANGLE, M_UV0, M_UV1,
+       M_CFLSIGN, M_CFLALPHA, M_PALY, M_PALUV, M_USEFI, M_FIMODE,
+       M_INTRABC, M_DELTAQ, M_DELTALF, M_TXDEPTH,
+       M_GSKIP, M_GSEG, M_GYMODE, M_GPAL, M_GCDEF, M_GTXW4,
+       M_GTXH4, M_ATXW, M_LTXH, M_STATIC2, M_NPTRS };
+
+/* static blob 2 layout (int32) */
+#define S2_IMC 0        /* INTRA_MODE_CONTEXT[13] */
+#define S2_MAXRECT 13   /* max_tx_size_rect[22] */
+#define S2_SPLITTX 35   /* SPLIT_TX_SIZE[19] (identity where n/a) */
+#define S2_SQRUP 54     /* TX_SIZE_SQR_UP[19] */
+#define S2_MAXDEPTH 73  /* MAX_TX_DEPTH[22] */
+#define S2_TXW 95       /* TX_W[19] */
+#define S2_TXH 114      /* TX_H[19] */
+#define S2_BW4 133      /* BLOCK_W4[22] */
+#define S2_BH4 155      /* BLOCK_H4[22] */
+
+/* blk2 record */
+enum { K_R, K_C, K_BSIZE, K_AVAILU, K_AVAILL, K_HASCHROMA,
+       K_SEGEN, K_PRESKIP, K_LASTSEG, K_R0, K_C0, K_SBMASK,
+       K_CDEFGATE, K_CDEFBITS, K_CDEFW,
+       K_READDELTAS, K_DQPRES, K_DQRES, K_DLFPRES, K_DLFMULTI,
+       K_DLFRES, K_NPLANES, K_SBBSIZE, K_ALLOWIBC, K_ALLOWSCT,
+       K_ENFI, K_TXSELECT, K_LOSSLESS, K_MIROWS, K_MICOLS,
+       K_NF };
+
+/* out record */
+enum { O_ERR, O_SEGID, O_SKIP, O_YMODE, O_ANGLEY, O_UVMODE,
+       O_ANGLEUV, O_CFLU, O_CFLV, O_FIM, O_TXSIZE, O_QINDEX,
+       O_DLF0, O_DLF1, O_DLF2, O_DLF3, O_READDELTAS, O_NF };
+
+static int neg_deinterleave(int diff, int ref, int mx)
+{
+    if (!ref)
+        return diff;
+    if (ref >= mx - 1)
+        return mx - diff - 1;
+    if (2 * ref < mx) {
+        if (diff <= 2 * ref) {
+            if (diff & 1)
+                return ref + ((diff + 1) >> 1);
+            return ref - (diff >> 1);
+        }
+        return diff;
+    }
+    if (diff <= 2 * (mx - ref - 1)) {
+        if (diff & 1)
+            return ref + ((diff + 1) >> 1);
+        return ref - (diff >> 1);
+    }
+    return mx - (diff + 1);
+}
+
+static inline int msac_literal(Msac *m, int n)
+{
+    int v = 0;
+    for (int i = 0; i < n; i++)
+        v = (v << 1) | msac_bool_equi(m);
+    return v;
+}
+
+EXPORT void av1_block_mode(
+    const uint8_t *data, long long data_len, long long *st,
+    const long long *mp, const int32_t *blk, int32_t *out)
+{
+    Msac m;
+    m.data = data;
+    m.end8 = data_len * 8;
+    m.dif = (uint32_t)st[0];
+    m.rng = (uint32_t)st[1];
+    m.cnt = (int32_t)st[2];
+    m.bitpos = st[3];
+    m.allow_update = (int)st[4];
+
+    const int32_t *S = (const int32_t *)mp[M_STATIC2];
+    int r = blk[K_R], c = blk[K_C], bsize = blk[K_BSIZE];
+    int mi_cols = blk[K_MICOLS], mi_rows = blk[K_MIROWS];
+    int avail_u = blk[K_AVAILU], avail_l = blk[K_AVAILL];
+    int bw4 = S[S2_BW4 + bsize], bh4 = S[S2_BH4 + bsize];
+    int re = r + bh4 < mi_rows ? r + bh4 : mi_rows;
+    int ce = c + bw4 < mi_cols ? c + bw4 : mi_cols;
+    const uint8_t *gskip = (const uint8_t *)mp[M_GSKIP];
+    const uint8_t *gseg = (const uint8_t *)mp[M_GSEG];
+    const uint8_t *gymode = (const uint8_t *)mp[M_GYMODE];
+    const uint8_t *gpal = (const uint8_t *)mp[M_GPAL];
+    out[O_ERR] = 0;
+
+    /* ---- segment id reader (spec 5.11.8/5.9.13) */
+    int seg_id = 0;
+    int r0t = blk[K_R0], c0t = blk[K_C0];
+#define READ_SEG(skipv) do {                                        \
+        int pu = r > r0t ? gseg[(r - 1) * mi_cols + c] : -1;        \
+        int pl = c > c0t ? gseg[r * mi_cols + c - 1] : -1;          \
+        int pul = (r > r0t && c > c0t)                              \
+                  ? gseg[(r - 1) * mi_cols + c - 1] : -1;           \
+        int pred;                                                    \
+        if (pu == -1) pred = pl == -1 ? 0 : pl;                      \
+        else if (pl == -1) pred = pu;                                \
+        else pred = pul == pu ? pu : pl;                             \
+        if (skipv) { seg_id = pred; break; }                         \
+        int ctx;                                                     \
+        if (pul >= 0 && pul == pu && pul == pl) ctx = 2;             \
+        else if (pul >= 0 && (pul == pu || pul == pl || pu == pl))   \
+            ctx = 1;                                                 \
+        else ctx = 0;                                                \
+        int diff = msac_symbol(&m, (int32_t *)mp[M_SPATSEG]          \
+                               + ctx * 9, 8);                        \
+        int sv = neg_deinterleave(diff, pred,                        \
+                                  blk[K_LASTSEG] + 1);               \
+        seg_id = sv < 0 ? 0 : (sv > blk[K_LASTSEG]                   \
+                               ? blk[K_LASTSEG] : sv);               \
+    } while (0)
+
+    if (blk[K_SEGEN] && blk[K_PRESKIP])
+        READ_SEG(0);
+
+    /* ---- skip */
+    int ctx = 0;
+    if (avail_u && gskip[(r - 1) * mi_cols + c]) ctx++;
+    if (avail_l && gskip[r * mi_cols + c - 1]) ctx++;
+    int skip = msac_symbol(&m, (int32_t *)mp[M_SKIPCDF] + ctx * 3,
+                           2);
+    if (blk[K_SEGEN] && !blk[K_PRESKIP])
+        READ_SEG(skip);
+    out[O_SEGID] = seg_id;
+    out[O_SKIP] = skip;
+
+    /* ---- cdef (spec 5.11.56: ONE literal per block, 64-aligned) */
+    if (blk[K_CDEFGATE] && !skip) {
+        int32_t *gcdef = (int32_t *)mp[M_GCDEF];
+        int cw = blk[K_CDEFW];
+        int r1 = r >> 4, c1 = c >> 4;
+        int ch = (mi_rows + 15) >> 4;
+        int cwid = (mi_cols + 15) >> 4;
+        if (gcdef[r1 * cwid + c1] < 0) {
+            int v = msac_literal(&m, blk[K_CDEFBITS]);
+            int rr_e = (((r & ~15) + bh4 + 15) >> 4);
+            int cc_e = (((c & ~15) + bw4 + 15) >> 4);
+            if (rr_e > ch) rr_e = ch;
+            if (cc_e > cwid) cc_e = cwid;
+            for (int rr = r1; rr < rr_e; rr++)
+                for (int cc = c1; cc < cc_e; cc++)
+                    gcdef[rr * cwid + cc] = v;
+        }
+        (void)cw;
+    }
+
+    /* ---- delta q / lf */
+    int read_deltas = blk[K_READDELTAS];
+    int qindex = out[O_QINDEX];     /* in: current_qindex */
+    int dlf[4] = { out[O_DLF0], out[O_DLF1], out[O_DLF2],
+                   out[O_DLF3] };
+    if (read_deltas && !(bsize == blk[K_SBBSIZE] && skip)) {
+        read_deltas = 0;
+        if (blk[K_DQPRES]) {
+            int dq = msac_symbol(&m, (int32_t *)mp[M_DELTAQ], 4);
+            if (dq == 3) {
+                int rb = msac_literal(&m, 3) + 1;
+                dq = msac_literal(&m, rb) + (1 << rb) + 1;
+            }
+            if (dq) {
+                if (msac_bool_equi(&m))
+                    dq = -dq;
+                qindex += dq << blk[K_DQRES];
+                if (qindex < 1) qindex = 1;
+                if (qindex > 255) qindex = 255;
+            }
+        }
+        if (blk[K_DLFPRES]) {
+            int n = blk[K_NPLANES] > 1 ? 4 : 2;
+            int count = blk[K_DLFMULTI] ? n : 1;
+            for (int i = 0; i < count; i++) {
+                /* delta_lf_np rows: 0 = single, 1..4 = multi */
+                int row = blk[K_DLFMULTI] ? 1 + i : 0;
+                int la = msac_symbol(
+                    &m, (int32_t *)mp[M_DELTALF] + row * 5, 4);
+                if (la == 3) {
+                    int rb = msac_literal(&m, 3) + 1;
+                    la = msac_literal(&m, rb) + (1 << rb) + 1;
+                }
+                if (la) {
+                    if (msac_bool_equi(&m))
+                        la = -la;
+                    int v = dlf[i] + (la << blk[K_DLFRES]);
+                    if (v < -63) v = -63;
+                    if (v > 63) v = 63;
+                    dlf[i] = v;
+                }
+            }
+        }
+    }
+    out[O_QINDEX] = qindex;
+    out[O_DLF0] = dlf[0];
+    out[O_DLF1] = dlf[1];
+    out[O_DLF2] = dlf[2];
+    out[O_DLF3] = dlf[3];
+    out[O_READDELTAS] = read_deltas;
+
+    /* ---- intrabc gate */
+    if (blk[K_ALLOWIBC]) {
+        if (msac_symbol(&m, (int32_t *)mp[M_INTRABC], 2)) {
+            out[O_ERR] = 1;     /* intrabc block copy: unsupported */
+            goto done;
+        }
+    }
+
+    /* ---- y mode */
+    {
+        int am = avail_u ? gymode[(r - 1) * mi_cols + c] : 0;
+        int lm = avail_l ? gymode[r * mi_cols + c - 1] : 0;
+        int32_t *cdf = (int32_t *)mp[M_KFY]
+            + (S[S2_IMC + am] * 5 + S[S2_IMC + lm]) * 14;
+        int ym = msac_symbol(&m, cdf, 13);
+        out[O_YMODE] = ym;
+        out[O_ANGLEY] = 0;
+        if (bsize >= 3 /* BLOCK_8X8 */ && ym >= 1 && ym <= 8)
+            out[O_ANGLEY] = msac_symbol(
+                &m, (int32_t *)mp[M_ANGLE] + (ym - 1) * 8, 7) - 3;
+    }
+
+    /* ---- uv mode */
+    out[O_UVMODE] = 0;
+    out[O_ANGLEUV] = 0;
+    out[O_CFLU] = 0;
+    out[O_CFLV] = 0;
+    if (blk[K_HASCHROMA]) {
+        int cfl_ok = bw4 * 4 <= 32 && bh4 * 4 <= 32;
+        int uv;
+        if (cfl_ok)
+            uv = msac_symbol(&m, (int32_t *)mp[M_UV1]
+                             + out[O_YMODE] * 15, 14);
+        else
+            uv = msac_symbol(&m, (int32_t *)mp[M_UV0]
+                             + out[O_YMODE] * 15, 13);
+        out[O_UVMODE] = uv;
+        if (uv == 13 /* UV_CFL_PRED */) {
+            int joint = msac_symbol(&m, (int32_t *)mp[M_CFLSIGN],
+                                    8);
+            int su = (joint + 1) / 3;
+            int sv = (joint + 1) % 3;
+            if (su) {
+                int idx = msac_symbol(
+                    &m, (int32_t *)mp[M_CFLALPHA]
+                    + (joint - 2) * 17, 16);
+                out[O_CFLU] = (idx + 1) * (su == 2 ? 1 : -1);
+            }
+            if (sv) {
+                int cx = sv * 3 + su - 3;
+                int idx = msac_symbol(
+                    &m, (int32_t *)mp[M_CFLALPHA] + cx * 17, 16);
+                out[O_CFLV] = (idx + 1) * (sv == 2 ? 1 : -1);
+            }
+        }
+        if (bsize >= 3 && uv >= 1 && uv <= 8)
+            out[O_ANGLEUV] = msac_symbol(
+                &m, (int32_t *)mp[M_ANGLE] + (uv - 1) * 8, 7) - 3;
+    }
+
+    /* ---- palette gates */
+    if (blk[K_ALLOWSCT] && bsize >= 3 && bw4 * 4 <= 64
+        && bh4 * 4 <= 64) {
+        int bctx = 0;
+        for (int v = bw4 * 4; v > 1; v >>= 1) bctx++;
+        for (int v = bh4 * 4; v > 1; v >>= 1) bctx++;
+        bctx -= 6;              /* bit_length sums minus 8, +2 */
+        /* (bw*4).bit_length() for pow2 v is log2(v)+1; two of them
+         * minus 8 => log2(bw4*4)+log2(bh4*4)-6 */
+        if (out[O_YMODE] == 0) {
+            int pc = 0;
+            if (avail_u && gpal[(r - 1) * mi_cols + c]) pc++;
+            if (avail_l && gpal[r * mi_cols + c - 1]) pc++;
+            if (msac_symbol(&m, (int32_t *)mp[M_PALY]
+                            + (bctx * 3 + pc) * 3, 2)) {
+                out[O_ERR] = 2;     /* palette mode: unsupported */
+                goto done;
+            }
+        }
+        if (blk[K_HASCHROMA] && out[O_UVMODE] == 0) {
+            if (msac_symbol(&m, (int32_t *)mp[M_PALUV], 2)) {
+                out[O_ERR] = 3;
+                goto done;
+            }
+        }
+    }
+
+    /* ---- filter intra */
+    out[O_FIM] = -1;
+    if (blk[K_ENFI] && out[O_YMODE] == 0
+        && (bw4 > bh4 ? bw4 : bh4) * 4 <= 32) {
+        if (msac_symbol(&m, (int32_t *)mp[M_USEFI] + bsize * 3, 2))
+            out[O_FIM] = msac_symbol(&m, (int32_t *)mp[M_FIMODE],
+                                     5);
+    }
+
+    /* ---- tx size (K_LOSSLESS is a per-segment bitmask: seg_id is
+     * decoded above) */
+    {
+        int tx;
+        if ((blk[K_LOSSLESS] >> seg_id) & 1) {
+            tx = 0;             /* TX_4X4 */
+        } else {
+            int max_rect = S[S2_MAXRECT + bsize];
+            tx = max_rect;
+            if (blk[K_TXSELECT] && bsize > 0 && !skip) {
+                int cat = S[S2_SQRUP + max_rect] - 1;
+                int maxw = S[S2_TXW + max_rect];
+                int maxh = S[S2_TXH + max_rect];
+                int16_t *atxw = (int16_t *)mp[M_ATXW];
+                int16_t *ltxh = (int16_t *)mp[M_LTXH];
+                int above = atxw[c] >= maxw;
+                int left = ltxh[r & blk[K_SBMASK]] >= maxh;
+                int tctx;
+                if (r > r0t && c > c0t) tctx = above + left;
+                else if (r > r0t) tctx = above;
+                else if (c > c0t) tctx = left;
+                else tctx = 0;
+                int n = cat == 0 ? 2 : 3;
+                int depth = msac_symbol(
+                    &m, (int32_t *)mp[M_TXDEPTH]
+                    + (cat * 3 + tctx) * 4, n);
+                for (int i = 0; i < depth; i++)
+                    tx = S[S2_SPLITTX + tx];
+            }
+        }
+        out[O_TXSIZE] = tx;
+        int txw = S[S2_TXW + tx], txh = S[S2_TXH + tx];
+        int16_t *atxw = (int16_t *)mp[M_ATXW];
+        int16_t *ltxh = (int16_t *)mp[M_LTXH];
+        for (int i = c; i < ce; i++) atxw[i] = (int16_t)txw;
+        int lb = r & blk[K_SBMASK];
+        for (int i = 0; i < re - r; i++)
+            ltxh[lb + i] = (int16_t)txh;
+        uint8_t *gtw = (uint8_t *)mp[M_GTXW4];
+        uint8_t *gth = (uint8_t *)mp[M_GTXH4];
+        for (int rr = r; rr < re; rr++)
+            for (int cc = c; cc < ce; cc++) {
+                gtw[rr * mi_cols + cc] = (uint8_t)(txw >> 2);
+                gth[rr * mi_cols + cc] = (uint8_t)(txh >> 2);
+            }
+    }
+done:
+    st[0] = m.dif;
+    st[1] = m.rng;
+    st[2] = m.cnt;
+    st[3] = m.bitpos;
+}

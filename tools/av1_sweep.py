@@ -3,7 +3,10 @@ x quality x encoder speed x subsampling, full in-loop filters,
 bit-exact assertion.  Catches setting-specific bugs the fixed test
 matrix misses (e.g. the sub-8x8 BlockDecoded reset-scope bug was
 speed-1/2-only).  Run: python tools/av1_sweep.py  (~4 min, 70 cfgs)."""
-import numpy as np, tempfile, pathlib, itertools, sys
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+import numpy as np, tempfile, pathlib, itertools
 from PIL import Image
 from tools.dav1d_oracle import decode_obus, avif_item_obus
 from ffpic_tpu.formats.av1_recon import decode_frame
