@@ -83,10 +83,10 @@ def _upsample(p, sx: int, sy: int, h: int, w: int) -> np.ndarray:
     return p[:h, :w]
 
 
-def _yuv_to_rgba(planes, meta, nclx) -> np.ndarray:
-    """CICP color conversion.  The nclx box wins over the sequence
-    header's color_config (both carry CICP; MIAF says the container
-    overrides), defaulting to BT.601 when both say 'unspecified'."""
+def _color_params(meta, nclx):
+    """The nclx box wins over the sequence header's color_config
+    (both carry CICP; MIAF says the container overrides), defaulting
+    to BT.601 when both say 'unspecified'."""
     bd = meta["bit_depth"]
     if nclx:
         mc = nclx.get("matrix", 2)
@@ -94,7 +94,33 @@ def _yuv_to_rgba(planes, meta, nclx) -> np.ndarray:
     else:
         mc = meta["matrix_coefficients"]
         full = bool(meta["color_range"])
-    limited = not full
+    return bd, mc, not full
+
+
+def _yuv_to_rgba(planes, meta, nclx) -> np.ndarray:
+    """CICP color conversion: native C (host_av1.c av1_color_cicp,
+    bit-exact vs the numpy oracle below) when available."""
+    import os
+    from ffpic_tpu import native
+    if native.available() and not os.environ.get("FFPIC_HOST_COLOR"):
+        bd, mc, limited = _color_params(meta, nclx)
+        h, w = planes[0].shape
+        if meta["mono"] or len(planes) == 1:
+            return native.av1_color_cicp(planes[:1], h, w, 0, 0, bd,
+                                         limited, mode=2)
+        if mc == 0:
+            return native.av1_color_cicp(planes, h, w, 0, 0, bd,
+                                         limited, mode=1)
+        sx, sy = meta["subsampling"]
+        kr, kb = _CICP_KR_KB.get(mc, (0.299, 0.114))
+        return native.av1_color_cicp(planes, h, w, sx, sy, bd,
+                                     limited, mode=0, kr=kr, kb=kb)
+    return _yuv_to_rgba_np(planes, meta, nclx)
+
+
+def _yuv_to_rgba_np(planes, meta, nclx) -> np.ndarray:
+    """Numpy float32 oracle for the CICP conversion."""
+    bd, mc, limited = _color_params(meta, nclx)
 
     h, w = planes[0].shape
     if meta["mono"] or len(planes) == 1:

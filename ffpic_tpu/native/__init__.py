@@ -855,3 +855,52 @@ def av1_block_mode(data: bytes, st, mode_ptrs, blk, out):
         fn._bound = True
     fn(data, len(data), st.ctypes.data, mode_ptrs.ctypes.data,
        blk.ctypes.data, out.ctypes.data)
+
+
+def av1_color_cicp(planes, h: int, w: int, sx: int, sy: int, bd: int,
+                   limited: bool, mode: int,
+                   kr: float = 0.0, kb: float = 0.0) -> np.ndarray:
+    """CICP YUV -> RGBA uint8 (host_av1.c av1_color_cicp), bit-exact
+    vs the numpy float32 oracle in formats/avif.py (_yuv_to_rgba_np):
+    integer 3/4-1/4 chroma upsample then float32 matrix with
+    floor(x+0.5).  mode: 0=matrix(kr,kb), 1=identity GBR, 2=mono."""
+    lib = _load()
+    assert lib is not None
+    c = ctypes
+    fn = lib.av1_color_cicp
+    if not getattr(fn, "_bound", False):
+        fn.restype = c.c_int
+        fn.argtypes = [c.c_void_p, c.c_long, c.c_void_p, c.c_long,
+                       c.c_void_p, c.c_long, c.c_int,
+                       c.c_int, c.c_int, c.c_int, c.c_int,
+                       c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+                       c.c_double, c.c_double, c.c_void_p]
+        fn._bound = True
+
+    def prep(p):
+        if p.dtype == np.uint8 and p.strides[1] == 1:
+            return p, 1
+        if p.dtype == np.uint16 and p.strides[1] == 2:
+            return p, 2
+        return np.ascontiguousarray(p, np.uint16), 2
+
+    Y, ey = prep(planes[0])
+    if len(planes) > 1:
+        U, eu = prep(planes[1])
+        V, ev = prep(planes[2])
+        if not (ey == eu == ev):            # mixed dtypes: widen all
+            Y = np.ascontiguousarray(Y, np.uint16); ey = 2
+            U = np.ascontiguousarray(U, np.uint16)
+            V = np.ascontiguousarray(V, np.uint16)
+    else:
+        U = V = Y
+    ch, cw = U.shape
+    out = np.empty((h, w, 4), np.uint8)
+    rc = fn(Y.ctypes.data, Y.strides[0] // ey,
+            U.ctypes.data, U.strides[0] // ey,
+            V.ctypes.data, V.strides[0] // ey, ey,
+            h, w, ch, cw, sx, sy, bd, 1 if limited else 0, mode,
+            float(kr), float(kb), out.ctypes.data)
+    if rc != 0:
+        raise MemoryError("av1_color_cicp allocation failed")
+    return out

@@ -15,7 +15,9 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
+#include <math.h>
 
 #define EXPORT __attribute__((visibility("default")))
 
@@ -1423,4 +1425,157 @@ done:
     st[1] = m.rng;
     st[2] = m.cnt;
     st[3] = m.bitpos;
+}
+
+/* ---- CICP YUV -> RGBA color conversion (formats/avif.py oracle) ----
+ *
+ * Bit-identical to the numpy float32 path in formats/avif.py
+ * (_yuv_to_rgba_np): integer 3/4-1/4 chroma upsample (vertical then
+ * horizontal, edge-clamped, cropped after both axes), then per-sample
+ * float32 normalization and CICP matrix with round-half-up
+ * floorf(x + 0.5f).  fp-contract is disabled on this unit's hot loop
+ * so GCC cannot fuse mul+add into FMAs — numpy evaluates each float32
+ * op separately and the results must match bit-for-bit.
+ *
+ * modes: 0 = CICP matrix (kr/kb), 1 = identity (planes are G,B,R,
+ * full resolution), 2 = monochrome (luma only).
+ * Plane strides are in SAMPLES (elsize 1 or 2 bytes per sample).
+ *
+ * The C reference stubs AVIF at the frame level (format/avif.c) —
+ * there is no corresponding reference color path.
+ */
+
+static void av1c_load_row(const uint8_t *p, long stride_el, int elsize,
+                          int row, int n, int32_t *dst)
+{
+    if (elsize == 1) {
+        const uint8_t *s = p + (long)row * stride_el;
+        for (int i = 0; i < n; i++) dst[i] = s[i];
+    } else {
+        const uint16_t *s = (const uint16_t *)p + (long)row * stride_el;
+        for (int i = 0; i < n; i++) dst[i] = s[i];
+    }
+}
+
+/* vertically upsampled (or direct) chroma row j, width cw, into dst */
+static void av1c_vrow(const uint8_t *p, long stride_el, int elsize,
+                      int j, int ch, int cw, int sy,
+                      int32_t *dst, int32_t *scratch)
+{
+    if (!sy) {
+        av1c_load_row(p, stride_el, elsize, j < ch ? j : ch - 1, cw,
+                      dst);
+        return;
+    }
+    int i = j >> 1;
+    int other = (j & 1) ? (i + 1 < ch ? i + 1 : ch - 1)
+                        : (i > 0 ? i - 1 : 0);
+    av1c_load_row(p, stride_el, elsize, i, cw, dst);
+    av1c_load_row(p, stride_el, elsize, other, cw, scratch);
+    for (int k = 0; k < cw; k++)
+        dst[k] = (3 * dst[k] + scratch[k] + 2) >> 2;
+}
+
+/* horizontal upsample of src[cw] into dst[w] (w <= 2*cw), or crop */
+static void av1c_hrow(const int32_t *src, int cw, int sx, int w,
+                      int32_t *dst)
+{
+    if (!sx) {
+        for (int k = 0; k < w; k++) dst[k] = src[k];
+        return;
+    }
+    for (int k = 0; k * 2 < w; k++) {
+        int prev = k > 0 ? src[k - 1] : src[0];
+        int nxt = k + 1 < cw ? src[k + 1] : src[cw - 1];
+        dst[2 * k] = (3 * src[k] + prev + 2) >> 2;
+        if (2 * k + 1 < w)
+            dst[2 * k + 1] = (3 * src[k] + nxt + 2) >> 2;
+    }
+}
+
+__attribute__((optimize("fp-contract=off")))
+EXPORT int av1_color_cicp(
+    const uint8_t *Y, long ys, const uint8_t *U, long us,
+    const uint8_t *V, long vs, int elsize,
+    int h, int w, int ch, int cw, int sx, int sy,
+    int bd, int limited, int mode, double kr, double kb,
+    uint8_t *out)
+{
+    const float ysc = limited
+        ? (float)(255.0 / (double)(219 << (bd - 8)))
+        : (float)(255.0 / (double)((1 << bd) - 1));
+    const float ylo = (float)(16 << (bd - 8));
+    const float csc = limited
+        ? (float)(255.0 / (double)(224 << (bd - 8)))
+        : (float)(255.0 / (double)((1 << bd) - 1));
+    const float mid = (float)(1 << (bd - 1));
+    const float idsc = (float)(255.0 / (double)((1 << bd) - 1));
+    const double kg = 1.0 - kr - kb;
+    const float c_rv = (float)(2.0 * (1.0 - kr));
+    const float c_bu = (float)(2.0 * (1.0 - kb));
+    const float c_gu = (float)(2.0 * kb * (1.0 - kb) / kg);
+    const float c_gv = (float)(2.0 * kr * (1.0 - kr) / kg);
+
+    int32_t *buf = (int32_t *)malloc(
+        (size_t)(3 * w + 3 * cw) * sizeof(int32_t));
+    if (!buf) return -1;
+    int32_t *ybuf = buf, *ubuf = buf + w, *vbuf = buf + 2 * w;
+    int32_t *crow = buf + 3 * w, *scr = crow + cw, *crow2 = scr + cw;
+
+    for (int y = 0; y < h; y++) {
+        uint8_t *o = out + (long)y * w * 4;
+        if (mode == 2) {                      /* monochrome */
+            av1c_load_row(Y, ys, elsize, y, w, ybuf);
+            for (int x = 0; x < w; x++) {
+                float yy = limited ? ((float)ybuf[x] - ylo) * ysc
+                                   : (float)ybuf[x] * ysc;
+                float g = floorf(yy + 0.5f);
+                uint8_t g8 = g < 0.0f ? 0
+                    : (g > 255.0f ? 255 : (uint8_t)g);
+                o[x * 4] = g8; o[x * 4 + 1] = g8; o[x * 4 + 2] = g8;
+                o[x * 4 + 3] = 255;
+            }
+            continue;
+        }
+        if (mode == 1) {                      /* identity: G,B,R */
+            av1c_load_row(Y, ys, elsize, y, w, ybuf);   /* G */
+            av1c_load_row(U, us, elsize, y, w, ubuf);   /* B */
+            av1c_load_row(V, vs, elsize, y, w, vbuf);   /* R */
+            for (int x = 0; x < w; x++) {
+                float g = floorf((float)ybuf[x] * idsc + 0.5f);
+                float b = floorf((float)ubuf[x] * idsc + 0.5f);
+                float r = floorf((float)vbuf[x] * idsc + 0.5f);
+                o[x * 4] = r < 0.0f ? 0
+                    : (r > 255.0f ? 255 : (uint8_t)r);
+                o[x * 4 + 1] = g < 0.0f ? 0
+                    : (g > 255.0f ? 255 : (uint8_t)g);
+                o[x * 4 + 2] = b < 0.0f ? 0
+                    : (b > 255.0f ? 255 : (uint8_t)b);
+                o[x * 4 + 3] = 255;
+            }
+            continue;
+        }
+        av1c_load_row(Y, ys, elsize, y, w, ybuf);
+        av1c_vrow(U, us, elsize, y, ch, cw, sy, crow, scr);
+        av1c_hrow(crow, cw, sx, w, ubuf);
+        av1c_vrow(V, vs, elsize, y, ch, cw, sy, crow2, scr);
+        av1c_hrow(crow2, cw, sx, w, vbuf);
+        for (int x = 0; x < w; x++) {
+            float yy = limited ? ((float)ybuf[x] - ylo) * ysc
+                               : (float)ybuf[x] * ysc;
+            float uu = ((float)ubuf[x] - mid) * csc;
+            float vv = ((float)vbuf[x] - mid) * csc;
+            float r = floorf(yy + c_rv * vv + 0.5f);
+            float b = floorf(yy + c_bu * uu + 0.5f);
+            float g = floorf(yy - c_gu * uu - c_gv * vv + 0.5f);
+            o[x * 4] = r < 0.0f ? 0 : (r > 255.0f ? 255 : (uint8_t)r);
+            o[x * 4 + 1] = g < 0.0f ? 0
+                : (g > 255.0f ? 255 : (uint8_t)g);
+            o[x * 4 + 2] = b < 0.0f ? 0
+                : (b > 255.0f ? 255 : (uint8_t)b);
+            o[x * 4 + 3] = 255;
+        }
+    }
+    free(buf);
+    return 0;
 }

@@ -202,3 +202,56 @@ def test_avif_10bit_color_path():
     # chroma upsample rounding at the finer scale: a few LSB
     d = np.abs(a[:, :, :3].astype(int) - b[:, :, :3].astype(int))
     assert d.max() <= 3 and d.mean() < 0.5
+
+
+def test_avif_color_native_vs_numpy_oracle():
+    """host_av1.c av1_color_cicp must be bit-identical to the numpy
+    float32 oracle (_yuv_to_rgba_np) across bit depths, matrices,
+    ranges, subsamplings, mono/identity modes, odd sizes, and
+    non-contiguous (cropped-view) planes."""
+    import numpy as np
+    from ffpic_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for bd in (8, 10, 12):
+        dt = np.uint8 if bd == 8 else np.uint16
+        mx = (1 << bd) - 1
+        for (sx, sy) in ((0, 0), (1, 0), (1, 1), (0, 1)):
+            for limited in (False, True):
+                for mc in (1, 5, 6, 9, 2):
+                    h, w = 37, 53
+                    ch, cw = (h + sy) >> sy, (w + sx) >> sx
+                    y = rng.integers(0, mx + 1, (h, w)).astype(dt)
+                    u = rng.integers(0, mx + 1, (ch, cw)).astype(dt)
+                    v = rng.integers(0, mx + 1, (ch, cw)).astype(dt)
+                    meta = dict(bit_depth=bd, mono=False,
+                                subsampling=(sx, sy),
+                                matrix_coefficients=mc,
+                                color_range=0 if limited else 1)
+                    a = avif_mod._yuv_to_rgba_np([y, u, v], meta, None)
+                    b = native.av1_color_cicp(
+                        [y, u, v], h, w, sx, sy, bd, limited, mode=0,
+                        kr=avif_mod._CICP_KR_KB.get(mc, (0.299, 0.114))[0],
+                        kb=avif_mod._CICP_KR_KB.get(mc, (0.299, 0.114))[1])
+                    assert np.array_equal(a, b), (bd, sx, sy, limited, mc)
+        # mono + identity + cropped views
+        y = rng.integers(0, mx + 1, (64, 64)).astype(dt)[:41, :29]
+        for limited in (False, True):
+            meta = dict(bit_depth=bd, mono=True, subsampling=(0, 0),
+                        matrix_coefficients=6,
+                        color_range=0 if limited else 1)
+            a = avif_mod._yuv_to_rgba_np([y], meta, None)
+            b = native.av1_color_cicp([y], 41, 29, 0, 0, bd, limited,
+                                      mode=2)
+            assert np.array_equal(a, b), ("mono", bd, limited)
+        g = rng.integers(0, mx + 1, (41, 29)).astype(dt)
+        bb = rng.integers(0, mx + 1, (41, 29)).astype(dt)
+        r = rng.integers(0, mx + 1, (41, 29)).astype(dt)
+        meta = dict(bit_depth=bd, mono=False, subsampling=(0, 0),
+                    matrix_coefficients=0, color_range=1)
+        a = avif_mod._yuv_to_rgba_np([g, bb, r], meta, None)
+        b = native.av1_color_cicp([g, bb, r], 41, 29, 0, 0, bd, False,
+                                  mode=1)
+        assert np.array_equal(a, b), ("identity", bd)
