@@ -65,7 +65,7 @@ class Block:
 
 class TransformBlock:
     __slots__ = ("plane", "x", "y", "tx_size", "tx_type", "eob",
-                 "coeffs", "block", "residual")
+                 "coeffs", "block", "residual", "lossless")
 
     def __init__(self, plane, x, y, tx_size, tx_type, eob, coeffs,
                  block):
@@ -79,6 +79,9 @@ class TransformBlock:
         self.block = block
         self.residual = None    # filled by the batched inverse
                                 # transform pre-pass (av1_recon)
+        self.lossless = False   # segment losslessness (transform
+                                # grouping key; block may be None on
+                                # the whole-SB native path)
 
 
 class FrameState:
@@ -190,6 +193,68 @@ def _native_static():
     return _NATIVE_STATIC
 
 
+_NATIVE_STATIC3 = None
+
+
+def _native_static3():
+    """Static tables for host_av1.c:av1_sb_parse (S3_* layout): the
+    residual-glue lookups the whole-superblock C driver needs beyond
+    the S/S2 blobs, built from the Python single source of truth."""
+    global _NATIVE_STATIC3
+    if _NATIVE_STATIC3 is not None:
+        return _NATIVE_STATIC3
+    from ffpic_tpu.formats.av1_recon import (
+        _K_SMOOTH, _K_SMOOTH_V, _K_SMOOTH_H, _K_PAETH)
+    blob = np.zeros(377, np.int32)
+    for b in range(22):
+        for sx in (0, 1):
+            for sy in (0, 1):
+                try:
+                    blob[b * 4 + sx * 2 + sy] = \
+                        C.max_uv_tx_size(b, sx, sy)
+                except KeyError:
+                    # combos the Python oracle cannot represent
+                    # either (e.g. 64x128 at 4:2:2) stay -1
+                    blob[b * 4 + sx * 2 + sy] = -1
+    sub = np.full((10, 22), -1, np.int32)
+    squares = [C.block_from_dims(w, w) for w in (2, 4, 8, 16, 32)]
+    for part in range(10):
+        for b in squares:
+            try:
+                sub[part, b] = C.partition_subsize(part, b)
+            except KeyError:
+                pass      # illegal pair (e.g. VERT_4 at 128x128):
+                          # the partition symbol can never select it
+    blob[88:308] = sub.ravel()
+    for m, a in C.MODE_TO_ANGLE.items():
+        blob[308 + m] = a
+    blob[321:326] = C.FIMODE_TO_INTRA_DIR
+    blob[326:340] = C.INTRA_MODE_TO_TX_TYPE
+    for ts in range(3):
+        mask = 0
+        for tt in range(16):
+            if C.tx_type_in_set(ts, tt):
+                mask |= 1 << tt
+        blob[340 + ts] = mask
+    blob[343:362] = C.TX_SIZE_SQR[:19]
+    blob[362 + C.SMOOTH_PRED] = _K_SMOOTH
+    blob[362 + C.SMOOTH_V_PRED] = _K_SMOOTH_V
+    blob[362 + C.SMOOTH_H_PRED] = _K_SMOOTH_H
+    blob[362 + C.PAETH_PRED] = _K_PAETH
+    blob[375] = C.BLOCK_8X8
+    blob[376] = C.BLOCK_128X128
+    _NATIVE_STATIC3 = blob
+    return _NATIVE_STATIC3
+
+
+# SBP_* field order (must match the C enum in host_av1.c)
+_SBP_NF = 36
+
+# adjusted coefficient dims per tx size (64-pt txs keep 32 coeffs)
+_TX_W_ADJ = [C.TX_W[C.adjusted_tx_size(t)] for t in range(19)]
+_TX_H_ADJ = [C.TX_H[C.adjusted_tx_size(t)] for t in range(19)]
+
+
 class TileDecoder:
     def __init__(self, fs: FrameState, data: bytes,
                  mi_row_start, mi_row_end, mi_col_start, mi_col_end):
@@ -239,6 +304,13 @@ class TileDecoder:
         self._mode_ptrs = None
         self._cur_sb = None       # superblock tracker (BlockDecoded
         self._pp_scratch = [None] * 3    # bitmaps live in C buffers)
+        # whole-superblock C driver (partition walk + mode + residual
+        # fused, av1_sb_parse); FFPIC_AV1_BLOCK_NATIVE pins the
+        # per-block C path for differential testing
+        self._sb_native = (self._use_native and not os.environ.get(
+            "FFPIC_AV1_BLOCK_NATIVE"))
+        self._x_ptrs = None
+        self._sbp = None
 
     # ---------------------------------------------------------- helpers
     def sym(self, cdf) -> int:
@@ -276,7 +348,10 @@ class TileDecoder:
                 self.read_deltas = (self.fh.delta_q_present or
                                     self.fh.delta_lf_present)
                 self._read_lr(r, c)
-                self.decode_partition(r, c, sb_bsize)
+                if self._sb_native:
+                    self._decode_sb_native(r, c)
+                else:
+                    self.decode_partition(r, c, sb_bsize)
 
     # ----------------------------------------------------- loop restoration
     def _read_lr(self, r, c):
@@ -816,6 +891,134 @@ class TileDecoder:
         self._mode_ptr_refs = arrs
         return ptrs
 
+    def _native_x_ptrs(self):
+        """Extra pointer table for av1_sb_parse (X_* layout):
+        partition CDF arena, the record grids the whole-SB driver
+        writes, dequant tables, per-segment qindex deltas, S3."""
+        fs, seq, fh = self.fs, self.seq, self.fh
+        from ffpic_tpu.coding.av1_cdf_tables import TABLES
+        bd = seq.bit_depth
+        qdc = np.ascontiguousarray(
+            TABLES[f"q_dc{bd}"].astype(np.int32))
+        qac = np.ascontiguousarray(
+            TABLES[f"q_ac{bd}"].astype(np.int32))
+        segq = np.full(8, -(1 << 30), np.int32)
+        if fh.segmentation_enabled:
+            for s in range(8):
+                if fh.feature_enabled[s][H.SEG_LVL_ALT_Q]:
+                    segq[s] = fh.feature_data[s][H.SEG_LVL_ALT_Q]
+        arrs = [self.cdf.mode_np["partition"], fs.bsize, fs.uv_mode,
+                fs.b_col0, fs.b_row0, fs.qindex_mi, fs.delta_lf,
+                qdc, qac, segq, _native_static3()]
+        for a in arrs:
+            assert a.flags.c_contiguous
+        ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
+        self._x_refs = arrs
+        return ptrs
+
+    def _native_sbp(self):
+        """Per-tile frame/tile params for av1_sb_parse (SBP_*
+        layout; slots 0/1 = current superblock r/c, set per call)."""
+        fs, seq, fh = self.fs, self.seq, self.fh
+        sb_bsize = C.BLOCK_128X128 if fs.sb4 == 32 else \
+            C.BLOCK_64X64
+        cdef_gate = (not fh.coded_lossless and seq.enable_cdef
+                     and not fh.allow_intrabc)
+        lossless_mask = 0
+        for i, ls in enumerate(fh.lossless_segs):
+            if ls:
+                lossless_mask |= 1 << i
+        return np.asarray((
+            0, 0, fs.sb4, sb_bsize,
+            self.r0, self.r1, self.c0, self.c1,
+            fs.mi_rows, fs.mi_cols,
+            int(fh.segmentation_enabled), int(fh.seg_id_pre_skip),
+            fh.last_active_seg_id,
+            int(cdef_gate), fh.cdef_bits,
+            int(fh.delta_q_present), fh.delta_q_res,
+            int(fh.delta_lf_present), int(fh.delta_lf_multi),
+            fh.delta_lf_res,
+            seq.num_planes, int(fh.allow_intrabc),
+            int(fh.allow_screen_content_tools),
+            int(seq.enable_filter_intra),
+            int(fh.tx_mode == H.TX_MODE_SELECT), lossless_mask,
+            seq.subsampling_x, seq.subsampling_y,
+            int(fh.reduced_tx_set),
+            fh.delta_q_y_dc, fh.delta_q_u_dc, fh.delta_q_u_ac,
+            fh.delta_q_v_dc, fh.delta_q_v_ac,
+            int(seq.enable_intra_edge_filter), seq.bit_depth),
+            np.int32)
+
+    def _decode_sb_native(self, r, c):
+        """Whole-superblock decode in C (host_av1.c:av1_sb_parse):
+        partition walk, mode-info, grid records and residual parse
+        fused into one call; Python converts the returned TB metadata
+        into TransformBlocks and appends the recon op chunk."""
+        from ffpic_tpu import native
+        from ffpic_tpu.formats.av1_recon import _OP_NF
+        fs = self.fs
+        if self._ptrs is None:
+            self._ptrs = self._native_ptrs()
+        if self._mode_ptrs is None:
+            self._mode_ptrs = self._native_mode_ptrs()
+        if self._x_ptrs is None:
+            self._x_ptrs = self._native_x_ptrs()
+            self._sbp = self._native_sbp()
+        sbp = self._sbp
+        sbp[0] = r
+        sbp[1] = c
+        sb4 = fs.sb4
+        nmax = 3 * sb4 * sb4 + 64
+        ops = np.empty((nmax, _OP_NF), np.int32)
+        coef = np.zeros(3 * (sb4 * 4) * (sb4 * 4) + 4096, np.int32)
+        tbmeta = np.empty((nmax, 9), np.int32)
+        io = np.zeros(12, np.int32)
+        io[0], io[1] = fs.max_luma
+        io[5] = self.current_qindex
+        io[6:10] = self.cur_delta_lf
+        io[10] = 1 if (self.fh.delta_q_present or
+                       self.fh.delta_lf_present) else 0
+        m = self.m
+        st = self._mstate
+        st[0] = m.dif
+        st[1] = m.rng
+        st[2] = m.cnt
+        st[3] = m.bitpos
+        st[4] = 1 if m.allow_update else 0
+        native.av1_sb_parse(m.data, st, self._ptrs,
+                            self._mode_ptrs, self._x_ptrs, sbp,
+                            ops, coef, tbmeta, io)
+        m.dif = int(st[0])
+        m.rng = int(st[1])
+        m.cnt = int(st[2])
+        m.bitpos = int(st[3])
+        if io[11]:
+            raise NotImplementedError(
+                ("intrabc block copy", "palette mode",
+                 "palette mode", "palette mode (uv)")[int(io[11]) - 1]
+                if int(io[11]) <= 3 else "unsupported tool")
+        fs.max_luma[0] = int(io[0])
+        fs.max_luma[1] = int(io[1])
+        self.current_qindex = int(io[5])
+        self.cur_delta_lf = [int(v) for v in io[6:10]]
+        n_ops, n_tbs = int(io[2]), int(io[3])
+        op_base = fs.recon_op_count
+        fs.recon_ops.append(ops[:n_ops])
+        fs.recon_op_count = op_base + n_ops
+        tbs = fs.tbs
+        op_of_tb = fs.op_of_tb
+        tw_adj = _TX_W_ADJ
+        th_adj = _TX_H_ADJ
+        for (plane, x, y, tx, off, eob, tt, op_row,
+             lossless) in tbmeta[:n_tbs].tolist():
+            aw, ah = tw_adj[tx], th_adj[tx]
+            tb = TransformBlock(plane, x, y, tx, tt, eob,
+                                coef[off:off + aw * ah].reshape(
+                                    ah, aw), None)
+            tb.lossless = bool(lossless)
+            tbs.append(tb)
+            op_of_tb.append(op_base + op_row)
+
     def _decode_block_mode_native(self, r, c, bsize, b):
         """Mode-info symbols in C (av1_block_mode); returns False on
         an unsupported-tool gate (palette/intrabc) so the caller can
@@ -1000,7 +1203,7 @@ class TileDecoder:
                             np.int32)
         ops = np.empty((max_tb, _OP_NF), np.int32)
         coef = np.zeros(max_coef, np.int32)
-        tbmeta = np.empty((max_tb, 8), np.int32)
+        tbmeta = np.empty((max_tb, 9), np.int32)
         inout = np.asarray([fs.max_luma[0], fs.max_luma[1], 0, 0, 0],
                            np.int32)
         m = self.m
@@ -1026,12 +1229,13 @@ class TileDecoder:
         fs.recon_op_count = op_base + n_ops
         for i in range(n_tbs):
             plane, x, y, tx, off, eob, tt, op_row = (
-                int(v) for v in tbmeta[i])
+                int(v) for v in tbmeta[i, :8])
             adj = C.adjusted_tx_size(tx)
             aw, ah = C.TX_W[adj], C.TX_H[adj]
             tb = TransformBlock(plane, x, y, tx, tt, eob,
                                 coef[off:off + aw * ah].reshape(
                                     ah, aw), b)
+            tb.lossless = lossless
             fs.tbs.append(tb)
             fs.op_of_tb.append(op_base + op_row)
             b.coeff_map[(plane, x, y)] = tb
@@ -1065,6 +1269,7 @@ class TileDecoder:
         if eob > 0:
             tb = TransformBlock(plane, x, y, tx, tx_type, eob,
                                 coeffs, b)
+            tb.lossless = bool(self.fh.lossless_segs[b.seg_id])
             fs.tbs.append(tb)
             b.coeff_map[(plane, x, y)] = tb
 

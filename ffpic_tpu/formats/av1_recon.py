@@ -207,8 +207,7 @@ def _precompute_residuals(fs: FrameState):
     bd = fs.seq.bit_depth
     groups = {}
     for tb in fs.tbs:
-        lossless = fs.fh.lossless_segs[tb.block.seg_id]
-        groups.setdefault((tb.tx_size, tb.tx_type, lossless),
+        groups.setdefault((tb.tx_size, tb.tx_type, tb.lossless),
                           []).append(tb)
     for (tx, tt, lossless), tbs in groups.items():
         res = inverse_transform_batch(

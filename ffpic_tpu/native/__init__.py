@@ -904,3 +904,23 @@ def av1_color_cicp(planes, h: int, w: int, sx: int, sy: int, bd: int,
     if rc != 0:
         raise MemoryError("av1_color_cicp allocation failed")
     return out
+
+
+def av1_sb_parse(data: bytes, st, ptrs, mode_ptrs, x_ptrs, sbp,
+                 ops, coef, tbmeta, io):
+    """Whole-superblock AV1 parse (host_av1.c av1_sb_parse): the
+    partition walk, per-block mode-info, grid record writes and the
+    residual TB walk fused into one C call per superblock.  Mutates
+    the CDF arenas, context grids and msac state in place; returns
+    via the io record (counts, qindex/delta-lf state, error code)."""
+    lib = _load()
+    fn = lib.av1_sb_parse
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_char_p, c.c_longlong] + [c.c_void_p] * 9
+        fn._bound = True
+    fn(data, len(data), st.ctypes.data, ptrs.ctypes.data,
+       mode_ptrs.ctypes.data, x_ptrs.ctypes.data, sbp.ctypes.data,
+       ops.ctypes.data, coef.ctypes.data, tbmeta.ctypes.data,
+       io.ctypes.data)

@@ -643,9 +643,11 @@ enum { PPF_TX, PPF_NUM4W, PPF_NUM4H, PPF_SX, PPF_SY, PPF_AVAILU,
        PPF_DCQ, PPF_ACQ, PPF_SHIFT, PPF_KIND, PPF_P1, PPF_ALPHA,
        PPF_FT, PPF_PBW, PPF_PBH, PPF_DMH, PPF_DMW, PPF_NF };
 
-/* tb meta out columns */
+/* tb meta out columns (TBM_LOSSLESS is filled by the superblock
+ * driver av1_sb_parse; the per-block av1_block_parse leaves it to
+ * its Python caller, which knows the segment) */
 enum { TBM_PLANE, TBM_X, TBM_Y, TBM_TX, TBM_OFF, TBM_EOB, TBM_TT,
-       TBM_OPROW, TBM_NF };
+       TBM_OPROW, TBM_LOSSLESS, TBM_NF };
 
 static int decode_tb_coeffs(Msac *m, const long long *ptrs,
                             const int32_t *S, const int32_t *scans,
@@ -877,20 +879,12 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
     return eob;
 }
 
-EXPORT void av1_block_parse(
-    const uint8_t *data, long long data_len, long long *st,
-    const long long *ptrs, const int32_t *blk, const int32_t *pp,
-    int nplanes, int32_t *ops, int32_t *coef_out, int32_t *tbmeta,
-    long long clip, int32_t *inout)
+static void block_parse_core(
+    Msac *mm, const long long *ptrs, const int32_t *blk,
+    const int32_t *pp, int nplanes, int32_t *ops, int32_t *coef_out,
+    int32_t *tbmeta, long long clip, int32_t *inout)
 {
-    Msac m;
-    m.data = data;
-    m.end8 = data_len * 8;
-    m.dif = (uint32_t)st[0];
-    m.rng = (uint32_t)st[1];
-    m.cnt = (int32_t)st[2];
-    m.bitpos = st[3];
-    m.allow_update = (int)st[4];
+    Msac m = *mm;
 
     const int32_t *S = (const int32_t *)ptrs[P_STATIC];
     const int32_t *scans = (const int32_t *)ptrs[P_SCANS];
@@ -1059,13 +1053,32 @@ EXPORT void av1_block_parse(
             }
         }
     }
+    *mm = m;
+    inout[2] = n_ops;
+    inout[3] = n_tbs;
+    inout[4] = coef_total;
+}
+
+EXPORT void av1_block_parse(
+    const uint8_t *data, long long data_len, long long *st,
+    const long long *ptrs, const int32_t *blk, const int32_t *pp,
+    int nplanes, int32_t *ops, int32_t *coef_out, int32_t *tbmeta,
+    long long clip, int32_t *inout)
+{
+    Msac m;
+    m.data = data;
+    m.end8 = data_len * 8;
+    m.dif = (uint32_t)st[0];
+    m.rng = (uint32_t)st[1];
+    m.cnt = (int32_t)st[2];
+    m.bitpos = st[3];
+    m.allow_update = (int)st[4];
+    block_parse_core(&m, ptrs, blk, pp, nplanes, ops, coef_out,
+                     tbmeta, clip, inout);
     st[0] = m.dif;
     st[1] = m.rng;
     st[2] = m.cnt;
     st[3] = m.bitpos;
-    inout[2] = n_ops;
-    inout[3] = n_tbs;
-    inout[4] = coef_total;
 }
 
 /* ------------------------------------------------------------------ *
@@ -1141,18 +1154,10 @@ static inline int msac_literal(Msac *m, int n)
     return v;
 }
 
-EXPORT void av1_block_mode(
-    const uint8_t *data, long long data_len, long long *st,
-    const long long *mp, const int32_t *blk, int32_t *out)
+static void block_mode_core(
+    Msac *m_, const long long *mp, const int32_t *blk, int32_t *out)
 {
-    Msac m;
-    m.data = data;
-    m.end8 = data_len * 8;
-    m.dif = (uint32_t)st[0];
-    m.rng = (uint32_t)st[1];
-    m.cnt = (int32_t)st[2];
-    m.bitpos = st[3];
-    m.allow_update = (int)st[4];
+    Msac m = *m_;
 
     const int32_t *S = (const int32_t *)mp[M_STATIC2];
     int r = blk[K_R], c = blk[K_C], bsize = blk[K_BSIZE];
@@ -1421,6 +1426,22 @@ EXPORT void av1_block_mode(
             }
     }
 done:
+    *m_ = m;
+}
+
+EXPORT void av1_block_mode(
+    const uint8_t *data, long long data_len, long long *st,
+    const long long *mp, const int32_t *blk, int32_t *out)
+{
+    Msac m;
+    m.data = data;
+    m.end8 = data_len * 8;
+    m.dif = (uint32_t)st[0];
+    m.rng = (uint32_t)st[1];
+    m.cnt = (int32_t)st[2];
+    m.bitpos = st[3];
+    m.allow_update = (int)st[4];
+    block_mode_core(&m, mp, blk, out);
     st[0] = m.dif;
     st[1] = m.rng;
     st[2] = m.cnt;
@@ -1578,4 +1599,548 @@ EXPORT int av1_color_cicp(
     }
     free(buf);
     return 0;
+}
+
+/* ------------------------------------------------------------------ *
+ * Whole-SUPERBLOCK parse driver (av1_sb_parse): the partition walk
+ * (spec 5.11.4), per-block mode-info, grid record writes and the
+ * residual TB walk all run in one C call per superblock — the fused
+ * form of the per-block av1_block_mode + av1_block_parse pair (whose
+ * EXPORTs remain as the tested per-block fallback path).  Python
+ * keeps the per-superblock loop (loop-restoration syntax interleaves
+ * there) and the per-tile CDF arena ownership.
+ *
+ * 1:1 port of av1_tile.py decode_partition/decode_block/
+ * _residual_native glue; the C reference has no AV1 decoder at all
+ * (format/avif.c:382-405 stub).
+ * ------------------------------------------------------------------ */
+
+/* extra pointer table */
+enum { X_PART, X_GBSIZE, X_GUV, X_GBC0, X_GBR0, X_GQIDX, X_GDLF,
+       X_QDC, X_QAC, X_SEGQ, X_S3, X_NPTRS };
+
+/* static blob 3 layout (int32) */
+#define S3_MAXUV 0      /* max_uv_tx_size[22*4] (bsize*4 + sx*2+sy) */
+#define S3_SUBSIZE 88   /* Partition_Subsize[10*22] */
+#define S3_ANGLE 308    /* Mode_To_Angle[13] (0 where n/a) */
+#define S3_FIM2DIR 321  /* Fimode_To_Intra_Dir[5] */
+#define S3_IM2TT 326    /* Intra_Mode_To_Tx_Type[14] */
+#define S3_TTINSET 340  /* tx-type bitmask per tx set [3] */
+#define S3_TXSQR 343    /* Tx_Size_Sqr[19] */
+#define S3_KIND 362     /* recon op kind per intra mode [13] */
+#define S3_B8 375       /* BLOCK_8X8 index */
+#define S3_B128 376     /* BLOCK_128X128 index */
+#define S3_NF 377
+
+/* superblock/frame params */
+enum { SBP_SBR, SBP_SBC, SBP_SB4, SBP_SBBSIZE,
+       SBP_R0, SBP_R1, SBP_C0, SBP_C1, SBP_MIROWS, SBP_MICOLS,
+       SBP_SEGEN, SBP_PRESKIP, SBP_LASTSEG,
+       SBP_CDEFGATE, SBP_CDEFBITS,
+       SBP_DQPRES, SBP_DQRES, SBP_DLFPRES, SBP_DLFMULTI, SBP_DLFRES,
+       SBP_NPLANES, SBP_ALLOWIBC, SBP_ALLOWSCT, SBP_ENFI,
+       SBP_TXSELECT, SBP_LOSSLESS, SBP_SUBX, SBP_SUBY,
+       SBP_REDUCEDTX, SBP_DQYDC, SBP_DQUDC, SBP_DQUAC, SBP_DQVDC,
+       SBP_DQVAC, SBP_EEF, SBP_BITDEPTH, SBP_NF };
+
+/* io layout for av1_sb_parse (int32) */
+enum { SIO_MLW, SIO_MLH, SIO_NOPS, SIO_NTBS, SIO_COEF,
+       SIO_QINDEX, SIO_DLF0, SIO_DLF1, SIO_DLF2, SIO_DLF3,
+       SIO_READDELTAS, SIO_ERR, SIO_NF };
+
+typedef struct {
+    Msac m;
+    const long long *ptrs, *mp, *xp;
+    const int32_t *sbp, *S2, *S3;
+    int32_t *ops, *coef, *tbmeta;
+    long long clip;
+    int32_t io[5];            /* block_parse_core in/out scratch */
+    int n_ops, n_tbs;
+    int qindex, dlf[4], read_deltas;
+    int sb_r, sb_c, new_sb;
+    int err;
+} SbCtx;
+
+static inline int msac_bool_prob(Msac *m, int f)
+{
+    uint32_t rng = m->rng, dif = m->dif;
+    uint32_t cur = (((rng >> 8) * ((uint32_t)f >> EC_PROB_SHIFT))
+                    >> 1) + EC_MIN_PROB;
+    if (dif >= cur) {
+        msac_renorm(m, dif - cur, rng - cur);
+        return 0;
+    }
+    msac_renorm(m, dif, cur);
+    return 1;
+}
+
+static inline int bitlen(int v)
+{
+    int n = 0;
+    while (v) { n++; v >>= 1; }
+    return n;
+}
+
+static int gather_sum(const int32_t *cdf, int n, const int *syms,
+                      int k)
+{
+    int total = 0;
+    for (int i = 0; i < k; i++) {
+        int s = syms[i];
+        int hi = s == 0 ? 32768 : cdf[s - 1];
+        int lo = s == n - 1 ? 0 : cdf[s];
+        total += hi - lo;
+    }
+    return total;
+}
+
+static int c_get_qindex(const int32_t *segq, int seg, int q)
+{
+    int d = segq[seg];
+    if (d > -(1 << 29))
+        q += d;
+    if (q < 0) q = 0;
+    if (q > 255) q = 255;
+    return q;
+}
+
+static inline int c_is_smooth(int mode)
+{
+    return mode >= 9 && mode <= 11;   /* SMOOTH / SMOOTH_V / _H */
+}
+
+static int c_tx_set_intra(const int32_t *S2, const int32_t *S3,
+                          int tx, int reduced)
+{
+    if (S2[S2_SQRUP + tx] >= 3)    /* TX_32X32 */
+        return 0;
+    if (reduced)
+        return 2;
+    if (S3[S3_TXSQR + tx] == 2)    /* TX_16X16 */
+        return 2;
+    return 1;
+}
+
+static int c_chroma_tx_type(const int32_t *S2, const int32_t *S3,
+                            int tx, int uv_mode, int reduced)
+{
+    if (S2[S2_SQRUP + tx] > 3)
+        return 0;                  /* DCT_DCT */
+    int tt = S3[S3_IM2TT + uv_mode];
+    int tset = c_tx_set_intra(S2, S3, tx, reduced);
+    if (!((S3[S3_TTINSET + tset] >> tt) & 1))
+        return 0;
+    return tt;
+}
+
+static int c_filter_type(SbCtx *t, int r, int c, int bsize,
+                         int plane, int au, int al, int auc, int alc)
+{
+    const int32_t *sbp = t->sbp, *S2 = t->S2;
+    int mi_cols = sbp[SBP_MICOLS];
+    const uint8_t *modes;
+    int a_ok, l_ok, rr = r, cc = c;
+    if (plane == 0) {
+        a_ok = au; l_ok = al;
+        modes = (const uint8_t *)t->mp[M_GYMODE];
+    } else {
+        a_ok = auc; l_ok = alc;
+        modes = (const uint8_t *)t->xp[X_GUV];
+        if (sbp[SBP_SUBY] && S2[S2_BH4 + bsize] == 1)
+            rr -= rr & 1;
+        if (sbp[SBP_SUBX] && S2[S2_BW4 + bsize] == 1)
+            cc -= cc & 1;
+    }
+    int above = 0, left = 0;
+    if (a_ok)
+        above = c_is_smooth(modes[(long)(rr - 1) * mi_cols + cc]);
+    if (l_ok)
+        left = c_is_smooth(modes[(long)rr * mi_cols + cc - 1]);
+    return (above || left) ? 1 : 0;
+}
+
+static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
+{
+    if (t->err)
+        return;
+    const int32_t *sbp = t->sbp, *S2 = t->S2, *S3 = t->S3;
+    int mi_rows = sbp[SBP_MIROWS], mi_cols = sbp[SBP_MICOLS];
+    int bw4 = S2[S2_BW4 + bsize], bh4 = S2[S2_BH4 + bsize];
+    int r0 = sbp[SBP_R0], c0 = sbp[SBP_C0];
+    int sx = sbp[SBP_SUBX], sy = sbp[SBP_SUBY];
+    int nplanes_seq = sbp[SBP_NPLANES];
+    int avail_u = r > r0, avail_l = c > c0;
+    int has_chroma = nplanes_seq > 1
+        && (bw4 != 1 || sx == 0 || (c & 1))
+        && (bh4 != 1 || sy == 0 || (r & 1));
+    int avail_uc = avail_u, avail_lc = avail_l;
+    if (has_chroma) {
+        if (sy && bh4 == 1) avail_uc = (r - 2) >= r0;
+        if (sx && bw4 == 1) avail_lc = (c - 2) >= c0;
+    }
+    int re = r + bh4 < mi_rows ? r + bh4 : mi_rows;
+    int ce = c + bw4 < mi_cols ? c + bw4 : mi_cols;
+
+    /* ---- mode-info symbols */
+    int32_t kblk[K_NF];
+    kblk[K_R] = r; kblk[K_C] = c; kblk[K_BSIZE] = bsize;
+    kblk[K_AVAILU] = avail_u; kblk[K_AVAILL] = avail_l;
+    kblk[K_HASCHROMA] = has_chroma;
+    kblk[K_SEGEN] = sbp[SBP_SEGEN];
+    kblk[K_PRESKIP] = sbp[SBP_PRESKIP];
+    kblk[K_LASTSEG] = sbp[SBP_LASTSEG];
+    kblk[K_R0] = r0; kblk[K_C0] = c0;
+    kblk[K_SBMASK] = sbp[SBP_SB4] - 1;
+    kblk[K_CDEFGATE] = sbp[SBP_CDEFGATE];
+    kblk[K_CDEFBITS] = sbp[SBP_CDEFBITS];
+    kblk[K_CDEFW] = 0;
+    kblk[K_READDELTAS] = t->read_deltas;
+    kblk[K_DQPRES] = sbp[SBP_DQPRES];
+    kblk[K_DQRES] = sbp[SBP_DQRES];
+    kblk[K_DLFPRES] = sbp[SBP_DLFPRES];
+    kblk[K_DLFMULTI] = sbp[SBP_DLFMULTI];
+    kblk[K_DLFRES] = sbp[SBP_DLFRES];
+    kblk[K_NPLANES] = nplanes_seq;
+    kblk[K_SBBSIZE] = sbp[SBP_SBBSIZE];
+    kblk[K_ALLOWIBC] = sbp[SBP_ALLOWIBC];
+    kblk[K_ALLOWSCT] = sbp[SBP_ALLOWSCT];
+    kblk[K_ENFI] = sbp[SBP_ENFI];
+    kblk[K_TXSELECT] = sbp[SBP_TXSELECT];
+    kblk[K_LOSSLESS] = sbp[SBP_LOSSLESS];
+    kblk[K_MIROWS] = mi_rows; kblk[K_MICOLS] = mi_cols;
+
+    int32_t out[O_NF];
+    memset(out, 0, sizeof(out));
+    out[O_QINDEX] = t->qindex;
+    out[O_DLF0] = t->dlf[0]; out[O_DLF1] = t->dlf[1];
+    out[O_DLF2] = t->dlf[2]; out[O_DLF3] = t->dlf[3];
+    block_mode_core(&t->m, t->mp, kblk, out);
+    if (out[O_ERR]) {
+        t->err = out[O_ERR];
+        return;
+    }
+    t->qindex = out[O_QINDEX];
+    t->dlf[0] = out[O_DLF0]; t->dlf[1] = out[O_DLF1];
+    t->dlf[2] = out[O_DLF2]; t->dlf[3] = out[O_DLF3];
+    t->read_deltas = out[O_READDELTAS];
+
+    int seg_id = out[O_SEGID], skip = out[O_SKIP];
+    int y_mode = out[O_YMODE], angle_y = out[O_ANGLEY];
+    int uv_mode = has_chroma ? out[O_UVMODE] : 0;
+    int angle_uv = out[O_ANGLEUV];
+    int cfl_u = out[O_CFLU], cfl_v = out[O_CFLV];
+    int fim = out[O_FIM], tx_size = out[O_TXSIZE];
+
+    /* ---- record grids (av1_tile._record_block + delta_lf) */
+    uint8_t *gbsize = (uint8_t *)t->xp[X_GBSIZE];
+    uint16_t *gbc0 = (uint16_t *)t->xp[X_GBC0];
+    uint16_t *gbr0 = (uint16_t *)t->xp[X_GBR0];
+    uint8_t *gy = (uint8_t *)t->mp[M_GYMODE];
+    uint8_t *guv = (uint8_t *)t->xp[X_GUV];
+    uint8_t *gskip = (uint8_t *)t->mp[M_GSKIP];
+    uint8_t *gseg = (uint8_t *)t->mp[M_GSEG];
+    uint8_t *gqi = (uint8_t *)t->xp[X_GQIDX];
+    int8_t *gdlf = (int8_t *)t->xp[X_GDLF];
+    const int32_t *segq = (const int32_t *)t->xp[X_SEGQ];
+    int qidx = c_get_qindex(segq, seg_id, t->qindex);
+    for (int rr = r; rr < re; rr++)
+        for (int cc = c; cc < ce; cc++) {
+            long i = (long)rr * mi_cols + cc;
+            gbsize[i] = (uint8_t)bsize;
+            gbc0[i] = (uint16_t)c;
+            gbr0[i] = (uint16_t)r;
+            gy[i] = (uint8_t)y_mode;
+            gskip[i] = (uint8_t)skip;
+            gseg[i] = (uint8_t)seg_id;
+            gqi[i] = (uint8_t)qidx;
+            gdlf[i * 4] = (int8_t)t->dlf[0];
+            gdlf[i * 4 + 1] = (int8_t)t->dlf[1];
+            gdlf[i * 4 + 2] = (int8_t)t->dlf[2];
+            gdlf[i * 4 + 3] = (int8_t)t->dlf[3];
+        }
+    if (has_chroma) {
+        int ru = r - ((sy && bh4 == 1) ? (r & 1) : 0);
+        int cu = c - ((sx && bw4 == 1) ? (c & 1) : 0);
+        for (int rr = ru; rr < re; rr++)
+            for (int cc = cu; cc < ce; cc++)
+                guv[(long)rr * mi_cols + cc] = (uint8_t)uv_mode;
+    }
+
+    /* ---- residual per-plane params (av1_tile._residual_native) */
+    int lossless = (sbp[SBP_LOSSLESS] >> seg_id) & 1;
+    int nplanes = has_chroma ? nplanes_seq : 1;
+    if (nplanes > 3) nplanes = 3;
+    int w_chunks = bw4 > 16 ? bw4 >> 4 : 1;
+    int h_chunks = bh4 > 16 ? bh4 >> 4 : 1;
+    int cw4b = bw4 < 16 ? bw4 : 16;
+    int ch4b = bh4 < 16 ? bh4 : 16;
+    int sb4 = sbp[SBP_SB4];
+    const int32_t *qdc = (const int32_t *)t->xp[X_QDC];
+    const int32_t *qac = (const int32_t *)t->xp[X_QAC];
+    int32_t pp[3 * PPF_NF];
+    for (int plane = 0; plane < nplanes; plane++) {
+        int psx = plane ? sx : 0, psy = plane ? sy : 0;
+        int tx;
+        if (lossless) tx = 0;
+        else if (plane == 0) tx = tx_size;
+        else tx = S3[S3_MAXUV + bsize * 4 + sx * 2 + sy];
+        int num4w = cw4b >> psx; if (num4w < 1) num4w = 1;
+        int num4h = ch4b >> psy; if (num4h < 1) num4h = 1;
+        int mode, angle, pfim, alpha;
+        if (plane == 0) {
+            mode = y_mode; angle = angle_y; pfim = fim; alpha = 0;
+        } else {
+            mode = uv_mode; angle = angle_uv; pfim = -1;
+            alpha = (mode == 13)
+                ? (plane == 1 ? cfl_u : cfl_v) : 0;
+        }
+        int pred_mode = (plane > 0 && mode == 13) ? 0 : mode;
+        int kind, p1;
+        if (pfim >= 0) {
+            kind = K_FILTER; p1 = pfim;
+        } else if (pred_mode == 0) {
+            kind = K_DC; p1 = 0;
+        } else if (pred_mode >= 1 && pred_mode <= 8) {
+            kind = K_DIR;
+            p1 = S3[S3_ANGLE + pred_mode] + angle * 3;
+        } else {
+            kind = S3[S3_KIND + pred_mode]; p1 = 0;
+        }
+        int ett_set = -1, ett_dir = 0, ett_sqr = 0, fixed_tt = 0;
+        if (plane > 0) {
+            fixed_tt = lossless ? 0
+                : c_chroma_tx_type(S2, S3, tx, uv_mode,
+                                   sbp[SBP_REDUCEDTX]);
+        } else if (!lossless) {
+            int tset = c_tx_set_intra(S2, S3, tx,
+                                      sbp[SBP_REDUCEDTX]);
+            if (!(tset == 0 || qidx <= 0)) {
+                ett_set = tset - 1;
+                ett_dir = pfim >= 0 ? S3[S3_FIM2DIR + pfim]
+                                    : y_mode;
+                ett_sqr = S3[S3_TXSQR + tx];
+            }
+        }
+        int dcd, acd;
+        if (plane == 0) { dcd = sbp[SBP_DQYDC]; acd = 0; }
+        else if (plane == 1) {
+            dcd = sbp[SBP_DQUDC]; acd = sbp[SBP_DQUAC];
+        } else {
+            dcd = sbp[SBP_DQVDC]; acd = sbp[SBP_DQVAC];
+        }
+        int qi_dc = qidx + dcd;
+        if (qi_dc < 0) qi_dc = 0; if (qi_dc > 255) qi_dc = 255;
+        int qi_ac = qidx + acd;
+        if (qi_ac < 0) qi_ac = 0; if (qi_ac > 255) qi_ac = 255;
+        int pels = S2[S2_TXW + tx] * S2[S2_TXH + tx];
+        int shift = (pels > 256 ? 1 : 0) + (pels > 1024 ? 1 : 0);
+        int32_t *P = pp + plane * PPF_NF;
+        P[PPF_TX] = tx;
+        P[PPF_NUM4W] = num4w; P[PPF_NUM4H] = num4h;
+        P[PPF_SX] = psx; P[PPF_SY] = psy;
+        P[PPF_AVAILU] = plane ? avail_uc : avail_u;
+        P[PPF_AVAILL] = plane ? avail_lc : avail_l;
+        P[PPF_ETTSET] = ett_set; P[PPF_ETTDIR] = ett_dir;
+        P[PPF_ETTSQR] = ett_sqr; P[PPF_FIXEDTT] = fixed_tt;
+        P[PPF_DCQ] = qdc[qi_dc]; P[PPF_ACQ] = qac[qi_ac];
+        P[PPF_SHIFT] = shift;
+        P[PPF_KIND] = kind; P[PPF_P1] = p1; P[PPF_ALPHA] = alpha;
+        P[PPF_FT] = c_filter_type(t, r, c, bsize, plane, avail_u,
+                                  avail_l, avail_uc, avail_lc);
+        P[PPF_PBW] = num4w * 4; P[PPF_PBH] = num4h * 4;
+        P[PPF_DMH] = (sb4 >> psy) + 3;
+        P[PPF_DMW] = (sb4 >> psx) + 3;
+    }
+    /* reset rows for frame planes this block lacks */
+    for (int plane = nplanes; plane < nplanes_seq; plane++) {
+        int32_t *P = pp + plane * PPF_NF;
+        memset(P, 0, PPF_NF * sizeof(int32_t));
+        P[PPF_SX] = sx; P[PPF_SY] = sy;
+        P[PPF_DMH] = (sb4 >> sy) + 3;
+        P[PPF_DMW] = (sb4 >> sx) + 3;
+    }
+
+    /* ---- residual parse */
+    int32_t bblk[B_NF];
+    bblk[B_R] = r; bblk[B_C] = c;
+    bblk[B_WCH] = w_chunks; bblk[B_HCH] = h_chunks;
+    bblk[B_SKIP] = skip; bblk[B_NEWSB] = t->new_sb;
+    bblk[B_SBR] = t->sb_r; bblk[B_SBC] = t->sb_c;
+    bblk[B_SBROW] = t->sb_r;
+    bblk[B_MIROWS] = mi_rows; bblk[B_MICOLS] = mi_cols;
+    bblk[B_R1T] = sbp[SBP_R1]; bblk[B_C1T] = sbp[SBP_C1];
+    bblk[B_EEF] = sbp[SBP_EEF]; bblk[B_NPALL] = nplanes_seq;
+    t->new_sb = 0;
+    block_parse_core(&t->m, t->ptrs, bblk, pp, nplanes,
+                     t->ops + (long long)t->n_ops * OP_NF, t->coef,
+                     t->tbmeta + (long long)t->n_tbs * TBM_NF,
+                     t->clip, t->io);
+    int new_ops = t->io[2], new_tbs = t->io[3];
+    for (int i = 0; i < new_tbs; i++) {
+        int32_t *tm = t->tbmeta
+            + (long long)(t->n_tbs + i) * TBM_NF;
+        tm[TBM_OPROW] += t->n_ops;
+        tm[TBM_LOSSLESS] = lossless;
+    }
+    t->n_ops += new_ops;
+    t->n_tbs += new_tbs;
+}
+
+static void sb_decode_partition(SbCtx *t, int r, int c, int bsize)
+{
+    if (t->err)
+        return;
+    const int32_t *sbp = t->sbp, *S2 = t->S2, *S3 = t->S3;
+    int mi_rows = sbp[SBP_MIROWS], mi_cols = sbp[SBP_MICOLS];
+    if (r >= mi_rows || c >= mi_cols)
+        return;
+    int w4 = S2[S2_BW4 + bsize];
+    int half = w4 >> 1, quarter = w4 >> 2;
+    int has_rows = (r + half) < mi_rows;
+    int has_cols = (c + half) < mi_cols;
+    int B8 = S3[S3_B8], B128 = S3[S3_B128];
+    int part;
+    if (bsize < B8) {
+        part = 0;
+    } else {
+        int wlog = bitlen(w4) - 1;
+        int hlog = bitlen(S2[S2_BH4 + bsize]) - 1;
+        const uint8_t *gb = (const uint8_t *)t->xp[X_GBSIZE];
+        int above = 0, left = 0;
+        if (r > sbp[SBP_R0]) {
+            int nb = gb[(long)(r - 1) * mi_cols + c];
+            if (nb != 255 && bitlen(S2[S2_BW4 + nb]) - 1 < wlog)
+                above = 1;
+        }
+        if (c > sbp[SBP_C0]) {
+            int nb = gb[(long)r * mi_cols + c - 1];
+            if (nb != 255 && bitlen(S2[S2_BH4 + nb]) - 1 < hlog)
+                left = 1;
+        }
+        int ctx = left * 2 + above;
+        int n = bsize == B8 ? 4 : (bsize == B128 ? 8 : 10);
+        int32_t *cdf = (int32_t *)t->xp[X_PART]
+            + ((wlog - 1) * 4 + ctx) * 12;
+        if (has_rows && has_cols) {
+            part = msac_symbol(&t->m, cdf, n);
+        } else if (has_cols) {
+            static const int vsyms[6] = { 2, 3, 6, 7, 4, 9 };
+            int k = bsize != B128 ? 6 : 5;
+            int ps = gather_sum(cdf, n, vsyms, k);
+            if (ps < 1) ps = 1;
+            part = msac_bool_prob(&t->m, ps) ? 3 : 1;
+        } else if (has_rows) {
+            static const int hsyms[6] = { 1, 3, 4, 5, 6, 8 };
+            int k = bsize != B128 ? 6 : 5;
+            int ps = gather_sum(cdf, n, hsyms, k);
+            if (ps < 1) ps = 1;
+            part = msac_bool_prob(&t->m, ps) ? 3 : 2;
+        } else {
+            part = 3;
+        }
+    }
+    if (part == 0) {
+        sb_decode_block(t, r, c, bsize);
+        return;
+    }
+    int sub = S3[S3_SUBSIZE + part * 22 + bsize];
+    int split = S3[S3_SUBSIZE + 3 * 22 + bsize];
+    switch (part) {
+    case 1:                               /* HORZ */
+        sb_decode_block(t, r, c, sub);
+        if (has_rows) sb_decode_block(t, r + half, c, sub);
+        break;
+    case 2:                               /* VERT */
+        sb_decode_block(t, r, c, sub);
+        if (has_cols) sb_decode_block(t, r, c + half, sub);
+        break;
+    case 3:                               /* SPLIT */
+        sb_decode_partition(t, r, c, sub);
+        sb_decode_partition(t, r, c + half, sub);
+        sb_decode_partition(t, r + half, c, sub);
+        sb_decode_partition(t, r + half, c + half, sub);
+        break;
+    case 4:                               /* HORZ_A */
+        sb_decode_block(t, r, c, split);
+        sb_decode_block(t, r, c + half, split);
+        sb_decode_block(t, r + half, c, sub);
+        break;
+    case 5:                               /* HORZ_B */
+        sb_decode_block(t, r, c, sub);
+        sb_decode_block(t, r + half, c, split);
+        sb_decode_block(t, r + half, c + half, split);
+        break;
+    case 6:                               /* VERT_A */
+        sb_decode_block(t, r, c, split);
+        sb_decode_block(t, r + half, c, split);
+        sb_decode_block(t, r, c + half, sub);
+        break;
+    case 7:                               /* VERT_B */
+        sb_decode_block(t, r, c, sub);
+        sb_decode_block(t, r, c + half, split);
+        sb_decode_block(t, r + half, c + half, split);
+        break;
+    case 8:                               /* HORZ_4 */
+        for (int i = 0; i < 4; i++) {
+            int rr = r + i * quarter;
+            if (i > 0 && rr >= mi_rows)
+                break;
+            sb_decode_block(t, rr, c, sub);
+        }
+        break;
+    case 9:                               /* VERT_4 */
+        for (int i = 0; i < 4; i++) {
+            int cc = c + i * quarter;
+            if (i > 0 && cc >= mi_cols)
+                break;
+            sb_decode_block(t, r, cc, sub);
+        }
+        break;
+    }
+}
+
+EXPORT void av1_sb_parse(
+    const uint8_t *data, long long data_len, long long *st,
+    const long long *ptrs, const long long *mp,
+    const long long *xp, const int32_t *sbp,
+    int32_t *ops, int32_t *coef, int32_t *tbmeta, int32_t *io)
+{
+    SbCtx t;
+    t.m.data = data;
+    t.m.end8 = data_len * 8;
+    t.m.dif = (uint32_t)st[0];
+    t.m.rng = (uint32_t)st[1];
+    t.m.cnt = (int32_t)st[2];
+    t.m.bitpos = st[3];
+    t.m.allow_update = (int)st[4];
+    t.ptrs = ptrs; t.mp = mp; t.xp = xp; t.sbp = sbp;
+    t.S2 = (const int32_t *)mp[M_STATIC2];
+    t.S3 = (const int32_t *)xp[X_S3];
+    t.ops = ops; t.coef = coef; t.tbmeta = tbmeta;
+    t.clip = 1LL << (sbp[SBP_BITDEPTH] + 7);
+    t.io[0] = io[SIO_MLW]; t.io[1] = io[SIO_MLH];
+    t.io[2] = 0; t.io[3] = 0; t.io[4] = 0;
+    t.n_ops = 0; t.n_tbs = 0;
+    t.qindex = io[SIO_QINDEX];
+    t.dlf[0] = io[SIO_DLF0]; t.dlf[1] = io[SIO_DLF1];
+    t.dlf[2] = io[SIO_DLF2]; t.dlf[3] = io[SIO_DLF3];
+    t.read_deltas = io[SIO_READDELTAS];
+    t.sb_r = sbp[SBP_SBR]; t.sb_c = sbp[SBP_SBC];
+    t.new_sb = 1;
+    t.err = 0;
+
+    sb_decode_partition(&t, t.sb_r, t.sb_c, sbp[SBP_SBBSIZE]);
+
+    st[0] = t.m.dif;
+    st[1] = t.m.rng;
+    st[2] = t.m.cnt;
+    st[3] = t.m.bitpos;
+    io[SIO_MLW] = t.io[0]; io[SIO_MLH] = t.io[1];
+    io[SIO_NOPS] = t.n_ops; io[SIO_NTBS] = t.n_tbs;
+    io[SIO_COEF] = t.io[4];
+    io[SIO_QINDEX] = t.qindex;
+    io[SIO_DLF0] = t.dlf[0]; io[SIO_DLF1] = t.dlf[1];
+    io[SIO_DLF2] = t.dlf[2]; io[SIO_DLF3] = t.dlf[3];
+    io[SIO_READDELTAS] = t.read_deltas;
+    io[SIO_ERR] = t.err;
 }

@@ -346,3 +346,58 @@ def test_av1_split_obu_forms(tmp_path):
         for i, (a, b) in enumerate(zip(ours, ref)):
             bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
             assert bad == 0, f"{name} plane {i}: {bad} mismatch"
+
+
+def test_av1_sb_native_vs_block_native(tmp_path, monkeypatch):
+    """The whole-superblock C driver (av1_sb_parse: fused partition
+    walk + mode-info + grid records + residual) must be bit-identical
+    to the per-block C path AND to the pure-Python oracle, including
+    the recorded mode grids the loop filters consume."""
+    from ffpic_tpu.coding.av1_tile import FrameState, TileDecoder
+    from ffpic_tpu.coding import av1_headers as H
+
+    img = _gradient(160, 96, np.random.default_rng(11))
+    obus = _encode(img, tmp_path, "sbn.avif", quality=45, speed=3)
+
+    def grids(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        planes, _ = decode_frame(obus, apply_filters=True)
+        # re-parse to capture the FrameState grids
+        seq = fh = None
+        for obu in H.parse_obus(obus):
+            if obu["type"] == H.OBU_SEQUENCE_HEADER:
+                seq = H.parse_sequence_header(obu["payload"])
+            elif obu["type"] == H.OBU_FRAME:
+                fh, bitpos = H.parse_frame_header(obu["payload"], seq)
+                fs = FrameState(seq, fh)
+                from ffpic_tpu.formats.av1_recon import \
+                    _decode_tile_group
+                _decode_tile_group(fs,
+                                   obu["payload"][(bitpos + 7) >> 3:])
+                break
+        for k in env:
+            monkeypatch.delenv(k)
+        return planes, fs
+
+    p_sb, fs_sb = grids({})
+    p_blk, fs_blk = grids({"FFPIC_AV1_BLOCK_NATIVE": "1"})
+    p_py, fs_py = grids({"FFPIC_AV1_NO_NATIVE": "1"})
+    for a, b in zip(p_sb, p_blk):
+        assert (a == b).all()
+    for a, b in zip(p_sb, p_py):
+        assert (a == b).all()
+    for name in ("bsize", "y_mode", "uv_mode", "skip", "seg",
+                 "qindex_mi", "b_col0", "b_row0", "delta_lf"):
+        ga = getattr(fs_sb, name)
+        gb = getattr(fs_blk, name)
+        assert (ga == gb).all(), name
+        gc = getattr(fs_py, name)
+        assert (ga == gc).all(), name
+    assert len(fs_sb.tbs) == len(fs_blk.tbs)
+    for ta, tb_ in zip(fs_sb.tbs, fs_blk.tbs):
+        assert (ta.plane, ta.x, ta.y, ta.tx_size, ta.tx_type,
+                ta.eob, ta.lossless) == \
+               (tb_.plane, tb_.x, tb_.y, tb_.tx_size, tb_.tx_type,
+                tb_.eob, tb_.lossless)
+        assert (ta.coeffs == tb_.coeffs).all()
