@@ -533,6 +533,28 @@ def _decode_picture_native(sps, pps, parsed, pic) -> None:
         pic.masks[p][:] = True
 
 
+_CTX_INIT_CACHE: dict = {}
+
+
+def _ctx_init_arrays(qp: int):
+    """Flattened CABAC context-init (state, mps) arrays for the
+    native slice decoder, memoized per QP — rebuilding the 137
+    ContextModel objects per slice was ~6% of a 48-tile grid decode."""
+    import numpy as np
+    hit = _CTX_INIT_CACHE.get(qp)
+    if hit is None:
+        from ffpic_tpu.coding.hevc_slice import _CTX_SET, Contexts
+        ctx = Contexts(qp)
+        states, mps = [], []
+        for name, count in _CTX_SET:
+            for cm in ctx.m[name][:count]:
+                states.append(cm.state)
+                mps.append(cm.mps)
+        hit = (np.array(states, np.uint8), np.array(mps, np.uint8))
+        _CTX_INIT_CACHE[qp] = hit
+    return hit
+
+
 def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
     """Drive the native slice-syntax decoder (native/host_hevc.c) and
     convert its flat outputs to the recon op list."""
@@ -541,12 +563,7 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
     from ffpic_tpu.coding.hevc_slice import _CTX_SET, Contexts, PredOp, TU
     from ffpic_tpu.formats.hevc_recon import SaoParam
 
-    ctx = Contexts(hdr.qp)
-    states, mps = [], []
-    for name, count in _CTX_SET:
-        for cm in ctx.m[name][:count]:
-            states.append(cm.state)
-            mps.append(cm.mps)
+    states, mps = _ctx_init_arrays(hdr.qp)
     params = [
         sps.width, sps.height, sps.ctb_log2, sps.log2_min_cb,
         sps.log2_min_tb, sps.log2_min_tb + sps.log2_diff_max_min_tb,
