@@ -182,6 +182,30 @@ def _filter_edge(seg, limit, blimit, thresh, wd, bd):
     return out_p[::-1] + out_q
 
 
+def _deblock_native_prm(fs):
+    """prm record for host_av1.c:av1_deblock_pass (layout documented
+    there)."""
+    fh, seq = fs.fh, fs.seq
+    prm = np.zeros(79, np.int32)
+    prm[0], prm[1] = fs.mi_rows, fs.mi_cols
+    prm[2], prm[3] = seq.bit_depth, fh.loop_filter_sharpness
+    prm[4], prm[5] = seq.subsampling_x, seq.subsampling_y
+    prm[6:10] = fh.loop_filter_level
+    prm[10] = int(fh.delta_lf_present)
+    prm[11] = int(fh.delta_lf_multi)
+    prm[12] = int(fh.segmentation_enabled)
+    prm[13] = int(fh.loop_filter_delta_enabled)
+    prm[14] = fh.loop_filter_ref_deltas[INTRA_FRAME]
+    for s in range(8):
+        for i in range(4):
+            feat = SEG_LVL_ALT_LF_Y_V + i
+            prm[15 + (s * 4 + i) * 2] = \
+                int(fh.feature_enabled[s][feat])
+            prm[15 + (s * 4 + i) * 2 + 1] = \
+                int(fh.feature_data[s][feat])
+    return prm
+
+
 def deblock_frame(fs, planes):
     fh, seq = fs.fh, fs.seq
     if fh.coded_lossless or fh.allow_intrabc:
@@ -192,6 +216,12 @@ def deblock_frame(fs, planes):
     sharp = fh.loop_filter_sharpness
     dt = planes[0].dtype
     out = [p.astype(np.int32, copy=True) for p in planes]
+    import os
+    from ffpic_tpu import native
+    use_native = (native.available()
+                  and not os.environ.get("FFPIC_AV1_NO_NATIVE")
+                  and not os.environ.get("FFPIC_AV1_HOST_DEBLOCK"))
+    prm = _deblock_native_prm(fs) if use_native else None
     for plane in range(len(planes)):
         if plane == 1 and not fh.loop_filter_level[2]:
             continue
@@ -207,8 +237,17 @@ def deblock_frame(fs, planes):
         # ref/mode/segment/delta-lf adjustments (spec 7.14.4 — only
         # the both-levels-zero plane gate above is normative).
         for pass_ in (0, 1):
-            _deblock_pass(fs, out[plane], plane, pass_, sx, sy, bd,
-                          sharp)
+            if use_native:
+                arr = out[plane]
+                native.av1_deblock_pass(
+                    arr, arr.shape[0], arr.shape[1], plane, pass_,
+                    prm, fs.tx_w4[0 if plane == 0 else 1],
+                    fs.tx_h4[0 if plane == 0 else 1],
+                    fs.b_col0, fs.b_row0, fs.skip, fs.seg,
+                    fs.delta_lf)
+            else:
+                _deblock_pass(fs, out[plane], plane, pass_, sx, sy,
+                              bd, sharp)
     return [p.astype(dt) for p in out]
 
 

@@ -924,3 +924,21 @@ def av1_sb_parse(data: bytes, st, ptrs, mode_ptrs, x_ptrs, sbp,
        mode_ptrs.ctypes.data, x_ptrs.ctypes.data, sbp.ctypes.data,
        ops.ctypes.data, coef.ctypes.data, tbmeta.ctypes.data,
        io.ctypes.data)
+
+
+def av1_deblock_pass(arr, h: int, w: int, plane: int, pass_: int,
+                     prm, txw, txh, bc0, br0, skip, seg, dlf):
+    """One AV1 deblock pass (host_av1.c av1_deblock_pass) over an
+    int32 plane in place; 1:1 with the numpy/scalar oracles in
+    formats/av1_loopfilter.py."""
+    lib = _load()
+    fn = lib.av1_deblock_pass
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_void_p] + [c.c_int] * 4 + [c.c_void_p] * 8
+        fn._bound = True
+    fn(arr.ctypes.data, h, w, plane, pass_, prm.ctypes.data,
+       txw.ctypes.data, txh.ctypes.data, bc0.ctypes.data,
+       br0.ctypes.data, skip.ctypes.data, seg.ctypes.data,
+       dlf.ctypes.data)

@@ -2144,3 +2144,248 @@ EXPORT void av1_sb_parse(
     io[SIO_READDELTAS] = t.read_deltas;
     io[SIO_ERR] = t.err;
 }
+
+/* ------------------------------------------------------------------ *
+ * Deblocking filter (spec 7.14), 1:1 port of the scalar oracle in
+ * formats/av1_loopfilter.py (_deblock_pass_scalar / _filter_edge /
+ * _filter_level): per-edge filter level from the delta-lf/segment
+ * grids, tx/block edge masks, and the 4/6/8/14-tap normative filters.
+ * One call per (plane, pass) on the int32 working plane.  The C
+ * reference has no AV1 decode layer (format/avif.c:382-405 stub);
+ * dav1d (inloop_filters mask) is the conformance oracle.
+ *
+ * prm layout (int32): [0] mi_rows [1] mi_cols [2] bd [3] sharpness
+ * [4] subx [5] suby [6..9] loop_filter_level[4]
+ * [10] delta_lf_present [11] delta_lf_multi [12] segmentation_enabled
+ * [13] loop_filter_delta_enabled [14] ref_delta(INTRA_FRAME)
+ * [15..78] seg feature table: (enabled, data) per (seg 0..7, level
+ * class i 0..3 = SEG_LVL_ALT_LF_Y_V+i)
+ * ------------------------------------------------------------------ */
+
+typedef struct {
+    const int32_t *prm;
+    const uint8_t *seg;
+    const int8_t *dlf;
+    int mi_cols;
+} DbkLvl;
+
+static int dbk_level(const DbkLvl *d, int i, int r, int c)
+{
+    const int32_t *p = d->prm;
+    int lvl = p[6 + i];
+    if (p[10]) {
+        int dl = d->dlf[((long)r * d->mi_cols + c) * 4
+                        + (p[11] ? i : 0)];
+        lvl = p[6 + i] + dl;
+        if (lvl < 0) lvl = 0;
+        if (lvl > 63) lvl = 63;
+    }
+    if (p[12]) {
+        int s = d->seg[(long)r * d->mi_cols + c];
+        if (p[15 + (s * 4 + i) * 2]) {
+            lvl += p[15 + (s * 4 + i) * 2 + 1];
+            if (lvl < 0) lvl = 0;
+            if (lvl > 63) lvl = 63;
+        }
+    }
+    if (p[13]) {
+        lvl += p[14] << (lvl >> 5);
+        if (lvl < 0) lvl = 0;
+        if (lvl > 63) lvl = 63;
+    }
+    return lvl;
+}
+
+#define DP(k) q[-(long)((k) + 1) * st]
+#define DQ(k) q[(long)(k) * st]
+
+static inline int dbk_clip1(int v, int pixmax)
+{
+    return v < 0 ? 0 : (v > pixmax ? pixmax : v);
+}
+
+static void dbk_edge(int32_t *q, long st, int wd, int limit,
+                     int blimit, int thresh, int bd)
+{
+    int p0 = DP(0), p1 = DP(1), q0 = DQ(0), q1 = DQ(1);
+    int fm = abs(p1 - p0) <= limit && abs(q1 - q0) <= limit &&
+        abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) <= blimit;
+    if (wd > 4) {
+        fm = fm && abs(DP(2) - p1) <= limit
+                && abs(DQ(2) - q1) <= limit;
+        if (wd > 6)
+            fm = fm && abs(DP(3) - DP(2)) <= limit
+                    && abs(DQ(3) - DQ(2)) <= limit;
+    }
+    if (!fm)
+        return;
+    int F = 1 << (bd - 8);
+    int flat_in = 0;
+    if (wd >= 6) {
+        flat_in = abs(p1 - p0) <= F && abs(q1 - q0) <= F &&
+            abs(DP(2) - p0) <= F && abs(DQ(2) - q0) <= F;
+        if (wd >= 8)
+            flat_in = flat_in && abs(DP(3) - p0) <= F &&
+                abs(DQ(3) - q0) <= F;
+    }
+    if (wd >= 16 && flat_in) {
+        int flat_out = 1;
+        for (int j = 4; j < 7 && flat_out; j++)
+            flat_out = abs(DP(j) - p0) <= F && abs(DQ(j) - q0) <= F;
+        if (flat_out) {
+            int p6 = DP(6), p5 = DP(5), p4 = DP(4), p3 = DP(3),
+                p2 = DP(2);
+            int q2 = DQ(2), q3 = DQ(3), q4 = DQ(4), q5 = DQ(5),
+                q6 = DQ(6);
+            DP(5) = (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0
+                     + q0 + 8) >> 4;
+            DP(4) = (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1
+                     + p0 + q0 + q1 + 8) >> 4;
+            DP(3) = (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1
+                     + p0 + q0 + q1 + q2 + 8) >> 4;
+            DP(2) = (p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2
+                     + p0 + q0 + q1 + q2 + q3 + 8) >> 4;
+            DP(1) = (p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2
+                     + p0 * 2 + q0 + q1 + q2 + q3 + q4 + 8) >> 4;
+            DP(0) = (p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2
+                     + q0 * 2 + q1 + q2 + q3 + q4 + q5 + 8) >> 4;
+            DQ(0) = (p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2
+                     + q1 * 2 + q2 + q3 + q4 + q5 + q6 + 8) >> 4;
+            DQ(1) = (p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2
+                     + q2 * 2 + q3 + q4 + q5 + q6 * 2 + 8) >> 4;
+            DQ(2) = (p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2
+                     + q3 * 2 + q4 + q5 + q6 * 3 + 8) >> 4;
+            DQ(3) = (p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2
+                     + q4 * 2 + q5 + q6 * 4 + 8) >> 4;
+            DQ(4) = (p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2
+                     + q5 * 2 + q6 * 5 + 8) >> 4;
+            DQ(5) = (p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2
+                     + q6 * 7 + 8) >> 4;
+            return;
+        }
+    }
+    if (wd >= 8 && flat_in) {
+        int p3 = DP(3), p2 = DP(2), q2 = DQ(2), q3 = DQ(3);
+        DP(2) = (p3 * 3 + p2 * 2 + p1 + p0 + q0 + 4) >> 3;
+        DP(1) = (p3 * 2 + p2 + p1 * 2 + p0 + q0 + q1 + 4) >> 3;
+        DP(0) = (p3 + p2 + p1 + p0 * 2 + q0 + q1 + q2 + 4) >> 3;
+        DQ(0) = (p2 + p1 + p0 + q0 * 2 + q1 + q2 + q3 + 4) >> 3;
+        DQ(1) = (p1 + p0 + q0 + q1 * 2 + q2 + q3 * 2 + 4) >> 3;
+        DQ(2) = (p0 + q0 + q1 + q2 * 2 + q3 * 3 + 4) >> 3;
+        return;
+    }
+    if (wd == 6 && flat_in) {
+        int p2 = DP(2), q2 = DQ(2);
+        DP(1) = (p2 * 3 + p1 * 2 + p0 * 2 + q0 + 4) >> 3;
+        DP(0) = (p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + 4) >> 3;
+        DQ(0) = (p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 + 4) >> 3;
+        DQ(1) = (p0 + q0 * 2 + q1 * 2 + q2 * 3 + 4) >> 3;
+        return;
+    }
+    /* narrow filter (filter4) with high-edge-variance check */
+    int hev = abs(p1 - p0) > thresh || abs(q1 - q0) > thresh;
+    int lo = -128 * F, hi = 128 * F - 1;
+    int pixmax = (1 << bd) - 1;
+#define DCD(x) ((x) < lo ? lo : ((x) > hi ? hi : (x)))
+    int f, f1, f2;
+    if (hev) {
+        f = DCD(p1 - q1);
+        f = DCD(f + 3 * (q0 - p0));
+        f1 = DCD(f + 4) >> 3;
+        f2 = DCD(f + 3) >> 3;
+        DP(0) = dbk_clip1(p0 + f2, pixmax);
+        DQ(0) = dbk_clip1(q0 - f1, pixmax);
+    } else {
+        f = DCD(3 * (q0 - p0));
+        f1 = DCD(f + 4) >> 3;
+        f2 = DCD(f + 3) >> 3;
+        DP(0) = dbk_clip1(p0 + f2, pixmax);
+        DQ(0) = dbk_clip1(q0 - f1, pixmax);
+        int f3 = (f1 + 1) >> 1;
+        DP(1) = dbk_clip1(p1 + f3, pixmax);
+        DQ(1) = dbk_clip1(q1 - f3, pixmax);
+    }
+#undef DCD
+}
+
+#undef DP
+#undef DQ
+
+EXPORT void av1_deblock_pass(
+    int32_t *arr, int h, int w, int plane, int pass,
+    const int32_t *prm, const uint8_t *txw, const uint8_t *txh,
+    const uint16_t *bc0, const uint16_t *br0, const uint8_t *skip,
+    const uint8_t *seg8, const int8_t *dlf)
+{
+    int mi_rows = prm[0], mi_cols = prm[1];
+    int bd = prm[2], sharp = prm[3];
+    int sx = plane ? prm[4] : 0, sy = plane ? prm[5] : 0;
+    int n4c = w >> 2, n4r = h >> 2;
+    int i = plane == 0 ? pass : plane + 1;
+    int sc = 1 << (bd - 8);
+    DbkLvl dl = { prm, seg8, dlf, mi_cols };
+    for (int r4 = 0; r4 < n4r; r4++) {
+        for (int c4 = 0; c4 < n4c; c4++) {
+            if ((pass == 0 && c4 == 0) || (pass == 1 && r4 == 0))
+                continue;
+            int mr = (r4 << sy) | sy;
+            if (mr > mi_rows - 1) mr = mi_rows - 1;
+            int mc = (c4 << sx) | sx;
+            if (mc > mi_cols - 1) mc = mi_cols - 1;
+            int tcur, tprev, is_be, pmr, pmc;
+            if (pass == 0) {
+                pmr = mr;
+                pmc = ((c4 - 1) << sx) | sx;
+                if (pmc > mi_cols - 1) pmc = mi_cols - 1;
+                tcur = txw[(long)mr * mi_cols + mc];
+                tprev = txw[(long)pmr * mi_cols + pmc];
+                if (tcur && (c4 % tcur))
+                    continue;
+                is_be = (bc0[(long)mr * mi_cols + mc] >> sx) == c4;
+            } else {
+                pmr = ((r4 - 1) << sy) | sy;
+                if (pmr > mi_rows - 1) pmr = mi_rows - 1;
+                pmc = mc;
+                tcur = txh[(long)mr * mi_cols + mc];
+                tprev = txh[(long)pmr * mi_cols + pmc];
+                if (tcur && (r4 % tcur))
+                    continue;
+                is_be = (br0[(long)mr * mi_cols + mc] >> sy) == r4;
+            }
+            if (!(is_be || !skip[(long)mr * mi_cols + mc]
+                  || !skip[(long)pmr * mi_cols + pmc]))
+                continue;
+            int lvl = dbk_level(&dl, i, mr, mc);
+            if (!lvl)
+                lvl = dbk_level(&dl, i, pmr, pmc);
+            if (!lvl)
+                continue;
+            int m = tcur < tprev ? tcur : tprev;
+            int wd = plane == 0 ? (m >= 4 ? 16 : (m >= 2 ? 8 : 4))
+                                : (m >= 2 ? 6 : 4);
+            int shift = sharp > 4 ? 2 : (sharp > 0 ? 1 : 0);
+            int limit;
+            if (sharp > 0) {
+                limit = lvl >> shift;
+                if (limit > 9 - sharp) limit = 9 - sharp;
+                if (limit < 1) limit = 1;
+            } else {
+                limit = lvl > 1 ? lvl : 1;
+            }
+            int blimit = 2 * (lvl + 2) + limit;
+            int thresh = lvl >> 4;
+            limit *= sc; blimit *= sc; thresh *= sc;
+            if (pass == 0) {
+                int x = c4 * 4;
+                for (int y = r4 * 4; y < r4 * 4 + 4; y++)
+                    dbk_edge(arr + (long)y * w + x, 1, wd, limit,
+                             blimit, thresh, bd);
+            } else {
+                int y = r4 * 4;
+                for (int x = c4 * 4; x < c4 * 4 + 4; x++)
+                    dbk_edge(arr + (long)y * w + x, (long)w, wd,
+                             limit, blimit, thresh, bd);
+            }
+        }
+    }
+}

@@ -401,3 +401,15 @@ def test_av1_sb_native_vs_block_native(tmp_path, monkeypatch):
                (tb_.plane, tb_.x, tb_.y, tb_.tx_size, tb_.tx_type,
                 tb_.eob, tb_.lossless)
         assert (ta.coeffs == tb_.coeffs).all()
+
+
+def test_av1_deblock_native_vs_numpy(tmp_path, monkeypatch):
+    """C deblock (host_av1.c av1_deblock_pass) vs the vectorized
+    numpy path: bit-identical planes on a filtered stream."""
+    img = _gradient(160, 96, np.random.default_rng(13))
+    obus = _encode(img, tmp_path, "dbk.avif", quality=35, speed=5)
+    nat, _ = decode_frame(obus, apply_filters=True, filter_stages=1)
+    monkeypatch.setenv("FFPIC_AV1_HOST_DEBLOCK", "1")
+    ref, _ = decode_frame(obus, apply_filters=True, filter_stages=1)
+    for a, b in zip(nat, ref):
+        assert (a == b).all()
