@@ -254,21 +254,34 @@ def _reconstruct_native(fs: FrameState, planes):
     (native/host_av1.c:av1_recon), mirroring the host_hevc
     execute_ops design.  The op list was emitted DURING the parse
     walk (av1_tile._residual_native — every control decision is
-    symbol- and pixel-independent); here only the residual offsets
-    fill in (they exist only after the batched inverse transforms)."""
+    symbol- and pixel-independent).  The batched inverse transforms
+    run here fused with the offset fill-in: each (tx, type, lossless)
+    group's batch output IS the residual storage, so the per-TB
+    residual views/copies of the two-pass form are gone."""
+    from ffpic_tpu.coding.av1_itx import inverse_transform_batch
     from ffpic_tpu import native
     seq = fs.seq
     if not fs.recon_ops:
         return
     op_arr = np.ascontiguousarray(np.concatenate(fs.recon_ops))
-    res_chunks = []
+    bd = seq.bit_depth
+    groups: dict = {}
+    tbs = fs.tbs
+    for i, tb in enumerate(tbs):
+        groups.setdefault((tb.tx_size, tb.tx_type, tb.lossless),
+                          []).append(i)
+    op_of = fs.op_of_tb
+    chunks = []
     res_total = 0
-    for tb, op_row in zip(fs.tbs, fs.op_of_tb):
-        op_arr[op_row, _OP_RES] = res_total
-        res_chunks.append(np.ascontiguousarray(
-            tb.residual, np.int32).ravel())
-        res_total += tb.residual.size
-    res_buf = (np.concatenate(res_chunks) if res_chunks
+    for (tx, tt, lossless), idxs in groups.items():
+        batch = np.stack([tbs[i].coeffs for i in idxs])
+        res = inverse_transform_batch(batch, tx, tt, bd, lossless)
+        sz = res.shape[1] * res.shape[2]
+        for j, i in enumerate(idxs):
+            op_arr[op_of[i], _OP_RES] = res_total + j * sz
+        res_total += res.shape[0] * sz
+        chunks.append(res.reshape(-1))
+    res_buf = (np.concatenate(chunks) if chunks
                else np.zeros(1, np.int32))
     dr, smw, taps = _recon_tables()
     pw = np.asarray([p.shape[1] for p in planes] + [0, 0],
@@ -282,7 +295,6 @@ def _reconstruct_native(fs: FrameState, planes):
 def _reconstruct(fs: FrameState):
     seq = fs.seq
     bd = seq.bit_depth
-    _precompute_residuals(fs)
     dt = np.uint8 if bd == 8 else np.uint16
     w = fs.mi_cols * 4
     h = fs.mi_rows * 4
@@ -305,6 +317,7 @@ def _reconstruct(fs: FrameState):
             "FFPIC_AV1_NO_NATIVE"):
         _reconstruct_native(fs, planes)
     else:
+        _precompute_residuals(fs)
         dec = _SbDecoded(seq, sb4)
         cur_sb = None
         max_luma = [4, 4]     # MaxLumaW, MaxLumaH (spec, running)
