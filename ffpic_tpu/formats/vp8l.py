@@ -471,6 +471,12 @@ def decode_stream(r: LsbReader, w: int, h: int) -> np.ndarray:
                 wide = np.stack(cols, axis=2).reshape(h, -1)[:, :w]
             else:
                 wide = img[..., 2][:, :w]
-            img = pal[np.clip(wide, 0, len(pal) - 1)]
+            # out-of-range indices resolve to 0x00000000: libwebp
+            # expands the color map to the full index range with a
+            # zero tail (vp8l_dec.c ExpandColorMap), it does NOT clamp
+            ibits = 8 >> tbits
+            full = np.zeros((1 << ibits, 4), pal.dtype)
+            full[:len(pal)] = pal[:1 << ibits]
+            img = full[wide]
 
     return img[:h, :w]

@@ -5,7 +5,9 @@ frame, full decode via ffpic_tpu.formats.vp8), VP8X extended files,
 ALPH chunk (we actually decode the alpha plane — the reference parses
 but ignores it, webp.c:2031-2039), EXIF/XMP metadata; VP8L lossless is
 FULLY decoded (native C entropy path; the reference stubs it,
-webp.c:1928-1999).
+webp.c:1928-1999); ANIM/ANMF animations composite to full canvases
+with libwebp-exact blending and disposal (the reference has no
+animation support at all).
 
 Color output modes:
 * "libwebp": BT.601 limited-range with libwebp's exact fixed-point
@@ -127,11 +129,126 @@ def _decode_alpha(alph: bytes, H: int, W: int) -> np.ndarray | None:
     return a
 
 
+def _decode_frame_rgba(sub: dict, mode: str) -> np.ndarray:
+    """Decode one animation frame's VP8/VP8L (+ALPH) payload to a
+    numpy RGBA array (host paths only — frames feed the host
+    compositor, so shipping YUV through the device tunnel would lose
+    like the single-image case, see load())."""
+    import os
+    if "VP8 " in sub:
+        from ffpic_tpu.formats.vp8 import VP8Decoder
+        dec = VP8Decoder(sub["VP8 "])
+        H, W = dec.hdr.height, dec.hdr.width
+        Y, U, V = dec.decode()
+        a = _decode_alpha(sub.get("ALPH", b""), H, W)
+        from ffpic_tpu import native
+        if mode == "libwebp" and native.available() \
+                and not os.environ.get("FFPIC_HOST_COLOR"):
+            rgba = native.vp8_color_libwebp(
+                np.ascontiguousarray(Y[:H, :W]), U, V, H, W, a)
+        else:
+            conv = (_yuv_to_rgb_libwebp if mode == "libwebp"
+                    else _yuv_to_rgb_reference)
+            r, g, b = conv(Y, U, V, H, W)
+            if a is None:
+                a = np.full((H, W), 255, np.uint8)
+            rgba = np.dstack([r, g, b, a])
+        return np.asarray(rgba)
+    if "VP8L" in sub:
+        from ffpic_tpu.formats.vp8l import decode_vp8l
+        return np.asarray(decode_vp8l(sub["VP8L"]))
+    raise ValueError("ANMF frame without VP8/VP8L payload")
+
+
+def _blend_libwebp(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """libwebp's non-premultiplied alpha-blend of a new frame over
+    the canvas (demux/anim_decode.c BlendPixelNonPremult), exact
+    integer arithmetic as of libwebp 1.6: the dst weight is
+    (dst_a * (256 - src_a)) >> 8, the per-pixel divide is a
+    truncated 0x1000000/blend_a reciprocal multiply, and fully
+    opaque / fully transparent source pixels short-circuit."""
+    src32 = src.astype(np.uint64)
+    dst32 = dst.astype(np.uint64)
+    sa = src32[..., 3]
+    scale = (dst32[..., 3] * (256 - sa)) >> 8
+    ba = sa + scale
+    recip = 0x1000000 // np.maximum(ba, 1)
+    out = np.empty_like(src)
+    for c in range(3):
+        out[..., c] = (((src32[..., c] * sa + dst32[..., c] * scale)
+                        * recip) >> 24).astype(np.uint8)
+    out[..., 3] = ba.astype(np.uint8)
+    out = np.where((sa == 255)[..., None], src, out)
+    return np.where((sa == 0)[..., None], dst, out)
+
+
+def _load_animation(anmf: list, chunks: dict, meta: dict,
+                    skip_decode: bool, mode: str) -> list[Pic]:
+    """ANIM/ANMF animation: each frame decodes like a still WebP and
+    composites onto the canvas per its blend/dispose flags —
+    WebPAnimDecoder semantics (dispose-to-background clears to
+    TRANSPARENT black; the ANIM background color is a player hint).
+    The reference's webp.c has no animation support at all."""
+    cw, ch = meta.get("canvas", (0, 0))
+    if "ANIM" in chunks and len(chunks["ANIM"]) >= 6:
+        bg, loop = struct.unpack_from("<IH", chunks["ANIM"], 0)
+        meta["background"] = bg
+        meta["loop"] = loop
+    meta.update(width=cw, height=ch, format="animation",
+                frames=len(anmf))
+    if skip_decode:
+        return [Pic(width=cw, height=ch, depth=32, pitch=cw * 4,
+                    codec="WEBP", meta=meta)]
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    pics: list[Pic] = []
+    dispose_rect = None
+    for payload in anmf:
+        if len(payload) < 16:
+            raise ValueError("truncated ANMF header")
+        fx = int.from_bytes(payload[0:3], "little") * 2
+        fy = int.from_bytes(payload[3:6], "little") * 2
+        fw = int.from_bytes(payload[6:9], "little") + 1
+        fh = int.from_bytes(payload[9:12], "little") + 1
+        dur = int.from_bytes(payload[12:15], "little")
+        flags = payload[15]
+        no_blend = bool(flags & 2)
+        dispose_bg = bool(flags & 1)
+        if fy + fh > ch or fx + fw > cw:
+            raise ValueError("ANMF frame rect outside canvas")
+        sub: dict[str, bytes] = {}
+        p = 16
+        while p + 8 <= len(payload):
+            tag = payload[p:p + 4].decode("latin1")
+            size = struct.unpack_from("<I", payload, p + 4)[0]
+            if p + 8 + size > len(payload):
+                raise ValueError("truncated ANMF subchunk")
+            sub[tag] = payload[p + 8:p + 8 + size]
+            p += 8 + size + (size & 1)
+        rgba = _decode_frame_rgba(sub, mode)[:fh, :fw]
+        if dispose_rect is not None:
+            dy, dx, dh, dw = dispose_rect
+            canvas[dy:dy + dh, dx:dx + dw] = 0
+        target = canvas[fy:fy + fh, fx:fx + fw]
+        if no_blend:
+            target[:] = rgba
+        else:
+            target[:] = _blend_libwebp(rgba, target)
+        dispose_rect = (fy, fx, fh, fw) if dispose_bg else None
+        pics.append(Pic(pixels=canvas.copy(), width=cw, height=ch,
+                        depth=32, pitch=cw * 4,
+                        format=PixelFormat.RGBA32, codec="WEBP",
+                        delay_ms=dur, meta=meta))
+    if not pics:
+        raise ValueError("animated WebP with zero ANMF frames")
+    return pics
+
+
 def load(data: bytes, skip_decode: bool = False,
          mode: str = "libwebp") -> list[Pic]:
     riff_size = struct.unpack_from("<I", data, 4)[0]
     pos = 12
     chunks: dict[str, bytes] = {}
+    anmf: list[bytes] = []
     order = []
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4].decode("latin1")
@@ -139,7 +256,10 @@ def load(data: bytes, skip_decode: bool = False,
         if pos + 8 + size > len(data):
             raise ValueError(f"truncated WEBP: chunk {tag!r} claims "
                              f"{size} bytes past end of file")
-        chunks[tag] = data[pos + 8:pos + 8 + size]
+        if tag == "ANMF":
+            anmf.append(data[pos + 8:pos + 8 + size])
+        else:
+            chunks[tag] = data[pos + 8:pos + 8 + size]
         order.append(tag)
         pos += 8 + size + (size & 1)
 
@@ -149,6 +269,11 @@ def load(data: bytes, skip_decode: bool = False,
         meta["features"] = x[0]
         meta["canvas"] = (1 + (int.from_bytes(x[4:7], "little")),
                           1 + (int.from_bytes(x[7:10], "little")))
+
+    if anmf:
+        with trace.stage("webp.animation"):
+            return _load_animation(anmf, chunks, meta, skip_decode,
+                                   mode)
 
     if "VP8 " in chunks:
         vp8_data = chunks["VP8 "]

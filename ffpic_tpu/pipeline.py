@@ -124,16 +124,32 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
         # (per-lane LUT/bmap indices); >= 4 members amortize the
         # device loop, smaller batches stay on the host packed path
         if len(dri_list) >= 4:
-            idxs = [i for i, _ in dri_list]
+            dev_members = dri_list
+            # hybrid scheduling: the device-entropy launch is async
+            # (dispatch returns before the while_loop runs), so when
+            # the WHOLE batch would go to the device the host core
+            # sits idle behind it.  Keep a share on the host packed
+            # path instead — both engines decode concurrently and the
+            # batch finishes at max(host, device) rather than their
+            # sum.  Only when there is no other host work in this
+            # batch (non-DRI members already overlap naturally).
+            if (os.environ.get("FFPIC_HYBRID", "1") != "0"
+                    and len(dri_list) == n and n >= 6):
+                frac = float(os.environ.get("FFPIC_HYBRID_FRAC",
+                                            "0.5"))
+                k = max(4, int(round(n * frac)))
+                if n - k >= 2:
+                    dev_members = dri_list[:k]
+            idxs = [i for i, _ in dev_members]
             try:
                 out = _jed.decode_batch_dri_mixed(
                     [datas[i] for i in idxs],
-                    [jh for _, jh in dri_list],
+                    [jh for _, jh in dev_members],
                     order="rgba", mode=color_mode)
             except (ValueError, NotImplementedError):
                 out = None             # fall back to the host path
             if out is not None:
-                for k, (i, jh) in enumerate(dri_list):
+                for k, (i, jh) in enumerate(dev_members):
                     slots[i] = out[k][:jh.height, :jh.width]
                     dev_done.add(i)
         for members in spec_groups.values():

@@ -304,3 +304,38 @@ def test_decode_batch_uses_spec_entropy_path(rng, monkeypatch):
         np.testing.assert_array_equal(
             batch[i][:want.shape[0], :want.shape[1]], want,
             err_msg=f"img {i}")
+
+
+def test_decode_batch_hybrid_split(rng, monkeypatch, tmp_path):
+    """All-DRI batches of >= 6 split between the device entropy
+    engine and the host packed path (hybrid scheduling) — the split
+    must be pixel-identical to the host-only batch, including with
+    mixed sizes/tables inside the batch."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import ffpic_tpu
+
+    datas = []
+    for i in range(8):
+        arr = np.kron(rng.integers(0, 256, (4 + (i & 1), 6, 3)),
+                      np.ones((16, 16, 1))).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", quality=80 + i,
+                                  subsampling="4:2:0",
+                                  restart_marker_rows=1)
+        datas.append(b.getvalue())
+
+    from ffpic_tpu.formats import jpg as _jpg
+    from ffpic_tpu.ops import jpeg_entropy_device as _jed
+    js = [_jpg.parse_and_decode(d, skip_decode=True)[0] for d in datas]
+    assert all(_jed.eligible(j) for j in js)
+
+    monkeypatch.setenv("FFPIC_DEVICE_ENTROPY", "1")
+    hyb = np.asarray(ffpic_tpu.decode_batch(datas,
+                                            size=(80, 96)))
+    monkeypatch.setenv("FFPIC_DEVICE_ENTROPY", "0")
+    host = np.asarray(ffpic_tpu.decode_batch(datas, size=(80, 96)))
+    np.testing.assert_array_equal(hyb, host)

@@ -268,3 +268,218 @@ def _encode_png(arr):
     b = io.BytesIO()
     Image.fromarray(arr).save(b, "PNG")
     return b.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (ANIM/ANMF) — beyond the reference (webp.c: none)
+# ---------------------------------------------------------------------------
+
+def _pil_anim_frames(data):
+    """Oracle: libwebp's WebPAnimDecoder via PIL — full RGBA canvases."""
+    import io
+    from PIL import Image
+    im = Image.open(io.BytesIO(data))
+    out = []
+    for i in range(im.n_frames):
+        im.seek(i)
+        out.append(np.array(im.convert("RGBA")))
+    return out
+
+
+def test_webp_animation_lossless_pil_oracle():
+    import io
+    from PIL import Image
+    import ffpic_tpu
+
+    rng = np.random.default_rng(11)
+    base = np.kron(rng.integers(0, 256, (16, 16, 4)),
+                   np.ones((4, 4, 1))).astype(np.uint8)
+    frames = []
+    for i in range(4):
+        f = np.roll(base, i * 8, axis=1).copy()
+        f[:16, :16, :3] = i * 60
+        f[..., 3] = np.where(f[..., 3] > 128, 255, f[..., 3])
+        frames.append(Image.fromarray(f))
+    b = io.BytesIO()
+    frames[0].save(b, "WEBP", save_all=True, append_images=frames[1:],
+                   duration=[40, 50, 60, 70], loop=2, lossless=True,
+                   exact=True)
+    data = b.getvalue()
+
+    want = _pil_anim_frames(data)
+    pic = ffpic_tpu.load(data)
+    got = [pic.np_pixels()] + [f.np_pixels() for f in pic.frames]
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g, w, err_msg=f"frame {i}")
+    assert pic.delay_ms == 40
+    assert pic.meta["loop"] == 2
+
+
+def test_webp_animation_lossy_pil_oracle():
+    import io
+    from PIL import Image
+    import ffpic_tpu
+
+    rng = np.random.default_rng(12)
+    base = np.kron(rng.integers(0, 256, (12, 12, 3)),
+                   np.ones((8, 8, 1))).astype(np.uint8)
+    frames = [Image.fromarray(np.roll(base, i * 16, axis=0))
+              for i in range(3)]
+    b = io.BytesIO()
+    frames[0].save(b, "WEBP", save_all=True, append_images=frames[1:],
+                   duration=100, lossless=False, quality=80)
+    data = b.getvalue()
+
+    want = _pil_anim_frames(data)
+    pic = ffpic_tpu.load(data)
+    got = [pic.np_pixels()] + [f.np_pixels() for f in pic.frames]
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g, w, err_msg=f"frame {i}")
+
+
+def _anmf(x, y, w, h, dur, flags, payload):
+    import struct
+    hdr = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little") \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little") \
+        + dur.to_bytes(3, "little") + bytes([flags])
+    body = hdr + payload
+    chunk = b"ANMF" + struct.pack("<I", len(body)) + body
+    return chunk + (b"\0" if len(body) & 1 else b"")
+
+
+def _webp_payload_chunks(img):
+    """Encode a PIL image as still WebP and return its payload chunks
+    (VP8/VP8L/ALPH) for hand-built ANMF containers."""
+    import io
+    import struct
+    b = io.BytesIO()
+    img.save(b, "WEBP", lossless=True, exact=True)
+    data = b.getvalue()
+    pos, out = 12, b""
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if tag in (b"VP8 ", b"VP8L", b"ALPH"):
+            out += data[pos:pos + 8 + size]
+            if size & 1:
+                out += b"\0"
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def test_webp_animation_offsets_blend_dispose():
+    """Hand-built container: sub-canvas frames at offsets, alpha
+    blending vs replace, dispose-to-background — vs the libwebp
+    demuxer (PIL)."""
+    import struct
+    from PIL import Image
+    import ffpic_tpu
+
+    rng = np.random.default_rng(13)
+    cw, ch = 64, 48
+    f0 = rng.integers(0, 256, (ch, cw, 4), np.uint8)
+    f0[..., 3] = 255
+    # frame 1: 32x16 at (16, 8), semi-transparent, BLEND, dispose bg
+    f1 = rng.integers(0, 256, (16, 32, 4), np.uint8)
+    # frame 2: 24x24 at (0, 24), NO_BLEND (replace incl. alpha)
+    f2 = rng.integers(0, 256, (24, 24, 4), np.uint8)
+
+    payload = b""
+    payload += _anmf(0, 0, cw, ch, 40, 0,
+                     _webp_payload_chunks(Image.fromarray(f0)))
+    payload += _anmf(16, 8, 32, 16, 50, 0b01,
+                     _webp_payload_chunks(Image.fromarray(f1)))
+    payload += _anmf(24, 0, 24, 24, 60, 0b10,
+                     _webp_payload_chunks(Image.fromarray(f2)))
+
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x12, 0, 0, 0]) \
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    anim = b"ANIM" + struct.pack("<I", 6) + struct.pack("<IH", 0, 0)
+    body = b"WEBP" + vp8x + anim + payload
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    want = _pil_anim_frames(data)
+    pic = ffpic_tpu.load(data)
+    got = [pic.np_pixels()] + [f.np_pixels() for f in pic.frames]
+    assert len(got) == 3 == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g, w, err_msg=f"frame {i}")
+
+
+def test_webp_animation_blend_torture():
+    """16K random (src, dst) alpha pairs through one blended ANMF
+    frame — pins the exact libwebp 1.6 blend arithmetic (dst weight
+    (da*(256-sa))>>8, truncated 0x1000000/blend_a reciprocal)."""
+    import struct
+    from PIL import Image
+    import ffpic_tpu
+
+    rng = np.random.default_rng(99)
+    N = 128
+    dst = rng.integers(0, 256, (N, N, 4), np.uint8)
+    src = rng.integers(0, 256, (N, N, 4), np.uint8)
+    payload = _anmf(0, 0, N, N, 40, 0b10,
+                    _webp_payload_chunks(Image.fromarray(dst)))
+    payload += _anmf(0, 0, N, N, 40, 0b00,
+                     _webp_payload_chunks(Image.fromarray(src)))
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x12, 0, 0, 0]) \
+        + (N - 1).to_bytes(3, "little") + (N - 1).to_bytes(3, "little")
+    anim = b"ANIM" + struct.pack("<I", 6) + struct.pack("<IH", 0, 0)
+    body = b"WEBP" + vp8x + anim + payload
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    want = _pil_anim_frames(data)
+    pic = ffpic_tpu.load(data)
+    got = [pic.np_pixels()] + [f.np_pixels() for f in pic.frames]
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_vp8l_out_of_range_palette_index():
+    """Palette (color-indexing) streams may code indices >= palette
+    size; libwebp expands the color map with a ZERO tail
+    (vp8l_dec.c ExpandColorMap) — decoders must not clamp.  The
+    libwebp anim encoder emits such streams for RGBA content whose
+    transparent pixels fall outside the palette."""
+    import io
+    import struct
+    from PIL import Image
+    from ffpic_tpu.formats.vp8l import decode_vp8l
+
+    rng = np.random.default_rng(11)
+    base = np.kron(rng.integers(0, 256, (16, 16, 4)),
+                   np.ones((4, 4, 1))).astype(np.uint8)
+    f = base.copy()
+    f[:16, :16, :3] = 0
+    f[..., 3] = np.where(f[..., 3] > 128, 255, f[..., 3])
+    b = io.BytesIO()
+    frames = [Image.fromarray(f), Image.fromarray(np.roll(f, 8, axis=1))]
+    frames[0].save(b, "WEBP", save_all=True, append_images=frames[1:],
+                   duration=40, lossless=True, exact=True)
+    data = b.getvalue()
+    pos, n = 12, 0
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if tag == b"ANMF":
+            pl = data[pos + 8:pos + 8 + size]
+            p = 16
+            while p + 8 <= len(pl):
+                t = pl[p:p + 4]
+                s = struct.unpack_from("<I", pl, p + 4)[0]
+                if t == b"VP8L":
+                    payload = pl[p + 8:p + 8 + s]
+                    body = b"WEBP" + b"VP8L" + struct.pack(
+                        "<I", len(payload)) + payload \
+                        + (b"\0" if len(payload) & 1 else b"")
+                    still = b"RIFF" + struct.pack("<I", len(body)) + body
+                    want = np.array(Image.open(
+                        io.BytesIO(still)).convert("RGBA"))
+                    np.testing.assert_array_equal(
+                        decode_vp8l(payload), want)
+                    n += 1
+                p += 8 + s + (s & 1)
+        pos += 8 + size + (size & 1)
+    assert n == 2
