@@ -11,6 +11,11 @@ Networks validated structurally against the closed-form transforms in
 tests/test_av1_itx.py and bit-exactly against dav1d YUV output
 (tests/test_av1.py).  The C reference (junka/ffpic) has no AV1
 decode layer (avif.c:382-405 stub).
+
+Production path: the batched driver dispatches to the lane-major C
+executor (native/host_av1_itx.c, 3.5-6x over the numpy lanes; see
+_native_itx) — the scalar + numpy forms below stay as the oracles
+the differential sweep pins the C against.
 """
 
 from __future__ import annotations
@@ -27,6 +32,22 @@ from ffpic_tpu.coding.av1_consts import (
 
 def _r2(v: int) -> int:
     return (v + 2048) >> 12
+
+
+from ffpic_tpu.coding.av1_consts import COS128_TABLE as _COS128_TABLE
+
+_COS_I32 = np.ascontiguousarray(np.asarray(_COS128_TABLE, np.int32))
+
+
+def _native_itx() -> bool:
+    """Lane-major C transforms (native/host_av1_itx.c), bit-exact
+    with the numpy lane path below (tests/test_av1_itx.py
+    differential sweep); FFPIC_AV1_HOST_ITX=0 pins numpy."""
+    import os
+    if os.environ.get("FFPIC_AV1_HOST_ITX", "1") == "0":
+        return False
+    from ffpic_tpu import native
+    return native.available()
 
 
 def _brev(x: int, bits: int) -> int:
@@ -419,6 +440,10 @@ def inverse_transform_batch(coeffs: np.ndarray, tx_size: int,
     batching all same-(size,type) TUs of a frame amortizes the
     network's Python overhead across B*rows lanes."""
     if lossless:
+        if _native_itx():
+            from ffpic_tpu import native
+            return native.av1_wht_batch(
+                np.ascontiguousarray(coeffs, np.int32))
         return np.stack([inv_wht4x4(c) for c in coeffs]).astype(
             np.int32)
     B = coeffs.shape[0]
@@ -433,6 +458,12 @@ def inverse_transform_batch(coeffs: np.ndarray, tx_size: int,
     col_bits = max(bit_depth + 6, 16)
     rlo, rhi = -(1 << (row_bits - 1)), (1 << (row_bits - 1)) - 1
     clo, chi = -(1 << (col_bits - 1)), (1 << (col_bits - 1)) - 1
+
+    if bit_depth <= 10 and _native_itx():
+        from ffpic_tpu import native
+        return native.av1_itx_batch(
+            np.ascontiguousarray(coeffs, np.int32), aw, ah, w, h,
+            hk, vk, rect2, row_shift, rlo, rhi, clo, chi, _COS_I32)
 
     # int32 lanes for <=10-bit: rotations are a clipped bd+8-bit value
     # times a 12-bit cos (<= 2^30); the widest sums (ADST4 row-pass

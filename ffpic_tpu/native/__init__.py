@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c", "host_jp2.c", "host_av1.c"]
+_SOURCES = ["host_jpeg.c", "host_png.c", "host_vp8.c", "host_hevc.c", "host_lzw.c", "host_vp8l.c", "host_jp2.c", "host_av1.c", "host_av1_itx.c"]
 _lib = None
 _tried = False
 
@@ -942,3 +942,46 @@ def av1_deblock_pass(arr, h: int, w: int, plane: int, pass_: int,
        txw.ctypes.data, txh.ctypes.data, bc0.ctypes.data,
        br0.ctypes.data, skip.ctypes.data, seg.ctypes.data,
        dlf.ctypes.data)
+
+
+def av1_itx_batch(coeffs, aw: int, ah: int, w: int, h: int,
+                  hk: int, vk: int, rect2: bool, row_shift: int,
+                  rlo: int, rhi: int, clo: int, chi: int, cos_tab):
+    """Lane-major batched AV1 inverse transforms
+    (host_av1_itx.c av1_itx_batch): one call per
+    (tx_size, tx_type) group, bit-exact with the numpy int32 lane
+    path in coding/av1_itx.py (wrap semantics included).  coeffs is
+    (B, ah, aw) int32; returns (B, h, w) int32."""
+    lib = _load()
+    fn = lib.av1_itx_batch
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = ctypes.c_int
+        fn.argtypes = [c.c_void_p, c.c_long] + [c.c_int] * 6 \
+            + [c.c_int, c.c_int] + [c.c_int32] * 4 \
+            + [c.c_void_p, c.c_void_p]
+        fn._bound = True
+    B = coeffs.shape[0]
+    out = np.empty((B, h, w), np.int32)
+    rc = fn(coeffs.ctypes.data, B, aw, ah, w, h, hk, vk,
+            int(rect2), row_shift, rlo, rhi, clo, chi,
+            cos_tab.ctypes.data, out.ctypes.data)
+    if rc:
+        raise MemoryError("av1_itx_batch allocation failed")
+    return out
+
+
+def av1_wht_batch(coeffs):
+    """Lossless 4x4 inverse Walsh-Hadamard batch
+    (host_av1_itx.c av1_wht_batch): (B, 4, 4) int32 -> same."""
+    lib = _load()
+    fn = lib.av1_wht_batch
+    if not getattr(fn, "_bound", False):
+        c = ctypes
+        fn.restype = None
+        fn.argtypes = [c.c_void_p, c.c_long, c.c_void_p]
+        fn._bound = True
+    B = coeffs.shape[0]
+    out = np.empty((B, 4, 4), np.int32)
+    fn(coeffs.ctypes.data, B, out.ctypes.data)
+    return out
