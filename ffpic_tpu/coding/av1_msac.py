@@ -245,6 +245,40 @@ class CdfContext:
     def __getitem__(self, name):
         return self.tables[name]
 
+    def _clone(self) -> "CdfContext":
+        """Fresh mutable copy of this context (adaptive CDFs mutate
+        in place during decode, so every tile needs its own)."""
+        import numpy as np
+        c = CdfContext.__new__(CdfContext)
+        c.qctx = self.qctx
+        c.tables = {k: (v.copy() if isinstance(v, np.ndarray)
+                        else _copy_nested(v))
+                    for k, v in self.tables.items()}
+        c.intra_ext_tx_np = self.intra_ext_tx_np.copy()
+        c.mode_np = {k: v.copy() for k, v in self.mode_np.items()}
+        return c
+
+
+_CDF_TEMPLATES: dict[int, CdfContext] = {}
+
+
+def fresh_cdf(qctx: int) -> CdfContext:
+    """Per-tile CDF context from a memoized per-qctx template:
+    building the default tables costs ~12 ms/frame (int() per slot
+    over 3789 tables) while cloning is pure list/array copies.  The
+    template is immutable after construction (only cloned), so the
+    cache is safe to share across pipeline worker threads."""
+    tpl = _CDF_TEMPLATES.get(qctx)
+    if tpl is None:
+        tpl = _CDF_TEMPLATES[qctx] = CdfContext(qctx)
+    return tpl._clone()
+
+
+def _copy_nested(o):
+    if not o or not isinstance(o[0], list):
+        return list(o)
+    return [_copy_nested(s) for s in o]
+
 
 def _to_lists(arr):
     """uint16 ndarray (..., slots) -> nested lists with a trailing

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ffpic_tpu.coding.av1_msac import Msac, CdfContext
+from ffpic_tpu.coding.av1_msac import Msac, CdfContext, fresh_cdf
 from ffpic_tpu.coding import av1_consts as C
 from ffpic_tpu.coding import av1_headers as H
 
@@ -111,6 +111,13 @@ class FrameState:
         self.qindex_mi = np.full((mr, mc), fh.base_q_idx, np.uint8)
         self.blocks: list[Block] = []
         self.tbs: list[TransformBlock] = []
+        # array-form TB metadata from the whole-SB native parse
+        # ((n, 9) int32 chunks + flat coefficient arenas); the
+        # object-form tbs list serves the per-block / pure-Python
+        # paths.  tb_records() is the canonical view over both.
+        self.tbmeta_chunks: list = []
+        self.coef_chunks: list = []
+        self.coef_count = 0
         # native-recon op arrays, emitted during the parse walk (one
         # row per TB incl. skip blocks); op_of_tb maps each tbs[i]
         # to its global op row so the residual offsets fill in
@@ -125,6 +132,26 @@ class FrameState:
         self.lr_wiener: dict = {}    # -> [[v0,v1,v2], [h0,h1,h2]]
         self.lr_sgr: dict = {}       # -> (set_idx, [xqd0, xqd1])
 
+
+def _fs_tb_records(self):
+    """Canonical per-TB view over BOTH metadata forms, in decode
+    order: yields (plane, x, y, tx_size, tx_type, eob, lossless,
+    coeffs (ah, aw) int32).  Differential tests compare parse paths
+    through this."""
+    for tb in self.tbs:
+        yield (tb.plane, tb.x, tb.y, tb.tx_size, tb.tx_type, tb.eob,
+               bool(tb.lossless), np.asarray(tb.coeffs))
+    if self.tbmeta_chunks:
+        coef_all = np.concatenate(self.coef_chunks)
+        for chunk in self.tbmeta_chunks:
+            for (plane, x, y, tx, off, eob, tt,
+                 _op, lossless) in chunk.tolist():
+                aw, ah = _TX_W_ADJ[tx], _TX_H_ADJ[tx]
+                yield (plane, x, y, tx, tt, eob, bool(lossless),
+                       coef_all[off:off + aw * ah].reshape(ah, aw))
+
+
+FrameState.tb_records = _fs_tb_records
 
 _NATIVE_STATIC = None
 _NATIVE_STATIC2 = None
@@ -263,7 +290,7 @@ class TileDecoder:
         self.fh = fs.fh
         self.m = Msac(data,
                       allow_update=not fs.fh.disable_cdf_update)
-        self.cdf = CdfContext(qctx_for_base_q(fs.fh.base_q_idx))
+        self.cdf = fresh_cdf(qctx_for_base_q(fs.fh.base_q_idx))
         t = self.cdf.tables
         # expand the shared delta_lf default into independent cdfs
         self.delta_lf_single = [list(t["delta_lf"][0])]
@@ -1005,19 +1032,18 @@ class TileDecoder:
         op_base = fs.recon_op_count
         fs.recon_ops.append(ops[:n_ops])
         fs.recon_op_count = op_base + n_ops
-        tbs = fs.tbs
-        op_of_tb = fs.op_of_tb
-        tw_adj = _TX_W_ADJ
-        th_adj = _TX_H_ADJ
-        for (plane, x, y, tx, off, eob, tt, op_row,
-             lossless) in tbmeta[:n_tbs].tolist():
-            aw, ah = tw_adj[tx], th_adj[tx]
-            tb = TransformBlock(plane, x, y, tx, tt, eob,
-                                coef[off:off + aw * ah].reshape(
-                                    ah, aw), None)
-            tb.lossless = bool(lossless)
-            tbs.append(tb)
-            op_of_tb.append(op_base + op_row)
+        # array-form TB metadata: no per-TB Python objects — the
+        # recon groups/gathers these vectorized (was ~25% of decode
+        # as TransformBlock construction).  Columns per host_av1.c:
+        # (plane, x, y, tx, off, eob, tt, op_row, lossless); off and
+        # op_row rebase to frame-global here.
+        meta = tbmeta[:n_tbs].copy()
+        n_coef = int(io[4])
+        meta[:, 4] += fs.coef_count
+        meta[:, 7] += op_base
+        fs.tbmeta_chunks.append(meta)
+        fs.coef_chunks.append(coef[:n_coef].copy())
+        fs.coef_count += n_coef
 
     def _decode_block_mode_native(self, r, c, bsize, b):
         """Mode-info symbols in C (av1_block_mode); returns False on

@@ -265,22 +265,49 @@ def _reconstruct_native(fs: FrameState, planes):
         return
     op_arr = np.ascontiguousarray(np.concatenate(fs.recon_ops))
     bd = seq.bit_depth
-    groups: dict = {}
-    tbs = fs.tbs
-    for i, tb in enumerate(tbs):
-        groups.setdefault((tb.tx_size, tb.tx_type, tb.lossless),
-                          []).append(i)
-    op_of = fs.op_of_tb
     chunks = []
     res_total = 0
-    for (tx, tt, lossless), idxs in groups.items():
-        batch = np.stack([tbs[i].coeffs for i in idxs])
-        res = inverse_transform_batch(batch, tx, tt, bd, lossless)
-        sz = res.shape[1] * res.shape[2]
-        for j, i in enumerate(idxs):
-            op_arr[op_of[i], _OP_RES] = res_total + j * sz
-        res_total += res.shape[0] * sz
-        chunks.append(res.reshape(-1))
+    # object-form TBs (per-block native / mixed fallback paths)
+    if fs.tbs:
+        groups: dict = {}
+        tbs = fs.tbs
+        for i, tb in enumerate(tbs):
+            groups.setdefault((tb.tx_size, tb.tx_type, tb.lossless),
+                              []).append(i)
+        op_of = fs.op_of_tb
+        for (tx, tt, lossless), idxs in groups.items():
+            batch = np.stack([tbs[i].coeffs for i in idxs])
+            res = inverse_transform_batch(batch, tx, tt, bd, lossless)
+            sz = res.shape[1] * res.shape[2]
+            for j, i in enumerate(idxs):
+                op_arr[op_of[i], _OP_RES] = res_total + j * sz
+            res_total += res.shape[0] * sz
+            chunks.append(res.reshape(-1))
+    # array-form TB metadata (whole-SB native parse): group + gather
+    # vectorized — columns (plane,x,y,tx,off,eob,tt,op_row,lossless)
+    if fs.tbmeta_chunks:
+        meta = np.concatenate(fs.tbmeta_chunks)
+        coef_all = np.concatenate(fs.coef_chunks)
+        key = (meta[:, 3].astype(np.int64) * 64
+               + meta[:, 6] * 2 + meta[:, 8])
+        order = np.argsort(key, kind="stable")
+        ks, starts = np.unique(key[order], return_index=True)
+        bounds = list(starts) + [len(order)]
+        for gi in range(len(ks)):
+            idxs = order[bounds[gi]:bounds[gi + 1]]
+            tx = int(meta[idxs[0], 3])
+            tt = int(meta[idxs[0], 6])
+            lossless = bool(meta[idxs[0], 8])
+            adj = C.adjusted_tx_size(tx)
+            aw, ah = C.TX_W[adj], C.TX_H[adj]
+            batch = coef_all[meta[idxs, 4, None]
+                             + np.arange(aw * ah)].reshape(-1, ah, aw)
+            res = inverse_transform_batch(batch, tx, tt, bd, lossless)
+            sz = res.shape[1] * res.shape[2]
+            op_arr[meta[idxs, 7], _OP_RES] = \
+                res_total + np.arange(len(idxs)) * sz
+            res_total += res.shape[0] * sz
+            chunks.append(res.reshape(-1))
     res_buf = (np.concatenate(chunks) if chunks
                else np.zeros(1, np.int32))
     dr, smw, taps = _recon_tables()

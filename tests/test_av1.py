@@ -394,13 +394,12 @@ def test_av1_sb_native_vs_block_native(tmp_path, monkeypatch):
         assert (ga == gb).all(), name
         gc = getattr(fs_py, name)
         assert (ga == gc).all(), name
-    assert len(fs_sb.tbs) == len(fs_blk.tbs)
-    for ta, tb_ in zip(fs_sb.tbs, fs_blk.tbs):
-        assert (ta.plane, ta.x, ta.y, ta.tx_size, ta.tx_type,
-                ta.eob, ta.lossless) == \
-               (tb_.plane, tb_.x, tb_.y, tb_.tx_size, tb_.tx_type,
-                tb_.eob, tb_.lossless)
-        assert (ta.coeffs == tb_.coeffs).all()
+    recs_sb = list(fs_sb.tb_records())
+    recs_blk = list(fs_blk.tb_records())
+    assert len(recs_sb) == len(recs_blk)
+    for ta, tb_ in zip(recs_sb, recs_blk):
+        assert ta[:7] == tb_[:7]
+        assert (ta[7] == tb_[7]).all()
 
 
 def test_av1_deblock_native_vs_numpy(tmp_path, monkeypatch):
