@@ -365,14 +365,56 @@ def info(pic: Pic) -> str:
     return "\n".join(lines)
 
 
-def encode(pic, **options) -> bytes:
-    """Lossless WebP (VP8L) encode — the reference has no WebP encoder
-    and even its VP8L *decoder* is a stub (webp.c:1928-1999)."""
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    """RIFF chunk with the even-size padding byte."""
+    pad = b"\x00" if len(payload) & 1 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def encode(pic, loops: int = 0, **options) -> bytes:
+    """Lossless WebP (VP8L) encode; multi-frame pics emit an
+    animated VP8X+ANIM+ANMF container (full-canvas frames, blending
+    off — lossless round-trip by construction).  The reference has
+    no WebP encoder and even its VP8L *decoder* is a stub
+    (webp.c:1928-1999)."""
     import numpy as np
-    from ffpic_tpu.formats.vp8l_enc import encode_webp_lossless
+    from ffpic_tpu.formats.vp8l_enc import encode_webp_lossless, \
+        encode_vp8l
     rgba = pic.np_pixels() if hasattr(pic, "np_pixels") \
         else np.asarray(pic.pixels)
-    return encode_webp_lossless(rgba)
+    frames = list(getattr(pic, "frames", None) or [])
+    if not frames:
+        return encode_webp_lossless(rgba)
+
+    cw, ch = pic.width, pic.height
+    has_alpha = False
+    body = bytearray()
+    for fr in [pic] + frames:
+        fa = fr.np_pixels() if hasattr(fr, "np_pixels") \
+            else np.asarray(fr.pixels)
+        if fa.shape[0] != ch or fa.shape[1] != cw:
+            raise ValueError("animated WebP frames must match the "
+                             "canvas size")
+        if fa.shape[-1] == 4 and (fa[..., 3] != 255).any():
+            has_alpha = True
+        dur = int(getattr(fr, "delay_ms", 0) or 0)
+        # full-canvas frame, blending off (flag bit 1), keep-dispose
+        anmf = (_u24(0) + _u24(0) + _u24(cw - 1) + _u24(ch - 1)
+                + _u24(dur) + bytes([2])
+                + _chunk(b"VP8L", encode_vp8l(fa)))
+        body += _chunk(b"ANMF", anmf)
+
+    vp8x = (bytes([(0x10 if has_alpha else 0) | 0x02, 0, 0, 0])
+            + _u24(cw - 1) + _u24(ch - 1))
+    anim = struct.pack("<IH", 0, int(loops))    # bg color + loops
+    payload = (_chunk(b"VP8X", vp8x) + _chunk(b"ANIM", anim)
+               + bytes(body))
+    return (b"RIFF" + struct.pack("<I", len(payload) + 4)
+            + b"WEBP" + payload)
 
 
 register(Codec(name="WEBP", probe=probe, load=load, info=info,

@@ -483,3 +483,64 @@ def test_vp8l_out_of_range_palette_index():
                 p += 8 + s + (s & 1)
         pos += 8 + size + (size & 1)
     assert n == 2
+
+
+def test_webp_animation_encode_roundtrip():
+    """Animated WebP ENCODE (beyond reference: no WebP encoder at
+    all in webp.c): multi-frame pic -> VP8X+ANIM+ANMF with lossless
+    VP8L frames, verified against libwebp's decoder (PIL) AND our
+    own animation decoder, frames exact."""
+    import io
+    import numpy as np
+    from PIL import Image
+    import ffpic_tpu
+    from ffpic_tpu.formats import registry
+    from ffpic_tpu.formats.pic import Pic, PixelFormat
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(3):
+        f = np.kron(rng.integers(0, 256, (8, 8, 4)),
+                    np.ones((8, 8, 1))).astype(np.uint8)
+        f[..., 3] = np.where(f[..., 3] > 100, 255, f[..., 3])
+        frames.append(f)
+    pics = [Pic(pixels=f, width=64, height=64, depth=32, pitch=256,
+                format=PixelFormat.RGBA32, codec="X",
+                delay_ms=40 + 10 * i)
+            for i, f in enumerate(frames)]
+    main = pics[0]
+    main.frames = pics[1:]
+    data = registry.encode(main, "WEBP", loops=3)
+
+    im = Image.open(io.BytesIO(data))
+    assert im.n_frames == 3
+    for i in range(3):
+        im.seek(i)
+        np.testing.assert_array_equal(
+            np.array(im.convert("RGBA")), frames[i],
+            err_msg=f"libwebp frame {i}")
+
+    pic = ffpic_tpu.load(data)
+    ours = [pic.np_pixels()] + [f.np_pixels() for f in pic.frames]
+    for i, (a, b) in enumerate(zip(ours, frames)):
+        np.testing.assert_array_equal(a, b, err_msg=f"self frame {i}")
+    assert pic.delay_ms == 40
+    assert [f.delay_ms for f in pic.frames] == [50, 60]
+    assert pic.meta["loop"] == 3
+
+
+def test_webp_animation_encode_size_mismatch():
+    import numpy as np
+    import pytest
+    from ffpic_tpu.formats import registry
+    from ffpic_tpu.formats.pic import Pic, PixelFormat
+
+    a = np.zeros((32, 32, 4), np.uint8)
+    b = np.zeros((16, 16, 4), np.uint8)
+    p0 = Pic(pixels=a, width=32, height=32, depth=32, pitch=128,
+             format=PixelFormat.RGBA32, codec="X")
+    p1 = Pic(pixels=b, width=16, height=16, depth=32, pitch=64,
+             format=PixelFormat.RGBA32, codec="X")
+    p0.frames = [p1]
+    with pytest.raises(ValueError, match="canvas"):
+        registry.encode(p0, "WEBP")
