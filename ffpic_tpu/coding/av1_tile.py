@@ -50,7 +50,9 @@ class Block:
                  "filter_intra_mode", "cfl_alpha_u", "cfl_alpha_v",
                  "tx_size", "qindex", "has_chroma",
                  "avail_u", "avail_l", "avail_uc", "avail_lc",
-                 "tile", "coeff_map")
+                 "tile", "coeff_map",
+                 "pal_y", "pal_u", "pal_v", "pal_map_y",
+                 "pal_map_uv")
 
     def __init__(self):
         self.filter_intra_mode = -1
@@ -61,6 +63,11 @@ class Block:
         self.uv_mode = C.DC_PRED
         self.has_chroma = False
         self.coeff_map = None
+        self.pal_y = ()          # luma palette colors (sorted)
+        self.pal_u = ()
+        self.pal_v = ()
+        self.pal_map_y = None    # (bh, bw) uint8 color-index map
+        self.pal_map_uv = None   # chroma-resolution map (shared u/v)
 
 
 class TransformBlock:
@@ -126,11 +133,58 @@ class FrameState:
         self.recon_op_count = 0
         self.op_of_tb: list = []
         self.max_luma = [4, 4]    # running MaxLumaW/H (spec)
+        # block-origin -> (pal_y, pal_u) for the neighbor palette
+        # cache (get_palette_cache); Python path only
+        self.pal_colors: dict = {}
         self.sb4 = sb4
         # loop-restoration unit state keyed (plane, unit_row, unit_col)
         self.lr_rtype: dict = {}     # -> RESTORE_* actually used
         self.lr_wiener: dict = {}    # -> [[v0,v1,v2], [h0,h1,h2]]
         self.lr_sgr: dict = {}       # -> (set_idx, [xqd0, xqd1])
+
+
+def _ceil_log2(x: int) -> int:
+    """Spec 4.7 CeilLog2: 0 for x < 2, else smallest i with
+    (1 << i) >= x."""
+    return 0 if x < 2 else (x - 1).bit_length()
+
+
+_PAL_CTX_LOOKUP = (-1, -1, 0, -1, -1, 4, 3, 2, 1)
+_PAL_WEIGHTS = (2, 1, 2)          # left, above-left, above
+_PAL_HASH_MULT = (1, 2, 2)
+
+
+def _palette_color_context(mp, y, x, n):
+    """get_palette_color_context (spec 5.11.50): score the 3 decoded
+    neighbors, stable-sort the top 3 colors to the front of the
+    order permutation, hash the top scores into one of 5 contexts.
+    Returns (ctx, color_order)."""
+    pad = max(n, 3)          # top-3 walk reads (zero) scores past n
+    scores = [0] * pad
+    if x > 0:
+        scores[mp[y, x - 1]] += 2
+        if y > 0:
+            scores[mp[y - 1, x - 1]] += 1
+    if y > 0:
+        scores[mp[y - 1, x]] += 2
+    order = list(range(pad))
+    for i in range(3):
+        mx_s = scores[i]
+        mx_i = i
+        for j in range(i + 1, n):
+            if scores[j] > mx_s:
+                mx_s = scores[j]
+                mx_i = j
+        if mx_i != i:
+            mc = order[mx_i]
+            for k in range(mx_i, i, -1):
+                scores[k] = scores[k - 1]
+                order[k] = order[k - 1]
+            scores[i] = mx_s
+            order[i] = mc
+    ctx = _PAL_CTX_LOOKUP[scores[0] + 2 * scores[1] + 2 * scores[2]]
+    assert ctx >= 0
+    return ctx, order
 
 
 def _fs_tb_records(self):
@@ -322,7 +376,12 @@ class TileDecoder:
         # arenas; FFPIC_AV1_NO_NATIVE pins the pure-Python oracle
         import os
         from ffpic_tpu import native
+        # screen-content frames take the Python symbol path: palette
+        # blocks (decoded here, not in C yet) can appear anywhere in
+        # them and the C parse cannot resume past one (NEXT.md has
+        # the C-port plan); photographic streams are unaffected
         self._use_native = (native.available()
+                            and not fs.fh.allow_screen_content_tools
                             and not os.environ.get(
                                 "FFPIC_AV1_NO_NATIVE"))
         self._mstate = np.zeros(5, np.int64)
@@ -664,7 +723,8 @@ class TileDecoder:
                 b.angle_uv = self.sym(
                     self.cdf["angle_delta"][b.uv_mode - C.V_PRED]) \
                     - MAX_ANGLE_DELTA
-        # --- palette
+        # --- palette (spec 5.11.42/45/46; validated bit-exact vs
+        # dav1d — the C reference has no AV1 layer at all)
         if (fh.allow_screen_content_tools and
                 bsize >= C.BLOCK_8X8 and bw4 * 4 <= 64 and
                 bh4 * 4 <= 64):
@@ -678,16 +738,31 @@ class TileDecoder:
                     pal_ctx += 1
                 if self.sym(
                         self.cdf["palette_y_mode"][bctx][pal_ctx]):
-                    raise NotImplementedError("palette mode")
+                    sz = self.sym(
+                        self.cdf["palette_y_size"][bctx]) + 2
+                    b.pal_y = self._read_palette_plane(
+                        r, c, 0, sz, avail_u, avail_l)
             if b.has_chroma and b.uv_mode == C.DC_PRED:
-                if self.sym(self.cdf["palette_uv_mode"][0]):
-                    raise NotImplementedError("palette mode (uv)")
-        # --- filter intra
+                uv_ctx = 1 if b.pal_y else 0
+                if self.sym(
+                        self.cdf["palette_uv_mode"][uv_ctx]):
+                    sz = self.sym(
+                        self.cdf["palette_uv_size"][bctx]) + 2
+                    b.pal_u = self._read_palette_plane(
+                        r, c, 1, sz, avail_u, avail_l)
+                    b.pal_v = self._read_palette_v(sz)
+        # --- filter intra (palette-y excludes it, spec 5.11.42)
         if (seq.enable_filter_intra and b.y_mode == C.DC_PRED and
-                max(bw4, bh4) * 4 <= 32):
+                not b.pal_y and max(bw4, bh4) * 4 <= 32):
             if self.sym(self.cdf["use_filter_intra"][bsize]):
                 b.filter_intra_mode = self.sym(
                     self.cdf["filter_intra_mode"][0])
+        # --- palette index maps (spec palette_tokens, after full
+        # mode info, before tx size)
+        if b.pal_y:
+            b.pal_map_y = self._read_palette_map(b, False)
+        if b.pal_u:
+            b.pal_map_uv = self._read_palette_map(b, True)
         # --- record mode info + tx size + residual
         self._record_block(r, c, re, ce, bsize, b)
         self._read_tx_size(r, c, re, ce, b)
@@ -710,6 +785,9 @@ class TileDecoder:
         fs.skip[r:re, c:ce] = b.skip
         fs.seg[r:re, c:ce] = b.seg_id
         fs.qindex_mi[r:re, c:ce] = self._block_qindex(b)
+        fs.palette_size[r:re, c:ce] = len(b.pal_y)
+        if b.pal_y or b.pal_u:
+            fs.pal_colors[(r, c)] = (b.pal_y, b.pal_u)
         fs.blocks.append(b)
 
     def _block_qindex(self, b) -> int:
@@ -856,6 +934,133 @@ class TileDecoder:
         fs.tx_h4[0][r:re, c:ce] = C.TX_H[b.tx_size] >> 2
 
     # --------------------------------------------------------- residual
+    # ------------------------------------------------------- palette
+    # Spec 5.11.45/46 + 5.11.49-50 (get_palette_cache /
+    # get_palette_color_context); bit-exact vs dav1d
+    # (tests/test_av1.py palette suite).  Python-path only: frames
+    # with allow_screen_content_tools route here (see __init__).
+
+    def _nbr_pal(self, rn, cn, plane):
+        fs = self.fs
+        origin = (int(fs.b_row0[rn, cn]), int(fs.b_col0[rn, cn]))
+        ent = fs.pal_colors.get(origin)
+        if ent is None:
+            return ()
+        return ent[0] if plane == 0 else ent[1]
+
+    def _palette_cache(self, r, c, plane, avail_u, avail_l):
+        """Merged sorted dedup of the above/left palettes; above is
+        only used within the same 64px superblock row (the line
+        buffer seam, spec get_palette_cache)."""
+        above = self._nbr_pal(r - 1, c, plane) \
+            if (avail_u and (r & 15)) else ()
+        left = self._nbr_pal(r, c - 1, plane) if avail_l else ()
+        out: list = []
+        ai = li = 0
+        while ai < len(above) and li < len(left):
+            va, vl = above[ai], left[li]
+            if vl < va:
+                if not out or out[-1] != vl:
+                    out.append(vl)
+                li += 1
+            else:
+                if not out or out[-1] != va:
+                    out.append(va)
+                ai += 1
+                if vl == va:
+                    li += 1
+        for v in above[ai:]:
+            if not out or out[-1] != v:
+                out.append(v)
+        for v in left[li:]:
+            if not out or out[-1] != v:
+                out.append(v)
+        return out
+
+    def _read_palette_plane(self, r, c, plane, sz, avail_u, avail_l):
+        """Y/U palette colors: cache-reuse bits, then a literal plus
+        ascending deltas (Y deltas +1, U +0) with shrinking bit
+        widths; final palette is the sorted merge of both runs."""
+        m = self.m
+        bd = self.seq.bit_depth
+        mx = (1 << bd) - 1
+        cache = self._palette_cache(r, c, plane, avail_u, avail_l)
+        cached: list = []
+        for col in cache:
+            if len(cached) >= sz:
+                break
+            if m.decode_bool(1 << 14):
+                cached.append(col)
+        new: list = []
+        if len(cached) < sz:
+            prev = m.decode_literal(bd)
+            new.append(prev)
+            if len(cached) + len(new) < sz:
+                bits = bd - 3 + m.decode_literal(2)
+                dplus = 1 if plane == 0 else 0
+                while len(cached) + len(new) < sz:
+                    delta = m.decode_literal(bits) + dplus
+                    prev = min(prev + delta, mx)
+                    new.append(prev)
+                    rng = (1 << bd) - prev - dplus
+                    bits = min(bits, _ceil_log2(rng))
+        return tuple(sorted(cached + new))
+
+    def _read_palette_v(self, sz):
+        """V palette: no cache; either raw literals or
+        delta-with-sign coding with wraparound."""
+        m = self.m
+        bd = self.seq.bit_depth
+        mx = (1 << bd) - 1
+        if m.decode_bool(1 << 14):       # delta encoded
+            bits = bd - 4 + m.decode_literal(2)
+            prev = m.decode_literal(bd)
+            out = [prev]
+            for _ in range(sz - 1):
+                delta = m.decode_literal(bits)
+                if delta and m.decode_bool(1 << 14):
+                    delta = -delta
+                prev = (prev + delta) & mx
+                out.append(prev)
+            return tuple(out)
+        return tuple(m.decode_literal(bd) for _ in range(sz))
+
+    def _read_palette_map(self, b, is_uv):
+        """Color-index map: first sample NS(n), then the wavefront
+        (anti-diagonal) walk with neighbor-scored color reordering;
+        offscreen right/bottom padding replicates edges."""
+        m, fs, seq = self.m, self.fs, self.seq
+        bsize = b.bsize
+        bw4 = C.BLOCK_W4[bsize]
+        bh4 = C.BLOCK_H4[bsize]
+        w4 = min(bw4, fs.mi_cols - b.mi_col)
+        h4 = min(bh4, fs.mi_rows - b.mi_row)
+        if is_uv:
+            sx, sy = seq.subsampling_x, seq.subsampling_y
+            bw4 = (bw4 + sx) >> sx
+            bh4 = (bh4 + sy) >> sy
+            w4 = (w4 + sx) >> sx
+            h4 = (h4 + sy) >> sy
+        bw, bh = bw4 * 4, bh4 * 4
+        w, h = w4 * 4, h4 * 4
+        n = len(b.pal_u) if is_uv else len(b.pal_y)
+        fam = self.cdf["palette_uv_color" if is_uv
+                       else "palette_y_color"][n - 2]
+        mp = np.zeros((bh, bw), np.uint8)
+        mp[0, 0] = m.decode_ns(n)
+        for i in range(1, w + h - 1):
+            first = min(i, w - 1)
+            last = max(0, i - h + 1)
+            for j in range(first, last - 1, -1):
+                y, x = i - j, j
+                ctx, order = _palette_color_context(mp, y, x, n)
+                mp[y, x] = order[self.sym(fam[ctx])]
+        if w < bw:
+            mp[:h, w:] = mp[:h, w - 1:w]
+        if h < bh:
+            mp[h:, :] = mp[h - 1:h, :]
+        return mp
+
     def _residual(self, r, c, b):
         if self._use_native:
             return self._residual_native(b)

@@ -340,8 +340,10 @@ def _reconstruct(fs: FrameState):
                    np.zeros((ch, cw), np.int32)]
     import os
     from ffpic_tpu import native
-    if native.available() and not os.environ.get(
-            "FFPIC_AV1_NO_NATIVE"):
+    # screen-content frames decoded on the Python symbol path emit
+    # no recon ops (palette lives there; see TileDecoder.__init__)
+    if (native.available() and not fs.fh.allow_screen_content_tools
+            and not os.environ.get("FFPIC_AV1_NO_NATIVE")):
         _reconstruct_native(fs, planes)
     else:
         _precompute_residuals(fs)
@@ -400,11 +402,21 @@ def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):
             fim = -1
         is_cfl = plane > 0 and mode == C.UV_CFL_PRED
         pred_mode = C.DC_PRED if is_cfl else mode
-        ft = _filter_type(fs, b, plane)
-        pred = intra.predict(
-            arr, x, y, w, h, pred_mode, angle, fim,
-            have_left, have_above, har, hbl, max_x, max_y, bd,
-            seq.enable_intra_edge_filter, ft)
+        pal = b.pal_y if plane == 0 else \
+            (b.pal_u if plane == 1 else b.pal_v)
+        if pal:
+            # palette prediction: map indices -> colors (the index
+            # map covers the whole block at plane resolution)
+            mp = b.pal_map_y if plane == 0 else b.pal_map_uv
+            colors = np.asarray(pal, np.int32)
+            pred = colors[mp[y - blk_py:y - blk_py + h,
+                             x - blk_px:x - blk_px + w]]
+        else:
+            ft = _filter_type(fs, b, plane)
+            pred = intra.predict(
+                arr, x, y, w, h, pred_mode, angle, fim,
+                have_left, have_above, har, hbl, max_x, max_y, bd,
+                seq.enable_intra_edge_filter, ft)
         if is_cfl:
             alpha = b.cfl_alpha_u if plane == 1 else b.cfl_alpha_v
             if alpha:

@@ -412,3 +412,90 @@ def test_av1_deblock_native_vs_numpy(tmp_path, monkeypatch):
     ref, _ = decode_frame(obus, apply_filters=True, filter_stages=1)
     for a, b in zip(nat, ref):
         assert (a == b).all()
+
+
+# ---------------------------------------------------------------------------
+# Palette mode (screen-content intra tool; spec 5.11.45/46, 5.11.49/50)
+# ---------------------------------------------------------------------------
+
+def _screen_img(rng, w=128, h=96, ncols=6):
+    img = np.zeros((h, w, 3), np.uint8)
+    cols = rng.integers(0, 256, (ncols, 3))
+    sw = w // ncols
+    for i in range(ncols):
+        img[:, i * sw:(i + 1) * sw] = cols[i]
+    img[h // 4:h // 3, w // 12:w - w // 4] = [255, 255, 255]
+    img[-4:, :] = [0, 0, 0]
+    return img
+
+
+def test_av1_palette_mode_dav1d_exact(tmp_path):
+    """Palette-coded blocks (aom auto-enables screen-content tools on
+    synthetic/flat content): bit-exact vs dav1d across qualities and
+    speeds, full in-loop filters.  Also regression-pins the palette
+    color-index CDF tables — the y/uv pair was swapped in the rodata
+    extraction and only palette streams expose them."""
+    rng = np.random.default_rng(1)
+    img = _screen_img(rng)
+    hit_palette = False
+    for q, sp in ((30, 2), (60, 6), (90, 4)):
+        obus = _encode(img, tmp_path, f"pal{q}{sp}.avif",
+                       quality=q, speed=sp)
+        fh = None
+        from ffpic_tpu.coding import av1_headers as Hh
+        for obu in Hh.parse_obus(obus):
+            if obu["type"] == Hh.OBU_SEQUENCE_HEADER:
+                seq = Hh.parse_sequence_header(obu["payload"])
+            elif obu["type"] in (Hh.OBU_FRAME, Hh.OBU_FRAME_HEADER):
+                fh, _ = Hh.parse_frame_header(obu["payload"], seq)
+                break
+        assert fh is not None and fh.allow_screen_content_tools
+        planes, hdr = decode_frame(obus, apply_filters=True)
+        want, meta = decode_obus(obus)
+        for i, (p, w) in enumerate(zip(planes, want)):
+            np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(w),
+                err_msg=f"q={q} sp={sp} plane {i}")
+        hit_palette = True
+    assert hit_palette
+
+
+def test_av1_palette_uv_and_cache_dav1d_exact(tmp_path):
+    """Wider screen-content sweep: neighbor palette-cache reuse
+    (left + above within the SB row), uv palettes, text-like
+    content."""
+    rng = np.random.default_rng(9)
+    big = np.full((240, 320, 3), 255, np.uint8)
+    for _ in range(40):
+        x0 = int(rng.integers(0, 300))
+        y0 = int(rng.integers(0, 220))
+        big[y0:y0 + int(rng.integers(2, 14)),
+            x0:x0 + int(rng.integers(4, 18))] = rng.integers(0, 256, 3)
+    for q, sp in ((50, 5), (75, 3)):
+        obus = _encode(big, tmp_path, f"txt{q}{sp}.avif",
+                       quality=q, speed=sp)
+        planes, hdr = decode_frame(obus, apply_filters=True)
+        want, meta = decode_obus(obus)
+        for i, (p, w) in enumerate(zip(planes, want)):
+            np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(w),
+                err_msg=f"q={q} sp={sp} plane {i}")
+
+
+def test_avif_screen_content_end_to_end():
+    """AVIF container path on a palette stream: RGBA within the
+    documented 3-LSB chroma-upsample tolerance of libavif."""
+    import io
+    from PIL import Image
+    import ffpic_tpu
+
+    rng = np.random.default_rng(4)
+    img = _screen_img(rng, w=96, h=64, ncols=4)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "AVIF", quality=60, speed=6)
+    data = b.getvalue()
+    pic = ffpic_tpu.load(data)
+    want = np.array(Image.open(io.BytesIO(data)).convert("RGBA"))
+    got = pic.np_pixels()
+    assert got.shape == want.shape
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 3

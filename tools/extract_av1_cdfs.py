@@ -80,8 +80,8 @@ SPEC = [
     ("angle_delta",     0x444460, (8,), 7),
     ("palette_y_size",  0x444380, (7,), 7),
     ("palette_uv_size", 0x4443f0, (7,), 7),
-    ("palette_y_color", 0x441cc0, (7, 5), [2, 3, 4, 5, 6, 7, 8]),
-    ("palette_uv_color", 0x441f40, (7, 5), [2, 3, 4, 5, 6, 7, 8]),
+    ("palette_y_color", 0x441f40, (7, 5), [2, 3, 4, 5, 6, 7, 8]),
+    ("palette_uv_color", 0x441cc0, (7, 5), [2, 3, 4, 5, 6, 7, 8]),
     ("intra_ext_tx",    0x442dc8, (2, 4, 13), [7, 5]),
     ("skip",            0x444b80, (3,), 2),
     ("delta_q",         0x444c30, (1,), 4),
