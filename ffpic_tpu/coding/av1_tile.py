@@ -1411,6 +1411,9 @@ class TileDecoder:
                 self._dq_cache[key] = dq
             dmh = (sb4 >> sy) + 3
             dmw = (sb4 >> sx) + 3
+            # PBW/PBH: the FULL block's plane dims (all_zero ctx per
+            # spec get_txb_skip_ctx), while num4w/h stay chunk-based
+            fpbs = C.plane_block_size(b.bsize, sx, sy)
             pp[plane] = (tx, num4w, num4h, sx, sy,
                          int(b.avail_uc if plane else b.avail_u),
                          int(b.avail_lc if plane else b.avail_l),
@@ -1418,7 +1421,8 @@ class TileDecoder:
                          dq[0], dq[1], dq[2],
                          kind, p1, alpha,
                          _filter_type(fs, b, plane),
-                         num4w * 4, num4h * 4, dmh, dmw)
+                         C.BLOCK_W4[fpbs] * 4, C.BLOCK_H4[fpbs] * 4,
+                         dmh, dmw)
         # reset rows must exist for EVERY frame plane (a chroma-less
         # sub-8x8 partner can be the first block of a superblock)
         for plane in range(nplanes, seq.num_planes):
@@ -1787,15 +1791,21 @@ def iter_tx_geometry(seq, fs, b):
             for plane in range(min(nplanes, seq.num_planes)):
                 sx = seq.subsampling_x if plane else 0
                 sy = seq.subsampling_y if plane else 0
-                plane_bsize = C.plane_block_size(chunk_bsize, sx, sy)
+                # iteration bounds follow the 64x64 CHUNK; the
+                # yielded plane_bsize is the FULL block's (the
+                # all_zero ctx compares block dims vs tx dims, spec
+                # get_txb_skip_ctx — a 128-wide block is never
+                # "equal to" its 64px tx even though the chunk is)
+                chunk_pbsize = C.plane_block_size(chunk_bsize, sx, sy)
+                plane_bsize = C.plane_block_size(b.bsize, sx, sy)
                 if lossless:
                     tx = C.TX_4X4
                 elif plane == 0:
                     tx = b.tx_size
                 else:
                     tx = C.max_uv_tx_size(b.bsize, sx, sy)
-                num4w = C.BLOCK_W4[plane_bsize]
-                num4h = C.BLOCK_H4[plane_bsize]
+                num4w = C.BLOCK_W4[chunk_pbsize]
+                num4h = C.BLOCK_H4[chunk_pbsize]
                 step_x = C.TX_W[tx] >> 2
                 step_y = C.TX_H[tx] >> 2
                 base_x = ((c >> sx) + (cx << (4 - sx))) * 4

@@ -1947,7 +1947,12 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
         P[PPF_KIND] = kind; P[PPF_P1] = p1; P[PPF_ALPHA] = alpha;
         P[PPF_FT] = c_filter_type(t, r, c, bsize, plane, avail_u,
                                   avail_l, avail_uc, avail_lc);
-        P[PPF_PBW] = num4w * 4; P[PPF_PBH] = num4h * 4;
+        /* all_zero-ctx plane dims: the FULL block's (get_txb_skip_ctx
+         * compares block vs tx dims), not the 64x64 chunk's —
+         * 128-wide blocks differ (num4w is chunk-clamped) */
+        int pb4w = bw4 >> psx; if (pb4w < 1) pb4w = 1;
+        int pb4h = bh4 >> psy; if (pb4h < 1) pb4h = 1;
+        P[PPF_PBW] = pb4w * 4; P[PPF_PBH] = pb4h * 4;
         P[PPF_DMH] = (sb4 >> psy) + 3;
         P[PPF_DMW] = (sb4 >> psx) + 3;
     }

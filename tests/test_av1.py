@@ -499,3 +499,25 @@ def test_avif_screen_content_end_to_end():
     got = pic.np_pixels()
     assert got.shape == want.shape
     assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 3
+
+
+def test_av1_unpartitioned_128_block_txb_skip_ctx(tmp_path):
+    """Unpartitioned 128x128 blocks with coded TX_64X64 residual:
+    the all_zero (txb_skip) ctx compares the FULL block's plane dims
+    against the tx dims (spec get_txb_skip_ctx) — a 128-wide block is
+    never 'equal' to its 64px tx even though the residual walk's
+    64x64 chunk is, and chroma compares block area > tx area
+    (off 10 vs 7).  Regression: 256x192 flat content, q35 speed 0
+    (sb128), desynced at the first TX_64 coefficient block on all
+    three parse paths identically."""
+    img = np.zeros((192, 256, 3), np.uint8)
+    img[:, :128] = (200, 30, 90)
+    img[64:, 85:] = (10, 220, 180)
+    rng = np.random.default_rng(0)
+    img += rng.integers(0, 8, img.shape, dtype=np.uint8)
+    obus = _encode(img, tmp_path, "u128.avif", quality=35, speed=0)
+    planes, hdr = decode_frame(obus, apply_filters=True)
+    want, meta = decode_obus(obus)
+    for i, (p, w) in enumerate(zip(planes, want)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(w),
+                                      err_msg=f"plane {i}")

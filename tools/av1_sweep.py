@@ -2,7 +2,7 @@
 x quality x encoder speed x subsampling, full in-loop filters,
 bit-exact assertion.  Catches setting-specific bugs the fixed test
 matrix misses (e.g. the sub-8x8 BlockDecoded reset-scope bug was
-speed-1/2-only).  Run: python tools/av1_sweep.py  (~4 min, 70 cfgs)."""
+speed-1/2-only).  Run: python tools/av1_sweep.py  (~5 min, 80 cfgs)."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -20,6 +20,19 @@ def img_for(w, h, seed, kind):
         im += rng.integers(0, 25, im.shape, dtype=np.uint8)
     elif kind == 'noise':
         im = rng.integers(0, 256, (h, w, 3), np.uint8)
+    elif kind == 'screen':
+        # few flat colors + text-like rects: aom auto-enables
+        # screen-content tools -> palette blocks (python symbol path)
+        im = np.zeros((h, w, 3), np.uint8)
+        cols = rng.integers(0, 256, (5, 3))
+        sw = max(1, w // 5)
+        for i in range(5):
+            im[:, i*sw:(i+1)*sw] = cols[i]
+        for _ in range(12):
+            x0 = int(rng.integers(0, max(1, w-16)))
+            y0 = int(rng.integers(0, max(1, h-8)))
+            im[y0:y0+int(rng.integers(2,8)),
+               x0:x0+int(rng.integers(4,16))] = rng.integers(0,256,3)
     else:  # flat+edges
         im = np.zeros((h, w, 3), np.uint8)
         im[:, :w//2] = (200, 30, 90)
@@ -32,12 +45,12 @@ n = 0
 cfgs = []
 for (w, h), kind, q, speed, sub in itertools.product(
         [(128,128), (200,136), (96,64), (256,192)],
-        ['grad', 'noise', 'edges'],
+        ['grad', 'noise', 'edges', 'screen'],
         [35, 60, 85], [0, 1, 2, 4, 6],
         ['4:2:0', '4:4:4', '4:2:2']):
     cfgs.append(((w,h), kind, q, speed, sub))
 rng = np.random.default_rng(12345)
-sel = [cfgs[i] for i in rng.choice(len(cfgs), 70, replace=False)]
+sel = [cfgs[i] for i in rng.choice(len(cfgs), 80, replace=False)]
 with tempfile.TemporaryDirectory() as td:
     for (w, h), kind, q, speed, sub in sel:
         im = img_for(w, h, (q*7+speed) & 0xFF, kind)
