@@ -233,7 +233,9 @@ class CdfContext:
                   "cfl_alpha": 17, "palette_y_mode": 3,
                   "palette_uv_mode": 3, "use_filter_intra": 3,
                   "filter_intra_mode": 6, "intrabc": 3,
-                  "delta_q": 5, "tx_depth": 4, "partition": 12}
+                  "delta_q": 5, "tx_depth": 4, "partition": 12,
+                  "palette_y_size": 8, "palette_uv_size": 8,
+                  "palette_y_color": 9, "palette_uv_color": 9}
         self.mode_np = {}
         for name, wdt in widths.items():
             a = TABLES[name].astype(np.int32)

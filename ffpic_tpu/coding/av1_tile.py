@@ -52,7 +52,7 @@ class Block:
                  "avail_u", "avail_l", "avail_uc", "avail_lc",
                  "tile", "coeff_map",
                  "pal_y", "pal_u", "pal_v", "pal_map_y",
-                 "pal_map_uv")
+                 "pal_map_uv", "_pal_rec")
 
     def __init__(self):
         self.filter_intra_mode = -1
@@ -132,6 +132,9 @@ class FrameState:
         self.recon_ops: list = []          # list of (n, OP_NF) chunks
         self.recon_op_count = 0
         self.op_of_tb: list = []
+        # palette payload arena chunks (K_PAL recon ops index these)
+        self.pal_chunks: list = []
+        self.pal_count = 0
         self.max_luma = [4, 4]    # running MaxLumaW/H (spec)
         # block-origin -> (pal_y, pal_u) for the neighbor palette
         # cache (get_palette_cache); Python path only
@@ -376,14 +379,18 @@ class TileDecoder:
         # arenas; FFPIC_AV1_NO_NATIVE pins the pure-Python oracle
         import os
         from ffpic_tpu import native
-        # screen-content frames take the Python symbol path: palette
-        # blocks (decoded here, not in C yet) can appear anywhere in
-        # them and the C parse cannot resume past one (NEXT.md has
-        # the C-port plan); photographic streams are unaffected
         self._use_native = (native.available()
-                            and not fs.fh.allow_screen_content_tools
                             and not os.environ.get(
                                 "FFPIC_AV1_NO_NATIVE"))
+        # above/left neighbor palette line buffers for the C parse
+        # (counts u8 [n][2] y/u, colors u16 [n][16] = 8 y + 8 u);
+        # last-writer-wins per column/row IS the (r-1,c)/(r,c-1)
+        # neighbor in decode order — the Python oracle keeps its
+        # origin-grid + dict form instead
+        self.pal_above_n = np.zeros(2 * mc, np.uint8)
+        self.pal_above_c = np.zeros(16 * mc, np.uint16)
+        self.pal_left_n = np.zeros(2 * fs.mi_rows, np.uint8)
+        self.pal_left_c = np.zeros(16 * fs.mi_rows, np.uint16)
         self._mstate = np.zeros(5, np.int64)
         self._dq_cache: dict = {}
         self._ptrs = None
@@ -937,8 +944,9 @@ class TileDecoder:
     # ------------------------------------------------------- palette
     # Spec 5.11.45/46 + 5.11.49-50 (get_palette_cache /
     # get_palette_color_context); bit-exact vs dav1d
-    # (tests/test_av1.py palette suite).  Python-path only: frames
-    # with allow_screen_content_tools route here (see __init__).
+    # (tests/test_av1.py palette suite).  Pure-Python oracle for the
+    # C port in host_av1.c (pal_* helpers inside block_mode_core);
+    # runs under FFPIC_AV1_NO_NATIVE.
 
     def _nbr_pal(self, rn, cn, plane):
         fs = self.fs
@@ -1118,7 +1126,11 @@ class TileDecoder:
                 mn["tx_depth"],
                 fs.skip, fs.seg, fs.y_mode, fs.palette_size,
                 fs.cdef_idx, fs.tx_w4[0], fs.tx_h4[0],
-                self.a_txw, self.l_txh, _native_static2()]
+                self.a_txw, self.l_txh, _native_static2(),
+                mn["palette_y_size"], mn["palette_uv_size"],
+                mn["palette_y_color"], mn["palette_uv_color"],
+                self.pal_above_n, self.pal_above_c,
+                self.pal_left_n, self.pal_left_c]
         ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
         self._mode_ptr_refs = arrs
         return ptrs
@@ -1204,7 +1216,10 @@ class TileDecoder:
         ops = np.empty((nmax, _OP_NF), np.int32)
         coef = np.zeros(3 * (sb4 * 4) * (sb4 * 4) + 4096, np.int32)
         tbmeta = np.empty((nmax, 9), np.int32)
-        io = np.zeros(12, np.int32)
+        # palette payload arena: y maps cover <= the SB luma area,
+        # uv maps <= the (444 worst case) same, + 36-int headers
+        pal = np.empty(2 * (sb4 * 4) * (sb4 * 4) + 16384, np.int32)
+        io = np.zeros(13, np.int32)
         io[0], io[1] = fs.max_luma
         io[5] = self.current_qindex
         io[6:10] = self.cur_delta_lf
@@ -1219,22 +1234,32 @@ class TileDecoder:
         st[4] = 1 if m.allow_update else 0
         native.av1_sb_parse(m.data, st, self._ptrs,
                             self._mode_ptrs, self._x_ptrs, sbp,
-                            ops, coef, tbmeta, io)
+                            ops, coef, tbmeta, pal, io)
         m.dif = int(st[0])
         m.rng = int(st[1])
         m.cnt = int(st[2])
         m.bitpos = int(st[3])
         if io[11]:
             raise NotImplementedError(
-                ("intrabc block copy", "palette mode",
-                 "palette mode", "palette mode (uv)")[int(io[11]) - 1]
-                if int(io[11]) <= 3 else "unsupported tool")
+                "intrabc block copy" if int(io[11]) == 1
+                else "unsupported tool")
         fs.max_luma[0] = int(io[0])
         fs.max_luma[1] = int(io[1])
         self.current_qindex = int(io[5])
         self.cur_delta_lf = [int(v) for v in io[6:10]]
         n_ops, n_tbs = int(io[2]), int(io[3])
         op_base = fs.recon_op_count
+        # palette payloads: rebase K_PAL ops' P1 to the frame-global
+        # pal arena (map offsets inside each record are
+        # record-relative, so only P1 moves)
+        n_pal = int(io[12])
+        if n_pal:
+            from ffpic_tpu.formats.av1_recon import _K_PAL, \
+                _OP_KIND, _OP_P1
+            sel = ops[:n_ops, _OP_KIND] == _K_PAL
+            ops[:n_ops, _OP_P1][sel] += fs.pal_count
+            fs.pal_chunks.append(pal[:n_pal].copy())
+            fs.pal_count += n_pal
         fs.recon_ops.append(ops[:n_ops])
         fs.recon_op_count = op_base + n_ops
         # array-form TB metadata: no per-TB Python objects — the
@@ -1278,10 +1303,13 @@ class TileDecoder:
             int(fh.allow_screen_content_tools),
             int(seq.enable_filter_intra),
             int(fh.tx_mode == H.TX_MODE_SELECT), lossless_mask,
-            fs.mi_rows, fs.mi_cols), np.int32)
-        out = np.zeros(17, np.int32)
+            fs.mi_rows, fs.mi_cols,
+            seq.subsampling_x, seq.subsampling_y, seq.bit_depth),
+            np.int32)
+        out = np.zeros(20, np.int32)
         out[11] = self.current_qindex
         out[12:16] = self.cur_delta_lf
+        pal = np.empty(36 + 2 * 64 * 64, np.int32)
         m = self.m
         st = self._mstate
         st[0] = m.dif
@@ -1289,7 +1317,8 @@ class TileDecoder:
         st[2] = m.cnt
         st[3] = m.bitpos
         st[4] = 1 if m.allow_update else 0
-        native.av1_block_mode(m.data, st, self._mode_ptrs, blk, out)
+        native.av1_block_mode(m.data, st, self._mode_ptrs, blk, out,
+                              pal)
         m.dif = int(st[0])
         m.rng = int(st[1])
         m.cnt = int(st[2])
@@ -1299,9 +1328,8 @@ class TileDecoder:
         self.read_deltas = bool(out[16])
         if out[0]:
             raise NotImplementedError(
-                ("intrabc block copy", "palette mode",
-                 "palette mode", "palette mode (uv)")[int(out[0]) - 1]
-                if int(out[0]) <= 3 else "unsupported tool")
+                "intrabc block copy" if int(out[0]) == 1
+                else "unsupported tool")
         b.seg_id = int(out[1])
         b.skip = int(out[2])
         b.y_mode = int(out[3])
@@ -1313,6 +1341,24 @@ class TileDecoder:
         b.filter_intra_mode = int(out[9])
         b.tx_size = int(out[10])
         b.qindex = self.current_qindex
+        # palette payload -> Block fields (PALH_* record layout,
+        # host_av1.c) so the object-form record/recon paths work
+        # unchanged; the raw record is kept for K_PAL op emission
+        ny, nu, plen = int(out[17]), int(out[18]), int(out[19])
+        if plen:
+            rec = pal[:plen].copy()
+            b._pal_rec = rec
+            if ny:
+                b.pal_y = tuple(int(v) for v in rec[12:12 + ny])
+                bw, bh = int(rec[2]), int(rec[3])
+                b.pal_map_y = rec[rec[10]:rec[10] + bw * bh] \
+                    .astype(np.uint8).reshape(bh, bw)
+            if nu:
+                b.pal_u = tuple(int(v) for v in rec[20:20 + nu])
+                b.pal_v = tuple(int(v) for v in rec[28:28 + nu])
+                bw, bh = int(rec[4]), int(rec[5])
+                b.pal_map_uv = rec[rec[11]:rec[11] + bw * bh] \
+                    .astype(np.uint8).reshape(bh, bw)
         return True
 
     def _residual_native(self, b):
@@ -1325,9 +1371,10 @@ class TileDecoder:
         decoded; every field here is symbol-free)."""
         from ffpic_tpu import native
         from ffpic_tpu.formats.av1_recon import (
-            _filter_type, _K_DC, _K_DIR, _K_FILTER, _KIND_OF_MODE,
-            _OP_NF)
+            _filter_type, _K_DC, _K_DIR, _K_FILTER, _K_PAL,
+            _KIND_OF_MODE, _OP_NF)
         fs, seq, fh = self.fs, self.seq, self.fh
+        pal_base = None
         if self._ptrs is None:
             self._ptrs = self._native_ptrs()
         sb4 = fs.sb4
@@ -1379,7 +1426,14 @@ class TileDecoder:
                         b.cfl_alpha_v
             is_cfl = plane > 0 and mode == C.UV_CFL_PRED
             pred_mode = C.DC_PRED if is_cfl else mode
-            if fim >= 0:
+            if (b.pal_y if plane == 0 else b.pal_u):
+                # palette prediction op: P1 = pal arena record base
+                if pal_base is None:
+                    pal_base = fs.pal_count
+                    fs.pal_chunks.append(b._pal_rec)
+                    fs.pal_count += len(b._pal_rec)
+                kind, p1 = _K_PAL, pal_base
+            elif fim >= 0:
                 kind, p1 = _K_FILTER, fim
             elif pred_mode == C.DC_PRED:
                 kind, p1 = _K_DC, 0
@@ -1619,7 +1673,11 @@ class TileDecoder:
         base_eob_cdf = t["coeff_base_eob"][txs_ctx][ptype]
         base_cdf = t["coeff_base"][txs_ctx][ptype]
         br_cdf = t["coeff_br"][min(txs_ctx, 3)][ptype]
-        offtab = C.lo_ctx_offset_table(w, h)
+        # square/wide/tall picked by the TRUE tx shape, not the
+        # adjusted <=32x32 coded area: TX_32X64/TX_64X32 adjust to a
+        # square but use the tall/wide tables (dav1d lo_ctx_offsets
+        # index 1 + (tx & 1) over its rect-tx enum)
+        offtab = C.lo_ctx_offset_table(tw, th)
         lv = levels
         for c_i in range(eob - 1, -1, -1):
             pos = int(scan[c_i])

@@ -222,7 +222,7 @@ _OP_NF = 21
  _OP_FT, _OP_EEF, _OP_RES, _OP_MLW, _OP_MLH, _OP_SUBX,
  _OP_SUBY) = range(_OP_NF)
 _K_DC, _K_DIR, _K_SMOOTH, _K_SMOOTH_V, _K_SMOOTH_H, _K_PAETH, \
-    _K_FILTER = range(7)
+    _K_FILTER, _K_PAL = range(8)
 
 _KIND_OF_MODE = {C.SMOOTH_PRED: _K_SMOOTH, C.SMOOTH_V_PRED:
                  _K_SMOOTH_V, C.SMOOTH_H_PRED: _K_SMOOTH_H,
@@ -310,13 +310,15 @@ def _reconstruct_native(fs: FrameState, planes):
             chunks.append(res.reshape(-1))
     res_buf = (np.concatenate(chunks) if chunks
                else np.zeros(1, np.int32))
+    pal_buf = (np.ascontiguousarray(np.concatenate(fs.pal_chunks))
+               if fs.pal_chunks else np.zeros(1, np.int32))
     dr, smw, taps = _recon_tables()
     pw = np.asarray([p.shape[1] for p in planes] + [0, 0],
                     np.int32)[:3]
     ph = np.asarray([p.shape[0] for p in planes] + [0, 0],
                     np.int32)[:3]
     native.av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
-                     seq.bit_depth)
+                     pal_buf, seq.bit_depth)
 
 
 def _reconstruct(fs: FrameState):
@@ -340,9 +342,7 @@ def _reconstruct(fs: FrameState):
                    np.zeros((ch, cw), np.int32)]
     import os
     from ffpic_tpu import native
-    # screen-content frames decoded on the Python symbol path emit
-    # no recon ops (palette lives there; see TileDecoder.__init__)
-    if (native.available() and not fs.fh.allow_screen_content_tools
+    if (native.available()
             and not os.environ.get("FFPIC_AV1_NO_NATIVE")):
         _reconstruct_native(fs, planes)
     else:

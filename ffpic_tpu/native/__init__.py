@@ -770,7 +770,7 @@ def vp8l_entropy(data: bytes, pos: int, bit: int, w: int, h: int,
 
 
 def av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
-              bd: int):
+              pal_buf, bd: int):
     """Native AV1 intra reconstruction (host_av1.c:av1_recon): replay
     the precomputed op list sequentially over the int32 plane
     buffers (mutated in place)."""
@@ -779,14 +779,15 @@ def av1_recon(op_arr, planes, pw, ph, res_buf, dr, smw, taps,
     if not getattr(fn, "_bound", False):
         c = ctypes
         fn.restype = None
-        fn.argtypes = [c.c_void_p, c.c_longlong] + [c.c_void_p] * 9 \
+        fn.argtypes = [c.c_void_p, c.c_longlong] + [c.c_void_p] * 10 \
             + [c.c_int]
         fn._bound = True
     assert op_arr.dtype == np.int32 and op_arr.flags.c_contiguous
     p = [pl.ctypes.data for pl in planes] + [None] * (3 - len(planes))
     fn(op_arr.ctypes.data, op_arr.shape[0], p[0], p[1], p[2],
        pw.ctypes.data, ph.ctypes.data, res_buf.ctypes.data,
-       dr.ctypes.data, smw.ctypes.data, taps.ctypes.data, bd)
+       dr.ctypes.data, smw.ctypes.data, taps.ctypes.data,
+       pal_buf.ctypes.data, bd)
 
 
 def vp8_color_libwebp(Y, U, V, H: int, W: int, A=None):
@@ -840,7 +841,7 @@ def av1_block_parse(data: bytes, st, ptrs, blk, pp, nplanes: int,
 
 
 
-def av1_block_mode(data: bytes, st, mode_ptrs, blk, out):
+def av1_block_mode(data: bytes, st, mode_ptrs, blk, out, pal):
     """Per-block AV1 mode-info symbol decode (host_av1.c:
     av1_block_mode): seg/skip/cdef/deltas/modes/CfL/filter-intra/
     tx-depth against the shared mode CDF arenas; mutates the context
@@ -851,10 +852,11 @@ def av1_block_mode(data: bytes, st, mode_ptrs, blk, out):
         c = ctypes
         fn.restype = None
         fn.argtypes = [c.c_char_p, c.c_longlong, c.c_void_p,
-                       c.c_void_p, c.c_void_p, c.c_void_p]
+                       c.c_void_p, c.c_void_p, c.c_void_p,
+                       c.c_void_p]
         fn._bound = True
     fn(data, len(data), st.ctypes.data, mode_ptrs.ctypes.data,
-       blk.ctypes.data, out.ctypes.data)
+       blk.ctypes.data, out.ctypes.data, pal.ctypes.data)
 
 
 def av1_color_cicp(planes, h: int, w: int, sx: int, sy: int, bd: int,
@@ -907,7 +909,7 @@ def av1_color_cicp(planes, h: int, w: int, sx: int, sy: int, bd: int,
 
 
 def av1_sb_parse(data: bytes, st, ptrs, mode_ptrs, x_ptrs, sbp,
-                 ops, coef, tbmeta, io):
+                 ops, coef, tbmeta, pal, io):
     """Whole-superblock AV1 parse (host_av1.c av1_sb_parse): the
     partition walk, per-block mode-info, grid record writes and the
     residual TB walk fused into one C call per superblock.  Mutates
@@ -918,12 +920,12 @@ def av1_sb_parse(data: bytes, st, ptrs, mode_ptrs, x_ptrs, sbp,
     if not getattr(fn, "_bound", False):
         c = ctypes
         fn.restype = None
-        fn.argtypes = [c.c_char_p, c.c_longlong] + [c.c_void_p] * 9
+        fn.argtypes = [c.c_char_p, c.c_longlong] + [c.c_void_p] * 10
         fn._bound = True
     fn(data, len(data), st.ctypes.data, ptrs.ctypes.data,
        mode_ptrs.ctypes.data, x_ptrs.ctypes.data, sbp.ctypes.data,
        ops.ctypes.data, coef.ctypes.data, tbmeta.ctypes.data,
-       io.ctypes.data)
+       pal.ctypes.data, io.ctypes.data)
 
 
 def av1_deblock_pass(arr, h: int, w: int, plane: int, pass_: int,

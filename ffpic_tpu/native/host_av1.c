@@ -172,7 +172,17 @@ enum {
 };
 
 enum { K_DC, K_DIR, K_SMOOTH, K_SMOOTH_V, K_SMOOTH_H, K_PAETH,
-       K_FILTER };
+       K_FILTER, K_PALPRED };
+
+/* palette payload record (int32, written into the pal arena by
+ * block_mode_core; one per palette block).  Map offsets are relative
+ * to the record base so only the op's P1 needs frame-global
+ * rebasing.  av1_recon consumes it for K_PALPRED ops. */
+enum { PALH_NY, PALH_NU, PALH_BWY, PALH_BHY, PALH_BWUV, PALH_BHUV,
+       PALH_PXY, PALH_PYY, PALH_PXUV, PALH_PYUV,
+       PALH_MAPY, PALH_MAPUV,
+       PALH_COLY = 12, PALH_COLU = 20, PALH_COLV = 28,
+       PALH_NF = 36 };
 
 static inline int clip1(int v, int pixmax)
 {
@@ -288,6 +298,7 @@ EXPORT void av1_recon(
     const int32_t *dr_deriv,    /* [91] */
     const int32_t *smw,         /* flat smooth weights */
     const int32_t *fi_taps,     /* 5*8*7 */
+    const int32_t *pal,         /* palette payload arena */
     int bd)
 {
     int32_t *planes[3] = { p0, p1, p2 };
@@ -305,6 +316,28 @@ EXPORT void av1_recon(
         int max_x = op[OP_MAXX], max_y = op[OP_MAXY];
         int32_t *arr = planes[plane];
         int stride = pw[plane];
+
+        if (kind == K_PALPRED) {
+            /* palette prediction: index map -> colors (the map
+             * covers the whole block at plane resolution; this TB
+             * reads its sub-rectangle) */
+            const int32_t *P = pal + op[OP_P1];
+            int isuv = plane > 0;
+            const int32_t *cols =
+                P + (plane == 0 ? PALH_COLY
+                     : plane == 1 ? PALH_COLU : PALH_COLV);
+            int bw = P[isuv ? PALH_BWUV : PALH_BWY];
+            int px0 = P[isuv ? PALH_PXUV : PALH_PXY];
+            int py0 = P[isuv ? PALH_PYUV : PALH_PYY];
+            const int32_t *map =
+                P + P[isuv ? PALH_MAPUV : PALH_MAPY];
+            for (int i = 0; i < h; i++)
+                for (int j = 0; j < w; j++)
+                    pred[i * w + j] =
+                        cols[map[(y - py0 + i) * bw
+                                 + (x - px0 + j)]];
+            goto add_residual;
+        }
 
         /* ---- prepare_edges (spec 7.11.2 steps 2-8) */
         Edge above, left;
@@ -593,6 +626,7 @@ EXPORT void av1_recon(
         }
 
         /* ---- add residual, clip, clamped write */
+add_residual:;
         int we = w, he = h;
         if (x + we > pw[plane]) we = pw[plane] - x;
         if (y + he > ph[plane]) he = ph[plane] - y;
@@ -710,8 +744,13 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
     const int32_t *scan = scans + S[S_SCANOFF + tx * 3 + kind];
     int w = S[S_AW + tx], h = S[S_AH + tx];
     int area = w * h;
+    /* square/wide/tall classification uses the TRUE tx shape, not
+     * the adjusted <=32x32 coded area — TX_32X64/TX_64X32 adjust to
+     * square 32x32 but take the tall/wide tables (dav1d
+     * lo_ctx_offsets index 1 + (tx & 1) over its rect enum) */
+    int tw_t = S[S_TXW + tx], th_t = S[S_TXH + tx];
     const int32_t *offtab = S + S_OFFTABS
-        + (w == h ? 0 : (w > h ? 25 : 50));
+        + (tw_t == th_t ? 0 : (tw_t > th_t ? 25 : 50));
 
     int emul = S[S_EMUL + tx];
     int eob_n = 5 + emul;
@@ -1097,7 +1136,12 @@ enum { M_SKIPCDF, M_SPATSEG, M_KFY, M_ANGLE, M_UV0, M_UV1,
        M_CFLSIGN, M_CFLALPHA, M_PALY, M_PALUV, M_USEFI, M_FIMODE,
        M_INTRABC, M_DELTAQ, M_DELTALF, M_TXDEPTH,
        M_GSKIP, M_GSEG, M_GYMODE, M_GPAL, M_GCDEF, M_GTXW4,
-       M_GTXH4, M_ATXW, M_LTXH, M_STATIC2, M_NPTRS };
+       M_GTXH4, M_ATXW, M_LTXH, M_STATIC2,
+       /* palette (spec 5.11.45/46, 5.11.49/50): size/color CDF
+        * arenas + the above/left neighbor palette line buffers
+        * (counts u8 [cols|rows][2] y/u, colors u16 [.][16] 8y+8u) */
+       M_PALYSZ, M_PALUVSZ, M_PALYCOL, M_PALUVCOL,
+       M_PALAN, M_PALAC, M_PALLN, M_PALLC, M_NPTRS };
 
 /* static blob 2 layout (int32) */
 #define S2_IMC 0        /* INTRA_MODE_CONTEXT[13] */
@@ -1117,12 +1161,14 @@ enum { K_R, K_C, K_BSIZE, K_AVAILU, K_AVAILL, K_HASCHROMA,
        K_READDELTAS, K_DQPRES, K_DQRES, K_DLFPRES, K_DLFMULTI,
        K_DLFRES, K_NPLANES, K_SBBSIZE, K_ALLOWIBC, K_ALLOWSCT,
        K_ENFI, K_TXSELECT, K_LOSSLESS, K_MIROWS, K_MICOLS,
+       K_SUBX, K_SUBY, K_BITDEPTH,
        K_NF };
 
 /* out record */
 enum { O_ERR, O_SEGID, O_SKIP, O_YMODE, O_ANGLEY, O_UVMODE,
        O_ANGLEUV, O_CFLU, O_CFLV, O_FIM, O_TXSIZE, O_QINDEX,
-       O_DLF0, O_DLF1, O_DLF2, O_DLF3, O_READDELTAS, O_NF };
+       O_DLF0, O_DLF1, O_DLF2, O_DLF3, O_READDELTAS,
+       O_NPALY, O_NPALU, O_PALLEN, O_NF };
 
 static int neg_deinterleave(int diff, int ref, int mx)
 {
@@ -1154,8 +1200,185 @@ static inline int msac_literal(Msac *m, int n)
     return v;
 }
 
+/* ---- palette mode (spec 5.11.45/46 colors, 5.11.49/50 index maps;
+ * 1:1 with the Python oracle in av1_tile.py:_read_palette_plane/
+ * _read_palette_v/_read_palette_map/_palette_color_context, which
+ * stays as the FFPIC_AV1_NO_NATIVE path).  The C reference has no
+ * AV1 layer at all. */
+
+static inline int bitlen(int v);
+
+static inline int ceil_log2_c(int x)
+{
+    return x < 2 ? 0 : bitlen(x - 1);
+}
+
+/* ns(n), spec 4.10.7 (av1_msac.decode_ns) */
+static int msac_ns(Msac *m, int n)
+{
+    int w = bitlen(n);
+    int mv = (1 << w) - n;
+    int v = w > 1 ? msac_literal(m, w - 1) : 0;
+    if (v < mv)
+        return v;
+    return (v << 1) - mv + msac_bool_equi(m);
+}
+
+/* merged sorted dedup of the above/left neighbor palettes
+ * (get_palette_cache); above/left are ascending.  Returns count. */
+static int pal_cache_merge(const uint16_t *above, int na,
+                           const uint16_t *left, int nl, int *out)
+{
+    int ai = 0, li = 0, n = 0;
+    while (ai < na && li < nl) {
+        int va = above[ai], vl = left[li];
+        if (vl < va) {
+            if (!n || out[n - 1] != vl) out[n++] = vl;
+            li++;
+        } else {
+            if (!n || out[n - 1] != va) out[n++] = va;
+            ai++;
+            if (vl == va) li++;
+        }
+    }
+    for (; ai < na; ai++)
+        if (!n || out[n - 1] != above[ai]) out[n++] = above[ai];
+    for (; li < nl; li++)
+        if (!n || out[n - 1] != left[li]) out[n++] = left[li];
+    return n;
+}
+
+/* Y/U palette colors: cache-reuse flags, then a literal plus
+ * ascending deltas (Y +1, U +0) with shrinking bit widths; result is
+ * the sorted merge of the cached and new runs (both ascending). */
+static void pal_decode_plane(Msac *m, int plane, int sz, int bd,
+                             const int *cache, int ncache,
+                             int32_t *out)
+{
+    int mx = (1 << bd) - 1;
+    int cached[8], ncached = 0;
+    for (int i = 0; i < ncache && ncached < sz; i++)
+        if (msac_bool_equi(m))
+            cached[ncached++] = cache[i];
+    int newc[8], nnew = 0;
+    if (ncached < sz) {
+        int prev = msac_literal(m, bd);
+        newc[nnew++] = prev;
+        if (ncached + nnew < sz) {
+            int bits = bd - 3 + msac_literal(m, 2);
+            int dplus = plane == 0 ? 1 : 0;
+            while (ncached + nnew < sz) {
+                int delta = msac_literal(m, bits) + dplus;
+                prev = prev + delta;
+                if (prev > mx) prev = mx;
+                newc[nnew++] = prev;
+                int rng = (1 << bd) - prev - dplus;
+                int cl = ceil_log2_c(rng);
+                if (cl < bits) bits = cl;
+            }
+        }
+    }
+    int ci = 0, ni = 0, n = 0;
+    while (ci < ncached && ni < nnew)
+        out[n++] = cached[ci] <= newc[ni] ? cached[ci++]
+                                          : newc[ni++];
+    while (ci < ncached) out[n++] = cached[ci++];
+    while (ni < nnew) out[n++] = newc[ni++];
+}
+
+/* V palette: no cache; raw literals or signed deltas w/ wraparound */
+static void pal_decode_v(Msac *m, int sz, int bd, int32_t *out)
+{
+    int mx = (1 << bd) - 1;
+    if (msac_bool_equi(m)) {
+        int bits = bd - 4 + msac_literal(m, 2);
+        int prev = msac_literal(m, bd);
+        out[0] = prev;
+        for (int i = 1; i < sz; i++) {
+            int delta = msac_literal(m, bits);
+            if (delta && msac_bool_equi(m))
+                delta = -delta;
+            prev = (prev + delta) & mx;
+            out[i] = prev;
+        }
+    } else {
+        for (int i = 0; i < sz; i++)
+            out[i] = msac_literal(m, bd);
+    }
+}
+
+static const int PAL_CTX_LOOKUP[9] = { -1, -1, 0, -1, -1, 4, 3,
+                                       2, 1 };
+
+/* get_palette_color_context (spec 5.11.50): score the 3 decoded
+ * neighbors, stable-sort the top 3 colors to the front of the order
+ * permutation, hash the top scores into one of 5 contexts. */
+static int pal_color_ctx(const uint8_t *mp, int stride, int y,
+                         int x, int n, int *order)
+{
+    int scores[11] = { 0 };
+    if (x > 0) {
+        scores[mp[y * stride + x - 1]] += 2;
+        if (y > 0)
+            scores[mp[(y - 1) * stride + x - 1]] += 1;
+    }
+    if (y > 0)
+        scores[mp[(y - 1) * stride + x]] += 2;
+    int pad = n > 3 ? n : 3;
+    for (int i = 0; i < pad; i++)
+        order[i] = i;
+    for (int i = 0; i < 3; i++) {
+        int mx_s = scores[i], mx_i = i;
+        for (int j = i + 1; j < n; j++)
+            if (scores[j] > mx_s) { mx_s = scores[j]; mx_i = j; }
+        if (mx_i != i) {
+            int mc = order[mx_i];
+            for (int k = mx_i; k > i; k--) {
+                scores[k] = scores[k - 1];
+                order[k] = order[k - 1];
+            }
+            scores[i] = mx_s;
+            order[i] = mc;
+        }
+    }
+    return PAL_CTX_LOOKUP[scores[0] + 2 * scores[1]
+                          + 2 * scores[2]];
+}
+
+/* color-index map (palette_tokens): ns(n) first sample, then the
+ * anti-diagonal wavefront with scored color reordering; offscreen
+ * right/bottom padding replicates edges.  Writes int32 into the pal
+ * arena (bh x bw row-major). */
+static void pal_decode_map(Msac *m, int32_t *color_cdf /* family */,
+                           int n, int bw, int bh, int w, int h,
+                           int32_t *dst)
+{
+    uint8_t mp[64 * 64];
+    mp[0] = (uint8_t)msac_ns(m, n);
+    int order[11];
+    for (int i = 1; i < w + h - 1; i++) {
+        int first = i < w - 1 ? i : w - 1;
+        int last = i - h + 1 > 0 ? i - h + 1 : 0;
+        for (int j = first; j >= last; j--) {
+            int y = i - j, x = j;
+            int ctx = pal_color_ctx(mp, bw, y, x, n, order);
+            int sym = msac_symbol(m, color_cdf + ctx * 9, n);
+            mp[y * bw + x] = (uint8_t)order[sym];
+        }
+    }
+    for (int y = 0; y < h; y++)
+        for (int x = w; x < bw; x++)
+            mp[y * bw + x] = mp[y * bw + w - 1];
+    for (int y = h; y < bh; y++)
+        for (int x = 0; x < bw; x++)
+            mp[y * bw + x] = mp[(h - 1) * bw + x];
+    for (int i = 0; i < bw * bh; i++)
+        dst[i] = mp[i];
+}
+
 static void block_mode_core(
-    Msac *m_, const long long *mp, const int32_t *blk, int32_t *out)
+    Msac *m_, const long long *mp, const int32_t *blk, int32_t *out,
+    int32_t *pal)
 {
     Msac m = *m_;
 
@@ -1343,9 +1566,16 @@ static void block_mode_core(
                 &m, (int32_t *)mp[M_ANGLE] + (uv - 1) * 8, 7) - 3;
     }
 
-    /* ---- palette gates */
+    /* ---- palette (spec 5.11.42/45/46: gates, sizes, colors) */
+    int ny = 0, nu = 0;
     if (blk[K_ALLOWSCT] && bsize >= 3 && bw4 * 4 <= 64
         && bh4 * 4 <= 64) {
+        int bd = blk[K_BITDEPTH];
+        const uint8_t *an = (const uint8_t *)mp[M_PALAN];
+        const uint16_t *ac = (const uint16_t *)mp[M_PALAC];
+        const uint8_t *ln = (const uint8_t *)mp[M_PALLN];
+        const uint16_t *lc = (const uint16_t *)mp[M_PALLC];
+        int use_above = avail_u && (r & 15);
         int bctx = 0;
         for (int v = bw4 * 4; v > 1; v >>= 1) bctx++;
         for (int v = bh4 * 4; v > 1; v >>= 1) bctx++;
@@ -1358,25 +1588,119 @@ static void block_mode_core(
             if (avail_l && gpal[r * mi_cols + c - 1]) pc++;
             if (msac_symbol(&m, (int32_t *)mp[M_PALY]
                             + (bctx * 3 + pc) * 3, 2)) {
-                out[O_ERR] = 2;     /* palette mode: unsupported */
-                goto done;
+                int sz = msac_symbol(&m, (int32_t *)mp[M_PALYSZ]
+                                     + bctx * 8, 7) + 2;
+                int cache[16];
+                int nc = pal_cache_merge(
+                    use_above ? ac + c * 16 : 0,
+                    use_above ? an[c * 2] : 0,
+                    avail_l ? lc + r * 16 : 0,
+                    avail_l ? ln[r * 2] : 0, cache);
+                pal_decode_plane(&m, 0, sz, bd, cache, nc,
+                                 pal + PALH_COLY);
+                ny = sz;
             }
         }
         if (blk[K_HASCHROMA] && out[O_UVMODE] == 0) {
-            if (msac_symbol(&m, (int32_t *)mp[M_PALUV], 2)) {
-                out[O_ERR] = 3;
-                goto done;
+            int uvc = ny ? 1 : 0;
+            if (msac_symbol(&m, (int32_t *)mp[M_PALUV] + uvc * 3,
+                            2)) {
+                int sz = msac_symbol(&m, (int32_t *)mp[M_PALUVSZ]
+                                     + bctx * 8, 7) + 2;
+                int cache[16];
+                int nc = pal_cache_merge(
+                    use_above ? ac + c * 16 + 8 : 0,
+                    use_above ? an[c * 2 + 1] : 0,
+                    avail_l ? lc + r * 16 + 8 : 0,
+                    avail_l ? ln[r * 2 + 1] : 0, cache);
+                pal_decode_plane(&m, 1, sz, bd, cache, nc,
+                                 pal + PALH_COLU);
+                pal_decode_v(&m, sz, bd, pal + PALH_COLV);
+                nu = sz;
             }
         }
     }
 
-    /* ---- filter intra */
+    /* ---- filter intra (palette-y excludes it, spec 5.11.42) */
     out[O_FIM] = -1;
-    if (blk[K_ENFI] && out[O_YMODE] == 0
+    if (blk[K_ENFI] && out[O_YMODE] == 0 && !ny
         && (bw4 > bh4 ? bw4 : bh4) * 4 <= 32) {
         if (msac_symbol(&m, (int32_t *)mp[M_USEFI] + bsize * 3, 2))
             out[O_FIM] = msac_symbol(&m, (int32_t *)mp[M_FIMODE],
                                      5);
+    }
+
+    /* ---- palette index maps (palette_tokens: after full mode
+     * info, before tx size) + the payload record for K_PALPRED
+     * recon ops */
+    int pallen = 0;
+    if (ny || nu) {
+        int sx = blk[K_SUBX], sy = blk[K_SUBY];
+        for (int i = 0; i < PALH_COLY; i++)
+            if (i != PALH_NY && i != PALH_NU)
+                pal[i] = 0;
+        pal[PALH_NY] = ny;
+        pal[PALH_NU] = nu;
+        int w4v = mi_cols - c < bw4 ? mi_cols - c : bw4;
+        int h4v = mi_rows - r < bh4 ? mi_rows - r : bh4;
+        int off = PALH_NF;
+        if (ny) {
+            int bw = bw4 * 4, bh = bh4 * 4;
+            pal[PALH_BWY] = bw;
+            pal[PALH_BHY] = bh;
+            pal[PALH_PXY] = c * 4;
+            pal[PALH_PYY] = r * 4;
+            pal[PALH_MAPY] = off;
+            pal_decode_map(&m, (int32_t *)mp[M_PALYCOL]
+                           + (ny - 2) * 5 * 9, ny, bw, bh,
+                           w4v * 4, h4v * 4, pal + off);
+            off += bw * bh;
+        }
+        if (nu) {
+            int bwc = ((bw4 + sx) >> sx) * 4;
+            int bhc = ((bh4 + sy) >> sy) * 4;
+            pal[PALH_BWUV] = bwc;
+            pal[PALH_BHUV] = bhc;
+            pal[PALH_PXUV] = (c >> sx) * 4;
+            pal[PALH_PYUV] = (r >> sy) * 4;
+            pal[PALH_MAPUV] = off;
+            pal_decode_map(&m, (int32_t *)mp[M_PALUVCOL]
+                           + (nu - 2) * 5 * 9, nu, bwc, bhc,
+                           ((w4v + sx) >> sx) * 4,
+                           ((h4v + sy) >> sy) * 4, pal + off);
+            off += bwc * bhc;
+        }
+        pallen = off;
+    }
+    out[O_NPALY] = ny;
+    out[O_NPALU] = nu;
+    out[O_PALLEN] = pallen;
+
+    /* ---- neighbor palette line buffers for later blocks (the
+     * above row is only consulted within the same 64px superblock
+     * row — the r & 15 gate above — so last-writer-wins per
+     * column/row is exactly the (r-1,c)/(r,c-1) neighbor) */
+    if (blk[K_ALLOWSCT]) {
+        uint8_t *an = (uint8_t *)mp[M_PALAN];
+        uint16_t *ac = (uint16_t *)mp[M_PALAC];
+        uint8_t *ln = (uint8_t *)mp[M_PALLN];
+        uint16_t *lc = (uint16_t *)mp[M_PALLC];
+        for (int cc = c; cc < ce; cc++) {
+            an[cc * 2] = (uint8_t)ny;
+            an[cc * 2 + 1] = (uint8_t)nu;
+            for (int k = 0; k < ny; k++)
+                ac[cc * 16 + k] = (uint16_t)pal[PALH_COLY + k];
+            for (int k = 0; k < nu; k++)
+                ac[cc * 16 + 8 + k] = (uint16_t)pal[PALH_COLU + k];
+        }
+        for (int rr = r; rr < re; rr++) {
+            ln[rr * 2] = (uint8_t)ny;
+            ln[rr * 2 + 1] = (uint8_t)nu;
+            for (int k = 0; k < ny; k++)
+                lc[rr * 16 + k] = (uint16_t)pal[PALH_COLY + k];
+            for (int k = 0; k < nu; k++)
+                lc[rr * 16 + 8 + k] = (uint16_t)pal[PALH_COLU + k];
+        }
     }
 
     /* ---- tx size (K_LOSSLESS is a per-segment bitmask: seg_id is
@@ -1431,7 +1755,8 @@ done:
 
 EXPORT void av1_block_mode(
     const uint8_t *data, long long data_len, long long *st,
-    const long long *mp, const int32_t *blk, int32_t *out)
+    const long long *mp, const int32_t *blk, int32_t *out,
+    int32_t *pal)
 {
     Msac m;
     m.data = data;
@@ -1441,7 +1766,7 @@ EXPORT void av1_block_mode(
     m.cnt = (int32_t)st[2];
     m.bitpos = st[3];
     m.allow_update = (int)st[4];
-    block_mode_core(&m, mp, blk, out);
+    block_mode_core(&m, mp, blk, out, pal);
     st[0] = m.dif;
     st[1] = m.rng;
     st[2] = m.cnt;
@@ -1646,16 +1971,16 @@ enum { SBP_SBR, SBP_SBC, SBP_SB4, SBP_SBBSIZE,
 /* io layout for av1_sb_parse (int32) */
 enum { SIO_MLW, SIO_MLH, SIO_NOPS, SIO_NTBS, SIO_COEF,
        SIO_QINDEX, SIO_DLF0, SIO_DLF1, SIO_DLF2, SIO_DLF3,
-       SIO_READDELTAS, SIO_ERR, SIO_NF };
+       SIO_READDELTAS, SIO_ERR, SIO_NPAL, SIO_NF };
 
 typedef struct {
     Msac m;
     const long long *ptrs, *mp, *xp;
     const int32_t *sbp, *S2, *S3;
-    int32_t *ops, *coef, *tbmeta;
+    int32_t *ops, *coef, *tbmeta, *pal;
     long long clip;
     int32_t io[5];            /* block_parse_core in/out scratch */
-    int n_ops, n_tbs;
+    int n_ops, n_tbs, n_pal;
     int qindex, dlf[4], read_deltas;
     int sb_r, sb_c, new_sb;
     int err;
@@ -1808,17 +2133,22 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     kblk[K_TXSELECT] = sbp[SBP_TXSELECT];
     kblk[K_LOSSLESS] = sbp[SBP_LOSSLESS];
     kblk[K_MIROWS] = mi_rows; kblk[K_MICOLS] = mi_cols;
+    kblk[K_SUBX] = sx; kblk[K_SUBY] = sy;
+    kblk[K_BITDEPTH] = sbp[SBP_BITDEPTH];
 
     int32_t out[O_NF];
     memset(out, 0, sizeof(out));
     out[O_QINDEX] = t->qindex;
     out[O_DLF0] = t->dlf[0]; out[O_DLF1] = t->dlf[1];
     out[O_DLF2] = t->dlf[2]; out[O_DLF3] = t->dlf[3];
-    block_mode_core(&t->m, t->mp, kblk, out);
+    int pal_base = t->n_pal;
+    block_mode_core(&t->m, t->mp, kblk, out, t->pal + pal_base);
     if (out[O_ERR]) {
         t->err = out[O_ERR];
         return;
     }
+    int ny = out[O_NPALY], nu = out[O_NPALU];
+    t->n_pal += out[O_PALLEN];
     t->qindex = out[O_QINDEX];
     t->dlf[0] = out[O_DLF0]; t->dlf[1] = out[O_DLF1];
     t->dlf[2] = out[O_DLF2]; t->dlf[3] = out[O_DLF3];
@@ -1841,6 +2171,7 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     uint8_t *gseg = (uint8_t *)t->mp[M_GSEG];
     uint8_t *gqi = (uint8_t *)t->xp[X_GQIDX];
     int8_t *gdlf = (int8_t *)t->xp[X_GDLF];
+    uint8_t *gpal = (uint8_t *)t->mp[M_GPAL];
     const int32_t *segq = (const int32_t *)t->xp[X_SEGQ];
     int qidx = c_get_qindex(segq, seg_id, t->qindex);
     for (int rr = r; rr < re; rr++)
@@ -1853,6 +2184,7 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
             gskip[i] = (uint8_t)skip;
             gseg[i] = (uint8_t)seg_id;
             gqi[i] = (uint8_t)qidx;
+            gpal[i] = (uint8_t)ny;
             gdlf[i * 4] = (int8_t)t->dlf[0];
             gdlf[i * 4 + 1] = (int8_t)t->dlf[1];
             gdlf[i * 4 + 2] = (int8_t)t->dlf[2];
@@ -1896,7 +2228,10 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
         }
         int pred_mode = (plane > 0 && mode == 13) ? 0 : mode;
         int kind, p1;
-        if (pfim >= 0) {
+        if (plane == 0 ? ny : nu) {
+            /* palette prediction (index map -> colors) */
+            kind = K_PALPRED; p1 = pal_base;
+        } else if (pfim >= 0) {
             kind = K_FILTER; p1 = pfim;
         } else if (pred_mode == 0) {
             kind = K_DC; p1 = 0;
@@ -2108,7 +2443,8 @@ EXPORT void av1_sb_parse(
     const uint8_t *data, long long data_len, long long *st,
     const long long *ptrs, const long long *mp,
     const long long *xp, const int32_t *sbp,
-    int32_t *ops, int32_t *coef, int32_t *tbmeta, int32_t *io)
+    int32_t *ops, int32_t *coef, int32_t *tbmeta, int32_t *pal,
+    int32_t *io)
 {
     SbCtx t;
     t.m.data = data;
@@ -2121,11 +2457,11 @@ EXPORT void av1_sb_parse(
     t.ptrs = ptrs; t.mp = mp; t.xp = xp; t.sbp = sbp;
     t.S2 = (const int32_t *)mp[M_STATIC2];
     t.S3 = (const int32_t *)xp[X_S3];
-    t.ops = ops; t.coef = coef; t.tbmeta = tbmeta;
+    t.ops = ops; t.coef = coef; t.tbmeta = tbmeta; t.pal = pal;
     t.clip = 1LL << (sbp[SBP_BITDEPTH] + 7);
     t.io[0] = io[SIO_MLW]; t.io[1] = io[SIO_MLH];
     t.io[2] = 0; t.io[3] = 0; t.io[4] = 0;
-    t.n_ops = 0; t.n_tbs = 0;
+    t.n_ops = 0; t.n_tbs = 0; t.n_pal = 0;
     t.qindex = io[SIO_QINDEX];
     t.dlf[0] = io[SIO_DLF0]; t.dlf[1] = io[SIO_DLF1];
     t.dlf[2] = io[SIO_DLF2]; t.dlf[3] = io[SIO_DLF3];
@@ -2148,6 +2484,7 @@ EXPORT void av1_sb_parse(
     io[SIO_DLF2] = t.dlf[2]; io[SIO_DLF3] = t.dlf[3];
     io[SIO_READDELTAS] = t.read_deltas;
     io[SIO_ERR] = t.err;
+    io[SIO_NPAL] = t.n_pal;
 }
 
 /* ------------------------------------------------------------------ *

@@ -521,3 +521,67 @@ def test_av1_unpartitioned_128_block_txb_skip_ctx(tmp_path):
     for i, (p, w) in enumerate(zip(planes, want)):
         np.testing.assert_array_equal(np.asarray(p), np.asarray(w),
                                       err_msg=f"plane {i}")
+
+
+def test_av1_palette_three_path_differential(tmp_path, monkeypatch):
+    """Palette mode decodes natively on all three parse paths
+    (whole-SB C via av1_sb_parse, per-block C via av1_block_mode,
+    pure-Python oracle) with identical pixels, palette-size grids and
+    TB records — and bit-exact vs dav1d.  Guards the C port of
+    get_palette_cache / palette colors / the index-map wavefront
+    (host_av1.c pal_*) against the Python single source of truth."""
+    from ffpic_tpu.coding.av1_tile import FrameState
+    from ffpic_tpu.coding import av1_headers as H
+
+    rng = np.random.default_rng(7)
+    img = _screen_img(rng, w=160, h=128, ncols=7)
+    obus = _encode(img, tmp_path, "pal3.avif", quality=45, speed=4)
+
+    def run(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        planes, _ = decode_frame(obus, apply_filters=True)
+        seq = fs = None
+        for obu in H.parse_obus(obus):
+            if obu["type"] == H.OBU_SEQUENCE_HEADER:
+                seq = H.parse_sequence_header(obu["payload"])
+            elif obu["type"] == H.OBU_FRAME:
+                fh, bitpos = H.parse_frame_header(obu["payload"], seq)
+                fs = FrameState(seq, fh)
+                from ffpic_tpu.formats.av1_recon import \
+                    _decode_tile_group
+                _decode_tile_group(fs,
+                                   obu["payload"][(bitpos + 7) >> 3:])
+                break
+        for k in env:
+            monkeypatch.delenv(k)
+        return planes, fs
+
+    p_sb, fs_sb = run({})
+    p_blk, fs_blk = run({"FFPIC_AV1_BLOCK_NATIVE": "1"})
+    p_py, fs_py = run({"FFPIC_AV1_NO_NATIVE": "1"})
+    # the stream must actually contain palette blocks on the C paths
+    assert fs_sb.pal_count > 0
+    assert fs_blk.pal_count > 0
+    assert fs_py.pal_colors
+    for a, b in zip(p_sb, p_blk):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    for a, b in zip(p_sb, p_py):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    for name in ("palette_size", "bsize", "y_mode", "uv_mode",
+                 "skip", "qindex_mi"):
+        ga = getattr(fs_sb, name)
+        assert (ga == getattr(fs_blk, name)).all(), name
+        assert (ga == getattr(fs_py, name)).all(), name
+    recs_sb = list(fs_sb.tb_records())
+    recs_blk = list(fs_blk.tb_records())
+    recs_py = list(fs_py.tb_records())
+    assert len(recs_sb) == len(recs_blk) == len(recs_py)
+    for ta, tb_, tc in zip(recs_sb, recs_blk, recs_py):
+        assert ta[:7] == tb_[:7] == tc[:7]
+        assert (ta[7] == tb_[7]).all() and (ta[7] == tc[7]).all()
+    # dav1d oracle
+    want, _ = decode_obus(obus)
+    for i, (p, w) in enumerate(zip(p_sb, want)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(w),
+                                      err_msg=f"plane {i}")
