@@ -223,6 +223,55 @@ def tx_type_in_set(tx_set: int, tx_type: int) -> bool:
     return tx_type in TX_TYPE_INTRA_INV_SET2
 
 
+# ------------------------------------------------ inter tx sets (intrabc)
+# spec Tx_Type_Inter_Inv_Set1/2/3 (5.11.48); inter sets are used by
+# intrabc blocks in still pictures
+TX_SET_INTER_1, TX_SET_INTER_2, TX_SET_INTER_3 = 1, 2, 3
+TX_TYPE_INTER_INV_SET1 = [
+    IDTX, V_DCT, H_DCT, V_ADST, H_ADST, V_FLIPADST, H_FLIPADST,
+    DCT_DCT, ADST_DCT, DCT_ADST, FLIPADST_DCT, DCT_FLIPADST,
+    ADST_ADST, FLIPADST_FLIPADST, ADST_FLIPADST, FLIPADST_ADST]
+TX_TYPE_INTER_INV_SET2 = [
+    IDTX, V_DCT, H_DCT, DCT_DCT, ADST_DCT, DCT_ADST, FLIPADST_DCT,
+    DCT_FLIPADST, ADST_ADST, FLIPADST_FLIPADST, ADST_FLIPADST,
+    FLIPADST_ADST]
+TX_TYPE_INTER_INV_SET3 = [IDTX, DCT_DCT]
+
+
+def get_tx_set_inter(tx_size: int, reduced_tx_set: bool) -> int:
+    """get_tx_set for inter (intrabc) blocks (spec 5.11.48)."""
+    if TX_SIZE_SQR_UP[tx_size] > TX_32X32:
+        return TX_SET_DCTONLY
+    if TX_SIZE_SQR_UP[tx_size] == TX_32X32:
+        return TX_SET_INTER_3
+    if reduced_tx_set:
+        return TX_SET_INTER_3
+    if TX_SIZE_SQR[tx_size] == TX_16X16:
+        return TX_SET_INTER_2
+    return TX_SET_INTER_1
+
+
+def tx_type_in_set_inter(tx_set: int, tx_type: int) -> bool:
+    if tx_set == TX_SET_DCTONLY:
+        return tx_type == DCT_DCT
+    if tx_set == TX_SET_INTER_1:
+        return True
+    if tx_set == TX_SET_INTER_2:
+        return tx_type in TX_TYPE_INTER_INV_SET2
+    return tx_type in TX_TYPE_INTER_INV_SET3
+
+
+_TX_BY_DIMS = None
+
+
+def find_tx_size(w: int, h: int) -> int:
+    """tx enum with exactly (w, h) pixel dims (spec find_tx_size)."""
+    global _TX_BY_DIMS
+    if _TX_BY_DIMS is None:
+        _TX_BY_DIMS = {(TX_W[t], TX_H[t]): t for t in range(19)}
+    return _TX_BY_DIMS[(w, h)]
+
+
 # ---------------------------------------------------------------- scans
 def _zigzag(w: int, h: int) -> list[tuple[int, int]]:
     """Alternating-diagonal zigzag (square default scan)."""

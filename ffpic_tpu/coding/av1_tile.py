@@ -21,6 +21,10 @@ from ffpic_tpu.coding import av1_consts as C
 from ffpic_tpu.coding import av1_headers as H
 
 MAX_ANGLE_DELTA = 3
+# square-tx enum -> square BLOCK enum (aom txsize_to_bsize, for the
+# txfm_split ctx category)
+_TX_TO_BSIZE = [C.BLOCK_4X4, C.BLOCK_8X8, C.BLOCK_16X16,
+                C.BLOCK_32X32, C.BLOCK_64X64]
 DELTA_Q_SMALL = 3
 DELTA_LF_SMALL = 3
 NUM_BASE_LEVELS = 2
@@ -52,9 +56,11 @@ class Block:
                  "avail_u", "avail_l", "avail_uc", "avail_lc",
                  "tile", "coeff_map",
                  "pal_y", "pal_u", "pal_v", "pal_map_y",
-                 "pal_map_uv", "_pal_rec")
+                 "pal_map_uv", "_pal_rec", "use_intrabc", "mv")
 
     def __init__(self):
+        self.use_intrabc = False
+        self.mv = (0, 0)
         self.filter_intra_mode = -1
         self.cfl_alpha_u = 0
         self.cfl_alpha_v = 0
@@ -135,6 +141,13 @@ class FrameState:
         # palette payload arena chunks (K_PAL recon ops index these)
         self.pal_chunks: list = []
         self.pal_count = 0
+        # intrabc state: DVs in 1/8 luma px + flags for DV
+        # prediction, per-mi inter (var-tx) leaf sizes and luma tx
+        # types (inter chroma takes the co-located luma tx type)
+        self.mvs = np.zeros((mr, mc, 2), np.int32)
+        self.is_ibc = u8()
+        self.inter_tx = u8()
+        self.tx_types = u8()
         self.max_luma = [4, 4]    # running MaxLumaW/H (spec)
         # block-origin -> (pal_y, pal_u) for the neighbor palette
         # cache (get_palette_cache); Python path only
@@ -379,9 +392,13 @@ class TileDecoder:
         # arenas; FFPIC_AV1_NO_NATIVE pins the pure-Python oracle
         import os
         from ffpic_tpu import native
+        # allow_intrabc frames route to the Python symbol path (the
+        # C parse raises on use_intrabc; C port planned — see NEXT)
         self._use_native = (native.available()
+                            and not fs.fh.allow_intrabc
                             and not os.environ.get(
                                 "FFPIC_AV1_NO_NATIVE"))
+        self._dv_cdfs = None
         # above/left neighbor palette line buffers for the C parse
         # (counts u8 [n][2] y/u, colors u16 [n][16] = 8 y + 8 u);
         # last-writer-wins per column/row IS the (r-1,c)/(r,c-1)
@@ -703,10 +720,23 @@ class TileDecoder:
         b.qindex = self.current_qindex
         fs.delta_lf[r:re, c:ce] = np.array(self.cur_delta_lf,
                                            np.int8)
-        # --- intrabc
+        # --- intrabc (spec 5.11.21 read_intrabc_info): DC modes, a
+        # predicted+residual DV, inter-style var-tx and tx types;
+        # prediction is a whole-pel block copy from the decoded frame
         if fh.allow_intrabc:
             if self.sym(self.cdf["intrabc"][0]):
-                raise NotImplementedError("intrabc block copy")
+                from ffpic_tpu.coding import av1_mv as MV
+                b.use_intrabc = True
+                b.y_mode = C.DC_PRED
+                b.uv_mode = C.DC_PRED
+                if self._dv_cdfs is None:
+                    self._dv_cdfs = MV.DvCdfs(self.cdf.tables)
+                pred = MV.find_dv_pred(fs, self, b, fs.sb4)
+                b.mv = MV.read_dv(self.m, self._dv_cdfs, pred)
+                self._record_block(r, c, re, ce, bsize, b)
+                self._read_block_tx_size_inter(r, c, re, ce, b)
+                self._residual(r, c, b)
+                return
         # --- y mode
         am = fs.y_mode[r - 1, c] if avail_u else C.DC_PRED
         lm = fs.y_mode[r, c - 1] if avail_l else C.DC_PRED
@@ -795,6 +825,10 @@ class TileDecoder:
         fs.palette_size[r:re, c:ce] = len(b.pal_y)
         if b.pal_y or b.pal_u:
             fs.pal_colors[(r, c)] = (b.pal_y, b.pal_u)
+        if b.use_intrabc:
+            fs.is_ibc[r:re, c:ce] = 1
+            fs.mvs[r:re, c:ce, 0] = b.mv[0]
+            fs.mvs[r:re, c:ce, 1] = b.mv[1]
         fs.blocks.append(b)
 
     def _block_qindex(self, b) -> int:
@@ -939,6 +973,85 @@ class TileDecoder:
             = C.TX_H[b.tx_size]
         fs.tx_w4[0][r:re, c:ce] = C.TX_W[b.tx_size] >> 2
         fs.tx_h4[0][r:re, c:ce] = C.TX_H[b.tx_size] >> 2
+
+    # --------------------------------------- inter (intrabc) tx sizes
+    def _read_block_tx_size_inter(self, r, c, re, ce, b):
+        """read_block_tx_size for is_inter (intrabc) blocks: the
+        recursive var-tx tree (txfm_split flags) when TX_MODE_SELECT
+        and coded, else the largest rect with block-dim ctx updates
+        for skip (aom set_txfm_ctxs skip rule)."""
+        fs, fh = self.fs, self.fh
+        lossless = fh.lossless_segs[b.seg_id]
+        bw4, bh4 = C.BLOCK_W4[b.bsize], C.BLOCK_H4[b.bsize]
+        lb = r & (fs.sb4 - 1)
+        if (fh.tx_mode == H.TX_MODE_SELECT and
+                b.bsize > C.BLOCK_4X4 and not b.skip and
+                not lossless):
+            max_tx = C.max_tx_size_rect(b.bsize)
+            txw4 = C.TX_W[max_tx] >> 2
+            txh4 = C.TX_H[max_tx] >> 2
+            for rr in range(r, r + bh4, txh4):
+                for cc in range(c, c + bw4, txw4):
+                    self._read_var_tx_size(rr, cc, max_tx, 0, b)
+            b.tx_size = max_tx    # recon walks the leaf grid
+        else:
+            b.tx_size = C.TX_4X4 if lossless else \
+                C.max_tx_size_rect(b.bsize)
+            txw, txh = C.TX_W[b.tx_size], C.TX_H[b.tx_size]
+            fs.inter_tx[r:re, c:ce] = b.tx_size
+            fs.tx_w4[0][r:re, c:ce] = txw >> 2
+            fs.tx_h4[0][r:re, c:ce] = txh >> 2
+            if b.skip:
+                # skip-inter ctx: block dims, not tx dims
+                self.a_txw[c:ce] = bw4 * 4
+                self.l_txh[lb:lb + (re - r)] = bh4 * 4
+            else:
+                self.a_txw[c:ce] = txw
+                self.l_txh[lb:lb + (re - r)] = txh
+
+    def _txfm_split_ctx(self, r, c, tx, b):
+        """aom txfm_partition_context: above/left smaller-than-tx
+        flags + a category from the block's square tx ceiling."""
+        above = int(self.a_txw[c]) < C.TX_W[tx]
+        left = int(self.l_txh[r & (self.fs.sb4 - 1)]) < C.TX_H[tx]
+        size = min(64, max(C.BLOCK_W4[b.bsize] * 4,
+                           C.BLOCK_H4[b.bsize] * 4))
+        max_tx = C.find_tx_size(size, size)
+        cat = (int(tx == max_tx and
+                   b.bsize > _TX_TO_BSIZE[max_tx])
+               + (4 - max_tx) * 2)
+        return cat * 3 + above + left
+
+    def _read_var_tx_size(self, r, c, tx, depth, b):
+        """Spec read_var_tx_size: recursive tx split for inter
+        blocks, MAX_VARTX_DEPTH = 2; leaves land in the inter_tx
+        grid and the tx ctx arrays."""
+        fs = self.fs
+        if r >= fs.mi_rows or c >= fs.mi_cols:
+            return
+        w4 = C.TX_W[tx] >> 2
+        h4 = C.TX_H[tx] >> 2
+        if tx == C.TX_4X4 or depth == 2:
+            split = 0
+        else:
+            ctx = self._txfm_split_ctx(r, c, tx, b)
+            split = self.sym(self.cdf["txfm_split"][ctx])
+        if split:
+            sub = C.SPLIT_TX_SIZE[tx]
+            sw4 = C.TX_W[sub] >> 2
+            sh4 = C.TX_H[sub] >> 2
+            for rr in range(r, r + h4, sh4):
+                for cc in range(c, c + w4, sw4):
+                    self._read_var_tx_size(rr, cc, sub, depth + 1, b)
+        else:
+            re = min(r + h4, fs.mi_rows)
+            ce = min(c + w4, fs.mi_cols)
+            fs.inter_tx[r:re, c:ce] = tx
+            fs.tx_w4[0][r:re, c:ce] = w4
+            fs.tx_h4[0][r:re, c:ce] = h4
+            self.a_txw[c:ce] = C.TX_W[tx]
+            lb = r & (fs.sb4 - 1)
+            self.l_txh[lb:lb + (re - r)] = C.TX_H[tx]
 
     # --------------------------------------------------------- residual
     # ------------------------------------------------------- palette
@@ -1565,6 +1678,18 @@ class TileDecoder:
     # ------------------------------------------------- coefficients
     def _luma_tx_type(self, tx, b):
         fh = self.fh
+        if b.use_intrabc:
+            # inter tx sets (spec 5.11.47 transform_type, is_inter)
+            tset = C.get_tx_set_inter(tx, fh.reduced_tx_set)
+            qidx = H.get_qindex(fh, b.seg_id)
+            if tset == C.TX_SET_DCTONLY or qidx <= 0:
+                return C.DCT_DCT
+            cdf = self.cdf[f"inter_ext_tx{tset}"][C.TX_SIZE_SQR[tx]]
+            sym = self.sym(cdf)
+            inv = (C.TX_TYPE_INTER_INV_SET1,
+                   C.TX_TYPE_INTER_INV_SET2,
+                   C.TX_TYPE_INTER_INV_SET3)[tset - 1]
+            return inv[sym]
         tset = C.get_tx_set_intra(tx, fh.reduced_tx_set)
         qidx = H.get_qindex(fh, b.seg_id)
         if tset == C.TX_SET_DCTONLY or qidx <= 0:
@@ -1580,9 +1705,22 @@ class TileDecoder:
                else C.TX_TYPE_INTRA_INV_SET2)
         return inv[sym]
 
-    def _chroma_tx_type(self, tx, b):
+    def _chroma_tx_type(self, tx, b, x4=0, y4=0):
         if C.TX_SIZE_SQR_UP[tx] > C.TX_32X32:
             return C.DCT_DCT
+        if b.use_intrabc:
+            # inter chroma: co-located luma tx type (block origin +
+            # chroma-TB offset scaled up, dav1d txtp_map addressing)
+            fs, seq = self.fs, self.seq
+            sx, sy = seq.subsampling_x, seq.subsampling_y
+            ly = b.mi_row + ((y4 - (b.mi_row >> sy)) << sy)
+            lx = b.mi_col + ((x4 - (b.mi_col >> sx)) << sx)
+            tt = int(fs.tx_types[min(ly, fs.mi_rows - 1),
+                                 min(lx, fs.mi_cols - 1)])
+            tset = C.get_tx_set_inter(tx, self.fh.reduced_tx_set)
+            if not C.tx_type_in_set_inter(tset, tt):
+                return C.DCT_DCT
+            return tt
         tt = C.INTRA_MODE_TO_TX_TYPE[b.uv_mode]
         tset = C.get_tx_set_intra(tx, self.fh.reduced_tx_set)
         if not C.tx_type_in_set(tset, tt):
@@ -1642,8 +1780,12 @@ class TileDecoder:
         # ---- tx type + scan
         if plane == 0:
             tx_type = self._luma_tx_type(tx, b)
+            if b.use_intrabc:
+                fs = self.fs
+                fs.tx_types[y4:min(y4 + h4, fs.mi_rows),
+                            x4:min(x4 + w4, fs.mi_cols)] = tx_type
         else:
-            tx_type = self._chroma_tx_type(tx, b)
+            tx_type = self._chroma_tx_type(tx, b, x4, y4)
         if fh.lossless_segs[b.seg_id]:
             tx_type = C.DCT_DCT
         scan = C.get_scan(tx, tx_type)
@@ -1870,6 +2012,13 @@ def iter_tx_geometry(seq, fs, b):
                 base_y = ((r >> sy) + (cy << (4 - sy))) * 4
                 max_x = (fs.mi_cols * 4) >> sx
                 max_y = (fs.mi_rows * 4) >> sy
+                if plane == 0 and b.use_intrabc and not lossless:
+                    # inter residual: transform_tree over the chunk
+                    # follows the var-tx leaf grid (spec 5.11.36)
+                    yield from _transform_tree(
+                        fs, base_x, base_y, num4w * 4, num4h * 4,
+                        plane_bsize, max_x, max_y)
+                    continue
                 for yy in range(0, num4h, step_y):
                     for xx in range(0, num4w, step_x):
                         start_x = base_x + 4 * xx
@@ -1877,6 +2026,37 @@ def iter_tx_geometry(seq, fs, b):
                         if start_x >= max_x or start_y >= max_y:
                             continue
                         yield plane, start_x, start_y, tx, plane_bsize
+
+
+def _transform_tree(fs, x, y, w, h, plane_bsize, max_x, max_y):
+    """Spec transform_tree: recursively tile the luma area with the
+    InterTxSizes leaves recorded by read_var_tx_size."""
+    if x >= max_x or y >= max_y:
+        return
+    ltx = int(fs.inter_tx[y >> 2, x >> 2])
+    lw, lh = C.TX_W[ltx], C.TX_H[ltx]
+    if w <= lw and h <= lh:
+        yield 0, x, y, C.find_tx_size(w, h), plane_bsize
+    elif w > h:
+        yield from _transform_tree(fs, x, y, w // 2, h,
+                                   plane_bsize, max_x, max_y)
+        yield from _transform_tree(fs, x + w // 2, y, w // 2, h,
+                                   plane_bsize, max_x, max_y)
+    elif w < h:
+        yield from _transform_tree(fs, x, y, w, h // 2,
+                                   plane_bsize, max_x, max_y)
+        yield from _transform_tree(fs, x, y + h // 2, w, h // 2,
+                                   plane_bsize, max_x, max_y)
+    else:
+        hw, hh = w // 2, h // 2
+        yield from _transform_tree(fs, x, y, hw, hh,
+                                   plane_bsize, max_x, max_y)
+        yield from _transform_tree(fs, x + hw, y, hw, hh,
+                                   plane_bsize, max_x, max_y)
+        yield from _transform_tree(fs, x, y + hh, hw, hh,
+                                   plane_bsize, max_x, max_y)
+        yield from _transform_tree(fs, x + hw, y + hh, hw, hh,
+                                   plane_bsize, max_x, max_y)
 
 
 def _inverse_recenter(r, v):

@@ -342,7 +342,9 @@ def _reconstruct(fs: FrameState):
                    np.zeros((ch, cw), np.int32)]
     import os
     from ffpic_tpu import native
-    if (native.available()
+    # allow_intrabc frames parse on the Python symbol path (no recon
+    # ops emitted) — reconstruct them there too
+    if (native.available() and not fs.fh.allow_intrabc
             and not os.environ.get("FFPIC_AV1_NO_NATIVE")):
         _reconstruct_native(fs, planes)
     else:
@@ -364,6 +366,38 @@ def _reconstruct(fs: FrameState):
         out += [p[:h >> seq.subsampling_y, :w >> seq.subsampling_x]
                 for p in planes[1:]]
     return [p.astype(dt) for p in out]
+
+
+def _ibc_predict(arr, x, y, w, h, mv, sx, sy, bd):
+    """Intrabc prediction for one TB rect: whole-pel copy on luma;
+    chroma scales the DV to 1/16-pel plane units and runs the spec
+    two-stage convolve with the BILINEAR filter (only 0/8 fractions
+    can occur for whole-pel luma DVs)."""
+    mvy16 = mv[0] << (1 - sy)
+    mvx16 = mv[1] << (1 - sx)
+    by = y + (mvy16 >> 4)
+    bx = x + (mvx16 >> 4)
+    fy, fx = mvy16 & 15, mvx16 & 15
+    gh = h + (1 if fy else 0)
+    gw = w + (1 if fx else 0)
+    if by < 0 or bx < 0 or by + gh > arr.shape[0] \
+            or bx + gw > arr.shape[1]:
+        raise ValueError("intrabc DV outside decoded area")
+    if fx == 0 and fy == 0:
+        return arr[by:by + h, bx:bx + w].copy()
+    src = arr[by:by + gh, bx:bx + gw].astype(np.int64)
+    r0 = 5 if bd == 12 else 3
+    r1 = 14 - r0
+    if fx:
+        hbuf = (128 - 8 * fx) * src[:, :w] + (8 * fx) * src[:, 1:]
+    else:
+        hbuf = 128 * src
+    hbuf = (hbuf + (1 << (r0 - 1))) >> r0
+    if fy:
+        vout = (128 - 8 * fy) * hbuf[:h] + (8 * fy) * hbuf[1:]
+    else:
+        vout = 128 * hbuf
+    return ((vout + (1 << (r1 - 1))) >> r1).astype(np.int32)
 
 
 def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):
@@ -404,7 +438,14 @@ def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):
         pred_mode = C.DC_PRED if is_cfl else mode
         pal = b.pal_y if plane == 0 else \
             (b.pal_u if plane == 1 else b.pal_v)
-        if pal:
+        if b.use_intrabc:
+            # intrabc: whole-pel block copy from the decoded frame
+            # (the DV validity rules keep the source strictly behind
+            # the wavefront, so per-TB copies in decode order are
+            # whole-block-equivalent); chroma may land on half-pel —
+            # 2-tap BILINEAR with the spec InterRound0/1 rounding
+            pred = _ibc_predict(arr, x, y, w, h, b.mv, sx, sy, bd)
+        elif pal:
             # palette prediction: map indices -> colors (the index
             # map covers the whole block at plane resolution)
             mp = b.pal_map_y if plane == 0 else b.pal_map_uv

@@ -585,3 +585,84 @@ def test_av1_palette_three_path_differential(tmp_path, monkeypatch):
     for i, (p, w) in enumerate(zip(p_sb, want)):
         np.testing.assert_array_equal(np.asarray(p), np.asarray(w),
                                       err_msg=f"plane {i}")
+
+
+# ---------------------------------------------------------------------------
+# Intrabc (intra block copy; spec 5.11.21, inter-style var-tx + DV
+# prediction).  aom auto-enables allow_intrabc on screen-content
+# keyframes >= ~320px, so wild screen AVIFs need it.
+
+
+def _ibc_obus(tmp_path, w, h, q, sp, sub="4:2:0", seed=5):
+    from ffpic_tpu.coding import av1_headers as Hh
+    rng = np.random.default_rng(seed)
+    img = _screen_img(rng, w=w, h=h, ncols=6)
+    from PIL import Image
+    fn = tmp_path / f"ibc{w}x{h}q{q}s{sp}.avif"
+    Image.fromarray(img).save(fn, quality=q, speed=sp,
+                              subsampling=sub)
+    obus = avif_item_obus(fn.read_bytes())
+    seq = fh = None
+    for obu in Hh.parse_obus(obus):
+        if obu["type"] == Hh.OBU_SEQUENCE_HEADER:
+            seq = Hh.parse_sequence_header(obu["payload"])
+        elif obu["type"] in (Hh.OBU_FRAME, Hh.OBU_FRAME_HEADER):
+            fh, _ = Hh.parse_frame_header(obu["payload"], seq)
+            break
+    return obus, fh
+
+
+def test_av1_intrabc_dav1d_exact(tmp_path):
+    """Intrabc streams decode bit-exactly vs dav1d: DV prediction
+    (neighbor scan + spec defaults), mv_joint/component symbols,
+    inter-style var-tx trees, inter tx-type sets, and the block-copy
+    prediction with bilinear half-pel chroma."""
+    hit = 0
+    for w, h, q, sp in ((320, 256, 60, 6), (512, 512, 30, 3),
+                        (400, 304, 30, 0)):
+        obus, fh = _ibc_obus(tmp_path, w, h, q, sp)
+        if not fh.allow_intrabc:
+            continue
+        hit += 1
+        ours, _ = decode_frame(obus, apply_filters=True)
+        want, _ = decode_obus(obus)
+        for i, (p, wv) in enumerate(zip(ours, want)):
+            np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(wv),
+                err_msg=f"{w}x{h} q{q} sp{sp} plane {i}")
+    assert hit >= 2
+
+
+def test_av1_intrabc_chroma_subsampling(tmp_path):
+    """Half-pel chroma DVs (odd whole-pel luma DV under 4:2:0) and
+    the 4:4:4/4:2:2 full-pel paths all match dav1d."""
+    hit = 0
+    for sub in ("4:2:0", "4:4:4", "4:2:2"):
+        obus, fh = _ibc_obus(tmp_path, 320, 256, 30, 6, sub=sub)
+        if not fh.allow_intrabc:
+            continue
+        hit += 1
+        ours, _ = decode_frame(obus, apply_filters=True)
+        want, _ = decode_obus(obus)
+        for i, (p, wv) in enumerate(zip(ours, want)):
+            np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(wv),
+                err_msg=f"{sub} plane {i}")
+    assert hit >= 2
+
+
+def test_avif_intrabc_end_to_end(tmp_path):
+    """AVIF container path on an intrabc stream -> RGBA."""
+    import ffpic_tpu
+    rng = np.random.default_rng(5)
+    img = _screen_img(rng, w=320, h=256, ncols=6)
+    from PIL import Image
+    fn = tmp_path / "e2e.avif"
+    Image.fromarray(img).save(fn, quality=60, speed=6)
+    pic = ffpic_tpu.load(str(fn))
+    got = pic.np_pixels()
+    assert got.shape == (256, 320, 3) or got.shape == (256, 320, 4)
+    import PIL.Image as I
+    want = np.asarray(I.open(fn).convert("RGB"))
+    assert int(np.abs(got[..., :3].astype(int)
+                      - want.astype(int)).max()) <= 3

@@ -120,6 +120,31 @@ SPEC = [
     # clusters whose member names are finalized during decoder
     # bring-up (values verified vs dav1d; see av1_frame.py users):
     ("seg8_cluster",    0x4448c0, (8,), 8),
+    # --- motion-vector CDFs (nmv_context, spec default MV tables;
+    # intrabc DVs use an independent copy of the same defaults).
+    # libaom layout: joints cdf, then per component {classes,
+    # class0_fp[2], fp, sign, class0_hp, hp, class0, bits[10]} —
+    # the two component blocks at +0xa/+0x94 are byte-identical
+    # (asserted below), so each family is carved once and per-
+    # component copies are materialized in CdfContext ---
+    ("mv_joint",        0x444d40, (1,), 4),
+    ("mv_classes",      0x444d4a, (1,), 11),
+    ("mv_class0_fp",    0x444d4a + 24, (2,), 4),
+    ("mv_fp",           0x444d4a + 44, (1,), 4),
+    ("mv_sign",         0x444d4a + 54, (1,), 2),
+    ("mv_class0_hp",    0x444d4a + 60, (1,), 2),
+    ("mv_hp",           0x444d4a + 66, (1,), 2),
+    ("mv_class0_bit",   0x444d4a + 72, (1,), 2),
+    ("mv_bits",         0x444d4a + 78, (10,), 2),
+    # --- inter-style transform syntax (used by intrabc blocks) ---
+    ("txfm_split",      0x444690, (21,), 2),
+    # inter ext-tx per set: ALL16 (16 syms), DTT9+IDTX+1DDCT (12),
+    # DCT_IDTX (2); libaom stores the [sets][4][CDF_SIZE(16)=17]
+    # array with uniform 17-slot rows (zero tails on the smaller
+    # sets), so carve with a fixed stride
+    ("inter_ext_tx1",   0x442548, (4,), 16, 17),
+    ("inter_ext_tx2",   0x442548 + 4 * 17 * 2, (4,), 12, 17),
+    ("inter_ext_tx3",   0x442548 + 8 * 17 * 2, (4,), 2, 17),
 ]
 
 
@@ -244,6 +269,13 @@ def main():
             open(_find_dav2(), "rb").read()]
     out = {}
     report = []
+    # the two nmv component blocks must be byte-identical (each MV
+    # family is carved once from comp0; CdfContext clones per comp)
+    comp0 = srcs["aom"][0x444d4a // 2: 0x444d4a // 2 + 69]
+    comp1 = srcs["aom"][0x444dd4 // 2: 0x444dd4 // 2 + 69]
+    if not (comp0 == comp1).all():
+        print("FAIL: nmv components differ", file=sys.stderr)
+        return 1
     for entry in SPEC:
         name, addr, shape, nsyms = entry[:4]
         stride = entry[4] if len(entry) > 4 else None
