@@ -570,10 +570,16 @@ class TileDecoder:
 
     @staticmethod
     def _gather(cdf, syms):
-        """Sum P(sym) over syms from an inverted-cdf list."""
+        """Sum P(sym) over syms from an inverted-cdf list.  Symbols
+        past the family's alphabet (the extended-partition kinds on
+        an 8x8 node, which only codes NONE/H/V/SPLIT) have zero
+        probability and are skipped — 8x8 frame-edge nodes exist for
+        odd-mi frames (e.g. 75px wide -> 19 mi cols)."""
         n = len(cdf) - 1
         total = 0
         for s in syms:
+            if s >= n:
+                continue
             hi = 32768 if s == 0 else cdf[s - 1]
             lo = 0 if s == n - 1 else cdf[s]
             total += hi - lo
@@ -749,8 +755,17 @@ class TileDecoder:
                 MAX_ANGLE_DELTA
         # --- uv mode
         if b.has_chroma:
-            cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32 and
-                           C.BLOCK_H4[bsize] * 4 <= 32)
+            # CfL gate: <=32px blocks, EXCEPT lossless where only
+            # 4x4 blocks may use CfL (the chroma TB is forced to
+            # 4x4, so larger blocks cannot derive CfL from the
+            # co-located luma TB) — dav1d cfl_allowed; found via the
+            # lossless conformance campaign (aom+dav1d cross-oracle)
+            if fh.lossless_segs[b.seg_id]:
+                cfl_allowed = (C.BLOCK_W4[bsize] <= (1 << sx) and
+                               C.BLOCK_H4[bsize] <= (1 << sy))
+            else:
+                cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32 and
+                               C.BLOCK_H4[bsize] * 4 <= 32)
             b.uv_mode = self.sym(
                 self.cdf["uv_mode"][1 if cfl_allowed else 0][
                     b.y_mode])

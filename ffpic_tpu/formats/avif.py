@@ -362,4 +362,59 @@ def info(pic: Pic) -> str:
     return "\n".join(lines)
 
 
-register(Codec(name="AVIF", probe=probe, load=load, info=info))
+def encode(pic, quality: int = 75, **_options) -> bytes:
+    """Encode a Pic to AVIF using the in-repo AV1 still-picture
+    encoder (coding/av1_enc.py) + the shared ISOBMFF assembler.
+
+    quality 100 = mathematically lossless (CICP identity color, the
+    RGB channels ride the 4:4:4 planes as G,B,R, qindex 0 / WHT);
+    otherwise BT.601 full-range 4:2:0 at a quality-mapped qindex.
+    The reference (format/avif.c) can neither decode nor encode AVIF.
+    """
+    import struct as _st
+    from ffpic_tpu.coding.av1_enc import encode_av1
+    from ffpic_tpu.formats.heif_enc import _assemble, _box, _full
+    rgba = np.asarray(pic.pixels)
+    if rgba is None or rgba.ndim != 3:
+        raise ValueError("pic has no decoded pixels to encode")
+    Hh, Ww = rgba.shape[:2]
+    rgb = rgba[..., :3].astype(np.float64)
+    if quality >= 100:
+        g, b, r = rgb[..., 1], rgb[..., 2], rgb[..., 0]
+        planes = [g.astype(np.uint8), b.astype(np.uint8),
+                  r.astype(np.uint8)]
+        obus = encode_av1(planes, 8, (0, 0), 0)
+        profile, sx, sy, matrix = 1, 0, 0, 0
+    else:
+        qindex = int(np.clip(round((100 - quality) * 2.2 + 8),
+                             1, 255))
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 + (b - y) * (0.5 / (1.0 - 0.114))
+        cr = 128.0 + (r - y) * (0.5 / (1.0 - 0.299))
+        # 2x2 box-average chroma subsample (pad to even first)
+        def sub(p):
+            ph = p[:, :, None] if False else p
+            pe = np.pad(p, ((0, Hh & 1), (0, Ww & 1)), mode="edge")
+            return ((pe[0::2, 0::2] + pe[0::2, 1::2]
+                     + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0)
+        yq = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        uq = np.clip(np.round(sub(cb)), 0, 255).astype(np.uint8)
+        vq = np.clip(np.round(sub(cr)), 0, 255).astype(np.uint8)
+        obus = encode_av1([yq, uq, vq], 8, (1, 1), qindex)
+        profile, sx, sy, matrix = 0, 1, 1, 6
+    flags = (0 << 6) | (0 << 5) | (0 << 4) | (sx << 3) | (sy << 2)
+    av1c = _box("av1C", bytes([0x81, profile << 5, flags, 0]))
+    ispe = _full("ispe", 0, 0, _st.pack(">II", Ww, Hh))
+    pixi = _full("pixi", 0, 0, bytes([3, 8, 8, 8]))
+    colr = _box("colr", b"nclx" + _st.pack(">HHH", 1, 13, matrix)
+                + bytes([0x80]))
+    items = [(1, b"av01", obus,
+              [(ispe, False), (av1c, True), (pixi, False),
+               (colr, False)])]
+    return _assemble(items, [], 1, brand=b"avif",
+                     compat=b"avifmif1miaf")
+
+
+register(Codec(name="AVIF", probe=probe, load=load, info=info,
+               encode=encode))

@@ -1534,7 +1534,12 @@ static void block_mode_core(
     out[O_CFLU] = 0;
     out[O_CFLV] = 0;
     if (blk[K_HASCHROMA]) {
-        int cfl_ok = bw4 * 4 <= 32 && bh4 * 4 <= 32;
+        /* CfL gate: lossless restricts CfL to blocks whose chroma
+         * is a single forced-4x4 TB (4x4 luma at 444, 8x8 at 420;
+         * dav1d cfl_allowed) */
+        int cfl_ok = ((blk[K_LOSSLESS] >> seg_id) & 1)
+            ? (bw4 <= (1 << blk[K_SUBX]) && bh4 <= (1 << blk[K_SUBY]))
+            : (bw4 * 4 <= 32 && bh4 * 4 <= 32);
         int uv;
         if (cfl_ok)
             uv = msac_symbol(&m, (int32_t *)mp[M_UV1]
@@ -2009,9 +2014,14 @@ static inline int bitlen(int v)
 static int gather_sum(const int32_t *cdf, int n, const int *syms,
                       int k)
 {
+    /* symbols past the family alphabet (extended partitions on an
+     * 8x8 node) carry zero probability — odd-mi frames produce 8x8
+     * frame-edge nodes where this matters */
     int total = 0;
     for (int i = 0; i < k; i++) {
         int s = syms[i];
+        if (s >= n)
+            continue;
         int hi = s == 0 ? 32768 : cdf[s - 1];
         int lo = s == n - 1 ? 0 : cdf[s];
         total += hi - lo;

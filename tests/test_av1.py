@@ -666,3 +666,50 @@ def test_avif_intrabc_end_to_end(tmp_path):
     want = np.asarray(I.open(fn).convert("RGB"))
     assert int(np.abs(got[..., :3].astype(int)
                       - want.astype(int)).max()) <= 3
+
+
+def test_av1_lossless_aom_streams_dav1d_exact(tmp_path):
+    """CodedLossless (qindex 0, 4x4 WHT) aom streams decode
+    bit-exactly.  Regression for the lossless CfL gate: at lossless,
+    CfL is only allowed when the block's chroma is a single forced
+    4x4 TB (dav1d cfl_allowed) — the uv_mode alphabet is 13 not 14
+    for larger blocks, which desynced every lossless-with-chroma
+    stream (no lossless stream had ever been in the conformance
+    corpus; found by the encoder bring-up cross-oracle campaign)."""
+    from PIL import Image
+    rng = np.random.default_rng(5)
+    for wh, sub in ((32, "4:4:4"), (32, "4:2:0"), (64, "4:2:0"),
+                    (48, "4:2:2")):
+        img = rng.integers(0, 256, (wh, wh, 3), np.uint8)
+        fn = tmp_path / f"l{wh}{sub.replace(':', '')}.avif"
+        Image.fromarray(img).save(fn, quality=100, subsampling=sub,
+                                  speed=6)
+        obus = avif_item_obus(fn.read_bytes())
+        ours, _ = decode_frame(obus, apply_filters=True)
+        want, _ = decode_obus(obus)
+        for i, (a, b) in enumerate(zip(ours, want)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{wh} {sub} plane {i}")
+
+
+def test_av1_odd_dims_aom_streams(tmp_path):
+    """True odd dimensions (mi grid is 8px-aligned; 75px -> 19 mi
+    with a forced-split edge) decode exactly, entropy+recon; the
+    in-loop-filtered comparison is pinned separately once the
+    odd-width deblock edge case is fixed."""
+    from PIL import Image
+    rng = np.random.default_rng(6)
+    for (w, h) in ((33, 17), (75, 53), (51, 37)):
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        for q in (100, 70):
+            fn = tmp_path / f"o{w}x{h}q{q}.avif"
+            Image.fromarray(img).save(fn, quality=q,
+                                      subsampling="4:2:0", speed=6)
+            obus = avif_item_obus(fn.read_bytes())
+            ours, _ = decode_frame(obus, apply_filters=False)
+            want, _ = decode_obus(obus, inloop_filters=0)
+            for i, (a, b) in enumerate(zip(ours, want)):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{w}x{h} q{q} plane {i}")
