@@ -186,8 +186,9 @@ def _deblock_native_prm(fs):
     """prm record for host_av1.c:av1_deblock_pass (layout documented
     there)."""
     fh, seq = fs.fh, fs.seq
-    prm = np.zeros(79, np.int32)
+    prm = np.zeros(81, np.int32)
     prm[0], prm[1] = fs.mi_rows, fs.mi_cols
+    prm[79], prm[80] = fh.width, fh.height
     prm[2], prm[3] = seq.bit_depth, fh.loop_filter_sharpness
     prm[4], prm[5] = seq.subsampling_x, seq.subsampling_y
     prm[6:10] = fh.loop_filter_level
@@ -491,8 +492,14 @@ def _deblock_pass_scalar(fs, arr, plane, pass_, sx, sy, bd, sharp):
     pass_ 1: horizontal edges.  Scalar oracle for _deblock_pass
     (kept for differential testing; bit-identical by construction)."""
     h, w = arr.shape
-    n4c = w >> 2
-    n4r = h >> 2
+    # edges at x/y >= the FRAME extent are not filtered (the mi grid
+    # is 8px-aligned; a fully-padding mi column would otherwise
+    # produce a phantom tx edge whose p-taps reach real pixels —
+    # dav1d-divergent at e.g. 75px-wide frames)
+    pfw = (fs.fh.width + sx) >> sx
+    pfh = (fs.fh.height + sy) >> sy
+    n4c = min(w >> 2, (pfw + 3) >> 2)
+    n4r = min(h >> 2, (pfh + 3) >> 2)
     txw = fs.tx_w4[0 if plane == 0 else 1]
     txh = fs.tx_h4[0 if plane == 0 else 1]
     b_col0, b_row0 = fs.b_col0, fs.b_row0

@@ -2672,7 +2672,14 @@ EXPORT void av1_deblock_pass(
     int mi_rows = prm[0], mi_cols = prm[1];
     int bd = prm[2], sharp = prm[3];
     int sx = plane ? prm[4] : 0, sy = plane ? prm[5] : 0;
+    /* edges at x/y >= the FRAME extent are not filtered: the mi
+     * grid is 8px-aligned, so a fully-padding mi column would
+     * otherwise yield a phantom tx edge whose p-taps reach real
+     * pixels (dav1d-divergent at e.g. 75px-wide frames) */
+    int pfw = (prm[79] + sx) >> sx, pfh = (prm[80] + sy) >> sy;
     int n4c = w >> 2, n4r = h >> 2;
+    if (((pfw + 3) >> 2) < n4c) n4c = (pfw + 3) >> 2;
+    if (((pfh + 3) >> 2) < n4r) n4r = (pfh + 3) >> 2;
     int i = plane == 0 ? pass : plane + 1;
     int sc = 1 << (bd - 8);
     DbkLvl dl = { prm, seg8, dlf, mi_cols };

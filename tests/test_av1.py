@@ -694,21 +694,22 @@ def test_av1_lossless_aom_streams_dav1d_exact(tmp_path):
 
 
 def test_av1_odd_dims_aom_streams(tmp_path):
-    """True odd dimensions (mi grid is 8px-aligned; 75px -> 19 mi
-    with a forced-split edge) decode exactly, entropy+recon; the
-    in-loop-filtered comparison is pinned separately once the
-    odd-width deblock edge case is fixed."""
+    """True odd dimensions, full in-loop filters.  Regression for
+    the deblock frame-extent clamp: the mi grid is 8px-aligned, so a
+    75px-wide frame has a fully-padding mi column whose phantom tx
+    edge (x=76) must NOT be filtered — its p1 tap reaches the real
+    pixel column 74 (found as a single-pixel dav1d divergence)."""
     from PIL import Image
     rng = np.random.default_rng(6)
     for (w, h) in ((33, 17), (75, 53), (51, 37)):
         img = rng.integers(0, 256, (h, w, 3), np.uint8)
-        for q in (100, 70):
+        for q in (100, 50):
             fn = tmp_path / f"o{w}x{h}q{q}.avif"
             Image.fromarray(img).save(fn, quality=q,
                                       subsampling="4:2:0", speed=6)
             obus = avif_item_obus(fn.read_bytes())
-            ours, _ = decode_frame(obus, apply_filters=False)
-            want, _ = decode_obus(obus, inloop_filters=0)
+            ours, _ = decode_frame(obus, apply_filters=True)
+            want, _ = decode_obus(obus)
             for i, (a, b) in enumerate(zip(ours, want)):
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b),
