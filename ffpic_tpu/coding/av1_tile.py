@@ -340,7 +340,23 @@ def _native_static3():
     blob[362 + C.PAETH_PRED] = _K_PAETH
     blob[375] = C.BLOCK_8X8
     blob[376] = C.BLOCK_128X128
-    _NATIVE_STATIC3 = blob
+    # ---- intrabc extensions (S3_NF grows; layout in host_av1.c)
+    ext = np.zeros(377 + 64, np.int32)
+    ext[:377] = blob
+    # inter tx-type inverse sets (377..407)
+    ext[377:377 + 16] = C.TX_TYPE_INTER_INV_SET1
+    ext[393:393 + 12] = C.TX_TYPE_INTER_INV_SET2
+    ext[405:405 + 2] = C.TX_TYPE_INTER_INV_SET3
+    # inter tx-type in-set masks per set 0..3 (407..410)
+    for ts in range(4):
+        mask = 0
+        for tt in range(16):
+            if C.tx_type_in_set_inter(ts, tt):
+                mask |= 1 << tt
+        ext[407 + ts] = mask
+    # square-tx -> square BLOCK enum (411..415, txfm_split ctx)
+    ext[411:416] = _TX_TO_BSIZE
+    _NATIVE_STATIC3 = ext
     return _NATIVE_STATIC3
 
 
@@ -392,12 +408,14 @@ class TileDecoder:
         # arenas; FFPIC_AV1_NO_NATIVE pins the pure-Python oracle
         import os
         from ffpic_tpu import native
-        # allow_intrabc frames route to the Python symbol path (the
-        # C parse raises on use_intrabc; C port planned — see NEXT)
+        # intrabc is implemented in the whole-SB C driver only; the
+        # per-block C path routes allow_intrabc frames to Python
         self._use_native = (native.available()
-                            and not fs.fh.allow_intrabc
                             and not os.environ.get(
-                                "FFPIC_AV1_NO_NATIVE"))
+                                "FFPIC_AV1_NO_NATIVE")
+                            and not (fs.fh.allow_intrabc and
+                                     os.environ.get(
+                                         "FFPIC_AV1_BLOCK_NATIVE")))
         self._dv_cdfs = None
         # above/left neighbor palette line buffers for the C parse
         # (counts u8 [n][2] y/u, colors u16 [n][16] = 8 y + 8 u);
@@ -1236,6 +1254,7 @@ class TileDecoder:
     def _native_mode_ptrs(self):
         """Pointer table for av1_block_mode (mode CDF arenas + the
         context grids it reads/updates)."""
+        from ffpic_tpu.coding.av1_cdf_tables import TABLES
         fs = self.fs
         mn = self.cdf.mode_np
         self.delta_lf_np = np.zeros((5, 5), np.int32)
@@ -1245,6 +1264,28 @@ class TileDecoder:
         row = t["delta_lf"][1]
         for i in range(4):
             self.delta_lf_np[1 + i, :len(row)] = row
+        # intrabc DV cdfs: per-component adaptive copies of the nmv
+        # defaults (dav1d's dmv context), fresh per tile
+        def _pad(name, width):
+            a = TABLES[name].astype(np.int32)
+            if a.shape[-1] < width:
+                pad = [(0, 0)] * (a.ndim - 1) + \
+                    [(0, width - a.shape[-1])]
+                a = np.pad(a, pad)
+            return np.ascontiguousarray(a)
+        self.dv_joint = _pad("mv_joint", 5).reshape(-1).copy()
+        self.dv_sign = np.repeat(_pad("mv_sign", 3), 2, 0).copy()
+        self.dv_classes = np.repeat(_pad("mv_classes", 12), 2,
+                                    0).copy()
+        self.dv_class0 = np.repeat(_pad("mv_class0_bit", 3), 2,
+                                   0).copy()
+        self.dv_bits = np.ascontiguousarray(
+            np.stack([_pad("mv_bits", 3)] * 2))
+        self.txfm_split_np = _pad("txfm_split", 3).copy()
+        self.ietx_np = [
+            _pad("inter_ext_tx1", 17).copy(),
+            _pad("inter_ext_tx2", 17).copy(),
+            _pad("inter_ext_tx3", 17).copy()]
         arrs = [mn["skip"], mn["spatial_seg"], mn["kf_y_mode"],
                 mn["angle_delta"], mn["uv_mode"][0],
                 mn["uv_mode"][1], mn["cfl_sign"], mn["cfl_alpha"],
@@ -1258,7 +1299,12 @@ class TileDecoder:
                 mn["palette_y_size"], mn["palette_uv_size"],
                 mn["palette_y_color"], mn["palette_uv_color"],
                 self.pal_above_n, self.pal_above_c,
-                self.pal_left_n, self.pal_left_c]
+                self.pal_left_n, self.pal_left_c,
+                self.dv_joint, self.dv_sign, self.dv_classes,
+                self.dv_class0, self.dv_bits, self.txfm_split_np,
+                self.ietx_np[0], self.ietx_np[1], self.ietx_np[2],
+                fs.mvs, fs.is_ibc, fs.inter_tx, fs.tx_types,
+                fs.bsize]
         ptrs = np.asarray([x.ctypes.data for x in arrs], np.int64)
         self._mode_ptr_refs = arrs
         return ptrs
@@ -1434,7 +1480,7 @@ class TileDecoder:
             fs.mi_rows, fs.mi_cols,
             seq.subsampling_x, seq.subsampling_y, seq.bit_depth),
             np.int32)
-        out = np.zeros(20, np.int32)
+        out = np.zeros(23, np.int32)
         out[11] = self.current_qindex
         out[12:16] = self.cur_delta_lf
         pal = np.empty(36 + 2 * 64 * 64, np.int32)
@@ -1614,7 +1660,8 @@ class TileDecoder:
         blk = (b.mi_row, b.mi_col, w_chunks, h_chunks, int(b.skip),
                new_sb, sb_r, sb_c, self.sb_row, fs.mi_rows,
                fs.mi_cols, self.r1, self.c1,
-               int(seq.enable_intra_edge_filter), seq.num_planes)
+               int(seq.enable_intra_edge_filter), seq.num_planes,
+               0, qidx, int(fh.reduced_tx_set))
         blk_arr = np.asarray(blk, np.int32)
         pp_arr = np.asarray(pp[:max(nplanes, seq.num_planes)],
                             np.int32)

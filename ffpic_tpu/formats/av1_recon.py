@@ -342,10 +342,10 @@ def _reconstruct(fs: FrameState):
                    np.zeros((ch, cw), np.int32)]
     import os
     from ffpic_tpu import native
-    # allow_intrabc frames parse on the Python symbol path (no recon
-    # ops emitted) — reconstruct them there too
-    if (native.available() and not fs.fh.allow_intrabc
-            and not os.environ.get("FFPIC_AV1_NO_NATIVE")):
+    if (native.available()
+            and not os.environ.get("FFPIC_AV1_NO_NATIVE")
+            and not (fs.fh.allow_intrabc and
+                     os.environ.get("FFPIC_AV1_BLOCK_NATIVE"))):
         _reconstruct_native(fs, planes)
     else:
         _precompute_residuals(fs)

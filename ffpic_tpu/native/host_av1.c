@@ -172,7 +172,7 @@ enum {
 };
 
 enum { K_DC, K_DIR, K_SMOOTH, K_SMOOTH_V, K_SMOOTH_H, K_PAETH,
-       K_FILTER, K_PALPRED };
+       K_FILTER, K_PALPRED, K_IBC };
 
 /* palette payload record (int32, written into the pal arena by
  * block_mode_core; one per palette block).  Map offsets are relative
@@ -183,6 +183,54 @@ enum { PALH_NY, PALH_NU, PALH_BWY, PALH_BHY, PALH_BWUV, PALH_BHUV,
        PALH_MAPY, PALH_MAPUV,
        PALH_COLY = 12, PALH_COLU = 20, PALH_COLV = 28,
        PALH_NF = 36 };
+
+/* mode pointer table */
+enum { M_SKIPCDF, M_SPATSEG, M_KFY, M_ANGLE, M_UV0, M_UV1,
+       M_CFLSIGN, M_CFLALPHA, M_PALY, M_PALUV, M_USEFI, M_FIMODE,
+       M_INTRABC, M_DELTAQ, M_DELTALF, M_TXDEPTH,
+       M_GSKIP, M_GSEG, M_GYMODE, M_GPAL, M_GCDEF, M_GTXW4,
+       M_GTXH4, M_ATXW, M_LTXH, M_STATIC2,
+       /* palette (spec 5.11.45/46, 5.11.49/50): size/color CDF
+        * arenas + the above/left neighbor palette line buffers
+        * (counts u8 [cols|rows][2] y/u, colors u16 [.][16] 8y+8u) */
+       M_PALYSZ, M_PALUVSZ, M_PALYCOL, M_PALUVCOL,
+       M_PALAN, M_PALAC, M_PALLN, M_PALLC,
+       /* intrabc: dmv CDF arenas (joint + per-component rows),
+        * var-tx split CDFs, inter ext-tx arenas, and the MV /
+        * is-intrabc / inter-tx-leaf / luma-tx-type / bsize grids */
+       M_DVJOINT, M_DVSIGN, M_DVCLASS, M_DVCLASS0, M_DVBITS,
+       M_TXSPLIT, M_IETX1, M_IETX2, M_IETX3,
+       M_GMV, M_GIBC, M_GINTERTX, M_GTXTYPE, M_GBSIZE,
+       M_NPTRS };
+
+/* static blob 2 layout (int32) */
+#define S2_IMC 0        /* INTRA_MODE_CONTEXT[13] */
+#define S2_MAXRECT 13   /* max_tx_size_rect[22] */
+#define S2_SPLITTX 35   /* SPLIT_TX_SIZE[19] (identity where n/a) */
+#define S2_SQRUP 54     /* TX_SIZE_SQR_UP[19] */
+#define S2_MAXDEPTH 73  /* MAX_TX_DEPTH[22] */
+#define S2_TXW 95       /* TX_W[19] */
+#define S2_TXH 114      /* TX_H[19] */
+#define S2_BW4 133      /* BLOCK_W4[22] */
+#define S2_BH4 155      /* BLOCK_H4[22] */
+
+/* static blob 3 layout (int32) */
+#define S3_MAXUV 0      /* max_uv_tx_size[22*4] (bsize*4 + sx*2+sy) */
+#define S3_SUBSIZE 88   /* Partition_Subsize[10*22] */
+#define S3_ANGLE 308    /* Mode_To_Angle[13] (0 where n/a) */
+#define S3_FIM2DIR 321  /* Fimode_To_Intra_Dir[5] */
+#define S3_IM2TT 326    /* Intra_Mode_To_Tx_Type[14] */
+#define S3_TTINSET 340  /* tx-type bitmask per tx set [3] */
+#define S3_TXSQR 343    /* Tx_Size_Sqr[19] */
+#define S3_KIND 362     /* recon op kind per intra mode [13] */
+#define S3_B8 375       /* BLOCK_8X8 index */
+#define S3_B128 376     /* BLOCK_128X128 index */
+#define S3_IINV1 377    /* Tx_Type_Inter_Inv_Set1 [16] */
+#define S3_IINV2 393    /* Tx_Type_Inter_Inv_Set2 [12] */
+#define S3_IINV3 405    /* Tx_Type_Inter_Inv_Set3 [2] */
+#define S3_ITTMASK 407  /* inter tx-type in-set bitmask [4] */
+#define S3_TX2BS 411    /* square-tx -> square BLOCK enum [5] */
+#define S3_NF 441
 
 static inline int clip1(int v, int pixmax)
 {
@@ -317,6 +365,66 @@ EXPORT void av1_recon(
         int32_t *arr = planes[plane];
         int stride = pw[plane];
 
+        if (kind == K_IBC) {
+            /* intrabc block copy: whole-pel luma; chroma may land
+             * on half-pel -> spec two-stage BILINEAR convolve
+             * (1:1 with formats/av1_recon._ibc_predict) */
+            int mvr = op[OP_CFL_ALPHA], mvc = op[OP_P1];
+            int sx_ = op[OP_SUBX], sy_ = op[OP_SUBY];
+            int mvy16 = mvr << (1 - sy_);
+            int mvx16 = mvc << (1 - sx_);
+            int by = y + (mvy16 >> 4);
+            int bx = x + (mvx16 >> 4);
+            int fy = mvy16 & 15, fx = mvx16 & 15;
+            /* corrupt streams can carry DVs outside the decoded
+             * area (the spec's is_dv_valid is an encoder
+             * guarantee): clamp source coords defensively —
+             * conforming streams are unaffected (fuzz-found SEGV) */
+            int ph_ = ph[plane];
+            int max_by = ph_ - h - (fy ? 1 : 0);
+            int max_bx = stride - w - (fx ? 1 : 0);
+            if (by < 0) by = 0;
+            if (by > max_by) by = max_by < 0 ? 0 : max_by;
+            if (bx < 0) bx = 0;
+            if (bx > max_bx) bx = max_bx < 0 ? 0 : max_bx;
+            if (!fx && !fy) {
+                for (int i = 0; i < h; i++)
+                    for (int j = 0; j < w; j++)
+                        pred[i * w + j] =
+                            arr[(long)(by + i) * stride + bx + j];
+            } else {
+                int r0 = bd == 12 ? 5 : 3;
+                int r1 = 14 - r0;
+                int gh = h + (fy ? 1 : 0);
+                int32_t tmp[65 * 64];
+                for (int i = 0; i < gh; i++)
+                    for (int j = 0; j < w; j++) {
+                        int s0 = arr[(long)(by + i) * stride
+                                     + bx + j];
+                        int v;
+                        if (fx) {
+                            int s1 = arr[(long)(by + i) * stride
+                                         + bx + j + 1];
+                            v = (128 - 8 * fx) * s0 + 8 * fx * s1;
+                        } else {
+                            v = 128 * s0;
+                        }
+                        tmp[i * w + j] = (v + (1 << (r0 - 1))) >> r0;
+                    }
+                for (int i = 0; i < h; i++)
+                    for (int j = 0; j < w; j++) {
+                        int v;
+                        if (fy)
+                            v = (128 - 8 * fy) * tmp[i * w + j]
+                                + 8 * fy * tmp[(i + 1) * w + j];
+                        else
+                            v = 128 * tmp[i * w + j];
+                        pred[i * w + j] =
+                            (v + (1 << (r1 - 1))) >> r1;
+                    }
+            }
+            goto add_residual;
+        }
         if (kind == K_PALPRED) {
             /* palette prediction: index map -> colors (the map
              * covers the whole block at plane resolution; this TB
@@ -669,6 +777,10 @@ enum { B_R, B_C, B_WCH, B_HCH, B_SKIP, B_NEWSB, B_SBR, B_SBC,
                    * a chroma-less sub-8x8 partner (nplanes == 1) —
                    * otherwise a new superblock entered via such a
                    * block keeps the previous SB's chroma marks */
+       B_INTERTX,  /* intrabc block: luma TBs follow the var-tx leaf
+                    * grid (transform_tree), tx types use the inter
+                    * sets, chroma takes the co-located luma type */
+       B_QIDX, B_REDUCEDTX,
        B_NF };
 
 /* per-plane record (3 rows) */
@@ -691,7 +803,9 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
                             int fixed_tt,
                             long long dc_q, long long ac_q,
                             int shift, long long clip,
-                            int32_t *dst, int32_t *tt_out)
+                            int32_t *dst, int32_t *tt_out,
+                            int32_t *ett_row, const int32_t *ett_inv,
+                            int ett_n)
 {
     int ptype = plane ? 1 : 0;
     uint8_t *a = (uint8_t *)ptrs[P_A0 + plane];
@@ -728,7 +842,10 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
     }
 
     int tt;
-    if (ett_set < 0) {
+    if (ett_row) {
+        /* inter (intrabc) tx-type family */
+        tt = ett_inv[msac_symbol(m, ett_row, ett_n)];
+    } else if (ett_set < 0) {
         tt = fixed_tt;
     } else {
         int32_t *row = (int32_t *)ptrs[P_IETX]
@@ -918,10 +1035,240 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
     return eob;
 }
 
+/* per-TB parse state shared between the uniform (intra) walk and
+ * the inter transform_tree walk */
+typedef struct {
+    Msac *m;
+    const long long *ptrs, *mp;     /* mp nullable (per-block path) */
+    const int32_t *S, *S3, *scans, *blk, *P;
+    int32_t *ops, *coef_out, *tbmeta, *inout;
+    long long clip;
+    int n_ops, n_tbs, coef_total;
+    int plane, sx, sy, mi_rows, mi_cols, sb_r, sb_c, sbrow, eef;
+    int blk_px, blk_py, max_px, max_py, skip;
+} TbCtx;
+
+static int c_tx_set_inter(const int32_t *S2, const int32_t *S3,
+                          int tx, int reduced)
+{
+    if (S2[S2_SQRUP + tx] > 3)
+        return 0;               /* > TX_32X32: DCT only */
+    if (S2[S2_SQRUP + tx] == 3)
+        return 3;               /* TX_32X32: DCT_IDTX */
+    if (reduced)
+        return 3;
+    if (S3[S3_TXSQR + tx] == 2)
+        return 2;               /* 16x16: DTT9_IDTX_1DDCT */
+    return 1;                   /* ALL16 */
+}
+
+static void parse_tb(TbCtx *tc, int x, int y, int tx)
+{
+    const int32_t *P = tc->P, *S = tc->S, *blk = tc->blk;
+    const long long *ptrs = tc->ptrs;
+    Msac *m = tc->m;
+    int plane = tc->plane, sx = tc->sx, sy = tc->sy;
+    int mi_rows = tc->mi_rows, mi_cols = tc->mi_cols;
+    if (x >= tc->max_px || y >= tc->max_py)
+        return;
+    int tw = S[S_TXW + tx], th = S[S_TXH + tx];
+    int x4 = x >> 2, y4 = y >> 2;
+    int w4 = tw >> 2, h4 = th >> 2;
+    int l_base = y4 - (tc->sbrow >> sy);
+    uint8_t *dmap = (uint8_t *)ptrs[Q_DEC0 + plane];
+    uint8_t *a = (uint8_t *)ptrs[P_A0 + plane];
+    uint8_t *l = (uint8_t *)ptrs[P_L0 + plane];
+    int dmw = P[PPF_DMW];
+    if (plane > 0) {
+        int r0 = y4 << sy, c0 = x4 << sx;
+        int re_ = r0 + (h4 << sy);
+        if (re_ > mi_rows) re_ = mi_rows;
+        int ce = c0 + (w4 << sx);
+        if (ce > mi_cols) ce = mi_cols;
+        uint8_t *txw = (uint8_t *)ptrs[Q_TXW4C];
+        uint8_t *txh = (uint8_t *)ptrs[Q_TXH4C];
+        for (int rr = r0; rr < re_; rr++)
+            for (int cc = c0; cc < ce; cc++) {
+                txw[rr * mi_cols + cc] = (uint8_t)w4;
+                txh[rr * mi_cols + cc] = (uint8_t)h4;
+            }
+    }
+    /* recon op */
+    int avail_u = P[PPF_AVAILU], avail_l = P[PPF_AVAILL];
+    int have_above = avail_u || y > tc->blk_py;
+    int have_left = avail_l || x > tc->blk_px;
+    int rel_x4 = x4 - (sx ? (tc->sb_c >> sx) : tc->sb_c);
+    int rel_y4 = y4 - (sy ? (tc->sb_r >> sy) : tc->sb_r);
+    int har = 0, hbl = 0;
+    {
+        int gy = rel_y4 - 1 + 1, gx = rel_x4 + w4 + 1;
+        int dmh = P[PPF_DMH];
+        if (gy >= 0 && gx >= 0 && gy < dmh && gx < dmw)
+            har = dmap[gy * dmw + gx];
+        gy = rel_y4 + h4 + 1;
+        gx = rel_x4 - 1 + 1;
+        if (gy >= 0 && gx >= 0 && gy < dmh && gx < dmw)
+            hbl = dmap[gy * dmw + gx];
+    }
+    int32_t *op = tc->ops + (long long)tc->n_ops * OP_NF;
+    op[OP_PLANE] = plane;
+    op[OP_X] = x;
+    op[OP_Y] = y;
+    op[OP_W] = tw;
+    op[OP_H] = th;
+    op[OP_KIND] = P[PPF_KIND];
+    op[OP_P1] = P[PPF_P1];
+    op[OP_HL] = have_left;
+    op[OP_HA] = have_above;
+    op[OP_HAR] = har;
+    op[OP_HBL] = hbl;
+    op[OP_MAXX] = ((blk[B_C1T] * 4) >> sx) - 1;
+    op[OP_MAXY] = ((blk[B_R1T] * 4) >> sy) - 1;
+    op[OP_CFL_ALPHA] = P[PPF_ALPHA];
+    op[OP_FT] = P[PPF_FT];
+    op[OP_EEF] = tc->eef;
+    op[OP_RES] = -1;
+    op[OP_MLW] = tc->inout[0];
+    op[OP_MLH] = tc->inout[1];
+    op[OP_SUBX] = sx;
+    op[OP_SUBY] = sy;
+    tc->n_ops++;
+    /* dec.mark */
+    for (int rr = 0; rr < h4; rr++)
+        for (int cc = 0; cc < w4; cc++)
+            dmap[(rel_y4 + 1 + rr) * dmw + (rel_x4 + 1 + cc)] = 1;
+    if (plane == 0) {
+        tc->inout[0] = x + tw;
+        tc->inout[1] = y + th;
+    }
+    if (tc->skip) {
+        for (int k = 0; k < w4; k++) a[x4 + k] = 0;
+        for (int k = 0; k < h4; k++) l[l_base + k] = 0;
+        return;
+    }
+    /* coefficient decode */
+    int cw4 = w4, ch4 = h4;
+    if ((mi_cols >> sx) - x4 < cw4)
+        cw4 = (mi_cols >> sx) - x4;
+    if ((mi_rows >> sy) - y4 < ch4)
+        ch4 = (mi_rows >> sy) - y4;
+    int az;
+    if (plane == 0)
+        az = (P[PPF_PBW] == tw && P[PPF_PBH] == th) ? 0 : 1;
+    else
+        az = P[PPF_PBW] * P[PPF_PBH] > tw * th ? 3 : 2;
+    int ett_set = P[PPF_ETTSET], ett_dir = P[PPF_ETTDIR];
+    int ett_sqr = P[PPF_ETTSQR], fixed_tt = P[PPF_FIXEDTT];
+    int shift = P[PPF_SHIFT];
+    int32_t *ett_row = 0;
+    const int32_t *ett_inv = 0;
+    int ett_n = 0;
+    if (blk[B_INTERTX]) {
+        const int32_t *S2 = (const int32_t *)tc->mp[M_STATIC2];
+        const int32_t *S3 = tc->S3;
+        int pels = tw * th;
+        shift = (pels > 256) + (pels > 1024);
+        int tset = c_tx_set_inter(S2, S3, tx, blk[B_REDUCEDTX]);
+        if (plane == 0) {
+            ett_set = -1;
+            fixed_tt = 0;
+            if (!(tset == 0 || blk[B_QIDX] <= 0)) {
+                ett_row = (int32_t *)tc->mp[M_IETX1 + tset - 1]
+                    + S3[S3_TXSQR + tx] * 17;
+                ett_inv = S3 + (tset == 1 ? S3_IINV1
+                                : tset == 2 ? S3_IINV2 : S3_IINV3);
+                ett_n = tset == 1 ? 16 : (tset == 2 ? 12 : 2);
+            }
+        } else {
+            ett_set = -1;
+            /* co-located luma tx type, masked by the inter set of
+             * THIS tx (spec compute_tx_type for inter chroma) */
+            if (S2[S2_SQRUP + tx] > 3) {
+                fixed_tt = 0;
+            } else {
+                const uint8_t *gtt =
+                    (const uint8_t *)tc->mp[M_GTXTYPE];
+                int ly = blk[B_R]
+                    + ((y4 - (blk[B_R] >> sy)) << sy);
+                int lx = blk[B_C]
+                    + ((x4 - (blk[B_C] >> sx)) << sx);
+                if (ly > mi_rows - 1) ly = mi_rows - 1;
+                if (lx > mi_cols - 1) lx = mi_cols - 1;
+                int tt0 = gtt[(long)ly * mi_cols + lx];
+                fixed_tt = ((S3[S3_ITTMASK + tset] >> tt0) & 1)
+                    ? tt0 : 0;
+            }
+        }
+    }
+    int aw = S[S_AW + tx], ah = S[S_AH + tx];
+    int tt = 0;
+    int eob = decode_tb_coeffs(
+        m, ptrs, S, tc->scans, plane, x4, y4, tx, cw4, ch4,
+        l_base, az, ett_set, ett_dir, ett_sqr, fixed_tt,
+        P[PPF_DCQ], P[PPF_ACQ], shift, tc->clip,
+        tc->coef_out + tc->coef_total, &tt, ett_row, ett_inv,
+        ett_n);
+    if (blk[B_INTERTX] && plane == 0 && eob > 0) {
+        uint8_t *gtt = (uint8_t *)tc->mp[M_GTXTYPE];
+        int re_ = y4 + h4 < mi_rows ? y4 + h4 : mi_rows;
+        int ce_ = x4 + w4 < mi_cols ? x4 + w4 : mi_cols;
+        for (int rr = y4; rr < re_; rr++)
+            for (int cc = x4; cc < ce_; cc++)
+                gtt[(long)rr * mi_cols + cc] = (uint8_t)tt;
+    }
+    if (eob > 0) {
+        int32_t *tm = tc->tbmeta + (long long)tc->n_tbs * TBM_NF;
+        tm[TBM_PLANE] = plane;
+        tm[TBM_X] = x;
+        tm[TBM_Y] = y;
+        tm[TBM_TX] = tx;
+        tm[TBM_OFF] = tc->coef_total;
+        tm[TBM_EOB] = eob;
+        tm[TBM_TT] = tt;
+        tm[TBM_OPROW] = tc->n_ops - 1;
+        tc->n_tbs++;
+        tc->coef_total += aw * ah;
+    }
+}
+
+static int c_find_tx(const int32_t *S, int w, int h)
+{
+    for (int t = 0; t < 19; t++)
+        if (S[S_TXW + t] == w && S[S_TXH + t] == h)
+            return t;
+    return 0;
+}
+
+static void parse_inter_tree(TbCtx *tc, int x, int y, int w, int h)
+{
+    /* spec transform_tree over the var-tx leaf grid */
+    if (x >= tc->max_px || y >= tc->max_py)
+        return;
+    const uint8_t *git = (const uint8_t *)tc->mp[M_GINTERTX];
+    int ltx = git[(long)(y >> 2) * tc->mi_cols + (x >> 2)];
+    int lw = tc->S[S_TXW + ltx], lh = tc->S[S_TXH + ltx];
+    if (w <= lw && h <= lh) {
+        parse_tb(tc, x, y, c_find_tx(tc->S, w, h));
+    } else if (w > h) {
+        parse_inter_tree(tc, x, y, w / 2, h);
+        parse_inter_tree(tc, x + w / 2, y, w / 2, h);
+    } else if (w < h) {
+        parse_inter_tree(tc, x, y, w, h / 2);
+        parse_inter_tree(tc, x, y + h / 2, w, h / 2);
+    } else {
+        int hw = w / 2, hh = h / 2;
+        parse_inter_tree(tc, x, y, hw, hh);
+        parse_inter_tree(tc, x + hw, y, hw, hh);
+        parse_inter_tree(tc, x, y + hh, hw, hh);
+        parse_inter_tree(tc, x + hw, y + hh, hw, hh);
+    }
+}
+
 static void block_parse_core(
     Msac *mm, const long long *ptrs, const int32_t *blk,
     const int32_t *pp, int nplanes, int32_t *ops, int32_t *coef_out,
-    int32_t *tbmeta, long long clip, int32_t *inout)
+    int32_t *tbmeta, long long clip, int32_t *inout,
+    const long long *mp, const int32_t *S3)
 {
     Msac m = *mm;
 
@@ -962,6 +1309,29 @@ static void block_parse_core(
     }
 
     int w_chunks = blk[B_WCH], h_chunks = blk[B_HCH];
+    TbCtx tc;
+    tc.m = &m;
+    tc.ptrs = ptrs;
+    tc.S = S;
+    tc.scans = scans;
+    tc.blk = blk;
+    tc.ops = ops;
+    tc.coef_out = coef_out;
+    tc.tbmeta = tbmeta;
+    tc.inout = inout;
+    tc.clip = clip;
+    tc.n_ops = 0;
+    tc.n_tbs = 0;
+    tc.coef_total = coef_total;
+    tc.mi_rows = mi_rows;
+    tc.mi_cols = mi_cols;
+    tc.sb_r = sb_r;
+    tc.sb_c = sb_c;
+    tc.sbrow = sbrow;
+    tc.eef = eef;
+    tc.skip = skip;
+    tc.mp = mp;
+    tc.S3 = S3;
     for (int cy = 0; cy < h_chunks; cy++)
     for (int cx = 0; cx < w_chunks; cx++)
     for (int plane = 0; plane < nplanes; plane++) {
@@ -969,129 +1339,31 @@ static void block_parse_core(
         int sx = P[PPF_SX], sy = P[PPF_SY];
         int tx = P[PPF_TX];
         int num4w = P[PPF_NUM4W], num4h = P[PPF_NUM4H];
-        int tw = S[S_TXW + tx], th = S[S_TXH + tx];
-        int step_x = tw >> 2, step_y = th >> 2;
+        int step_x = S[S_TXW + tx] >> 2, step_y = S[S_TXH + tx] >> 2;
         int base_x = ((c >> sx) + (cx << (4 - sx))) * 4;
         int base_y = ((r >> sy) + (cy << (4 - sy))) * 4;
-        int max_px = (mi_cols * 4) >> sx;
-        int max_py = (mi_rows * 4) >> sy;
-        int blk_px = (c >> sx) << 2;
-        int blk_py = (r >> sy) << 2;
-        int avail_u = P[PPF_AVAILU], avail_l = P[PPF_AVAILL];
-        int dmw = P[PPF_DMW];
-        uint8_t *dmap = (uint8_t *)ptrs[Q_DEC0 + plane];
-        uint8_t *a = (uint8_t *)ptrs[P_A0 + plane];
-        uint8_t *l = (uint8_t *)ptrs[P_L0 + plane];
-        for (int yy = 0; yy < num4h; yy += step_y)
-        for (int xx = 0; xx < num4w; xx += step_x) {
-            int x = base_x + 4 * xx;
-            int y = base_y + 4 * yy;
-            if (x >= max_px || y >= max_py)
-                continue;
-            int x4 = x >> 2, y4 = y >> 2;
-            int w4 = step_x, h4 = step_y;
-            int l_base = y4 - (sbrow >> sy);
-            if (plane > 0) {
-                int r0 = y4 << sy, c0 = x4 << sx;
-                int re_ = r0 + (h4 << sy);
-                if (re_ > mi_rows) re_ = mi_rows;
-                int ce = c0 + (w4 << sx);
-                if (ce > mi_cols) ce = mi_cols;
-                uint8_t *txw = (uint8_t *)ptrs[Q_TXW4C];
-                uint8_t *txh = (uint8_t *)ptrs[Q_TXH4C];
-                for (int rr = r0; rr < re_; rr++)
-                    for (int cc = c0; cc < ce; cc++) {
-                        txw[rr * mi_cols + cc] = (uint8_t)w4;
-                        txh[rr * mi_cols + cc] = (uint8_t)h4;
-                    }
-            }
-            /* recon op */
-            int have_above = avail_u || y > blk_py;
-            int have_left = avail_l || x > blk_px;
-            int rel_x4 = x4 - (sx ? (sb_c >> sx) : sb_c);
-            int rel_y4 = y4 - (sy ? (sb_r >> sy) : sb_r);
-            int har = 0, hbl = 0;
-            {
-                int gy = rel_y4 - 1 + 1, gx = rel_x4 + w4 + 1;
-                int dmh = P[PPF_DMH];
-                if (gy >= 0 && gx >= 0 && gy < dmh && gx < dmw)
-                    har = dmap[gy * dmw + gx];
-                gy = rel_y4 + h4 + 1;
-                gx = rel_x4 - 1 + 1;
-                if (gy >= 0 && gx >= 0 && gy < dmh && gx < dmw)
-                    hbl = dmap[gy * dmw + gx];
-            }
-            int32_t *op = ops + (long long)n_ops * OP_NF;
-            op[OP_PLANE] = plane;
-            op[OP_X] = x;
-            op[OP_Y] = y;
-            op[OP_W] = tw;
-            op[OP_H] = th;
-            op[OP_KIND] = P[PPF_KIND];
-            op[OP_P1] = P[PPF_P1];
-            op[OP_HL] = have_left;
-            op[OP_HA] = have_above;
-            op[OP_HAR] = har;
-            op[OP_HBL] = hbl;
-            op[OP_MAXX] = ((blk[B_C1T] * 4) >> sx) - 1;
-            op[OP_MAXY] = ((blk[B_R1T] * 4) >> sy) - 1;
-            op[OP_CFL_ALPHA] = P[PPF_ALPHA];
-            op[OP_FT] = P[PPF_FT];
-            op[OP_EEF] = eef;
-            op[OP_RES] = -1;
-            op[OP_MLW] = inout[0];
-            op[OP_MLH] = inout[1];
-            op[OP_SUBX] = sx;
-            op[OP_SUBY] = sy;
-            n_ops++;
-            /* dec.mark */
-            for (int rr = 0; rr < h4; rr++)
-                for (int cc = 0; cc < w4; cc++)
-                    dmap[(rel_y4 + 1 + rr) * dmw
-                         + (rel_x4 + 1 + cc)] = 1;
-            if (plane == 0) {
-                inout[0] = x + tw;
-                inout[1] = y + th;
-            }
-            if (skip) {
-                for (int k = 0; k < w4; k++) a[x4 + k] = 0;
-                for (int k = 0; k < h4; k++) l[l_base + k] = 0;
-                continue;
-            }
-            /* coefficient decode */
-            int cw4 = w4, ch4 = h4;
-            if ((mi_cols >> sx) - x4 < cw4)
-                cw4 = (mi_cols >> sx) - x4;
-            if ((mi_rows >> sy) - y4 < ch4)
-                ch4 = (mi_rows >> sy) - y4;
-            int az;
-            if (plane == 0)
-                az = (P[PPF_PBW] == tw && P[PPF_PBH] == th) ? 0 : 1;
-            else
-                az = P[PPF_PBW] * P[PPF_PBH] > tw * th ? 3 : 2;
-            int aw = S[S_AW + tx], ah = S[S_AH + tx];
-            int tt = 0;
-            int eob = decode_tb_coeffs(
-                &m, ptrs, S, scans, plane, x4, y4, tx, cw4, ch4,
-                l_base, az, P[PPF_ETTSET], P[PPF_ETTDIR],
-                P[PPF_ETTSQR], P[PPF_FIXEDTT],
-                P[PPF_DCQ], P[PPF_ACQ], P[PPF_SHIFT], clip,
-                coef_out + coef_total, &tt);
-            if (eob > 0) {
-                int32_t *tm = tbmeta + (long long)n_tbs * TBM_NF;
-                tm[TBM_PLANE] = plane;
-                tm[TBM_X] = x;
-                tm[TBM_Y] = y;
-                tm[TBM_TX] = tx;
-                tm[TBM_OFF] = coef_total;
-                tm[TBM_EOB] = eob;
-                tm[TBM_TT] = tt;
-                tm[TBM_OPROW] = n_ops - 1;
-                n_tbs++;
-                coef_total += aw * ah;
-            }
+        tc.P = P;
+        tc.plane = plane;
+        tc.sx = sx;
+        tc.sy = sy;
+        tc.max_px = (mi_cols * 4) >> sx;
+        tc.max_py = (mi_rows * 4) >> sy;
+        tc.blk_px = (c >> sx) << 2;
+        tc.blk_py = (r >> sy) << 2;
+        if (blk[B_INTERTX] && plane == 0) {
+            /* luma TBs follow the var-tx leaf grid in the
+             * transform_tree recursion order (spec 5.11.36) */
+            parse_inter_tree(&tc, base_x, base_y, num4w * 4,
+                             num4h * 4);
+            continue;
         }
+        for (int yy = 0; yy < num4h; yy += step_y)
+        for (int xx = 0; xx < num4w; xx += step_x)
+            parse_tb(&tc, base_x + 4 * xx, base_y + 4 * yy, tx);
     }
+    n_ops = tc.n_ops;
+    n_tbs = tc.n_tbs;
+    coef_total = tc.coef_total;
     *mm = m;
     inout[2] = n_ops;
     inout[3] = n_tbs;
@@ -1113,7 +1385,7 @@ EXPORT void av1_block_parse(
     m.bitpos = st[3];
     m.allow_update = (int)st[4];
     block_parse_core(&m, ptrs, blk, pp, nplanes, ops, coef_out,
-                     tbmeta, clip, inout);
+                     tbmeta, clip, inout, 0, 0);
     st[0] = m.dif;
     st[1] = m.rng;
     st[2] = m.cnt;
@@ -1131,28 +1403,9 @@ EXPORT void av1_block_parse(
  * symbols).  Partition symbols stay in Python (few per superblock).
  * ------------------------------------------------------------------ */
 
-/* mode pointer table */
-enum { M_SKIPCDF, M_SPATSEG, M_KFY, M_ANGLE, M_UV0, M_UV1,
-       M_CFLSIGN, M_CFLALPHA, M_PALY, M_PALUV, M_USEFI, M_FIMODE,
-       M_INTRABC, M_DELTAQ, M_DELTALF, M_TXDEPTH,
-       M_GSKIP, M_GSEG, M_GYMODE, M_GPAL, M_GCDEF, M_GTXW4,
-       M_GTXH4, M_ATXW, M_LTXH, M_STATIC2,
-       /* palette (spec 5.11.45/46, 5.11.49/50): size/color CDF
-        * arenas + the above/left neighbor palette line buffers
-        * (counts u8 [cols|rows][2] y/u, colors u16 [.][16] 8y+8u) */
-       M_PALYSZ, M_PALUVSZ, M_PALYCOL, M_PALUVCOL,
-       M_PALAN, M_PALAC, M_PALLN, M_PALLC, M_NPTRS };
+/* (mode pointer table moved to the top of the file) */
 
-/* static blob 2 layout (int32) */
-#define S2_IMC 0        /* INTRA_MODE_CONTEXT[13] */
-#define S2_MAXRECT 13   /* max_tx_size_rect[22] */
-#define S2_SPLITTX 35   /* SPLIT_TX_SIZE[19] (identity where n/a) */
-#define S2_SQRUP 54     /* TX_SIZE_SQR_UP[19] */
-#define S2_MAXDEPTH 73  /* MAX_TX_DEPTH[22] */
-#define S2_TXW 95       /* TX_W[19] */
-#define S2_TXH 114      /* TX_H[19] */
-#define S2_BW4 133      /* BLOCK_W4[22] */
-#define S2_BH4 155      /* BLOCK_H4[22] */
+/* (S2 layout moved to the top of the file) */
 
 /* blk2 record */
 enum { K_R, K_C, K_BSIZE, K_AVAILU, K_AVAILL, K_HASCHROMA,
@@ -1161,14 +1414,15 @@ enum { K_R, K_C, K_BSIZE, K_AVAILU, K_AVAILL, K_HASCHROMA,
        K_READDELTAS, K_DQPRES, K_DQRES, K_DLFPRES, K_DLFMULTI,
        K_DLFRES, K_NPLANES, K_SBBSIZE, K_ALLOWIBC, K_ALLOWSCT,
        K_ENFI, K_TXSELECT, K_LOSSLESS, K_MIROWS, K_MICOLS,
-       K_SUBX, K_SUBY, K_BITDEPTH,
+       K_SUBX, K_SUBY, K_BITDEPTH, K_R1, K_C1,
        K_NF };
 
 /* out record */
 enum { O_ERR, O_SEGID, O_SKIP, O_YMODE, O_ANGLEY, O_UVMODE,
        O_ANGLEUV, O_CFLU, O_CFLV, O_FIM, O_TXSIZE, O_QINDEX,
        O_DLF0, O_DLF1, O_DLF2, O_DLF3, O_READDELTAS,
-       O_NPALY, O_NPALU, O_PALLEN, O_NF };
+       O_NPALY, O_NPALU, O_PALLEN, O_ISIBC, O_MVROW, O_MVCOL,
+       O_NF };
 
 static int neg_deinterleave(int diff, int ref, int mx)
 {
@@ -1376,6 +1630,159 @@ static void pal_decode_map(Msac *m, int32_t *color_cdf /* family */,
         dst[i] = mp[i];
 }
 
+/* ---- intrabc DV machinery (1:1 with coding/av1_mv.py, the
+ * FFPIC_AV1_NO_NATIVE oracle; spec 5.11.21/31/32 + the 7.10.2
+ * adjacent scans restricted to INTRA_FRAME) */
+
+static int dv_read_component(Msac *m, const long long *mp, int comp)
+{
+    int sign = msac_symbol(m, (int32_t *)mp[M_DVSIGN] + comp * 3,
+                           2);
+    int cls = msac_symbol(m, (int32_t *)mp[M_DVCLASS] + comp * 12,
+                          11);
+    int mag;
+    if (cls == 0) {
+        int d = msac_symbol(m, (int32_t *)mp[M_DVCLASS0] + comp * 3,
+                            2);
+        mag = ((d << 3) | (3 << 1) | 1) + 1;
+    } else {
+        int d = 0;
+        for (int i = 0; i < cls; i++)
+            d |= msac_symbol(m, (int32_t *)mp[M_DVBITS]
+                             + (comp * 10 + i) * 3, 2) << i;
+        mag = 2 << (cls + 2);
+        mag += ((d << 3) | (3 << 1) | 1) + 1;
+    }
+    return sign ? -mag : mag;
+}
+
+typedef struct { int mv[2]; int weight; } DvCand;
+
+static void dv_add(DvCand *stack, int *n, const uint8_t *gibc,
+                   const int32_t *gmv, int mi_cols, int mr, int mc,
+                   int weight)
+{
+    if (!gibc[(long)mr * mi_cols + mc])
+        return;
+    int r0 = gmv[((long)mr * mi_cols + mc) * 2];
+    int c0 = gmv[((long)mr * mi_cols + mc) * 2 + 1];
+    for (int i = 0; i < *n; i++)
+        if (stack[i].mv[0] == r0 && stack[i].mv[1] == c0) {
+            stack[i].weight += weight;
+            return;
+        }
+    if (*n < 8) {
+        stack[*n].mv[0] = r0;
+        stack[*n].mv[1] = c0;
+        stack[*n].weight = weight;
+        (*n)++;
+    }
+}
+
+static inline int dv_r2s8(int v)
+{
+    int a = v < 0 ? -v : v;
+    a = ((a + 4) >> 3) * 8;
+    return v < 0 ? -a : a;
+}
+
+static void dv_find_pred(const long long *mp, const int32_t *blk,
+                         const int32_t *S2, int r, int c, int bsize,
+                         int sb4, int pred[2])
+{
+    const uint8_t *gibc = (const uint8_t *)mp[M_GIBC];
+    const uint8_t *gbs = (const uint8_t *)mp[M_GBSIZE];
+    const int32_t *gmv = (const int32_t *)mp[M_GMV];
+    int mi_rows = blk[K_MIROWS], mi_cols = blk[K_MICOLS];
+    int r0t = blk[K_R0], c0t = blk[K_C0];
+    int r1t = blk[K_R1], c1t = blk[K_C1];
+    int bw4 = S2[S2_BW4 + bsize], bh4 = S2[S2_BH4 + bsize];
+    DvCand stack[8];
+    int n = 0;
+    if (r > r0t) {                        /* scan_row_mbmi(-1) */
+        int end4 = bw4 < mi_cols - c ? bw4 : mi_cols - c;
+        if (end4 > 16) end4 = 16;
+        int step16 = bw4 >= 16;
+        int i = 0;
+        while (i < end4) {
+            int mc = c + i;
+            if (mc < c0t || mc >= c1t)
+                break;
+            int ln = S2[S2_BW4 + gbs[(long)(r - 1) * mi_cols + mc]];
+            if (ln > bw4) ln = bw4;
+            if (step16 && ln < 4) ln = 4;
+            dv_add(stack, &n, gibc, gmv, mi_cols, r - 1, mc,
+                   ln * 2);
+            i += ln;
+        }
+    }
+    if (c > c0t) {                        /* scan_col_mbmi(-1) */
+        int end4 = bh4 < mi_rows - r ? bh4 : mi_rows - r;
+        if (end4 > 16) end4 = 16;
+        int step16 = bh4 >= 16;
+        int i = 0;
+        while (i < end4) {
+            int mr = r + i;
+            if (mr < r0t || mr >= r1t)
+                break;
+            int ln = S2[S2_BH4 + gbs[(long)mr * mi_cols + c - 1]];
+            if (ln > bh4) ln = bh4;
+            if (step16 && ln < 4) ln = 4;
+            dv_add(stack, &n, gibc, gmv, mi_cols, mr, c - 1,
+                   ln * 2);
+            i += ln;
+        }
+    }
+    if ((bw4 > bh4 ? bw4 : bh4) <= 16 && r > r0t) {   /* top-right */
+        int mc = c + bw4;
+        if (mc >= c0t && mc < c1t && mc < mi_cols)
+            dv_add(stack, &n, gibc, gmv, mi_cols, r - 1, mc, 4);
+    }
+    /* stable sort by weight desc (n <= 8) */
+    for (int i = 1; i < n; i++) {
+        DvCand t = stack[i];
+        int j = i - 1;
+        while (j >= 0 && stack[j].weight < t.weight) {
+            stack[j + 1] = stack[j];
+            j--;
+        }
+        stack[j + 1] = t;
+    }
+    int pr = 0, pc = 0;
+    for (int i = 0; i < (n < 2 ? n : 2); i++)
+        if (stack[i].mv[0] || stack[i].mv[1]) {
+            pr = stack[i].mv[0];
+            pc = stack[i].mv[1];
+            break;
+        }
+    if (pr == 0 && pc == 0) {
+        int sb_px = sb4 * 4;
+        int sb_row = (r - r0t) / sb4;
+        if (sb_row == 0) {
+            pred[0] = 0;
+            pred[1] = -((sb_px + 256) * 8);
+        } else {
+            pred[0] = -(sb_px * 8);
+            pred[1] = 0;
+        }
+        return;
+    }
+    pr = dv_r2s8(pr);
+    pc = dv_r2s8(pc);
+    int border_r = 128 + bh4 * 4 * 8;
+    int border_c = 128 + bw4 * 4 * 8;
+    int mb_top = -(r * 32);
+    int mb_bottom = (mi_rows - bh4 - r) * 32;
+    int mb_left = -(c * 32);
+    int mb_right = (mi_cols - bw4 - c) * 32;
+    if (pr < mb_top - border_r) pr = mb_top - border_r;
+    if (pr > mb_bottom + border_r) pr = mb_bottom + border_r;
+    if (pc < mb_left - border_c) pc = mb_left - border_c;
+    if (pc > mb_right + border_c) pc = mb_right + border_c;
+    pred[0] = pr;
+    pred[1] = pc;
+}
+
 static void block_mode_core(
     Msac *m_, const long long *mp, const int32_t *blk, int32_t *out,
     int32_t *pal)
@@ -1506,10 +1913,39 @@ static void block_mode_core(
     out[O_DLF3] = dlf[3];
     out[O_READDELTAS] = read_deltas;
 
-    /* ---- intrabc gate */
+    /* ---- intrabc (spec 5.11.21): DC modes, predicted+residual DV;
+     * tx coding continues inter-style in the superblock driver */
+    out[O_ISIBC] = 0;
     if (blk[K_ALLOWIBC]) {
         if (msac_symbol(&m, (int32_t *)mp[M_INTRABC], 2)) {
-            out[O_ERR] = 1;     /* intrabc block copy: unsupported */
+            int pred[2];
+            dv_find_pred(mp, blk, S, r, c, bsize,
+                         blk[K_SBMASK] + 1, pred);
+            int joint = msac_symbol(&m, (int32_t *)mp[M_DVJOINT],
+                                    4);
+            int dr = (joint == 2 || joint == 3)
+                ? dv_read_component(&m, mp, 0) : 0;
+            int dc = (joint == 1 || joint == 3)
+                ? dv_read_component(&m, mp, 1) : 0;
+            out[O_ISIBC] = 1;
+            out[O_MVROW] = pred[0] + dr;
+            out[O_MVCOL] = pred[1] + dc;
+            out[O_YMODE] = 0;
+            out[O_UVMODE] = 0;
+            out[O_FIM] = -1;
+            out[O_NPALY] = 0;
+            out[O_NPALU] = 0;
+            out[O_PALLEN] = 0;
+            /* palette line buffers still record a no-palette
+             * footprint for later neighbor ctx */
+            if (blk[K_ALLOWSCT]) {
+                uint8_t *an = (uint8_t *)mp[M_PALAN];
+                uint8_t *ln = (uint8_t *)mp[M_PALLN];
+                for (int cc = c; cc < ce; cc++)
+                    an[cc * 2] = an[cc * 2 + 1] = 0;
+                for (int rr = r; rr < re; rr++)
+                    ln[rr * 2] = ln[rr * 2 + 1] = 0;
+            }
             goto done;
         }
     }
@@ -1949,18 +2385,7 @@ EXPORT int av1_color_cicp(
 enum { X_PART, X_GBSIZE, X_GUV, X_GBC0, X_GBR0, X_GQIDX, X_GDLF,
        X_QDC, X_QAC, X_SEGQ, X_S3, X_NPTRS };
 
-/* static blob 3 layout (int32) */
-#define S3_MAXUV 0      /* max_uv_tx_size[22*4] (bsize*4 + sx*2+sy) */
-#define S3_SUBSIZE 88   /* Partition_Subsize[10*22] */
-#define S3_ANGLE 308    /* Mode_To_Angle[13] (0 where n/a) */
-#define S3_FIM2DIR 321  /* Fimode_To_Intra_Dir[5] */
-#define S3_IM2TT 326    /* Intra_Mode_To_Tx_Type[14] */
-#define S3_TTINSET 340  /* tx-type bitmask per tx set [3] */
-#define S3_TXSQR 343    /* Tx_Size_Sqr[19] */
-#define S3_KIND 362     /* recon op kind per intra mode [13] */
-#define S3_B8 375       /* BLOCK_8X8 index */
-#define S3_B128 376     /* BLOCK_128X128 index */
-#define S3_NF 377
+/* (S3 layout moved to the top of the file) */
 
 /* superblock/frame params */
 enum { SBP_SBR, SBP_SBC, SBP_SB4, SBP_SBBSIZE,
@@ -2094,6 +2519,61 @@ static int c_filter_type(SbCtx *t, int r, int c, int bsize,
     return (above || left) ? 1 : 0;
 }
 
+/* read_var_tx_size (spec 5.11.35): recursive var-tx split for
+ * intrabc blocks; leaves land in the inter_tx grid, the luma tx
+ * dim grids and the tx ctx arrays (aom txfm_partition ctx) */
+static void sb_read_var_tx(SbCtx *t, int r, int c, int tx,
+                           int depth, int bsize)
+{
+    const int32_t *S2 = t->S2, *S3 = t->S3, *sbp = t->sbp;
+    int mi_rows = sbp[SBP_MIROWS], mi_cols = sbp[SBP_MICOLS];
+    if (r >= mi_rows || c >= mi_cols)
+        return;
+    int w4 = S2[S2_TXW + tx] >> 2, h4 = S2[S2_TXH + tx] >> 2;
+    int split = 0;
+    if (!(tx == 0 || depth == 2)) {
+        int16_t *atxw = (int16_t *)t->mp[M_ATXW];
+        int16_t *ltxh = (int16_t *)t->mp[M_LTXH];
+        int above = atxw[c] < S2[S2_TXW + tx];
+        int left = ltxh[r & (sbp[SBP_SB4] - 1)] < S2[S2_TXH + tx];
+        int bw = S2[S2_BW4 + bsize] * 4, bh = S2[S2_BH4 + bsize] * 4;
+        int size = bw > bh ? bw : bh;
+        if (size > 64) size = 64;
+        int max_tx = 0;
+        for (int v = size >> 2; v > 1; v >>= 1) max_tx++;
+        int cat = ((tx == max_tx && bsize > S3[S3_TX2BS + max_tx])
+                   ? 1 : 0) + (4 - max_tx) * 2;
+        split = msac_symbol(&t->m, (int32_t *)t->mp[M_TXSPLIT]
+                            + (cat * 3 + above + left) * 3, 2);
+    }
+    if (split) {
+        int sub = S2[S2_SPLITTX + tx];
+        int sw4 = S2[S2_TXW + sub] >> 2, sh4 = S2[S2_TXH + sub] >> 2;
+        for (int rr = r; rr < r + h4; rr += sh4)
+            for (int cc = c; cc < c + w4; cc += sw4)
+                sb_read_var_tx(t, rr, cc, sub, depth + 1, bsize);
+        return;
+    }
+    int re = r + h4 < mi_rows ? r + h4 : mi_rows;
+    int ce = c + w4 < mi_cols ? c + w4 : mi_cols;
+    uint8_t *git = (uint8_t *)t->mp[M_GINTERTX];
+    uint8_t *gtw = (uint8_t *)t->mp[M_GTXW4];
+    uint8_t *gth = (uint8_t *)t->mp[M_GTXH4];
+    for (int rr = r; rr < re; rr++)
+        for (int cc = c; cc < ce; cc++) {
+            git[(long)rr * mi_cols + cc] = (uint8_t)tx;
+            gtw[(long)rr * mi_cols + cc] = (uint8_t)w4;
+            gth[(long)rr * mi_cols + cc] = (uint8_t)h4;
+        }
+    int16_t *atxw = (int16_t *)t->mp[M_ATXW];
+    int16_t *ltxh = (int16_t *)t->mp[M_LTXH];
+    for (int i = c; i < ce; i++)
+        atxw[i] = (int16_t)S2[S2_TXW + tx];
+    int lb = r & (sbp[SBP_SB4] - 1);
+    for (int i = 0; i < re - r; i++)
+        ltxh[lb + i] = (int16_t)S2[S2_TXH + tx];
+}
+
 static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
 {
     if (t->err)
@@ -2145,6 +2625,7 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     kblk[K_MIROWS] = mi_rows; kblk[K_MICOLS] = mi_cols;
     kblk[K_SUBX] = sx; kblk[K_SUBY] = sy;
     kblk[K_BITDEPTH] = sbp[SBP_BITDEPTH];
+    kblk[K_R1] = sbp[SBP_R1]; kblk[K_C1] = sbp[SBP_C1];
 
     int32_t out[O_NF];
     memset(out, 0, sizeof(out));
@@ -2170,6 +2651,8 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     int angle_uv = out[O_ANGLEUV];
     int cfl_u = out[O_CFLU], cfl_v = out[O_CFLV];
     int fim = out[O_FIM], tx_size = out[O_TXSIZE];
+    int is_ibc = out[O_ISIBC];
+    int mv_row = out[O_MVROW], mv_col = out[O_MVCOL];
 
     /* ---- record grids (av1_tile._record_block + delta_lf) */
     uint8_t *gbsize = (uint8_t *)t->xp[X_GBSIZE];
@@ -2195,6 +2678,11 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
             gseg[i] = (uint8_t)seg_id;
             gqi[i] = (uint8_t)qidx;
             gpal[i] = (uint8_t)ny;
+            if (is_ibc) {
+                ((uint8_t *)t->mp[M_GIBC])[i] = 1;
+                ((int32_t *)t->mp[M_GMV])[i * 2] = mv_row;
+                ((int32_t *)t->mp[M_GMV])[i * 2 + 1] = mv_col;
+            }
             gdlf[i * 4] = (int8_t)t->dlf[0];
             gdlf[i * 4 + 1] = (int8_t)t->dlf[1];
             gdlf[i * 4 + 2] = (int8_t)t->dlf[2];
@@ -2208,8 +2696,46 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
                 guv[(long)rr * mi_cols + cc] = (uint8_t)uv_mode;
     }
 
-    /* ---- residual per-plane params (av1_tile._residual_native) */
+    /* ---- intrabc transform sizes (read_block_tx_size, inter
+     * branch): var-tx tree under TX_MODE_SELECT, else the largest
+     * rect with the skip-inter block-dim ctx rule */
     int lossless = (sbp[SBP_LOSSLESS] >> seg_id) & 1;
+    if (is_ibc) {
+        const int32_t *S2 = t->S2;
+        int max_rect = S2[S2_MAXRECT + bsize];
+        if (sbp[SBP_TXSELECT] && bsize > 0 && !skip && !lossless) {
+            int txw4 = S2[S2_TXW + max_rect] >> 2;
+            int txh4 = S2[S2_TXH + max_rect] >> 2;
+            for (int rr = r; rr < r + bh4; rr += txh4)
+                for (int cc = c; cc < c + bw4; cc += txw4)
+                    sb_read_var_tx(t, rr, cc, max_rect, 0, bsize);
+            tx_size = max_rect;
+        } else {
+            tx_size = lossless ? 0 : max_rect;
+            uint8_t *git = (uint8_t *)t->mp[M_GINTERTX];
+            uint8_t *gtw = (uint8_t *)t->mp[M_GTXW4];
+            uint8_t *gth = (uint8_t *)t->mp[M_GTXH4];
+            int w4v = S2[S2_TXW + tx_size] >> 2;
+            int h4v = S2[S2_TXH + tx_size] >> 2;
+            for (int rr = r; rr < re; rr++)
+                for (int cc = c; cc < ce; cc++) {
+                    git[(long)rr * mi_cols + cc] = (uint8_t)tx_size;
+                    gtw[(long)rr * mi_cols + cc] = (uint8_t)w4v;
+                    gth[(long)rr * mi_cols + cc] = (uint8_t)h4v;
+                }
+            int16_t *atxw = (int16_t *)t->mp[M_ATXW];
+            int16_t *ltxh = (int16_t *)t->mp[M_LTXH];
+            int aw_v = skip ? bw4 * 4 : S2[S2_TXW + tx_size];
+            int lh_v = skip ? bh4 * 4 : S2[S2_TXH + tx_size];
+            for (int i = c; i < ce; i++)
+                atxw[i] = (int16_t)aw_v;
+            int lb = r & (sbp[SBP_SB4] - 1);
+            for (int i = 0; i < re - r; i++)
+                ltxh[lb + i] = (int16_t)lh_v;
+        }
+    }
+
+    /* ---- residual per-plane params (av1_tile._residual_native) */
     int nplanes = has_chroma ? nplanes_seq : 1;
     if (nplanes > 3) nplanes = 3;
     int w_chunks = bw4 > 16 ? bw4 >> 4 : 1;
@@ -2238,7 +2764,12 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
         }
         int pred_mode = (plane > 0 && mode == 13) ? 0 : mode;
         int kind, p1;
-        if (plane == 0 ? ny : nu) {
+        if (is_ibc) {
+            /* intrabc: whole-pel block copy; DV col in P1, DV row
+             * in the (otherwise unused) CFL_ALPHA op field */
+            kind = K_IBC;
+            p1 = mv_col;
+        } else if (plane == 0 ? ny : nu) {
             /* palette prediction (index map -> colors) */
             kind = K_PALPRED; p1 = pal_base;
         } else if (pfim >= 0) {
@@ -2252,7 +2783,9 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
             kind = S3[S3_KIND + pred_mode]; p1 = 0;
         }
         int ett_set = -1, ett_dir = 0, ett_sqr = 0, fixed_tt = 0;
-        if (plane > 0) {
+        if (is_ibc) {
+            /* tx types resolved per TB in parse_tb (inter sets) */
+        } else if (plane > 0) {
             fixed_tt = lossless ? 0
                 : c_chroma_tx_type(S2, S3, tx, uv_mode,
                                    sbp[SBP_REDUCEDTX]);
@@ -2289,7 +2822,8 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
         P[PPF_ETTSQR] = ett_sqr; P[PPF_FIXEDTT] = fixed_tt;
         P[PPF_DCQ] = qdc[qi_dc]; P[PPF_ACQ] = qac[qi_ac];
         P[PPF_SHIFT] = shift;
-        P[PPF_KIND] = kind; P[PPF_P1] = p1; P[PPF_ALPHA] = alpha;
+        P[PPF_KIND] = kind; P[PPF_P1] = p1;
+        P[PPF_ALPHA] = is_ibc ? mv_row : alpha;
         P[PPF_FT] = c_filter_type(t, r, c, bsize, plane, avail_u,
                                   avail_l, avail_uc, avail_lc);
         /* all_zero-ctx plane dims: the FULL block's (get_txb_skip_ctx
@@ -2320,11 +2854,14 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     bblk[B_MIROWS] = mi_rows; bblk[B_MICOLS] = mi_cols;
     bblk[B_R1T] = sbp[SBP_R1]; bblk[B_C1T] = sbp[SBP_C1];
     bblk[B_EEF] = sbp[SBP_EEF]; bblk[B_NPALL] = nplanes_seq;
+    bblk[B_INTERTX] = is_ibc && !lossless;
+    bblk[B_QIDX] = qidx;
+    bblk[B_REDUCEDTX] = sbp[SBP_REDUCEDTX];
     t->new_sb = 0;
     block_parse_core(&t->m, t->ptrs, bblk, pp, nplanes,
                      t->ops + (long long)t->n_ops * OP_NF, t->coef,
                      t->tbmeta + (long long)t->n_tbs * TBM_NF,
-                     t->clip, t->io);
+                     t->clip, t->io, t->mp, t->S3);
     int new_ops = t->io[2], new_tbs = t->io[3];
     for (int i = 0; i < new_tbs; i++) {
         int32_t *tm = t->tbmeta

@@ -714,3 +714,51 @@ def test_av1_odd_dims_aom_streams(tmp_path):
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b),
                     err_msg=f"{w}x{h} q{q} plane {i}")
+
+
+def test_av1_intrabc_native_vs_python(tmp_path, monkeypatch):
+    """Intrabc on the whole-SB C driver (DV scan/read, var-tx trees,
+    inter tx types, K_IBC block-copy recon op) must match the Python
+    symbol path exactly: pixels, MV grids, TB records."""
+    from ffpic_tpu.coding.av1_tile import FrameState
+    from ffpic_tpu.coding import av1_headers as H
+
+    obus, fh = _ibc_obus(tmp_path, 320, 256, 30, 3)
+    assert fh.allow_intrabc
+
+    def run(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        planes, _ = decode_frame(obus, apply_filters=True)
+        seq = fs = None
+        for obu in H.parse_obus(obus):
+            if obu["type"] == H.OBU_SEQUENCE_HEADER:
+                seq = H.parse_sequence_header(obu["payload"])
+            elif obu["type"] == H.OBU_FRAME:
+                fh2, bitpos = H.parse_frame_header(obu["payload"],
+                                                   seq)
+                fs = FrameState(seq, fh2)
+                from ffpic_tpu.formats.av1_recon import \
+                    _decode_tile_group
+                _decode_tile_group(fs,
+                                   obu["payload"][(bitpos + 7) >> 3:])
+                break
+        for k in env:
+            monkeypatch.delenv(k)
+        return planes, fs
+
+    p_nat, fs_nat = run({})
+    p_py, fs_py = run({"FFPIC_AV1_NO_NATIVE": "1"})
+    assert fs_nat.is_ibc.any() and fs_py.is_ibc.any()
+    for a, b in zip(p_nat, p_py):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    for name in ("is_ibc", "mvs", "bsize", "skip", "inter_tx",
+                 "tx_types"):
+        assert (getattr(fs_nat, name) == getattr(fs_py, name)).all(), \
+            name
+    recs_n = list(fs_nat.tb_records())
+    recs_p = list(fs_py.tb_records())
+    assert len(recs_n) == len(recs_p)
+    for ta, tb_ in zip(recs_n, recs_p):
+        assert ta[:7] == tb_[:7]
+        assert (ta[7] == tb_[7]).all()

@@ -78,6 +78,25 @@ def run(n_trials: int):
     Image.fromarray(rgba[..., :3]).save(b, "TIFF",
                                         compression="tiff_lzw")
     corpus.append((b.getvalue(), None))   # exercises host_lzw.c
+    # screen-content AVIFs: palette blocks (small) and intrabc
+    # (>=320px) exercise the pal_*/dv_*/var-tx C paths in host_av1.c
+    scr = np.zeros((96, 128, 3), np.uint8)
+    cols = rng.integers(0, 256, (5, 3))
+    for i in range(5):
+        scr[:, i * 25:(i + 1) * 25] = cols[i]
+    for _ in range(10):
+        x0, y0 = int(rng.integers(0, 112)), int(rng.integers(0, 88))
+        scr[y0:y0 + 6, x0:x0 + 12] = rng.integers(0, 256, 3)
+    b = io.BytesIO()
+    Image.fromarray(scr).save(b, "AVIF", quality=40, speed=6)
+    corpus.append((b.getvalue(), "isobmff"))
+    big = np.tile(scr, (4, 3, 1))          # 384x384: aom uses intrabc
+    b = io.BytesIO()
+    Image.fromarray(big).save(b, "AVIF", quality=60, speed=6)
+    corpus.append((b.getvalue(), "isobmff"))
+    # our own encoder's lossless output (WHT path)
+    corpus.append((ffpic_tpu.encode(pic, "AVIF", quality=100),
+                   "isobmff"))
 
     done = 0
     for t in range(n_trials):
