@@ -46,7 +46,7 @@ cfgs = []
 for (w, h), kind, q, speed, sub in itertools.product(
         [(128,128), (200,136), (96,64), (256,192), (384,320)],
         ['grad', 'noise', 'edges', 'screen'],
-        [35, 60, 85], [0, 1, 2, 4, 6],
+        [35, 60, 85, 100], [0, 1, 2, 4, 6],
         ['4:2:0', '4:4:4', '4:2:2']):
     cfgs.append(((w,h), kind, q, speed, sub))
 rng = np.random.default_rng(12345)
