@@ -208,7 +208,7 @@ class CdfContext:
         t = TABLES
         self.tables = {}
         for name, arr in t.items():
-            if name.startswith("q_") or name == "seg8_cluster":
+            if name.startswith("q_"):
                 continue
             a = arr
             if name.startswith(("txb_skip", "eob_", "coeff_",
