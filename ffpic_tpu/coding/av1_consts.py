@@ -479,3 +479,85 @@ SGRPROJ_RECIP_BITS = 12
 def count_units_in_frame(unit_size: int, frame_size: int) -> int:
     """Spec count_units_in_frame (5.9.22)."""
     return max((frame_size + (unit_size >> 1)) // unit_size, 1)
+
+
+# =================================================================== inter
+# Inter-frame constants (spec 6.10.4, 7.10, 7.11.3).  The C reference
+# has no AV1 layer at all; dav1d is the conformance oracle.
+
+# reference frames (spec: ref enum; NONE uses -1)
+NONE_FRAME = -1
+INTRA_FRAME, LAST_FRAME, LAST2_FRAME, LAST3_FRAME, GOLDEN_FRAME, \
+    BWDREF_FRAME, ALTREF2_FRAME, ALTREF_FRAME = range(8)
+FWD_REFS = (LAST_FRAME, LAST2_FRAME, LAST3_FRAME, GOLDEN_FRAME)
+BWD_REFS = (BWDREF_FRAME, ALTREF2_FRAME, ALTREF_FRAME)
+REFS_PER_FRAME = 7
+
+# single-mv inter modes continue the YMode enum after PAETH_PRED
+NEARESTMV, NEARMV, GLOBALMV, NEWMV, NEAREST_NEARESTMV, \
+    NEAR_NEARMV, NEAREST_NEWMV, NEW_NEARESTMV, NEAR_NEWMV, \
+    NEW_NEARMV, GLOBAL_GLOBALMV, NEW_NEWMV = range(13, 25)
+
+# compound-mode decomposition (spec compound_mode -> per-ref modes)
+COMP_MODE_PAIR = {
+    NEAREST_NEARESTMV: (NEARESTMV, NEARESTMV),
+    NEAR_NEARMV: (NEARMV, NEARMV),
+    NEAREST_NEWMV: (NEARESTMV, NEWMV),
+    NEW_NEARESTMV: (NEWMV, NEARESTMV),
+    NEAR_NEWMV: (NEARMV, NEWMV),
+    NEW_NEARMV: (NEWMV, NEARMV),
+    GLOBAL_GLOBALMV: (GLOBALMV, GLOBALMV),
+    NEW_NEWMV: (NEWMV, NEWMV),
+}
+
+# interpolation filters
+EIGHTTAP, EIGHTTAP_SMOOTH, EIGHTTAP_SHARP, BILINEAR, SWITCHABLE = \
+    range(5)
+
+# motion modes
+SIMPLE, OBMC_CAUSAL, LOCALWARP = range(3)
+
+# interintra modes
+II_DC_PRED, II_V_PRED, II_H_PRED, II_SMOOTH_PRED = range(4)
+INTERINTRA_TO_INTRA = [DC_PRED, V_PRED, H_PRED, SMOOTH_PRED]
+
+# compound types (comp_group_idx == 1 space)
+COMPOUND_WEDGE, COMPOUND_DIFFWTD = range(2)
+
+# global motion transform types
+IDENTITY, TRANSLATION, ROTZOOM, AFFINE = range(4)
+GM_ABS_TRANS_BITS = 12
+GM_ABS_TRANS_ONLY_BITS = 9
+GM_ABS_ALPHA_BITS = 12
+GM_ALPHA_PREC_BITS = 15
+GM_TRANS_PREC_BITS = 6
+GM_TRANS_ONLY_PREC_BITS = 3
+WARPEDMODEL_PREC_BITS = 16
+WARPEDMODEL_TRANS_CLAMP = 1 << 23
+WARPEDMODEL_NONDIAG_CLAMP = 1 << 13
+WARPEDDIFF_PREC_BITS = 10
+DIV_LUT_PREC_BITS = 14
+DIV_LUT_BITS = 8
+
+# mv limits
+MV_UPP = 1 << 14          # (spec: mv range (-2^14, 2^14))
+MV_BORDER = 128           # 16 px in 1/8 units
+MAX_FRAME_DISTANCE = 31
+MAX_OFFSET_WIDTH = 8      # motion field projection clamps (7.9.2)
+MAX_OFFSET_HEIGHT = 0
+REF_CAT_LEVEL = 640
+MAX_REF_MV_STACK_SIZE = 8
+MFMV_STACK_SIZE = 3
+
+# Size_Group (spec: y-mode / interintra ctx by block size)
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+              1, 1, 2, 2, 3, 3]
+
+# Wedge_Bits (spec 7.11.3.11): nonzero for 8x8..32x32-ish shapes
+WEDGE_BITS = [0, 0, 0, 4, 4, 4, 4, 4, 4, 4, 0, 0, 0, 0, 0, 0,
+              0, 0, 4, 4, 0, 0]
+
+# frame types
+KEY_FRAME, INTER_FRAME, INTRA_ONLY_FRAME, SWITCH_FRAME = range(4)
+PRIMARY_REF_NONE = 7
+NUM_REF_FRAMES = 8

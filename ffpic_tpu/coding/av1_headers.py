@@ -44,6 +44,8 @@ SEG_LVL_ALT_Q = 0
 SEG_LVL_MAX = 8
 RESTORE_NONE, RESTORE_SWITCHABLE, RESTORE_WIENER, RESTORE_SGRPROJ = range(4)
 TX_MODE_ONLY_4X4, TX_MODE_LARGEST, TX_MODE_SELECT = range(3)
+SWITCHABLE = 4                   # interp_filter sentinel
+SEG_LVL_REF_FRAME = 5
 
 # segmentation feature metadata (spec 5.9.14)
 _SEG_BITS = [8, 6, 6, 6, 6, 3, 0, 0]
@@ -360,6 +362,32 @@ class FrameHeader:
     lossless_segs: list = field(default_factory=lambda: [False] * 8)
     qindex_segs: list = field(default_factory=lambda: [0] * 8)
     apply_grain: bool = False
+    # inter (spec 5.9: reference signaling, motion tools)
+    show_existing_frame: bool = False
+    frame_to_show: int = 0
+    showable_frame: bool = False
+    error_resilient_mode: bool = False
+    order_hint: int = 0
+    primary_ref_frame: int = 7          # PRIMARY_REF_NONE
+    refresh_frame_flags: int = 0xFF
+    ref_frame_idx: list = field(default_factory=lambda: [0] * 7)
+    order_hints: list = field(default_factory=lambda: [0] * 8)
+    ref_sign_bias: list = field(default_factory=lambda: [0] * 8)
+    allow_high_precision_mv: bool = False
+    interp_filter: int = 0              # EIGHTTAP
+    is_filter_switchable: bool = False
+    is_motion_mode_switchable: bool = False
+    use_ref_frame_mvs: bool = False
+    reference_select: bool = False      # frame_reference_mode
+    skip_mode_present: bool = False
+    skip_mode_frame: list = field(default_factory=lambda: [0, 0])
+    allow_warped_motion: bool = False
+    gm_type: list = field(default_factory=lambda: [0] * 8)
+    gm_params: list = field(default_factory=lambda: [
+        [0, 0, 1 << 16, 0, 0, 1 << 16] for _ in range(8)])
+    gm_invalid: list = field(default_factory=lambda: [False] * 8)
+    prev_seg_ids: object = None         # primary ref's segment map
+    segmentation_update_data: bool = True
 
 
 def _su(r: BitReader, n: int) -> int:
@@ -379,14 +407,19 @@ def tile_log2(blk_size: int, target: int) -> int:
     return k
 
 
-def parse_frame_header(payload: bytes, seq: SequenceHeader) -> \
+def parse_frame_header(payload: bytes, seq: SequenceHeader,
+                       refs: list | None = None) -> \
         tuple[FrameHeader, int]:
-    """Spec 5.9 uncompressed_header for intra frames.
+    """Spec 5.9 uncompressed_header (intra + inter).
 
     Returns (header, bit_position_after_header) — the caller slices
     tile-group data from an OBU_FRAME payload at the byte-aligned
-    position.
+    position.  `refs` is the decoder's 8-slot reference state
+    (av1_refs.RefFrame | None per slot); required for inter frames
+    (ref signaling, frame_size_with_refs, skip-mode derivation,
+    primary-ref parameter loading).
     """
+    from ffpic_tpu.coding import av1_refs as R
     r = BitReader(payload)
     f = FrameHeader()
     if seq.reduced_still_picture_header:
@@ -395,23 +428,31 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> \
         error_resilient_mode = False
     else:
         if r.read_bit():            # show_existing_frame
-            raise NotImplementedError("show_existing_frame")
+            f.show_existing_frame = True
+            f.frame_to_show = r.read_bits(3)
+            if seq.decoder_model_info_present and \
+                    not seq.equal_picture_interval:
+                r.read_bits(seq.frame_presentation_time_length)
+            if seq.frame_id_numbers_present:
+                r.read_bits(seq.delta_frame_id_length)
+            return f, r.bitpos
         f.frame_type = r.read_bits(2)
         f.frame_is_intra = f.frame_type in (KEY_FRAME,
                                             INTRA_ONLY_FRAME)
-        if not f.frame_is_intra:
-            raise NotImplementedError("inter frame decode")
         f.show_frame = bool(r.read_bit())
         if f.show_frame and seq.decoder_model_info_present and \
                 not seq.equal_picture_interval:
             r.read_bits(seq.frame_presentation_time_length)
-        if not f.show_frame:
-            r.read_bit()            # showable_frame
+        if f.show_frame:
+            f.showable_frame = f.frame_type != KEY_FRAME
+        else:
+            f.showable_frame = bool(r.read_bit())
         if f.frame_type == SWITCH_FRAME or \
                 (f.frame_type == KEY_FRAME and f.show_frame):
             error_resilient_mode = True
         else:
             error_resilient_mode = bool(r.read_bit())
+    f.error_resilient_mode = error_resilient_mode
     f.disable_cdf_update = bool(r.read_bit())
     if seq.seq_force_screen_content_tools == \
             SELECT_SCREEN_CONTENT_TOOLS:
@@ -438,10 +479,10 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> \
         frame_size_override = False
     else:
         frame_size_override = bool(r.read_bit())
-    r.read_bits(seq.order_hint_bits)    # order_hint
+    f.order_hint = r.read_bits(seq.order_hint_bits)
     # intra => primary_ref_frame = PRIMARY_REF_NONE (no bits)
     if not (f.frame_is_intra or error_resilient_mode):
-        r.read_bits(3)
+        f.primary_ref_frame = r.read_bits(3)
     if seq.decoder_model_info_present:
         if r.read_bit():            # buffer_removal_time_present
             raise NotImplementedError(
@@ -451,44 +492,122 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> \
         refresh_frame_flags = (1 << NUM_REF_FRAMES) - 1
     else:
         refresh_frame_flags = r.read_bits(8)
+    f.refresh_frame_flags = refresh_frame_flags
+    ref_order_hint = [rf.order_hint if rf is not None else 0
+                      for rf in (refs or [None] * 8)]
     if not f.frame_is_intra or \
             refresh_frame_flags != (1 << NUM_REF_FRAMES) - 1:
         if error_resilient_mode and seq.enable_order_hint:
-            for _ in range(NUM_REF_FRAMES):
-                r.read_bits(seq.order_hint_bits)
-    # frame_size() + render_size()
-    if frame_size_override:
-        f.width = r.read_bits(seq.frame_width_bits) + 1
-        f.height = r.read_bits(seq.frame_height_bits) + 1
+            for i in range(NUM_REF_FRAMES):
+                ref_order_hint[i] = r.read_bits(seq.order_hint_bits)
+
+    def frame_size():
+        if frame_size_override:
+            f.width = r.read_bits(seq.frame_width_bits) + 1
+            f.height = r.read_bits(seq.frame_height_bits) + 1
+        else:
+            f.width = seq.max_frame_width
+            f.height = seq.max_frame_height
+        superres_and_compute()
+        render_size()
+
+    def superres_and_compute():
+        if seq.enable_superres:
+            f.use_superres = bool(r.read_bit())
+        if f.use_superres:
+            f.superres_denom = r.read_bits(3) + 9
+        f.upscaled_width = f.width
+        f.width = (f.upscaled_width * 8 + (f.superres_denom // 2)) \
+            // f.superres_denom
+        f.mi_cols = 2 * ((f.width + 7) >> 3)
+        f.mi_rows = 2 * ((f.height + 7) >> 3)
+
+    def render_size():
+        if r.read_bit():            # render_and_frame_size_different
+            f.render_width = r.read_bits(16) + 1
+            f.render_height = r.read_bits(16) + 1
+        else:
+            f.render_width = f.upscaled_width
+            f.render_height = f.height
+
+    if f.frame_is_intra:
+        frame_size()
+        if f.allow_screen_content_tools and \
+                f.upscaled_width == f.width:
+            f.allow_intrabc = bool(r.read_bit())
     else:
-        f.width = seq.max_frame_width
-        f.height = seq.max_frame_height
-    # superres_params()
-    if seq.enable_superres:
-        f.use_superres = bool(r.read_bit())
-    if f.use_superres:
-        f.superres_denom = r.read_bits(3) + 9
-    f.upscaled_width = f.width
-    f.width = (f.upscaled_width * 8 + (f.superres_denom // 2)) // \
-        f.superres_denom
-    f.mi_cols = 2 * ((f.width + 7) >> 3)
-    f.mi_rows = 2 * ((f.height + 7) >> 3)
-    if r.read_bit():                # render_and_frame_size_different
-        f.render_width = r.read_bits(16) + 1
-        f.render_height = r.read_bits(16) + 1
-    else:
-        f.render_width, f.render_height = f.upscaled_width, f.height
-    if f.allow_screen_content_tools and \
-            f.upscaled_width == f.width:
-        f.allow_intrabc = bool(r.read_bit())
+        # ---- reference signaling (spec 5.9.2 inter branch)
+        frame_refs_short_signaling = False
+        if seq.enable_order_hint:
+            frame_refs_short_signaling = bool(r.read_bit())
+            if frame_refs_short_signaling:
+                last_frame_idx = r.read_bits(3)
+                gold_frame_idx = r.read_bits(3)
+                f.ref_frame_idx = _set_frame_refs(
+                    seq, f, ref_order_hint, last_frame_idx,
+                    gold_frame_idx)
+        for i in range(7):
+            if not frame_refs_short_signaling:
+                f.ref_frame_idx[i] = r.read_bits(3)
+            if seq.frame_id_numbers_present:
+                r.read_bits(seq.delta_frame_id_length)
+        if frame_size_override and not error_resilient_mode:
+            # frame_size_with_refs (5.9.7)
+            found = False
+            for i in range(7):
+                if r.read_bit():
+                    rf = refs[f.ref_frame_idx[i]]
+                    f.upscaled_width = rf.upscaled_width
+                    f.width = f.upscaled_width
+                    f.height = rf.height
+                    f.render_width = rf.render_width
+                    f.render_height = rf.render_height
+                    found = True
+                    break
+            if found:
+                superres_and_compute()
+            else:
+                frame_size()
+        else:
+            frame_size()
+        if f.force_integer_mv:
+            f.allow_high_precision_mv = False
+        else:
+            f.allow_high_precision_mv = bool(r.read_bit())
+        # read_interpolation_filter (5.9.10)
+        f.is_filter_switchable = bool(r.read_bit())
+        if f.is_filter_switchable:
+            f.interp_filter = SWITCHABLE
+        else:
+            f.interp_filter = r.read_bits(2)
+        f.is_motion_mode_switchable = bool(r.read_bit())
+        if error_resilient_mode or not seq.enable_ref_frame_mvs or \
+                not seq.enable_order_hint:
+            f.use_ref_frame_mvs = False
+        else:
+            f.use_ref_frame_mvs = bool(r.read_bit())
+        # OrderHints / RefFrameSignBias (by ref enum LAST..ALTREF)
+        for i in range(7):
+            hint = ref_order_hint[f.ref_frame_idx[i]]
+            f.order_hints[1 + i] = hint
+            f.ref_sign_bias[1 + i] = 1 if R.get_relative_dist(
+                seq, hint, f.order_hint) > 0 else 0
     if seq.reduced_still_picture_header or f.disable_cdf_update:
         f.disable_frame_end_update_cdf = True
     else:
         f.disable_frame_end_update_cdf = bool(r.read_bit())
-    # primary_ref_frame == NONE for intra: fresh CDFs, default deltas
+    # primary-ref parameter loading (spec load_previous): gm params,
+    # loop-filter deltas, segmentation feature data, segment map
+    prev = None
+    if f.primary_ref_frame != PRIMARY_REF_NONE and refs is not None:
+        prev = refs[f.ref_frame_idx[f.primary_ref_frame]]
+    if prev is not None:
+        f.loop_filter_ref_deltas = list(prev.lf_ref_deltas)
+        f.loop_filter_mode_deltas = list(prev.lf_mode_deltas)
+        f.prev_seg_ids = prev.seg_ids
     _parse_tile_info(r, f, seq)
     _parse_quantization_params(r, f, seq)
-    _parse_segmentation_params(r, f)
+    _parse_segmentation_params(r, f, prev)
     # delta_q_params
     if f.base_q_idx > 0:
         f.delta_q_present = bool(r.read_bit())
@@ -511,19 +630,240 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader) -> \
     else:
         f.tx_mode = TX_MODE_SELECT if r.read_bit() else \
             TX_MODE_LARGEST
-    # frame_reference_mode: intra => no bit; skip_mode: not allowed
+    # frame_reference_mode (5.9.23)
     if not f.frame_is_intra:
-        raise NotImplementedError
-    # allow_warped_motion: intra => 0, no bit
+        f.reference_select = bool(r.read_bit())
+    # skip_mode_params (5.9.22)
+    _skip_mode_params(r, f, seq)
+    # allow_warped_motion
+    if f.frame_is_intra or error_resilient_mode or \
+            not seq.enable_warped_motion:
+        f.allow_warped_motion = False
+    else:
+        f.allow_warped_motion = bool(r.read_bit())
     f.reduced_tx_set = bool(r.read_bit())
-    # global_motion_params: intra => no bits
+    # global_motion_params (5.9.24)
+    _global_motion_params(r, f, prev if not f.frame_is_intra
+                          else None)
     # film_grain_params
     if seq.film_grain_params_present and \
-            (f.show_frame or True):  # showable handling: stills show
+            (f.show_frame or f.showable_frame):
         f.apply_grain = bool(r.read_bit())
         if f.apply_grain:
             raise NotImplementedError("film grain synthesis")
     return f, r.bitpos
+
+
+def _skip_mode_params(r: BitReader, f: FrameHeader,
+                      seq: SequenceHeader) -> None:
+    """Spec 5.9.22: derive SkipModeFrame from order hints, read
+    skip_mode_present."""
+    from ffpic_tpu.coding.av1_refs import get_relative_dist
+    skip_mode_allowed = False
+    if not f.frame_is_intra and f.reference_select and \
+            seq.enable_order_hint:
+        forward_idx = backward_idx = -1
+        forward_hint = backward_hint = 0
+        for i in range(7):
+            hint = f.order_hints[1 + i]
+            d = get_relative_dist(seq, hint, f.order_hint)
+            if d < 0:
+                if forward_idx < 0 or get_relative_dist(
+                        seq, hint, forward_hint) > 0:
+                    forward_idx, forward_hint = i, hint
+            elif d > 0:
+                if backward_idx < 0 or get_relative_dist(
+                        seq, hint, backward_hint) < 0:
+                    backward_idx, backward_hint = i, hint
+        if forward_idx < 0:
+            skip_mode_allowed = False
+        elif backward_idx >= 0:
+            skip_mode_allowed = True
+            f.skip_mode_frame = [
+                1 + min(forward_idx, backward_idx),
+                1 + max(forward_idx, backward_idx)]
+        else:
+            second_idx = -1
+            second_hint = 0
+            for i in range(7):
+                hint = f.order_hints[1 + i]
+                if get_relative_dist(seq, hint, forward_hint) < 0:
+                    if second_idx < 0 or get_relative_dist(
+                            seq, hint, second_hint) > 0:
+                        second_idx, second_hint = i, hint
+            if second_idx >= 0:
+                skip_mode_allowed = True
+                f.skip_mode_frame = [1 + min(forward_idx, second_idx),
+                                     1 + max(forward_idx, second_idx)]
+    if skip_mode_allowed:
+        f.skip_mode_present = bool(r.read_bit())
+    else:
+        f.skip_mode_present = False
+
+
+def _set_frame_refs(seq: SequenceHeader, f: FrameHeader,
+                    ref_order_hint: list, last_frame_idx: int,
+                    gold_frame_idx: int) -> list:
+    """Spec 7.8 set_frame_refs (frame_refs_short_signaling)."""
+    from ffpic_tpu.coding.av1_refs import get_relative_dist
+    ref_frame_idx = [-1] * 7
+    ref_frame_idx[0] = last_frame_idx              # LAST
+    ref_frame_idx[3] = gold_frame_idx              # GOLDEN
+    used = [False] * 8
+    used[last_frame_idx] = used[gold_frame_idx] = True
+    cur_hint = 1 << (seq.order_hint_bits - 1)
+    shifted = [cur_hint + get_relative_dist(seq, ref_order_hint[i],
+                                            f.order_hint)
+               for i in range(8)]
+
+    def find_latest_backward():
+        ref, latest = -1, -1
+        for i in range(8):
+            if not used[i] and shifted[i] >= cur_hint and \
+                    (ref < 0 or shifted[i] >= latest):
+                ref, latest = i, shifted[i]
+        return ref
+
+    def find_earliest_backward():
+        ref, earliest = -1, -1
+        for i in range(8):
+            if not used[i] and shifted[i] >= cur_hint and \
+                    (ref < 0 or shifted[i] < earliest):
+                ref, earliest = i, shifted[i]
+        return ref
+
+    def find_latest_forward():
+        ref, latest = -1, -1
+        for i in range(8):
+            if not used[i] and shifted[i] < cur_hint and \
+                    (ref < 0 or shifted[i] >= latest):
+                ref, latest = i, shifted[i]
+        return ref
+
+    ref = find_latest_backward()
+    if ref >= 0:
+        ref_frame_idx[6] = ref                     # ALTREF
+        used[ref] = True
+    ref = find_earliest_backward()
+    if ref >= 0:
+        ref_frame_idx[4] = ref                     # BWDREF
+        used[ref] = True
+    ref = find_earliest_backward()
+    if ref >= 0:
+        ref_frame_idx[5] = ref                     # ALTREF2
+        used[ref] = True
+    # remaining forward refs in Ref_Frame_List order
+    for slot in (1, 2, 4, 5, 6):                   # LAST2, LAST3,
+        if ref_frame_idx[slot] < 0:                # BWD, ALT2, ALT
+            ref = find_latest_forward()
+            if ref >= 0:
+                ref_frame_idx[slot] = ref
+                used[ref] = True
+    # fill leftovers with the overall earliest frame
+    ref, earliest = -1, -1
+    for i in range(8):
+        if ref < 0 or shifted[i] < earliest:
+            ref, earliest = i, shifted[i]
+    for i in range(7):
+        if ref_frame_idx[i] < 0:
+            ref_frame_idx[i] = ref
+    return ref_frame_idx
+
+
+def _global_motion_params(r: BitReader, f: FrameHeader,
+                          prev) -> None:
+    """Spec 5.9.24/25: per-ref global motion with subexp-coded
+    deltas against the primary ref's saved params."""
+    IDENTITY, TRANSLATION, ROTZOOM, AFFINE = range(4)
+    WARPEDMODEL_PREC_BITS = 16
+    default = [0, 0, 1 << WARPEDMODEL_PREC_BITS, 0, 0,
+               1 << WARPEDMODEL_PREC_BITS]
+    f.gm_type = [IDENTITY] * 8
+    f.gm_params = [list(default) for _ in range(8)]
+    if f.frame_is_intra:
+        return
+    prev_gm = prev.gm_params if prev is not None else \
+        [list(default) for _ in range(8)]
+
+    def read_param(gtype: int, ref: int, idx: int) -> None:
+        abs_bits = 12                  # GM_ABS_ALPHA_BITS
+        prec_bits = 15                 # GM_ALPHA_PREC_BITS
+        if idx < 2:
+            if gtype == TRANSLATION:
+                hp = 1 if f.allow_high_precision_mv else 0
+                abs_bits = 9 - (1 - hp)    # GM_ABS_TRANS_ONLY_BITS
+                prec_bits = 3 - (1 - hp)   # GM_TRANS_ONLY_PREC_BITS
+            else:
+                abs_bits = 12              # GM_ABS_TRANS_BITS
+                prec_bits = 6              # GM_TRANS_PREC_BITS
+        prec_diff = WARPEDMODEL_PREC_BITS - prec_bits
+        rnd = (1 << WARPEDMODEL_PREC_BITS) if idx % 3 == 2 else 0
+        sub = (1 << prec_bits) if idx % 3 == 2 else 0
+        mx = 1 << abs_bits
+        ref_v = (prev_gm[ref][idx] >> prec_diff) - sub
+        v = _decode_signed_subexp_with_ref(r, -mx, mx + 1, ref_v)
+        f.gm_params[ref][idx] = (v << prec_diff) + rnd
+
+    for ref in range(1, 8):
+        if r.read_bit():               # is_global
+            if r.read_bit():           # is_rot_zoom
+                gtype = ROTZOOM
+            else:
+                gtype = TRANSLATION if r.read_bit() else AFFINE
+        else:
+            gtype = IDENTITY
+        f.gm_type[ref] = gtype
+        if gtype >= ROTZOOM:
+            read_param(gtype, ref, 2)
+            read_param(gtype, ref, 3)
+            if gtype == AFFINE:
+                read_param(gtype, ref, 4)
+                read_param(gtype, ref, 5)
+            else:
+                f.gm_params[ref][4] = -f.gm_params[ref][3]
+                f.gm_params[ref][5] = f.gm_params[ref][2]
+        if gtype >= TRANSLATION:
+            read_param(gtype, ref, 0)
+            read_param(gtype, ref, 1)
+
+
+def _decode_signed_subexp_with_ref(r: BitReader, low: int,
+                                   high: int, ref: int) -> int:
+    x = _decode_unsigned_subexp_with_ref(r, high - low, ref - low)
+    return x + low
+
+
+def _decode_unsigned_subexp_with_ref(r: BitReader, mx: int,
+                                     ref: int) -> int:
+    v = _decode_subexp(r, mx)
+    if (ref << 1) <= mx:
+        return _inverse_recenter_h(ref, v)
+    return mx - 1 - _inverse_recenter_h(mx - 1 - ref, v)
+
+
+def _inverse_recenter_h(ref: int, v: int) -> int:
+    if v > 2 * ref:
+        return v
+    if v & 1:
+        return ref + ((v + 1) >> 1)
+    return ref - (v >> 1)
+
+
+def _decode_subexp(r: BitReader, num_syms: int) -> int:
+    """Spec 5.9.27 decode_subexp (header-bitstream variant)."""
+    i = 0
+    mk = 0
+    k = 3
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            return _read_ns(r, num_syms - mk) + mk
+        if r.read_bit():
+            i += 1
+            mk += a
+        else:
+            return r.read_bits(b2) + mk
 
 
 def _parse_tile_info(r: BitReader, f: FrameHeader,
@@ -657,17 +997,32 @@ def _parse_quantization_params(r: BitReader, f: FrameHeader,
             f.qm_v = r.read_bits(4)
 
 
-def _parse_segmentation_params(r: BitReader, f: FrameHeader) -> None:
-    """Spec 5.9.13 (intra: primary_ref_frame == NONE path)."""
+def _parse_segmentation_params(r: BitReader, f: FrameHeader,
+                               prev=None) -> None:
+    """Spec 5.9.13.  With a primary ref, update flags are read and
+    un-updated feature data carries over from the previous frame."""
     f.feature_enabled = [[0] * SEG_LVL_MAX for _ in range(8)]
     f.feature_data = [[0] * SEG_LVL_MAX for _ in range(8)]
     f.segmentation_enabled = bool(r.read_bit())
     if f.segmentation_enabled:
-        # primary_ref_frame == PRIMARY_REF_NONE:
-        f.segmentation_update_map = True
-        f.segmentation_temporal_update = False
-        segmentation_update_data = True
+        if f.primary_ref_frame == PRIMARY_REF_NONE:
+            f.segmentation_update_map = True
+            f.segmentation_temporal_update = False
+            segmentation_update_data = True
+        else:
+            f.segmentation_update_map = bool(r.read_bit())
+            f.segmentation_temporal_update = bool(
+                r.read_bit()) if f.segmentation_update_map else False
+            segmentation_update_data = bool(r.read_bit())
+            if prev is not None:
+                f.feature_enabled = [list(row) for row in
+                                     prev.feature_enabled]
+                f.feature_data = [list(row) for row in
+                                  prev.feature_data]
+        f.segmentation_update_data = segmentation_update_data
         if segmentation_update_data:
+            f.feature_enabled = [[0] * SEG_LVL_MAX for _ in range(8)]
+            f.feature_data = [[0] * SEG_LVL_MAX for _ in range(8)]
             for i in range(8):
                 for j in range(SEG_LVL_MAX):
                     if r.read_bit():
