@@ -224,6 +224,15 @@ SPEC_VALUES = [
      [_U2, _U2, _U2, [12732], [7811], [6064], [5238], [3204],
       [3324], [5896], _U2, _U2, _U2, _U2, _U2, _U2, _U2, _U2,
       _U2, _U2, _U2, _U2]),
+    # obmc: located in libaom's declaration-order run directly after
+    # motion_mode (19 live rows for spec idx 3..21) and confirmed
+    # byte-identical against dav1d 1.5's own-enum-order copy
+    # (@0x479978 in the pillow libavif build: 130,1208,1754,2640,
+    # 10685,5889,... maps exactly onto the spec permutation)
+    ("obmc", (22,), 2,
+     [_U2, _U2, _U2, [22331], [23397], [23467], [15336], [18345],
+      [17626], [6951], [9945], [10685], [2640], [1754], [1208],
+      [130], _U2, _U2, [9104], [11867], [8760], [5889]]),
     ("motion_mode", (22,), 3,
      [[21845, 10923], [21845, 10923], [21845, 10923],
       [25117, 8008], [28030, 8003], [27377, 7240], [13349, 5958],
