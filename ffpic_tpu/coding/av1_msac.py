@@ -243,6 +243,12 @@ class CdfContext:
                 pad = [(0, 0)] * (a.ndim - 1) +                     [(0, wdt - a.shape[-1])]
                 a = np.pad(a, pad)
             self.mode_np[name] = np.ascontiguousarray(a)
+        # NMV contexts (inter mv + intrabc dmv): carried here so the
+        # adapted state participates in frame-end CDF save /
+        # primary-ref load for frame sequences
+        from ffpic_tpu.coding.av1_mv import MvCdfs
+        self.mv = MvCdfs(self.tables)
+        self.dmv = MvCdfs(self.tables)
 
     def __getitem__(self, name):
         return self.tables[name]
@@ -258,7 +264,39 @@ class CdfContext:
                     for k, v in self.tables.items()}
         c.intra_ext_tx_np = self.intra_ext_tx_np.copy()
         c.mode_np = {k: v.copy() for k, v in self.mode_np.items()}
+        c.mv = self.mv.clone()
+        c.dmv = self.dmv.clone()
+        dls = getattr(self, "delta_lf_single", None)
+        c.delta_lf_single = [list(x) for x in dls] if dls else None
+        dlm = getattr(self, "delta_lf_multi", None)
+        c.delta_lf_multi = [list(x) for x in dlm] if dlm else None
         return c
+
+    def reset_counters(self) -> None:
+        """Zero every family's adaptation counter — the spec's saved
+        CDFs carry probabilities only (the per-row count slot is the
+        last element in both the list and arena layouts used here)."""
+        import numpy as np
+
+        def walk(node):
+            if isinstance(node, np.ndarray):
+                node[..., -1] = 0
+                return
+            if node and isinstance(node[0], list):
+                for sub in node:
+                    walk(sub)
+            elif node:
+                node[-1] = 0
+
+        for v in self.tables.values():
+            walk(v)
+        self.mv.reset_counters()
+        self.dmv.reset_counters()
+        for rows in (getattr(self, "delta_lf_single", None),
+                     getattr(self, "delta_lf_multi", None)):
+            if rows:
+                for rw in rows:
+                    rw[-1] = 0
 
 
 _CDF_TEMPLATES: dict[int, CdfContext] = {}

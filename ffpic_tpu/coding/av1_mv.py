@@ -160,3 +160,94 @@ def find_dv_pred(fs, td, b, sb4):
     row = _clip3(mb_top - border_r, mb_bottom + border_r, row)
     col = _clip3(mb_left - border_c, mb_right + border_c, col)
     return row, col
+
+
+# ===================================================================
+# Full NMV context for inter frames (spec 5.11.31/32 with the
+# fractional + high-precision symbol families that intrabc's DV
+# variant hardwires away).  Lives inside CdfContext (av1_msac) so the
+# adapted state participates in frame-end CDF save / primary-ref
+# load across frames.
+class MvCdfs:
+    """One NMV context: joint + two per-component family sets."""
+
+    __slots__ = ("joint", "sign", "classes", "class0_bit", "bits",
+                 "class0_fp", "fp", "class0_hp", "hp")
+
+    def __init__(self, tables):
+        def row(name, idx=None):
+            src = tables[name][idx] if idx is not None \
+                else tables[name][0]
+            return list(src)
+
+        self.joint = row("mv_joint")
+        self.sign = [row("mv_sign") for _ in range(2)]
+        self.classes = [row("mv_classes") for _ in range(2)]
+        self.class0_bit = [row("mv_class0_bit") for _ in range(2)]
+        self.bits = [[row("mv_bits", i) for i in range(10)]
+                     for _ in range(2)]
+        self.class0_fp = [[row("mv_class0_fp", i) for i in range(2)]
+                          for _ in range(2)]
+        self.fp = [row("mv_fp") for _ in range(2)]
+        self.class0_hp = [row("mv_class0_hp") for _ in range(2)]
+        self.hp = [row("mv_hp") for _ in range(2)]
+
+    def clone(self):
+        c = MvCdfs.__new__(MvCdfs)
+        c.joint = list(self.joint)
+        c.sign = [list(x) for x in self.sign]
+        c.classes = [list(x) for x in self.classes]
+        c.class0_bit = [list(x) for x in self.class0_bit]
+        c.bits = [[list(x) for x in comp] for comp in self.bits]
+        c.class0_fp = [[list(x) for x in comp]
+                       for comp in self.class0_fp]
+        c.fp = [list(x) for x in self.fp]
+        c.class0_hp = [list(x) for x in self.class0_hp]
+        c.hp = [list(x) for x in self.hp]
+        return c
+
+    def reset_counters(self):
+        self.joint[-1] = 0
+        for comp in range(2):
+            self.sign[comp][-1] = 0
+            self.classes[comp][-1] = 0
+            self.class0_bit[comp][-1] = 0
+            for rw in self.bits[comp]:
+                rw[-1] = 0
+            for rw in self.class0_fp[comp]:
+                rw[-1] = 0
+            self.fp[comp][-1] = 0
+            self.class0_hp[comp][-1] = 0
+            self.hp[comp][-1] = 0
+
+
+def read_mv_component_full(m, mv, comp, force_integer: bool,
+                           allow_hp: bool) -> int:
+    """read_mv_component (5.11.32), full precision ladder."""
+    sign = m.decode_symbol(mv.sign[comp])
+    cls = m.decode_symbol(mv.classes[comp])
+    if cls == 0:
+        int_bit = m.decode_symbol(mv.class0_bit[comp])
+        fr = 3 if force_integer else \
+            m.decode_symbol(mv.class0_fp[comp][int_bit])
+        hp = m.decode_symbol(mv.class0_hp[comp]) if allow_hp else 1
+        mag = ((int_bit << 3) | (fr << 1) | hp) + 1
+    else:
+        d = 0
+        for i in range(cls):
+            d |= m.decode_symbol(mv.bits[comp][i]) << i
+        fr = 3 if force_integer else m.decode_symbol(mv.fp[comp])
+        hp = m.decode_symbol(mv.hp[comp]) if allow_hp else 1
+        mag = 2 << (cls + 2)
+        mag += ((d << 3) | (fr << 1) | hp) + 1
+    return -mag if sign else mag
+
+
+def read_mv_full(m, mv, pred, force_integer: bool, allow_hp: bool):
+    """read_mv (5.11.31) for one ref of an inter block."""
+    joint = m.decode_symbol(mv.joint)
+    dr = read_mv_component_full(m, mv, 0, force_integer, allow_hp) \
+        if joint in (2, 3) else 0
+    dc = read_mv_component_full(m, mv, 1, force_integer, allow_hp) \
+        if joint in (1, 3) else 0
+    return [pred[0] + dr, pred[1] + dc]

@@ -56,11 +56,37 @@ class Block:
                  "avail_u", "avail_l", "avail_uc", "avail_lc",
                  "tile", "coeff_map",
                  "pal_y", "pal_u", "pal_v", "pal_map_y",
-                 "pal_map_uv", "_pal_rec", "use_intrabc", "mv")
+                 "pal_map_uv", "_pal_rec", "use_intrabc", "mv",
+                 # inter-frame fields (av1_inter.py)
+                 "is_inter", "skip_mode", "refs", "mvs2",
+                 "ref_mv_idx", "interp", "motion_mode",
+                 "interintra", "ii_mode", "ii_wedge", "wedge_index",
+                 "wedge_sign", "mask_type", "comp_group_idx",
+                 "compound_idx", "compound_type", "warp_samples",
+                 "mv_stack", "warp_params")
 
     def __init__(self):
         self.use_intrabc = False
         self.mv = (0, 0)
+        self.is_inter = False
+        self.skip_mode = False
+        self.refs = [0, -1]              # (INTRA_FRAME, NONE)
+        self.mvs2 = [[0, 0], [0, 0]]
+        self.ref_mv_idx = 0
+        self.interp = [0, 0]
+        self.motion_mode = 0
+        self.interintra = False
+        self.ii_mode = 0
+        self.ii_wedge = False
+        self.wedge_index = 0
+        self.wedge_sign = 0
+        self.mask_type = 0
+        self.comp_group_idx = 0
+        self.compound_idx = 1
+        self.compound_type = -1
+        self.warp_samples = None
+        self.mv_stack = None
+        self.warp_params = None
         self.filter_intra_mode = -1
         self.cfl_alpha_u = 0
         self.cfl_alpha_v = 0
@@ -148,6 +174,26 @@ class FrameState:
         self.is_ibc = u8()
         self.inter_tx = u8()
         self.tx_types = u8()
+        # inter-frame per-mi state (av1_inter.py): refs (2, NONE=-1),
+        # both mvs, inter flag, interp filters, compound flags, the
+        # skip_mode flag and the is-global-mv-block flag used by
+        # candidate substitution (7.10.2.7)
+        self.ref_frame = np.full((mr, mc, 2), -1, np.int8)
+        self.mv2 = np.zeros((mr, mc, 2, 2), np.int32)
+        self.is_inter = u8()
+        self.interp = np.zeros((mr, mc, 2), np.uint8)
+        self.comp_group = u8()
+        self.compound_idx = u8()
+        self.skip_mode = u8()
+        self.gm_flag = u8()
+        self.motion_mode_mi = u8()
+        # decoder-level inter context, set by the frame driver
+        self.motion_field = None     # av1_refs.MotionField
+        self.refs = None             # 8-slot RefFrame list
+        self.cdf_template = None     # primary-ref loaded CDFs
+        self.saved_cdf = None        # frame-end CDF snapshot
+        self.force_python = False    # sequence decode: CDF state
+                                     # must live in CdfContext
         self.max_luma = [4, 4]    # running MaxLumaW/H (spec)
         # block-origin -> (pal_y, pal_u) for the neighbor palette
         # cache (get_palette_cache); Python path only
@@ -376,12 +422,22 @@ class TileDecoder:
         self.fh = fs.fh
         self.m = Msac(data,
                       allow_update=not fs.fh.disable_cdf_update)
-        self.cdf = fresh_cdf(qctx_for_base_q(fs.fh.base_q_idx))
+        if fs.cdf_template is not None:
+            # inter sequences: CDFs loaded from the primary ref (or
+            # the frame driver's defaults snapshot)
+            self.cdf = fs.cdf_template._clone()
+        else:
+            self.cdf = fresh_cdf(qctx_for_base_q(fs.fh.base_q_idx))
         t = self.cdf.tables
         # expand the shared delta_lf default into independent cdfs
-        self.delta_lf_single = [list(t["delta_lf"][0])]
-        self.delta_lf_multi = [list(t["delta_lf"][1])
-                               for _ in range(4)]
+        # (carried on the context so frame-end CDF save sees the
+        # adapted state — see save_tile_cdfs)
+        if getattr(self.cdf, "delta_lf_single", None) is None:
+            self.cdf.delta_lf_single = [list(t["delta_lf"][0])]
+            self.cdf.delta_lf_multi = [list(t["delta_lf"][1])
+                                       for _ in range(4)]
+        self.delta_lf_single = self.cdf.delta_lf_single
+        self.delta_lf_multi = self.cdf.delta_lf_multi
         self.r0, self.r1 = mi_row_start, mi_row_end
         self.c0, self.c1 = mi_col_start, mi_col_end
         # above context arrays span the tile columns; left arrays span
@@ -410,13 +466,24 @@ class TileDecoder:
         from ffpic_tpu import native
         # intrabc is implemented in the whole-SB C driver only; the
         # per-block C path routes allow_intrabc frames to Python
+        # inter frames (and any frame decoded with a loaded CDF
+        # template, i.e. inside a sequence) run the pure-Python
+        # symbol path: the native parser adapts its own CDF arenas
+        # which would not survive into the frame-end CDF save
         self._use_native = (native.available()
+                            and fs.fh.frame_is_intra
+                            and fs.cdf_template is None
+                            and not fs.force_python
                             and not os.environ.get(
                                 "FFPIC_AV1_NO_NATIVE")
                             and not (fs.fh.allow_intrabc and
                                      os.environ.get(
                                          "FFPIC_AV1_BLOCK_NATIVE")))
         self._dv_cdfs = None
+        # segmentation temporal-prediction contexts (spec: above
+        # cleared per tile, left per superblock row)
+        self.above_seg_pred = np.zeros(fs.mi_cols + 32, np.uint8)
+        self.left_seg_pred = np.zeros(fs.mi_rows + 32, np.uint8)
         # above/left neighbor palette line buffers for the C parse
         # (counts u8 [n][2] y/u, colors u16 [n][16] = 8 y + 8 u);
         # last-writer-wins per column/row IS the (r-1,c)/(r,c-1)
@@ -471,6 +538,7 @@ class TileDecoder:
             for p in range(len(self.l_coef)):
                 self.l_coef[p][:] = 0
             self.l_txh[:] = 64
+            self.left_seg_pred[:] = 0
             self.sb_row = r
             for c in range(self.c0, self.c1, sb4):
                 self.read_deltas = (self.fh.delta_q_present or
@@ -723,6 +791,10 @@ class TileDecoder:
             self._residual(r, c, b)
             return
 
+        if not fh.frame_is_intra:
+            self._decode_block_interframe(r, c, bsize, b, re, ce)
+            return
+
         # --- segment id (pre-skip variant)
         b.seg_id = 0
         if fh.segmentation_enabled and fh.seg_id_pre_skip:
@@ -761,11 +833,31 @@ class TileDecoder:
                 self._read_block_tx_size_inter(r, c, re, ce, b)
                 self._residual(r, c, b)
                 return
+        self._intra_mode_info(r, c, bsize, b, kf=True)
+        # --- record mode info + tx size + residual
+        self._record_block(r, c, re, ce, bsize, b)
+        self._read_tx_size(r, c, re, ce, b)
+        self._residual(r, c, b)
+
+    def _intra_mode_info(self, r, c, bsize, b, kf: bool):
+        """Intra mode syntax shared between key/intra frames (kf
+        y-mode cdf keyed by neighbor modes) and intra blocks inside
+        inter frames (y_mode cdf keyed by Size_Group, spec
+        5.11.20)."""
+        fs, seq, fh = self.fs, self.seq, self.fh
+        avail_u, avail_l = b.avail_u, b.avail_l
+        bw4, bh4 = C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]
+        sx, sy = seq.subsampling_x, seq.subsampling_y
         # --- y mode
-        am = fs.y_mode[r - 1, c] if avail_u else C.DC_PRED
-        lm = fs.y_mode[r, c - 1] if avail_l else C.DC_PRED
-        cdf = self.cdf["kf_y_mode"][C.INTRA_MODE_CONTEXT[am]][
-            C.INTRA_MODE_CONTEXT[lm]]
+        if kf:
+            am = fs.y_mode[r - 1, c] if avail_u else C.DC_PRED
+            lm = fs.y_mode[r, c - 1] if avail_l else C.DC_PRED
+            am = am if am < 13 else C.DC_PRED   # inter-mode nbrs
+            lm = lm if lm < 13 else C.DC_PRED
+            cdf = self.cdf["kf_y_mode"][C.INTRA_MODE_CONTEXT[am]][
+                C.INTRA_MODE_CONTEXT[lm]]
+        else:
+            cdf = self.cdf["y_mode"][C.SIZE_GROUP[bsize]]
         b.y_mode = self.sym(cdf)
         if bsize >= C.BLOCK_8X8 and b.y_mode in C.MODE_TO_ANGLE:
             b.angle_y = self.sym(
@@ -833,9 +925,42 @@ class TileDecoder:
             b.pal_map_y = self._read_palette_map(b, False)
         if b.pal_u:
             b.pal_map_uv = self._read_palette_map(b, True)
-        # --- record mode info + tx size + residual
-        self._record_block(r, c, re, ce, bsize, b)
-        self._read_tx_size(r, c, re, ce, b)
+
+    def _decode_block_interframe(self, r, c, bsize, b, re, ce):
+        """Spec 5.11.15 inter_frame_mode_info + tx/residual for one
+        block of an INTER/INTRA_ONLY/SWITCH frame (Python path)."""
+        from ffpic_tpu.coding import av1_inter as I
+        fs, fh = self.fs, self.fh
+        b.seg_id = 0
+        if fh.segmentation_enabled and fh.seg_id_pre_skip:
+            I.read_segment_id_inter(self, b, r, c, re, ce, True)
+        b.skip_mode = bool(I.read_skip_mode(self, b, r, c))
+        if b.skip_mode:
+            b.skip = 1
+        else:
+            ctx = 0
+            if b.avail_u and fs.skip[r - 1, c]:
+                ctx += 1
+            if b.avail_l and fs.skip[r, c - 1]:
+                ctx += 1
+            b.skip = self.sym(self.cdf["skip"][ctx])
+        if fh.segmentation_enabled and not fh.seg_id_pre_skip:
+            I.read_segment_id_inter(self, b, r, c, re, ce, False)
+        self._read_cdef(r, c, bsize, b.skip)
+        self._read_deltas(r, c, bsize, b.skip)
+        b.qindex = self.current_qindex
+        fs.delta_lf[r:re, c:ce] = np.array(self.cur_delta_lf,
+                                           np.int8)
+        b.is_inter = bool(I.read_is_inter(self, b, r, c))
+        if b.is_inter:
+            I.inter_block_mode_info(self, b, r, c)
+            self._record_block(r, c, re, ce, bsize, b)
+            self._read_block_tx_size_inter(r, c, re, ce, b)
+        else:
+            b.refs = [C.INTRA_FRAME, C.NONE_FRAME]
+            self._intra_mode_info(r, c, bsize, b, kf=False)
+            self._record_block(r, c, re, ce, bsize, b)
+            self._read_tx_size(r, c, re, ce, b)
         self._residual(r, c, b)
 
     def _record_block(self, r, c, re, ce, bsize, b):
@@ -862,6 +987,22 @@ class TileDecoder:
             fs.is_ibc[r:re, c:ce] = 1
             fs.mvs[r:re, c:ce, 0] = b.mv[0]
             fs.mvs[r:re, c:ce, 1] = b.mv[1]
+        if not self.fh.frame_is_intra:
+            fs.ref_frame[r:re, c:ce, 0] = b.refs[0]
+            fs.ref_frame[r:re, c:ce, 1] = b.refs[1]
+            fs.is_inter[r:re, c:ce] = int(b.is_inter)
+            fs.skip_mode[r:re, c:ce] = int(b.skip_mode)
+            if b.is_inter:
+                fs.mv2[r:re, c:ce, 0] = b.mvs2[0]
+                fs.mv2[r:re, c:ce, 1] = b.mvs2[1]
+                fs.interp[r:re, c:ce, 0] = b.interp[0]
+                fs.interp[r:re, c:ce, 1] = b.interp[1]
+                fs.comp_group[r:re, c:ce] = b.comp_group_idx
+                fs.compound_idx[r:re, c:ce] = b.compound_idx
+                fs.motion_mode_mi[r:re, c:ce] = b.motion_mode
+                fs.gm_flag[r:re, c:ce] = int(
+                    b.y_mode in (C.GLOBALMV, C.GLOBAL_GLOBALMV) and
+                    min(bw4, bh4) * 4 >= 8)
         fs.blocks.append(b)
 
     def _block_qindex(self, b) -> int:
@@ -1740,7 +1881,7 @@ class TileDecoder:
     # ------------------------------------------------- coefficients
     def _luma_tx_type(self, tx, b):
         fh = self.fh
-        if b.use_intrabc:
+        if b.use_intrabc or b.is_inter:
             # inter tx sets (spec 5.11.47 transform_type, is_inter)
             tset = C.get_tx_set_inter(tx, fh.reduced_tx_set)
             qidx = H.get_qindex(fh, b.seg_id)
@@ -1770,7 +1911,7 @@ class TileDecoder:
     def _chroma_tx_type(self, tx, b, x4=0, y4=0):
         if C.TX_SIZE_SQR_UP[tx] > C.TX_32X32:
             return C.DCT_DCT
-        if b.use_intrabc:
+        if b.use_intrabc or b.is_inter:
             # inter chroma: co-located luma tx type (block origin +
             # chroma-TB offset scaled up, dav1d txtp_map addressing)
             fs, seq = self.fs, self.seq
@@ -1842,7 +1983,7 @@ class TileDecoder:
         # ---- tx type + scan
         if plane == 0:
             tx_type = self._luma_tx_type(tx, b)
-            if b.use_intrabc:
+            if b.use_intrabc or b.is_inter:
                 fs = self.fs
                 fs.tx_types[y4:min(y4 + h4, fs.mi_rows),
                             x4:min(x4 + w4, fs.mi_cols)] = tx_type
@@ -2074,7 +2215,8 @@ def iter_tx_geometry(seq, fs, b):
                 base_y = ((r >> sy) + (cy << (4 - sy))) * 4
                 max_x = (fs.mi_cols * 4) >> sx
                 max_y = (fs.mi_rows * 4) >> sy
-                if plane == 0 and b.use_intrabc and not lossless:
+                if plane == 0 and (b.use_intrabc or b.is_inter) \
+                        and not lossless:
                     # inter residual: transform_tree over the chunk
                     # follows the var-tx leaf grid (spec 5.11.36)
                     yield from _transform_tree(

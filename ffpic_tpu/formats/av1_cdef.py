@@ -83,7 +83,10 @@ def _find_directions(luma: np.ndarray, bd: int):
     best_cost = np.take_along_axis(cost, best[..., None], -1)[..., 0]
     opp = np.take_along_axis(cost, ((best + 4) & 7)[..., None],
                              -1)[..., 0]
-    var = (best_cost - opp) >> 5
+    # spec 7.15.2: Var = (bestCost - cost[(bestDir + 4) & 7]) >> 10
+    # (was >> 5 — masked by the i<=12 cap in adjust_strength on
+    # high-variance content, caught by the animation key frames)
+    var = (best_cost - opp) >> 10
     return best.astype(np.int32), var
 
 
@@ -201,14 +204,22 @@ def cdef_frame(fs, planes):
                     for c in range(c0, c1) if filt8[r, c]]
             if not blks:
                 continue
-            bdirs = [int(dirs[r, c]) if y_pri else 0 for r, c in blks]
+            # the luma direction drives BOTH planes' primary and
+            # secondary taps even when y_pri is 0 (e.g. chroma-only
+            # primary strengths — caught by inter-frame conformance)
+            bdirs = [int(dirs[r, c]) for r, c in blks]
             bvar = [int(var[r, c]) for r, c in blks]
-            # luma
+            # luma — the filter's dir input is zeroed per PLANE when
+            # that plane's (adjusted) primary strength is 0, so the
+            # secondary taps then use direction 0 (libaom
+            # cdef_filter_block call: `t ? dir[bi] : 0`)
             if y_pri or y_sec:
                 pri_adj = [_adjust_strength(y_pri, v) for v in bvar]
+                ydirs = [d if p else 0
+                         for d, p in zip(bdirs, pri_adj)]
                 _filter_plane(srcs[0], out[0],
                               [(r * 8, c * 8) for r, c in blks],
-                              bdirs, pri_adj, [y_sec] * len(blks),
+                              ydirs, pri_adj, [y_sec] * len(blks),
                               fh.cdef_damping + coeff_shift, bd, 8, 8)
             if len(planes) > 1 and (uv_pri or uv_sec):
                 sx, sy = seq.subsampling_x, seq.subsampling_y
@@ -219,6 +230,8 @@ def cdef_frame(fs, planes):
                     cdirs = [conv[d] for d in bdirs]
                 else:
                     cdirs = bdirs
+                if not uv_pri:
+                    cdirs = [0] * len(bdirs)
                 cblks = [((r * 8) >> sy, (c * 8) >> sx)
                          for r, c in blks]
                 damp_uv = fh.cdef_damping + coeff_shift - 1

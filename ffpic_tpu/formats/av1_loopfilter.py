@@ -56,7 +56,14 @@ def _filter_level(fs, plane, pass_, r, c):
             lvl = max(0, min(MAX_LOOP_FILTER,
                              lvl + fh.feature_data[seg][feat]))
     if fh.loop_filter_delta_enabled:
-        lvl += fh.loop_filter_ref_deltas[INTRA_FRAME] << (lvl >> 5)
+        if fh.frame_is_intra or not fs.is_inter[r, c]:
+            lvl += fh.loop_filter_ref_deltas[INTRA_FRAME] << (lvl >> 5)
+        else:
+            ref = int(fs.ref_frame[r, c, 0])
+            mode = int(fs.y_mode[r, c])
+            mt = 0 if mode in (15, 23) else 1   # GLOBALMV/GLOBAL_GLOBAL
+            lvl += (fh.loop_filter_ref_deltas[ref] +
+                    fh.loop_filter_mode_deltas[mt]) << (lvl >> 5)
         lvl = max(0, min(MAX_LOOP_FILTER, lvl))
     return lvl
 
@@ -220,8 +227,12 @@ def deblock_frame(fs, planes):
     import os
     from ffpic_tpu import native
     use_native = (native.available()
+                  and fh.frame_is_intra
                   and not os.environ.get("FFPIC_AV1_NO_NATIVE")
                   and not os.environ.get("FFPIC_AV1_HOST_DEBLOCK"))
+    # inter frames use the numpy path: the C level derivation only
+    # knows the INTRA_FRAME ref delta (ref/mode deltas planned with
+    # the inter C port)
     prm = _deblock_native_prm(fs) if use_native else None
     for plane in range(len(planes)):
         if plane == 1 and not fh.loop_filter_level[2]:
@@ -273,9 +284,25 @@ def _filter_level_grid(fs, plane, pass_, MR, MC):
         lvl = np.where(en, np.clip(lvl + dat, 0, MAX_LOOP_FILTER),
                        lvl)
     if fh.loop_filter_delta_enabled:
-        lvl = np.clip(
-            lvl + (fh.loop_filter_ref_deltas[INTRA_FRAME]
-                   << (lvl >> 5)), 0, MAX_LOOP_FILTER)
+        if fh.frame_is_intra:
+            delta = np.int32(fh.loop_filter_ref_deltas[INTRA_FRAME])
+        else:
+            # per-position ref/mode deltas (spec 7.14.4: mode delta
+            # class 0 = intra/GLOBALMV/GLOBAL_GLOBALMV, 1 = other
+            # inter modes)
+            refs = fs.ref_frame[MR, MC, 0].astype(np.int32)
+            modes = fs.y_mode[MR, MC].astype(np.int32)
+            inter = fs.is_inter[MR, MC].astype(bool)
+            rdel = np.asarray(fh.loop_filter_ref_deltas,
+                              np.int32)[np.where(inter, refs, 0)]
+            mt = ((modes != 15) & (modes != 23)).astype(np.int32)
+            mdel = np.asarray(fh.loop_filter_mode_deltas,
+                              np.int32)[mt]
+            delta = np.where(
+                inter, rdel + mdel,
+                np.int32(fh.loop_filter_ref_deltas[INTRA_FRAME]))
+        lvl = np.clip(lvl + (delta << (lvl >> 5)), 0,
+                      MAX_LOOP_FILTER)
     return lvl
 
 

@@ -118,6 +118,11 @@ def _decode_tile_group(fs: FrameState, data: bytes):
             fh.mi_row_starts[trow], fh.mi_row_starts[trow + 1],
             fh.mi_col_starts[tcol], fh.mi_col_starts[tcol + 1])
         td.decode()
+        if tn == fh.context_update_tile_id and \
+                not fh.disable_frame_end_update_cdf:
+            # frame-end CDF snapshot (spec: the state after the
+            # context-update tile, counters zeroed)
+            fs.saved_cdf = td.cdf
     return tg_end + 1
 
 
@@ -343,6 +348,7 @@ def _reconstruct(fs: FrameState):
     import os
     from ffpic_tpu import native
     if (native.available()
+            and fs.fh.frame_is_intra and not fs.force_python
             and not os.environ.get("FFPIC_AV1_NO_NATIVE")
             and not (fs.fh.allow_intrabc and
                      os.environ.get("FFPIC_AV1_BLOCK_NATIVE"))):
@@ -359,13 +365,49 @@ def _reconstruct(fs: FrameState):
             if (sb_r, sb_c) != cur_sb:
                 dec.reset(sb_r, sb_c, b.tile)
                 cur_sb = (sb_r, sb_c)
-            _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma,
-                         pix_max)
+            if b.is_inter:
+                _recon_inter_block(fs, planes, dec, sb_r, sb_c, b,
+                                   max_luma, pix_max)
+            else:
+                _recon_block(fs, planes, dec, sb_r, sb_c, b,
+                             max_luma, pix_max)
     out = [planes[0][:h, :w]]
     if seq.num_planes > 1:
         out += [p[:h >> seq.subsampling_y, :w >> seq.subsampling_x]
                 for p in planes[1:]]
     return [p.astype(dt) for p in out]
+
+
+def _recon_inter_block(fs, planes, dec, sb_r, sb_c, b, max_luma,
+                       pix_max):
+    """Inter block recon: whole-block motion-compensated prediction
+    (av1_mc), then per-TB residual add in decode order."""
+    from ffpic_tpu.formats.av1_mc import predict_inter_block
+    seq = fs.seq
+    bd = seq.bit_depth
+    lossless = fs.fh.lossless_segs[b.seg_id]
+    predict_inter_block(fs, planes, b)
+    for plane, x, y, tx, plane_bsize in iter_tx_geometry(seq, fs, b):
+        sx = seq.subsampling_x if plane else 0
+        sy = seq.subsampling_y if plane else 0
+        w, h = C.TX_W[tx], C.TX_H[tx]
+        arr = planes[plane]
+        tb = b.coeff_map.get((plane, x, y)) if b.coeff_map else None
+        if tb is not None:
+            res = tb.residual if tb.residual is not None else \
+                inverse_transform(tb.coeffs, tx, tb.tx_type, bd,
+                                  lossless)
+            we = min(w, arr.shape[1] - x)
+            he = min(h, arr.shape[0] - y)
+            blk = arr[y:y + he, x:x + we] + res[:he, :we]
+            np.clip(blk, 0, pix_max, out=blk)
+            arr[y:y + he, x:x + we] = blk
+        rel_x4 = (x >> 2) - ((sb_c >> sx) if sx else sb_c)
+        rel_y4 = (y >> 2) - ((sb_r >> sy) if sy else sb_r)
+        dec.mark(plane, rel_y4, rel_x4, h >> 2, w >> 2)
+        if plane == 0:
+            max_luma[0] = x + w
+            max_luma[1] = y + h
 
 
 def _ibc_predict(arr, x, y, w, h, mv, sx, sy, bd):
@@ -481,3 +523,146 @@ def _recon_block(fs, planes, dec, sb_r, sb_c, b, max_luma, pix_max):
         if plane == 0:
             max_luma[0] = x + w
             max_luma[1] = y + h
+
+
+# ----------------------------------------------------------- video decoder
+class Av1Decoder:
+    """Stateful multi-frame AV1 decoder (animated AVIF / raw OBU
+    sequences): 8-slot reference management (7.20), primary-ref CDF
+    carryover with frame-end snapshots, motion-field projection
+    (7.9), show_existing_frame (7.21).
+
+    The C reference has no AV1 layer at all; dav1d is the bit-exact
+    per-frame oracle (tests/test_av1_inter.py)."""
+
+    def __init__(self):
+        from ffpic_tpu.coding import av1_refs as R
+        self.R = R
+        self.seq = None
+        self.refs = [None] * 8
+
+    def decode_obus(self, data: bytes, apply_filters: bool = True):
+        """Decode a temporal-unit byte stream; returns the list of
+        SHOWN frames as (planes, meta)."""
+        import ffpic_tpu.coding.av1_headers as H
+        out = []
+        fh = None
+        fs = None
+        tiles_done = 0
+        for obu in H.parse_obus(data):
+            ot = obu["type"]
+            if ot == H.OBU_SEQUENCE_HEADER:
+                self.seq = H.parse_sequence_header(obu["payload"])
+            elif ot in (H.OBU_FRAME, H.OBU_FRAME_HEADER):
+                if self.seq is None:
+                    raise ValueError("frame before sequence header")
+                payload = obu["payload"]
+                fh, bitpos = H.parse_frame_header(
+                    payload, self.seq, self.refs)
+                if fh.show_existing_frame:
+                    frame = self._show_existing(fh)
+                    if frame is not None:
+                        out.append(frame)
+                    fh = None
+                    continue
+                if fh.use_superres:
+                    raise NotImplementedError(
+                        "superres in frame sequences")
+                fs = self._new_frame_state(fh)
+                tiles_done = 0
+                if ot == H.OBU_FRAME:
+                    tile_data = payload[(bitpos + 7) >> 3:]
+                    _decode_tile_group(fs, tile_data)
+                    frame = self._finish_frame(fs, apply_filters)
+                    if frame is not None:
+                        out.append(frame)
+                    fh = None
+                    fs = None
+            elif ot == H.OBU_TILE_GROUP:
+                if fs is None:
+                    raise ValueError("tile group without header")
+                ntiles = fs.fh.tile_cols * fs.fh.tile_rows
+                tiles_done = _decode_tile_group(fs, obu["payload"])
+                if tiles_done >= ntiles:
+                    frame = self._finish_frame(fs, apply_filters)
+                    if frame is not None:
+                        out.append(frame)
+                    fh = None
+                    fs = None
+        return out
+
+    def _new_frame_state(self, fh) -> FrameState:
+        fs = FrameState(self.seq, fh)
+        fs.refs = self.refs
+        fs.force_python = True
+        if fh.primary_ref_frame != 7:      # PRIMARY_REF_NONE
+            prev = self.refs[fh.ref_frame_idx[fh.primary_ref_frame]]
+            if prev is None or prev.cdfs is None:
+                raise ValueError("primary ref slot empty")
+            fs.cdf_template = prev.cdfs
+        if not fh.frame_is_intra:
+            fs.motion_field = self.R.MotionField(self.seq, fh,
+                                                 self.refs)
+        return fs
+
+    def _finish_frame(self, fs, apply_filters):
+        seq, fh = self.seq, fs.fh
+        planes = _reconstruct(fs)
+        if apply_filters:
+            from ffpic_tpu.formats.av1_loopfilter import \
+                apply_loop_filters
+            planes = apply_loop_filters(fs, planes, 7)
+        w, h = fh.width, fh.height
+        cropped = [planes[0][:h, :w]]
+        if len(planes) > 1:
+            cw = (w + seq.subsampling_x) >> seq.subsampling_x
+            ch = (h + seq.subsampling_y) >> seq.subsampling_y
+            cropped += [p[:ch, :cw] for p in planes[1:]]
+        # frame-end CDF selection (counters zeroed per spec)
+        if not fh.disable_frame_end_update_cdf and \
+                fs.saved_cdf is not None:
+            cdfs = fs.saved_cdf._clone()
+        elif fs.cdf_template is not None:
+            cdfs = fs.cdf_template._clone()
+        else:
+            from ffpic_tpu.coding.av1_msac import fresh_cdf
+            from ffpic_tpu.coding.av1_tile import qctx_for_base_q
+            cdfs = fresh_cdf(qctx_for_base_q(fh.base_q_idx))
+        cdfs.reset_counters()
+        rf = self.R.save_frame_state(seq, fh, fs, cropped, cdfs)
+        self.R.update_ref_slots(self.refs, fh, rf)
+        if not fh.show_frame:
+            return None
+        return cropped, self._meta(fh)
+
+    def _show_existing(self, fh):
+        rf = self.refs[fh.frame_to_show]
+        if rf is None:
+            raise ValueError("show_existing_frame: empty slot")
+        if rf.frame_type == 0:             # KEY: reference loading
+            for i in range(8):
+                self.refs[i] = rf
+        w, h = rf.upscaled_width, rf.height
+        planes = [rf.planes[0][:h, :w]]
+        if len(rf.planes) > 1:
+            sx, sy = rf.subsampling
+            planes += [p[:(h + sy) >> sy, :(w + sx) >> sx]
+                       for p in rf.planes[1:]]
+        meta = self._meta(None, rf)
+        return planes, meta
+
+    def _meta(self, fh, rf=None):
+        seq = self.seq
+        if rf is not None:
+            w, h = rf.upscaled_width, rf.height
+        else:
+            w, h = fh.width, fh.height
+        return dict(width=w, height=h, bit_depth=seq.bit_depth,
+                    mono=seq.mono_chrome,
+                    subsampling=(seq.subsampling_x,
+                                 seq.subsampling_y),
+                    color_primaries=seq.color_primaries,
+                    transfer_characteristics=
+                    seq.transfer_characteristics,
+                    matrix_coefficients=seq.matrix_coefficients,
+                    color_range=seq.color_range)
