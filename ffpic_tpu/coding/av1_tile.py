@@ -1191,8 +1191,13 @@ class TileDecoder:
         size = min(64, max(C.BLOCK_W4[b.bsize] * 4,
                            C.BLOCK_H4[b.bsize] * 4))
         max_tx = C.find_tx_size(size, size)
-        cat = (int(tx == max_tx and
-                   b.bsize > _TX_TO_BSIZE[max_tx])
+        # aom txfm_partition_context: the first term marks RECURSIVE
+        # levels (the current tx no longer squares up to the block's
+        # max square tx) — caught by inter var-tx conformance (the
+        # old tx==max_tx formulation collapsed child reads onto the
+        # parent's category)
+        cat = (int(C.TX_SIZE_SQR_UP[tx] != max_tx and
+                   max_tx > C.TX_8X8)
                + (4 - max_tx) * 2)
         return cat * 3 + above + left
 

@@ -2541,7 +2541,10 @@ static void sb_read_var_tx(SbCtx *t, int r, int c, int tx,
         if (size > 64) size = 64;
         int max_tx = 0;
         for (int v = size >> 2; v > 1; v >>= 1) max_tx++;
-        int cat = ((tx == max_tx && bsize > S3[S3_TX2BS + max_tx])
+        /* aom txfm_partition_context: term 1 marks recursive levels
+         * (current tx no longer squares up to the block's max
+         * square tx) — mirrored from av1_tile._txfm_split_ctx */
+        int cat = ((S2[S2_SQRUP + tx] != max_tx && max_tx > 1)
                    ? 1 : 0) + (4 - max_tx) * 2;
         split = msac_symbol(&t->m, (int32_t *)t->mp[M_TXSPLIT]
                             + (cat * 3 + above + left) * 3, 2);
