@@ -21,6 +21,7 @@ import numpy as np
 from ffpic_tpu.formats.pic import Pic
 from ffpic_tpu.formats.registry import Codec, register
 from ffpic_tpu.formats import heif as heif_mod
+from ffpic_tpu.formats import basemedia as bm
 
 log = logging.getLogger("ffpic")
 
@@ -340,7 +341,58 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
     meta.update(width=pic.width, height=pic.height)
 
     pic.pixels = rgba
-    return [pic]
+    pics = [pic]
+    # animated AVIF (avis): decode the av01 track samples through the
+    # stateful multi-frame decoder (Av1Decoder — inter prediction,
+    # reference slots, show_existing_frame).  The C reference parses
+    # no AV1 pixels at all; frame oracle is dav1d
+    # (tests/test_av1_inter.py::test_avis_end_to_end).
+    try:
+        for rgba_f, dur in _track_frames(data, nclx):
+            fh_, fw_ = rgba_f.shape[:2]
+            pics.append(Pic(width=fw_, height=fh_, depth=32,
+                            pitch=fw_ * 4, codec="AVIF",
+                            pixels=rgba_f, delay_ms=dur,
+                            meta=dict(width=fw_, height=fh_)))
+        if len(pics) > 1:
+            pics[0].delay_ms = pics[1].delay_ms
+            meta["frames"] = len(pics)
+    except (ValueError, NotImplementedError) as e:
+        log.warning("avis track decode failed: %s", e)
+    return pics
+
+
+def _track_frames(data: bytes, item_nclx):
+    """Decode av01 track samples (animated AVIF) to RGBA frames.
+    Yields (rgba, duration_ms) per SHOWN frame.  The first track frame
+    usually duplicates the still cover item — both are returned; the
+    caller's Pic list mirrors the GIF/WebP frame convention."""
+    boxes = bm.parse_boxes(data, 0, len(data))
+    tr = bm.track_samples(data, boxes, "av01")
+    if tr is None:
+        return
+    es = tr["entry_start"]
+    children = bm.parse_boxes(data, es + 86, es + tr["entry_size"])
+    av1c = bm.find_box(children, "av1C")
+    # av1C: 4 fixed bytes then configOBUs (usually the sequence header)
+    cfg = (data[av1c.start + 4:av1c.start + av1c.size]
+           if av1c is not None else b"")
+    nclx = item_nclx
+    colr = bm.find_box(children, "colr")
+    if colr is not None and data[colr.start:colr.start + 4] == b"nclx":
+        import struct as _st
+        nclx = dict(
+            primaries=_st.unpack_from(">H", data, colr.start + 4)[0],
+            transfer=_st.unpack_from(">H", data, colr.start + 6)[0],
+            matrix=_st.unpack_from(">H", data, colr.start + 8)[0],
+            full_range=bool(data[colr.start + 10] >> 7))
+    from ffpic_tpu.formats.av1_recon import Av1Decoder
+    dec = Av1Decoder()
+    if cfg:
+        dec.decode_obus(cfg)
+    for (off, size), dur in zip(tr["samples"], tr["durations"]):
+        for planes, fmeta in dec.decode_obus(data[off:off + size]):
+            yield _yuv_to_rgba(planes, fmeta, nclx), dur
 
 
 def info(pic: Pic) -> str:

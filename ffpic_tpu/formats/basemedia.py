@@ -76,6 +76,97 @@ def find_all(boxes: list[Box], btype: str) -> list[Box]:
 
 
 # ---------------------------------------------------------------------------
+# track sample tables (moov/trak/mdia/minf/stbl)
+
+def track_samples(data: bytes, boxes: list[Box],
+                  entry_type: str) -> dict | None:
+    """Walk the first moov track whose stsd sample entry matches
+    entry_type ('av01', 'hvc1', ...).  Returns a dict with the sample
+    entry byte range, per-sample (offset, size) pairs, per-sample
+    durations in ms (from stts + mdhd timescale), or None if no such
+    track exists.  Mirrors the reference's sequence walk
+    (format/heif.c:431-462) but codec-agnostic."""
+    moov = find_box(boxes, "moov")
+    if moov is None:
+        return None
+    for trak in [b for b in moov.children if b.type == "trak"]:
+        stbl = find_box(trak.children, "mdia/minf/stbl")
+        mdhd = find_box(trak.children, "mdia/mdhd")
+        if stbl is None:
+            continue
+        stsd = find_box(stbl.children, "stsd")
+        stsz = find_box(stbl.children, "stsz")
+        stco = find_box(stbl.children, "stco") or \
+            find_box(stbl.children, "co64")
+        stsc = find_box(stbl.children, "stsc")
+        stts = find_box(stbl.children, "stts")
+        if not (stsd and stsz and stco and stsc):
+            continue
+        p = stsd.start + 8
+        entry_size, etype = struct.unpack_from(">I4s", data, p)
+        if etype.decode("latin1") != entry_type:
+            continue
+        # mdhd timescale (version 0: 12 bytes in; version 1: 20)
+        timescale = 0
+        if mdhd is not None:
+            off = 12 if mdhd.version == 0 else 20
+            timescale = struct.unpack_from(
+                ">I", data, mdhd.start + off)[0]
+        # stsz sample sizes
+        uniform = struct.unpack_from(">I", data, stsz.start + 4)[0]
+        n_samples = struct.unpack_from(">I", data, stsz.start + 8)[0]
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(struct.unpack_from(
+                f">{n_samples}I", data, stsz.start + 12))
+        # chunk offsets
+        n_chunks = struct.unpack_from(">I", data, stco.start + 4)[0]
+        fmt = ">%d%s" % (n_chunks, "I" if stco.type == "stco" else "Q")
+        chunk_off = struct.unpack_from(fmt, data, stco.start + 8)
+        # samples-per-chunk runs
+        n_stsc = struct.unpack_from(">I", data, stsc.start + 4)[0]
+        stsc_e = [struct.unpack_from(">III", data,
+                                     stsc.start + 8 + 12 * k)
+                  for k in range(n_stsc)]
+        spc = []
+        for k in range(n_chunks):
+            cur = 1
+            for first, per, _desc in stsc_e:
+                if first <= k + 1:
+                    cur = per
+            spc.append(cur)
+        samples = []
+        si = 0
+        for ci in range(n_chunks):
+            off = chunk_off[ci]
+            for _ in range(spc[ci]):
+                if si >= n_samples:
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        # stts -> per-sample duration (ms)
+        durations = [0] * n_samples
+        if stts is not None and timescale:
+            n_stts = struct.unpack_from(">I", data, stts.start + 4)[0]
+            si = 0
+            for k in range(n_stts):
+                cnt, delta = struct.unpack_from(
+                    ">II", data, stts.start + 8 + 8 * k)
+                for _ in range(cnt):
+                    if si >= n_samples:
+                        break
+                    durations[si] = int(round(delta * 1000 /
+                                              timescale))
+                    si += 1
+        return dict(entry_start=p, entry_size=entry_size,
+                    samples=samples, durations=durations,
+                    timescale=timescale)
+    return None
+
+
+# ---------------------------------------------------------------------------
 # meta-box item tables
 
 def parse_iloc(data: bytes, box: Box) -> dict[int, list[tuple[int, int, int]]]:
