@@ -198,6 +198,10 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
                 cand0 = mf.candidate(fh, y8, x8, refs[0])
                 cand1 = mf.candidate(fh, y8, x8, refs[1])
                 if cand0 is None or cand1 is None:
+                    # spec 7.10.2.6: an INVALID center candidate
+                    # still sets ZeroMvContext = 1 (not left at 0)
+                    if set_zero_ctx:
+                        st.zero_mv_ctx = 1
                     return
                 if set_zero_ctx:
                     st.zero_mv_ctx = 1 if (
@@ -212,6 +216,9 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
                 return
             cand = mf.candidate(fh, y8, x8, refs[0])
             if cand is None:
+                # spec 7.10.2.6: invalid center candidate => ctx 1
+                if set_zero_ctx:
+                    st.zero_mv_ctx = 1
                 return
             if set_zero_ctx:
                 st.zero_mv_ctx = 1 if (

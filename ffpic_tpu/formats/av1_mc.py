@@ -355,11 +355,12 @@ def _ls_square(a: int) -> int:
 
 
 def _ls_product1(a: int, b: int) -> int:
-    return ((a * b * 4 + (a + b) * 2) + 2) >> 2
+    # NO rounding offset (PRODUCT2 differs from PRODUCT1 only by +2)
+    return (a * b * 4 + (a + b) * 2) >> 2
 
 
 def _ls_product2(a: int, b: int) -> int:
-    return ((a * b * 4 + (a + b) * 4) + 2) >> 2
+    return (a * b * 4 + (a + b) * 2 + 2) >> 2
 
 
 def warp_estimation(samples, mi_row, mi_col, bsize, mv):

@@ -15,6 +15,7 @@ structure; only the coded payload differs).
 from __future__ import annotations
 
 import logging
+import struct
 
 import numpy as np
 
@@ -346,18 +347,41 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
     # stateful multi-frame decoder (Av1Decoder — inter prediction,
     # reference slots, show_existing_frame).  The C reference parses
     # no AV1 pixels at all; frame oracle is dav1d
-    # (tests/test_av1_inter.py::test_avis_end_to_end).
+    # (tests/test_av1_inter.py::test_avis_end_to_end).  The still
+    # cover item duplicates the first track frame, so on a successful
+    # track decode the cover Pic is REPLACED by the track frames —
+    # each animation frame appears exactly once, matching this repo's
+    # GIF/WebP convention.  Track samples go through untrusted
+    # struct.unpack walks (basemedia.track_samples), hence the broad
+    # except: a malformed moov must not sink the already-decoded
+    # cover image.
     try:
+        track = []
         for rgba_f, dur in _track_frames(data, nclx):
-            fh_, fw_ = rgba_f.shape[:2]
-            pics.append(Pic(width=fw_, height=fh_, depth=32,
-                            pitch=fw_ * 4, codec="AVIF",
-                            pixels=rgba_f, delay_ms=dur,
-                            meta=dict(width=fw_, height=fh_)))
-        if len(pics) > 1:
-            pics[0].delay_ms = pics[1].delay_ms
+            # apply the cover item's irot/imir so all frames agree
+            # in orientation with frame 0
+            if rot:
+                rgba_f = np.ascontiguousarray(
+                    np.rot90(rgba_f, rot // 90))
+            if mir is not None:
+                rgba_f = np.ascontiguousarray(
+                    np.fliplr(rgba_f) if mir == 0 else
+                    np.flipud(rgba_f))
+            track.append((rgba_f, dur))
+        if track:
+            pics = []
+            for fi, (rgba_f, dur) in enumerate(track):
+                fh_, fw_ = rgba_f.shape[:2]
+                fmeta = meta if fi == 0 else dict(width=fw_,
+                                                  height=fh_)
+                pics.append(Pic(width=fw_, height=fh_, depth=32,
+                                pitch=fw_ * 4, codec="AVIF",
+                                pixels=rgba_f, delay_ms=dur,
+                                meta=fmeta))
             meta["frames"] = len(pics)
-    except (ValueError, NotImplementedError) as e:
+            meta.update(width=pics[0].width, height=pics[0].height)
+    except (ValueError, NotImplementedError, struct.error,
+            IndexError, KeyError) as e:
         log.warning("avis track decode failed: %s", e)
     return pics
 

@@ -102,9 +102,24 @@ def track_samples(data: bytes, boxes: list[Box],
         stts = find_box(stbl.children, "stts")
         if not (stsd and stsz and stco and stsc):
             continue
+        # walk ALL stsd sample entries for a match (a conformant file
+        # may list several, or lead with a non-matching one)
+        n_entries = struct.unpack_from(">I", data, stsd.start + 4)[0]
+        stsd_end = stsd.start + stsd.size
         p = stsd.start + 8
-        entry_size, etype = struct.unpack_from(">I4s", data, p)
-        if etype.decode("latin1") != entry_type:
+        entry_size = 0
+        matched = False
+        for _ in range(min(max(n_entries, 1), 64)):
+            if p + 8 > stsd_end:
+                break
+            entry_size, etype = struct.unpack_from(">I4s", data, p)
+            if etype.decode("latin1") == entry_type:
+                matched = True
+                break
+            if entry_size <= 8:
+                break
+            p += entry_size
+        if not matched:
             continue
         # mdhd timescale (version 0: 12 bytes in; version 1: 20)
         timescale = 0
@@ -126,9 +141,10 @@ def track_samples(data: bytes, boxes: list[Box],
         chunk_off = struct.unpack_from(fmt, data, stco.start + 8)
         # samples-per-chunk runs
         n_stsc = struct.unpack_from(">I", data, stsc.start + 4)[0]
-        stsc_e = [struct.unpack_from(">III", data,
-                                     stsc.start + 8 + 12 * k)
-                  for k in range(n_stsc)]
+        stsc_e = sorted(
+            (struct.unpack_from(">III", data, stsc.start + 8 + 12 * k)
+             for k in range(n_stsc)),
+            key=lambda e: e[0])
         spc = []
         for k in range(n_chunks):
             cur = 1
@@ -149,16 +165,22 @@ def track_samples(data: bytes, boxes: list[Box],
         # stts -> per-sample duration (ms)
         durations = [0] * n_samples
         if stts is not None and timescale:
+            # round cumulative TIMESTAMPS, not per-sample deltas: a
+            # 30 fps track (delta 33.333 ms) would otherwise lose
+            # ~10 ms of animation per second to rounding drift
             n_stts = struct.unpack_from(">I", data, stts.start + 4)[0]
             si = 0
+            ts = 0
             for k in range(n_stts):
                 cnt, delta = struct.unpack_from(
                     ">II", data, stts.start + 8 + 8 * k)
                 for _ in range(cnt):
                     if si >= n_samples:
                         break
-                    durations[si] = int(round(delta * 1000 /
-                                              timescale))
+                    end = ts + delta
+                    durations[si] = (int(round(end * 1000 / timescale))
+                                     - int(round(ts * 1000 / timescale)))
+                    ts = end
                     si += 1
         return dict(entry_start=p, entry_size=entry_size,
                     samples=samples, durations=durations,

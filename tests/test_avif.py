@@ -167,9 +167,9 @@ def test_avif_grid(tmp_path):
 
 
 def test_avif_animation_cover(tmp_path):
-    """Animated AVIF (avis): the still-picture framework returns the
-    decodable cover/primary item rather than failing (inter-coded
-    animation frames are out of still-picture scope)."""
+    """Animated AVIF (avis): the av01 track decodes through the
+    stateful inter decoder and every frame appears exactly once
+    (the duplicate still cover is replaced by the track frames)."""
     from PIL import Image
     import numpy as np
     frames = [Image.fromarray(np.full((48, 64, 3), i * 50, np.uint8))
@@ -177,8 +177,13 @@ def test_avif_animation_cover(tmp_path):
     fn = tmp_path / "anim.avif"
     frames[0].save(fn, save_all=True, append_images=frames[1:],
                    duration=100)
-    pic = ffpic_tpu.load(str(fn))
-    assert pic.pixels.shape == (48, 64, 4)
+    pics = ffpic_tpu.load_all(str(fn))
+    assert len(pics) == 4
+    for i, p in enumerate(pics):
+        assert p.pixels.shape == (48, 64, 4)
+        got = int(np.median(p.pixels[:, :, 0].astype(int)))
+        assert abs(got - i * 50) <= 4, (i, got)
+        assert p.delay_ms == 100
 
 
 def test_avif_10bit_color_path():
