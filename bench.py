@@ -417,7 +417,9 @@ def main():
     best = {n: float("inf") for n in trials}
     tunnel_rounds = []
     t_sweep0 = time.perf_counter()
-    _log(f"sweep start: {len(trials)} trials x {ROUNDS} rounds")
+    budget_s = float(os.environ.get("FFPIC_BENCH_BUDGET_S", "360"))
+    _log(f"sweep start: {len(trials)} trials x {ROUNDS} rounds "
+         f"(budget {budget_s:.0f}s)")
     for r in range(ROUNDS):
         try:
             tunnel_rounds.append(round(tunnel_probe(), 3))
@@ -429,6 +431,12 @@ def main():
             except Exception:
                 pass
         _log(f"round {r + 1}/{ROUNDS} done")
+        # time budget: never let the sweep phase exceed budget_s —
+        # at 0.03 GB/s tunnel weather a single round can take minutes
+        # and the driver's run must still produce a JSON line
+        if time.perf_counter() - t_sweep0 + SLEEP > budget_s:
+            _log(f"budget reached after round {r + 1}; stopping sweep")
+            break
         if r < ROUNDS - 1:
             time.sleep(SLEEP)
     sweep_s = time.perf_counter() - t_sweep0

@@ -929,69 +929,103 @@ LEAST_SQUARES_MV_MAX = 256
 
 
 def find_warp_samples(td, b, r, c):
-    """Spec 7.10.4: collect neighbor samples that share RefFrame[0]
-    for the local-warp least-squares fit.  Returns the list of
-    (cand_y8, cand_x8, cand_y8+mvr, cand_x8+mvc) rows in the spec's
-    x8 units (block centers x8, mvs added at 1/8 px)."""
+    """Spec 7.10.4 / libaom av1_findSamples: collect neighbor
+    samples that share RefFrame[0] (single-ref only) for the
+    local-warp least-squares fit.  Returns (cand_y8, cand_x8,
+    cand_y8+mvr, cand_x8+mvc) rows in absolute x8 units.
+
+    Conformance-critical subtleties (pinned vs dav1d, see
+    tests/test_av1_inter.py):
+    - sample centers are PSEUDO-centers anchored at the scan offset
+      (col_offset*4 + nb_w/2 - 1 relative to this block's origin),
+      NOT the neighbor's true block-origin center — they differ when
+      a wide neighbor's origin lies left of / above the scan point;
+    - the top-left sample is skipped (do_tl=0) when the above
+      neighbor extends left of us or the left neighbor extends above
+      us; the top-right sample is skipped (do_tr=0) when the above
+      neighbor extends past our right edge;
+    - there is NO motion-vector validity filter at scan time (the
+      ±LS_MV_MAX gate lives in the estimation accumulation loop, and
+      the outlier threshold in select_warp_samples)."""
     fs = td.fs
     bw4, bh4 = C.BLOCK_W4[b.bsize], C.BLOCK_H4[b.bsize]
     samples = []
-    scanned = [0]
+    do_tl = True
+    do_tr = True
 
-    def add_sample(dr, dc):
-        if len(samples) >= LEAST_SQUARES_SAMPLES_MAX:
-            return
-        mr, mc = r + dr, c + dc
-        if not (td.r0 <= mr < td.r1 and td.c0 <= mc < td.c1):
-            return
-        if fs.bsize[mr, mc] == 255:
-            return
-        if (int(fs.ref_frame[mr, mc, 0]) != b.refs[0] or
-                int(fs.ref_frame[mr, mc, 1]) != C.NONE_FRAME):
-            return
-        cand_r = int(fs.b_row0[mr, mc])
-        cand_c = int(fs.b_col0[mr, mc])
-        cand_w4 = C.BLOCK_W4[fs.bsize[mr, mc]]
-        cand_h4 = C.BLOCK_H4[fs.bsize[mr, mc]]
+    def match(mr, mc):
+        return (fs.bsize[mr, mc] != 255 and
+                int(fs.ref_frame[mr, mc, 0]) == b.refs[0] and
+                int(fs.ref_frame[mr, mc, 1]) == C.NONE_FRAME)
+
+    def record(mr, mc, row_off, sign_r, col_off, sign_c):
+        nb_w = C.BLOCK_W4[fs.bsize[mr, mc]] * 4
+        nb_h = C.BLOCK_H4[fs.bsize[mr, mc]] * 4
+        x = col_off * 4 + sign_c * (nb_w >> 1) - 1
+        y = row_off * 4 + sign_r * (nb_h >> 1) - 1
         mv_r = int(fs.mv2[mr, mc, 0, 0])
         mv_c = int(fs.mv2[mr, mc, 0, 1])
-        mid_y = cand_r * 4 + cand_h4 * 2 - 1
-        mid_x = cand_c * 4 + cand_w4 * 2 - 1
-        valid = (abs(mv_r - b.mvs2[0][0]) +
-                 abs(mv_c - b.mvs2[0][1])) <= LEAST_SQUARES_MV_MAX
-        scanned[0] += 1
-        if valid:
-            samples.append((mid_y * 8, mid_x * 8,
-                            mid_y * 8 + mv_r, mid_x * 8 + mv_c))
+        ay8 = (r * 4 + y) * 8
+        ax8 = (c * 4 + x) * 8
+        samples.append((ay8, ax8, ay8 + mv_r, ax8 + mv_c))
 
     if b.avail_u:
-        src_size = int(fs.bsize[r - 1, c])
-        src_w4 = C.BLOCK_W4[src_size]
+        src_w4 = C.BLOCK_W4[int(fs.bsize[r - 1, c])]
         if bw4 <= src_w4:
-            col_offset = -(c & 1)
-            add_sample(-1, col_offset)
+            col_off = -(c % src_w4)
+            if col_off < 0:
+                do_tl = False
+            if col_off + src_w4 > bw4:
+                do_tr = False
+            if match(r - 1, c):
+                record(r - 1, c, 0, -1, col_off, 1)
         else:
             i = 0
             while i < min(bw4, fs.mi_cols - c) and \
                     len(samples) < LEAST_SQUARES_SAMPLES_MAX:
-                src = int(fs.bsize[r - 1, c + i])
-                src_w4 = C.BLOCK_W4[src]
-                add_sample(-1, i)
-                i += min(bw4, src_w4)
-    if b.avail_l:
-        src_size = int(fs.bsize[r, c - 1])
-        src_h4 = C.BLOCK_H4[src_size]
+                sw = C.BLOCK_W4[int(fs.bsize[r - 1, c + i])]
+                if match(r - 1, c + i):
+                    record(r - 1, c + i, 0, -1, i, 1)
+                i += min(bw4, sw)
+    if b.avail_l and len(samples) < LEAST_SQUARES_SAMPLES_MAX:
+        src_h4 = C.BLOCK_H4[int(fs.bsize[r, c - 1])]
         if bh4 <= src_h4:
-            row_offset = -(r & 1)
-            add_sample(row_offset, -1)
+            row_off = -(r % src_h4)
+            if row_off < 0:
+                do_tl = False
+            if match(r, c - 1):
+                record(r, c - 1, row_off, 1, 0, -1)
         else:
             i = 0
             while i < min(bh4, fs.mi_rows - r) and \
                     len(samples) < LEAST_SQUARES_SAMPLES_MAX:
-                src = int(fs.bsize[r + i, c - 1])
-                src_h4 = C.BLOCK_H4[src]
-                add_sample(i, -1)
-                i += min(bh4, src_h4)
-    if b.avail_u and b.avail_l:
-        add_sample(-1, -1)
+                sh = C.BLOCK_H4[int(fs.bsize[r + i, c - 1])]
+                if match(r + i, c - 1):
+                    record(r + i, c - 1, i, 1, 0, -1)
+                i += min(bh4, sh)
+    if (do_tl and b.avail_u and b.avail_l and
+            len(samples) < LEAST_SQUARES_SAMPLES_MAX):
+        if match(r - 1, c - 1):
+            record(r - 1, c - 1, 0, -1, 0, -1)
+    if do_tr and len(samples) < LEAST_SQUARES_SAMPLES_MAX:
+        mr, mc = r - 1, c + bw4
+        if (td.r0 <= mr < td.r1 and td.c0 <= mc < td.c1 and
+                match(mr, mc)):
+            record(mr, mc, 0, -1, bw4, 1)
     return samples
+
+
+def select_warp_samples(samples, mv, bsize):
+    """libaom av1_selectSamples: drop samples whose MV differs from
+    the block MV by more than clamp(max(bw,bh), 16, 112) (sum-abs,
+    1/8 px); if none survive, keep the first sample anyway.  Applied
+    only when more than one sample was found."""
+    if len(samples) <= 1:
+        return samples
+    bw = C.BLOCK_W4[bsize] * 4
+    bh = C.BLOCK_H4[bsize] * 4
+    thresh = _clip3(16, 112, max(bw, bh))
+    keep = [p for p in samples
+            if (abs((p[2] - p[0]) - mv[0]) +
+                abs((p[3] - p[1]) - mv[1])) <= thresh]
+    return keep if keep else samples[:1]

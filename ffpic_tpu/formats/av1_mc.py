@@ -350,17 +350,21 @@ WARPEDMODEL_TRANS_CLAMP = 1 << 23
 WARPEDMODEL_NONDIAG_CLAMP = 1 << 13
 
 
+# LS accumulation terms, pinned against libaom 3.6's find_affine_int
+# machine code (LS_STEP=8 folded in: each term is ((4a+16)(4b+16) +
+# round) >> 6, i.e. the x8-unit sample coordinates are pre-scaled and
+# the full downshift happens PER TERM -- there is no post-accumulation
+# downshift or clamp, only range asserts).
 def _ls_square(a: int) -> int:
-    return (a * a * 4 + a * 4 + 2) >> 2
+    return (a * a * 4 + a * 32 + 128) >> 4
 
 
 def _ls_product1(a: int, b: int) -> int:
-    # NO rounding offset (PRODUCT2 differs from PRODUCT1 only by +2)
-    return (a * b * 4 + (a + b) * 2) >> 2
+    return (a * b * 4 + (a + b) * 16 + 64) >> 4
 
 
 def _ls_product2(a: int, b: int) -> int:
-    return (a * b * 4 + (a + b) * 2 + 2) >> 2
+    return (a * b * 4 + (a + b) * 16 + 128) >> 4
 
 
 def warp_estimation(samples, mi_row, mi_col, bsize, mv):
@@ -390,12 +394,6 @@ def warp_estimation(samples, mi_row, mi_col, bsize, mv):
             np_used += 1
     if np_used == 0:
         return False, None
-    # spec: downshift + clamp the accumulators to int32-ish range
-    def down(v):
-        return max(-(1 << 22), min((1 << 22) - 1, v >> 2))
-
-    a00, a01, a11 = down(a00), down(a01), down(a11)
-    bx0, bx1, by0, by1 = down(bx0), down(bx1), down(by0), down(by1)
     det = a00 * a11 - a01 * a01
     if det == 0:
         return False, None
@@ -404,14 +402,16 @@ def warp_estimation(samples, mi_row, mi_col, bsize, mv):
     if div_shift < 0:
         div_factor <<= -div_shift
         div_shift = 0
+    # clamp bounds pinned to libaom machine code: SYMMETRIC +/-
+    # (CLAMP-1), i.e. the lower bound is -8191 / 57345, not -8192
     def diag(v):
         return max((1 << C.WARPEDMODEL_PREC_BITS) -
-                   WARPEDMODEL_NONDIAG_CLAMP,
+                   WARPEDMODEL_NONDIAG_CLAMP + 1,
                    min((1 << C.WARPEDMODEL_PREC_BITS) +
                        WARPEDMODEL_NONDIAG_CLAMP - 1, v))
 
     def nondiag(v):
-        return max(-WARPEDMODEL_NONDIAG_CLAMP,
+        return max(-WARPEDMODEL_NONDIAG_CLAMP + 1,
                    min(WARPEDMODEL_NONDIAG_CLAMP - 1, v))
 
     mat = [0, 0, 1 << 16, 0, 0, 1 << 16]
@@ -455,7 +455,10 @@ def _block_warp_params(fs, b):
     fh = fs.fh
     if b.motion_mode == C.LOCALWARP:
         if b.warp_params is None:
-            ok, mat = warp_estimation(b.warp_samples or [],
+            from ffpic_tpu.coding.av1_inter import select_warp_samples
+            sel = select_warp_samples(b.warp_samples or [],
+                                      b.mvs2[0], b.bsize)
+            ok, mat = warp_estimation(sel,
                                       b.mi_row, b.mi_col, b.bsize,
                                       b.mvs2[0])
             shear = setup_shear(mat) if ok else (False, 0, 0, 0, 0)

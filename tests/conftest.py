@@ -40,13 +40,21 @@ def rng():
 
 def pytest_configure(config):
     """Generate the synthetic corpus on first run so corpus-dependent
-    tests work from a fresh checkout (tools/make_corpus.py, ~10 s)."""
+    tests work from a fresh checkout (tools/make_corpus.py, ~10 s),
+    and build the C reference oracles (refbuild/, refbuild-asan/,
+    ~1-2 min once, cached) so the 46 vs-C-reference conformance tests
+    run instead of skipping.  FFPIC_NO_REFBUILD=1 opts out."""
     repo = pathlib.Path(__file__).resolve().parent.parent
     corpus = repo / "corpus"
+    sys.path.insert(0, str(repo / "tools"))
     if not corpus.is_dir():
-        sys.path.insert(0, str(repo / "tools"))
         try:
             import make_corpus
             make_corpus.main()
         except Exception:
             pass  # corpus tests will skip
+    try:
+        import ensure_refbuild
+        ensure_refbuild.ensure_refbuild()
+    except Exception:
+        pass  # conformance tests will skip
