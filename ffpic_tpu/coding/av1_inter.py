@@ -347,11 +347,22 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
                 while len(comb) < 2:
                     comb.append(list(gmv[rl]))
                 combined.append(comb)
-            idx = 0
-            while len(stack) < 2:
-                stack.append([list(combined[0][idx]),
-                              list(combined[1][idx]), 2])
-                idx += 1
+            if len(stack) == 1:
+                # spec: if combinedMvs[0] duplicates the existing
+                # stack entry, append combinedMvs[1] instead (a
+                # blind append would make NEARMV a NEAREST dup)
+                if (list(combined[0][0]) == list(stack[0][0]) and
+                        list(combined[1][0]) == list(stack[0][1])):
+                    stack.append([list(combined[0][1]),
+                                  list(combined[1][1]), 2])
+                else:
+                    stack.append([list(combined[0][0]),
+                                  list(combined[1][0]), 2])
+            else:
+                for idx in range(2):
+                    if len(stack) < 2:
+                        stack.append([list(combined[0][idx]),
+                                      list(combined[1][idx]), 2])
             real_count = len(stack)
         else:
             # single-ref padding fills the stack SLOTS only —

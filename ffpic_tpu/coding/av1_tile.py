@@ -1131,6 +1131,16 @@ class TileDecoder:
                 maxh = C.TX_H[max_rect]
                 above = int(self.a_txw[c]) >= maxw
                 left = int(self.l_txh[r & (fs.sb4 - 1)]) >= maxh
+                # libaom get_tx_size_context: an INTER (or intrabc)
+                # neighbor contributes its BLOCK dimension, not its
+                # stored txfm context (its var-tx sizes are smaller
+                # than the block; the ctx still counts it as "max")
+                if b.avail_u and (fs.is_inter[r - 1, c] or
+                                  fs.is_ibc[r - 1, c]):
+                    above = C.BLOCK_W4[fs.bsize[r - 1, c]] * 4 >= maxw
+                if b.avail_l and (fs.is_inter[r, c - 1] or
+                                  fs.is_ibc[r, c - 1]):
+                    left = C.BLOCK_H4[fs.bsize[r, c - 1]] * 4 >= maxh
                 if r > self.r0 and c > self.c0:
                     ctx = above + left
                 elif r > self.r0:

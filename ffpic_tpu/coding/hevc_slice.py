@@ -54,6 +54,12 @@ _CTX_SET = (
 )
 
 
+class InterSliceUnsupported(NotImplementedError):
+    """A P/B slice was encountered: header parsed to slice_type, no
+    pixel decode (the C reference also produces no inter pixels —
+    hevc.c:6285-6397 parses PU/MVD then discards)."""
+
+
 class Contexts:
     """All context models for an I slice (initType 0)."""
 
@@ -132,7 +138,14 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
         r.read_bit()
     h.slice_type = read_ue(r)
     if h.slice_type != 2:
-        raise NotImplementedError("only I slices (stills) supported")
+        # Parse-level tolerance (reference parity: hevc.c:6285-6397
+        # parses PU/MVD inter syntax but never motion-compensates, so
+        # inter pictures produce no pixels there either).  Raise a
+        # typed error so sequence tracks / item walks can skip the
+        # frame and keep the I frames instead of failing the load.
+        raise InterSliceUnsupported(
+            f"slice_type {h.slice_type} (P/B) — inter prediction "
+            f"not supported; frame skipped")
     if pps.output_flag_present:
         r.read_bit()
     if nal_unit_type not in (19, 20):

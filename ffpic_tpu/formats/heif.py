@@ -645,8 +645,9 @@ def _decode_sequence(data: bytes, boxes, mode: str) -> list:
                             sps = hevc.parse_sps(nalu)
                         elif t == hevc.NAL_PPS:
                             pps = hevc.parse_pps(nalu)
-                        elif t in (hevc.NAL_IDR_W_RADL,
-                                   hevc.NAL_IDR_N_LP):
+                        elif 16 <= t <= 21:
+                            # all IRAP stills: IDR + CRA/BLA (same
+                            # set the still-item path accepts)
                             slices.append(nalu)
                     if not slices:
                         continue      # non-intra sample: skip

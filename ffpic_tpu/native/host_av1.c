@@ -2161,6 +2161,27 @@ static void block_mode_core(
                 int16_t *ltxh = (int16_t *)mp[M_LTXH];
                 int above = atxw[c] >= maxw;
                 int left = ltxh[r & blk[K_SBMASK]] >= maxh;
+                /* libaom get_tx_size_context / dav1d tx_intra rows:
+                 * an INTER-class neighbor (intrabc here — intra
+                 * frames only on this path) contributes its BLOCK
+                 * dimension, not its var-tx context */
+                {
+                    const uint8_t *gibc =
+                        (const uint8_t *)mp[M_GIBC];
+                    const uint8_t *gbs =
+                        (const uint8_t *)mp[M_GBSIZE];
+                    long mi_cols_l = blk[K_MICOLS];
+                    if (r > r0t && gibc && gbs &&
+                        gibc[(long)(r - 1) * mi_cols_l + c])
+                        above = S[S2_BW4 +
+                                  gbs[(long)(r - 1) * mi_cols_l + c]]
+                                * 4 >= maxw;
+                    if (c > c0t && gibc && gbs &&
+                        gibc[(long)r * mi_cols_l + c - 1])
+                        left = S[S2_BH4 +
+                                 gbs[(long)r * mi_cols_l + c - 1]]
+                               * 4 >= maxh;
+                }
                 int tctx;
                 if (r > r0t && c > c0t) tctx = above + left;
                 else if (r > r0t) tctx = above;
