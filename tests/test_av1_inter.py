@@ -1,0 +1,238 @@
+"""AV1 inter-frame conformance: animated / multi-frame streams
+decoded frame-exact against dav1d (and minted by two independent
+encoders: PIL/libaom's avis writer and a direct ctypes drive of
+libaom's encoder — tools/aom_oracle.encode_frames).
+
+The C reference has no AV1 at all (avif.c:382-405 frame stub); the
+oracle stack is dav1d 1.5 (tools/dav1d_oracle, bit-exact comparisons)
+plus libaom's own decoder for accept/reject cross-checks.
+
+Covers the round-4 conformance campaign findings:
+  - ZeroMvContext=1 on an INVALID temporal center candidate
+  - find_affine_int pinned to libaom's machine code (LS terms with
+    per-term >>4, symmetric clamps, div LUT)
+  - av1_findSamples pseudo-center anchoring + do_tl/do_tr gating +
+    top-right scan; av1_selectSamples outlier threshold
+  - tx_depth context uses BLOCK dims for inter/intrabc neighbors
+  - compound extra-search dedup of combinedMvs[0] (7.10.2.12)
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from ffpic_tpu.formats.av1_recon import Av1Decoder  # noqa: E402
+from ffpic_tpu.formats import basemedia as bm       # noqa: E402
+
+try:
+    from dav1d_oracle import decode_obus
+    HAVE_DAV1D = True
+except Exception:                                   # pragma: no cover
+    HAVE_DAV1D = False
+
+needs_dav1d = pytest.mark.skipif(not HAVE_DAV1D,
+                                 reason="dav1d oracle unavailable")
+
+
+def _avif_samples(data: bytes):
+    boxes = bm.parse_boxes(data, 0, len(data))
+    tr = bm.track_samples(data, boxes, "av01")
+    return [data[o:o + s] for o, s in tr["samples"]]
+
+
+def _compare_stream(samples):
+    """Decode sample-by-sample with our stateful decoder, compare
+    every shown frame's planes bit-exactly vs dav1d."""
+    refs = decode_obus(b"".join(samples), all_frames=True)
+    dec = Av1Decoder()
+    ours = []
+    for s in samples:
+        ours += dec.decode_obus(s)
+    assert len(ours) == len(refs), (len(ours), len(refs))
+    for fi, ((rp, _), (op, _)) in enumerate(zip(refs, ours)):
+        for pi, (a, b) in enumerate(zip(op, rp)):
+            bad = int((a.astype(np.int64) != b.astype(np.int64)).sum())
+            assert bad == 0, f"frame {fi} plane {pi}: {bad} diffs"
+    return len(refs)
+
+
+def _pil_avis(tmp_path, imgs, name="t.avif", **save_kw):
+    from PIL import Image
+    ims = [Image.fromarray(im) for im in imgs]
+    fn = tmp_path / name
+    ims[0].save(fn, save_all=True, append_images=ims[1:],
+                duration=100, **save_kw)
+    return open(fn, "rb").read()
+
+
+def _base_content(w=128, h=96, seed=3):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    g = ((x[None, :] + y[:, None]) / 2).astype(np.uint8)
+    base = np.stack([g, g, g[::-1]], -1)
+    noise = rng.integers(0, 20, base.shape).astype(np.uint8)
+    return base, noise, rng
+
+
+# ------------------------------------------------ PIL/libaom avis matrix
+
+@needs_dav1d
+@pytest.mark.parametrize("kind", ["static", "bright", "pan", "noise"])
+def test_two_frame_inter_exact(tmp_path, kind):
+    """2-frame animations covering single-ref inter: NEW/NEAREST
+    modes, OBMC, warped motion (LOCALWARP least-squares fits), CDEF
+    over inter edges — every decoded frame bit-exact vs dav1d."""
+    base, noise, rng = _base_content()
+    f0 = base + noise
+    if kind == "static":
+        f1 = f0.copy()
+    elif kind == "bright":
+        f1 = base + noise + 10
+    elif kind == "pan":
+        f1 = np.roll(f0, 4, 1)
+    else:
+        f1 = base + rng.integers(0, 20, base.shape).astype(np.uint8)
+    data = _pil_avis(tmp_path, [f0, f1], quality=60, speed=6)
+    n = _compare_stream(_avif_samples(data))
+    assert n == 2
+
+
+@needs_dav1d
+def test_pan_motion_multiframe(tmp_path):
+    """5-frame pan: global-motion-style MVs, motion-field updates,
+    reference rotation across frames (frame-exact vs dav1d)."""
+    base, noise, _ = _base_content(176, 128, seed=11)
+    f0 = base + noise
+    imgs = [np.roll(f0, 5 * i, 1) for i in range(5)]
+    data = _pil_avis(tmp_path, imgs, quality=70, speed=6)
+    assert _compare_stream(_avif_samples(data)) == 5
+
+
+# ---------------------------------------------- libaom-encoder streams
+
+def _aom_frames(n, w=64, h=48, bd=8, seed=7, shift=3):
+    rng = np.random.default_rng(seed)
+    mx = (1 << bd) - 1
+    base = np.clip(np.linspace(0, mx, w)[None, :] +
+                   np.linspace(0, mx // 2, h)[:, None] +
+                   rng.integers(0, max(1, mx // 8), (h, w)),
+                   0, mx).astype(np.uint16)
+    out = []
+    for i in range(n):
+        y = np.roll(base, shift * i, 1)
+        u = np.full((h // 2, w // 2), mx // 2, np.uint16)
+        v = rng.integers(0, mx, (h // 2, w // 2)).astype(np.uint16)
+        out.append([y, u, v])
+    return out
+
+
+@needs_dav1d
+@pytest.mark.parametrize("bd", [8, 10])
+def test_aom_encoder_inter_exact(bd):
+    """Multi-frame inter streams minted by driving libaom's encoder
+    directly (ctypes; an INDEPENDENT oracle for the 10-bit decode
+    paths — the repo's own encoder is not involved)."""
+    import aom_oracle as AO
+    if not AO.available():                          # pragma: no cover
+        pytest.skip("libaom unavailable")
+    frames = _aom_frames(4, bd=bd)
+    obus = AO.encode_frames(frames, bit_depth=bd, speed=6, lag=0)
+    refs = decode_obus(obus, all_frames=True)
+    dec = Av1Decoder()
+    ours = dec.decode_obus(obus)
+    assert len(ours) == len(refs) == 4
+    for fi, ((rp, _), (op, _)) in enumerate(zip(refs, ours)):
+        for pi, (a, b) in enumerate(zip(op, rp)):
+            bad = int((a.astype(np.int64) !=
+                       b.astype(np.int64)).sum())
+            assert bad == 0, f"bd{bd} frame {fi} plane {pi}: {bad}"
+
+
+# ------------------------------------------------- container end-to-end
+
+@needs_dav1d
+def test_avis_end_to_end(tmp_path):
+    """Animated AVIF through the public loader: every track frame
+    decodes through the stateful inter decoder and matches dav1d's
+    YUV->(our color convert) output shape/count conventions."""
+    import ffpic_tpu
+    base, noise, _ = _base_content(64, 48, seed=5)
+    imgs = [np.roll(base + noise, 3 * i, 1) for i in range(4)]
+    data = _pil_avis(tmp_path, imgs, quality=60, speed=6)
+    pics = ffpic_tpu.load_all(bytes(data))
+    assert len(pics) == 4
+    for p in pics:
+        assert p.pixels.shape == (48, 64, 4)
+        assert p.delay_ms == 100
+    # track frames replace the duplicate still cover (frame 0 appears
+    # exactly once) — decode track directly and cross-check count
+    assert len(_avif_samples(data)) == 4
+
+
+# ------------------------------------------------------- unit vectors
+
+def test_select_warp_samples_threshold():
+    """libaom av1_selectSamples: outlier filter at
+    clamp(max(bw,bh),16,112) sum-abs 1/8px, keep-first fallback."""
+    from ffpic_tpu.coding.av1_inter import select_warp_samples
+    import ffpic_tpu.coding.av1_consts as C
+    bsize = 3                          # 8x8 -> thresh 16
+    mv = (0, 0)
+    near = (0, 0, 4, 8)                # mvd 12 <= 16: kept
+    far = (0, 0, 20, 20)               # mvd 40 > 16: dropped
+    out = select_warp_samples([near, far], mv, bsize)
+    assert out == [near]
+    # all outliers: keep the FIRST sample anyway (ret = max(ret, 1))
+    out = select_warp_samples([far, (0, 0, 30, 0)], mv, bsize)
+    assert out == [far]
+    # single sample: selection does not run
+    out = select_warp_samples([far], mv, bsize)
+    assert out == [far]
+
+
+def test_warp_estimation_identity():
+    """Samples that move exactly with the block MV fit to a
+    near-identity model (diagonal ~65536, zero shear) and pass the
+    shear validity check."""
+    from ffpic_tpu.formats.av1_mc import warp_estimation, setup_shear
+    mi_row, mi_col, bsize = 4, 4, 3
+    mid_y = mi_row * 4 + 2 * 2 - 1
+    mid_x = mi_col * 4 + 2 * 2 - 1
+    mv = (8, -16)
+    samples = []
+    for (dy, dx) in ((-8, 0), (0, -8), (-8, -8)):
+        sy = (mid_y + dy) * 8
+        sx = (mid_x + dx) * 8
+        samples.append((sy, sx, sy + mv[0], sx + mv[1]))
+    ok, mat = warp_estimation(samples, mi_row, mi_col, bsize, mv)
+    assert ok
+    valid, alpha, beta, gamma, delta = setup_shear(mat)
+    # the div-LUT reciprocal approximation leaves an epsilon on the
+    # diagonal that the WARP_PARAM_REDUCE quantizer may round to one
+    # +/-64 step; the shear stays valid and beta/gamma exactly 0
+    assert valid and beta == 0 and gamma == 0
+    assert abs(alpha) <= 64 and abs(delta) <= 64
+    assert abs(mat[2] - 65536) <= 64 and abs(mat[5] - 65536) <= 64
+    assert mat[3] == mat[4] == 0
+
+
+def test_ls_terms_match_binary():
+    """The LS accumulation terms pinned against libaom 3.6's
+    find_affine_int machine code (per-term >>4 with the LS_STEP=8
+    scaling folded in)."""
+    from ffpic_tpu.formats.av1_mc import (_ls_square, _ls_product1,
+                                          _ls_product2)
+    for a in (-300, -65, -1, 0, 1, 17, 254):
+        assert _ls_square(a) == (a * a * 4 + a * 32 + 128) >> 4
+        for b in (-120, 0, 33):
+            assert _ls_product1(a, b) == \
+                (a * b * 4 + (a + b) * 16 + 64) >> 4
+            assert _ls_product2(a, b) == \
+                (a * b * 4 + (a + b) * 16 + 128) >> 4

@@ -141,3 +141,164 @@ def decode_frames(obus: bytes, allow_lowbitdepth: int = 1):
     finally:
         lib.aom_codec_destroy(ctypes.byref(ctx))
     return out
+
+
+# ----------------------------------------------------------- encoder
+# libaom ENCODER via ctypes: mints conformance streams with an
+# independent (non-self) encoder — the 10-bit / multi-ref / compound
+# oracle VERDICT r3 asked for.  aom_codec_enc_cfg_t is a large
+# version-dependent struct; rather than declaring every field we let
+# aom_codec_enc_config_default() fill an oversized buffer and locate
+# the g_w/g_h block by its known defaults (320x240), which anchors
+# the handful of fields we need to poke.
+
+_AOM_CODEC_USE_HIGHBITDEPTH = 0x40000
+_AOM_IMG_FMT_I420 = 0x102
+_AOM_IMG_FMT_I42016 = 0x102 | 0x800
+_AOME_SET_CPUUSED = 13
+_AOM_EFLAG_FORCE_KF = 1 << 0
+
+
+def _enc_cfg_offsets(buf: bytes):
+    """Locate g_w inside the default-initialized enc cfg: the struct
+    leads with usage/threads/profile then g_w=320, g_h=240."""
+    import struct as _s
+    for off in range(0, 128, 4):
+        w, h = _s.unpack_from("<II", buf, off)
+        if w == 320 and h == 240:
+            # layout after g_h: g_limit, g_forced_max_frame_width,
+            # g_forced_max_frame_height, then the bit depths
+            return dict(g_w=off, g_h=off + 4,
+                        g_limit=off + 8,
+                        g_forced_max_frame_width=off + 12,
+                        g_forced_max_frame_height=off + 16,
+                        g_bit_depth=off + 20,
+                        g_input_bit_depth=off + 24,
+                        g_timebase_num=off + 28,
+                        g_timebase_den=off + 32,
+                        g_error_resilient=off + 36,
+                        g_pass=off + 40,
+                        g_lag_in_frames=off + 44,
+                        g_profile=off - 4, g_threads=off - 8,
+                        g_usage=off - 12)
+    raise RuntimeError("could not locate g_w/g_h in aom enc cfg")
+
+
+class _CxPkt(ctypes.Structure):
+    _fields_ = [("kind", ctypes.c_int),
+                ("buf", ctypes.c_void_p), ("sz", ctypes.c_size_t),
+                ("pts", ctypes.c_longlong),
+                ("duration", ctypes.c_ulong),
+                ("flags", ctypes.c_uint),
+                ("partition_id", ctypes.c_int),
+                ("vis", ctypes.c_uint * 2)]
+
+
+def encode_frames(frames, bit_depth: int = 8, speed: int = 6,
+                  q: int = 40, lag: int | None = None,
+                  usage: int = 0):
+    """Encode YUV420 frames with libaom; returns the raw OBU stream
+    (temporal units concatenated, sequence header included).
+
+    frames: list of [Y, U, V] numpy planes (uint8 for 8-bit,
+    uint16 for 10-bit with values < 1024).  Returns bytes our
+    decoder and dav1d both consume (tests/test_av1_inter.py uses
+    this to mint 10-bit and multi-ref conformance streams)."""
+    import numpy as np
+    lib, _ = _load()
+    lib.aom_codec_av1_cx.restype = ctypes.c_void_p
+    enc_iface = lib.aom_codec_av1_cx()
+    cfgbuf = ctypes.create_string_buffer(8192)
+    rc = lib.aom_codec_enc_config_default(
+        ctypes.c_void_p(enc_iface), cfgbuf, ctypes.c_uint(usage))
+    if rc != 0:
+        raise RuntimeError(f"enc_config_default: {rc}")
+    offs = _enc_cfg_offsets(cfgbuf.raw)
+    h, w = frames[0][0].shape
+    import struct as _s
+
+    def poke(name, val):
+        _s.pack_into("<I", cfgbuf, offs[name], val)
+
+    poke("g_w", w)
+    poke("g_h", h)
+    poke("g_bit_depth", bit_depth)
+    poke("g_input_bit_depth", bit_depth)
+    if lag is not None:
+        poke("g_lag_in_frames", lag)
+    flags = _AOM_CODEC_USE_HIGHBITDEPTH if bit_depth > 8 else 0
+    ctx = _Ctx()
+    _ENC_ABI = 25              # AOM_ENCODER_ABI_VERSION for 3.6
+    rc = lib.aom_codec_enc_init_ver(
+        ctypes.byref(ctx), ctypes.c_void_p(enc_iface), cfgbuf,
+        ctypes.c_long(flags), _ENC_ABI)
+    if rc != 0:
+        raise RuntimeError(f"enc init: {rc} {ctx.err_detail}")
+    out = bytearray()
+    try:
+        lib.aom_codec_control(ctypes.byref(ctx), _AOME_SET_CPUUSED,
+                              ctypes.c_int(speed))
+        # AOME_SET_CQ_LEVEL=255+13? — leave rate control at defaults
+        fmt = _AOM_IMG_FMT_I42016 if bit_depth > 8 else \
+            _AOM_IMG_FMT_I420
+        lib.aom_img_alloc.restype = ctypes.POINTER(_Image)
+        img_p = lib.aom_img_alloc(None, ctypes.c_int(fmt),
+                                  ctypes.c_uint(w), ctypes.c_uint(h),
+                                  ctypes.c_uint(32))
+        if not img_p:
+            raise RuntimeError("aom_img_alloc failed")
+        lib.aom_codec_get_cx_data.restype = ctypes.POINTER(_CxPkt)
+
+        def drain():
+            it = ctypes.c_void_p()
+            while True:
+                pkt = lib.aom_codec_get_cx_data(ctypes.byref(ctx),
+                                                ctypes.byref(it))
+                if not pkt:
+                    break
+                p = pkt.contents
+                if p.kind == 0:      # AOM_CODEC_CX_FRAME_PKT
+                    out.extend(ctypes.string_at(p.buf, p.sz))
+
+        dt = np.uint16 if bit_depth > 8 else np.uint8
+        isz = np.dtype(dt).itemsize
+        for fi, planes in enumerate(frames):
+            im = img_p.contents
+            for pi in range(3):
+                pl = np.ascontiguousarray(planes[pi].astype(dt))
+                ph, pw = pl.shape
+                stride = im.stride[pi]
+                dst = ctypes.cast(
+                    im.planes[pi],
+                    ctypes.POINTER(ctypes.c_uint8))
+                src = pl.tobytes()
+                rowb = pw * isz
+                for y in range(ph):
+                    ctypes.memmove(
+                        ctypes.byref(dst.contents, y * stride),
+                        src[y * rowb:(y + 1) * rowb], rowb)
+            rc = lib.aom_codec_encode(
+                ctypes.byref(ctx), img_p,
+                ctypes.c_longlong(fi), ctypes.c_ulong(1),
+                ctypes.c_long(0))
+            if rc != 0:
+                err = lib.aom_codec_error(ctypes.byref(ctx)) or b""
+                raise RuntimeError(
+                    f"encode: {err.decode('latin1')}")
+            drain()
+        # flush
+        while True:
+            n0 = len(out)
+            rc = lib.aom_codec_encode(ctypes.byref(ctx), None,
+                                      ctypes.c_longlong(len(frames)),
+                                      ctypes.c_ulong(1),
+                                      ctypes.c_long(0))
+            if rc != 0:
+                break
+            drain()
+            if len(out) == n0:
+                break
+        lib.aom_img_free(img_p)
+    finally:
+        lib.aom_codec_destroy(ctypes.byref(ctx))
+    return bytes(out)
