@@ -645,12 +645,15 @@ def parse_frame_header(payload: bytes, seq: SequenceHeader,
     # global_motion_params (5.9.24)
     _global_motion_params(r, f, prev if not f.frame_is_intra
                           else None)
-    # film_grain_params
+    # film_grain_params (5.9.30) -> synthesized at OUTPUT time
+    # (coding/av1_grain.py); references keep pre-grain pixels
+    f.grain = None
     if seq.film_grain_params_present and \
             (f.show_frame or f.showable_frame):
         f.apply_grain = bool(r.read_bit())
         if f.apply_grain:
-            raise NotImplementedError("film grain synthesis")
+            from ffpic_tpu.coding.av1_grain import parse_film_grain
+            f.grain = parse_film_grain(r, f, seq, refs or [None] * 8)
     return f, r.bitpos
 
 

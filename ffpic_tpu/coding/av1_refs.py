@@ -74,7 +74,7 @@ class RefFrame:
                  "order_hints", "mvs8", "ref8", "seg_ids", "cdfs",
                  "gm_params", "lf_ref_deltas", "lf_mode_deltas",
                  "feature_enabled", "feature_data", "bit_depth",
-                 "showable", "subsampling")
+                 "showable", "subsampling", "grain")
 
     def intra_only(self) -> bool:
         return self.frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -106,6 +106,7 @@ def save_frame_state(seq, fh, fs, planes, cdfs) -> RefFrame:
     rf.feature_data = [list(r) for r in fh.feature_data] \
         if fh.feature_data else [[0] * 8 for _ in range(8)]
     rf.showable = True
+    rf.grain = getattr(fh, "grain", None)
     # --- motion field storage (7.19): per 8x8, sample the mi at the
     # odd/odd position; store the mv of ref list 1 if it points to a
     # strictly-past frame and is within REFMVS_LIMIT, else list 0,

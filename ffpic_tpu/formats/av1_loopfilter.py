@@ -32,6 +32,14 @@ def apply_loop_filters(fs, planes, stages=7):
     if stages & 2:
         from ffpic_tpu.formats.av1_cdef import cdef_frame
         planes = cdef_frame(fs, planes)
+    # superres horizontal upscale sits between CDEF and restoration
+    # (spec 7.16); the LR stripe-boundary source upscales too (dav1d
+    # stores its lpf line buffers post-resize)
+    if getattr(fs.fh, "use_superres", False):
+        from ffpic_tpu.formats.av1_superres import superres_frame
+        planes = superres_frame(fs, planes)
+        deblocked = superres_frame(fs, deblocked) \
+            if (stages & 4) else deblocked
     if stages & 4:
         from ffpic_tpu.formats.av1_lr import lr_frame
         planes = lr_frame(fs, planes, deblocked)

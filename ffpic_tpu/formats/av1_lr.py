@@ -39,8 +39,6 @@ def lr_frame(fs, planes, deblocked):
     fh, seq = fs.fh, fs.seq
     if fh.allow_intrabc or not getattr(fh, "uses_lr", False):
         return planes
-    if fh.use_superres:
-        raise NotImplementedError("loop restoration with superres")
     out = [p.copy() for p in planes]
     for plane in range(len(planes)):
         if fh.lr_type[plane] == H.RESTORE_NONE:
@@ -56,7 +54,7 @@ def _plane_lr(fs, plane, cdef, cur, out):
     sy = seq.subsampling_y if plane else 0
     bd = seq.bit_depth
     ph = (fh.height + sy) >> sy
-    pw = (fh.width + sx) >> sx
+    pw = (fh.upscaled_width + sx) >> sx   # post-superres width
     unit = fh.lr_unit_size[plane]
     nrows = count_units_in_frame(unit, ph)
     ncols = count_units_in_frame(unit, pw)

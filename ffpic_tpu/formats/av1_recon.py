@@ -565,9 +565,6 @@ class Av1Decoder:
                         out.append(frame)
                     fh = None
                     continue
-                if fh.use_superres:
-                    raise NotImplementedError(
-                        "superres in frame sequences")
                 fs = self._new_frame_state(fh)
                 tiles_done = 0
                 if ot == H.OBU_FRAME:
@@ -612,7 +609,7 @@ class Av1Decoder:
             from ffpic_tpu.formats.av1_loopfilter import \
                 apply_loop_filters
             planes = apply_loop_filters(fs, planes, 7)
-        w, h = fh.width, fh.height
+        w, h = fh.upscaled_width, fh.height
         cropped = [planes[0][:h, :w]]
         if len(planes) > 1:
             cw = (w + seq.subsampling_x) >> seq.subsampling_x
@@ -633,7 +630,14 @@ class Av1Decoder:
         self.R.update_ref_slots(self.refs, fh, rf)
         if not fh.show_frame:
             return None
-        return cropped, self._meta(fh)
+        shown = cropped
+        grain = getattr(fh, "grain", None)
+        if grain is not None and grain.apply_grain:
+            from ffpic_tpu.coding.av1_grain import apply_grain
+            shown = apply_grain(shown, grain, seq.bit_depth,
+                                seq.subsampling_x,
+                                seq.subsampling_y)
+        return shown, self._meta(fh)
 
     def _show_existing(self, fh):
         rf = self.refs[fh.frame_to_show]
@@ -648,6 +652,12 @@ class Av1Decoder:
             sx, sy = rf.subsampling
             planes += [p[:(h + sy) >> sy, :(w + sx) >> sx]
                        for p in rf.planes[1:]]
+        grain = getattr(rf, "grain", None)
+        if grain is not None and grain.apply_grain:
+            from ffpic_tpu.coding.av1_grain import apply_grain
+            sx, sy = rf.subsampling
+            planes = apply_grain(planes, grain, rf.bit_depth,
+                                 sx, sy)
         meta = self._meta(None, rf)
         return planes, meta
 
