@@ -183,8 +183,11 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
     # ---- temporal scan (7.10.2.5)
     mf = fs.motion_field
     if fh.use_ref_frame_mvs and mf is not None:
-        step_w4 = 4 if bw4 >= 16 else bw4
-        step_h4 = 4 if bh4 >= 16 else bh4
+        # libaom av1_find_mv_refs: the temporal grid steps 8x8 (2 mi)
+        # for blocks below 64px and 16x16 (4 mi) at 64px+ — a 16x16
+        # block samples FOUR positions, not one
+        step_w4 = 4 if bw4 >= 16 else 2
+        step_h4 = 4 if bh4 >= 16 else 2
 
         def add_tpl(delta_row, delta_col, set_zero_ctx=False):
             mr = r + delta_row

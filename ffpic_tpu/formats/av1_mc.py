@@ -199,7 +199,8 @@ def diffwtd_mask(p0: np.ndarray, p1: np.ndarray, mask_type: int,
     r0, r1 = rounds(bd, True)
     shift = 2 * 7 - r0 - r1 + (bd - 8)      # back to pixel diffs
     diff = np.abs(p0.astype(np.int64) - p1.astype(np.int64))
-    diff = _round2(diff, shift) if shift > 0 else diff
+    # libaom diffwtd_mask: plain floor shift, NO add-half rounding
+    diff = (diff >> shift) if shift > 0 else diff
     m = np.clip(38 + diff // 16, 0, 64).astype(np.int32)
     if mask_type:
         m = 64 - m
