@@ -245,7 +245,22 @@ typedef struct {
 } VP8BoolF;
 
 static void bdf_fill(VP8BoolF *b) {
-    int shift = 64 - 8 - (b->count + 8);
+    int c = b->count;
+    if (b->pos + 8 <= b->len && c <= 48) {
+        /* bulk refill: one 64-bit big-endian load per ~7 bools.
+         * Partial low bits of the last byte may be ORed in below
+         * the accounted count — harmless: the same byte is ORed
+         * again at the same (stream-absolute) position later. */
+        uint64_t v;
+        memcpy(&v, b->data + b->pos, 8);
+        v = __builtin_bswap64(v);
+        b->value |= v >> (8 + c);
+        int k = ((48 - c) >> 3) + 1;
+        b->pos += k;
+        b->count = c + 8 * k;
+        return;
+    }
+    int shift = 64 - 8 - (c + 8);
     while (shift >= 0) {
         if (b->pos >= b->len) {
             /* past EOF the stream reads as zeros: just account bits */
