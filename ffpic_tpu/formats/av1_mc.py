@@ -104,6 +104,92 @@ def mc_translation(ref: np.ndarray, x: int, y: int, w: int, h: int,
     return out.astype(np.int32)
 
 
+REF_SCALE_SHIFT = 14
+SCALE_SUBPEL_BITS = 10
+
+
+def mc_translation_scaled(fs, ref_enum: int, plane: int, x: int,
+                          y: int, w: int, h: int, mv, sx: int,
+                          sy: int, interp, bd: int,
+                          is_compound: bool) -> np.ndarray:
+    """Translational MC from a SCALED reference (spec 7.11.3.3/4
+    with reference scaling; libaom av1_init_inter_params +
+    av1_convolve_2d_scale): positions in 1/1024 (q10) units stepped
+    by the q10 scale factor, 1/16-phase 8-tap filters in both
+    directions.  Used whenever the ref's upscaled geometry differs
+    from the current coded geometry (superres inter frames,
+    resolution-switching sequences)."""
+    rf = _ref_frame(fs, ref_enum)
+    ref = rf.planes[plane]
+    fh = fs.fh
+    xs_fp = ((rf.upscaled_width << REF_SCALE_SHIFT) +
+             (fh.width >> 1)) // fh.width
+    ys_fp = ((rf.height << REF_SCALE_SHIFT) +
+             (fh.height >> 1)) // fh.height
+    step_x = (xs_fp + 8) >> 4          # q10 per output pixel
+    step_y = (ys_fp + 8) >> 4
+    r0, r1 = rounds(bd, is_compound)
+
+    def scale_pos(v_q4, fp):
+        off = (fp - (1 << REF_SCALE_SHIFT)) * 8
+        # SCALE_EXTRA_OFF = (1 << SCALE_EXTRA_BITS)/2 = 32
+        return _round2s(v_q4 * fp + off, 8) + 32
+
+    pos_x = scale_pos((x << 4) + (int(mv[1]) << (1 - sx)), xs_fp)
+    pos_y = scale_pos((y << 4) + (int(mv[0]) << (1 - sy)), ys_fp)
+    ix, fx0 = pos_x >> SCALE_SUBPEL_BITS, pos_x & 1023
+    iy, fy0 = pos_y >> SCALE_SUBPEL_BITS, pos_y & 1023
+    im_h = (((h - 1) * step_y + fy0) >> SCALE_SUBPEL_BITS) + 8
+    src_w = (((w - 1) * step_x + fx0) >> SCALE_SUBPEL_BITS) + 8
+    src = _gather_patch(ref, iy - 3, ix - 3, im_h,
+                        src_w).astype(np.int64)
+    xq = fx0 + step_x * np.arange(w)
+    cols = xq >> SCALE_SUBPEL_BITS
+    taps_x = _filter_set(interp[1], w)[(xq & 1023) >> 6] \
+        .astype(np.int64)                          # (w, 8)
+    hbuf = np.zeros((im_h, w), np.int64)
+    for t in range(8):
+        hbuf += taps_x[:, t][None, :] * src[:, cols + t]
+    hbuf = _round2(hbuf, r0)
+    yq = fy0 + step_y * np.arange(h)
+    rws = yq >> SCALE_SUBPEL_BITS
+    taps_y = _filter_set(interp[0], h)[(yq & 1023) >> 6] \
+        .astype(np.int64)                          # (h, 8)
+    out = np.zeros((h, w), np.int64)
+    for t in range(8):
+        out += taps_y[:, t][:, None] * hbuf[rws + t, :]
+    out = _round2(out, r1)
+    if not is_compound:
+        out = np.clip(out, 0, (1 << bd) - 1)
+    return out.astype(np.int32)
+
+
+_warned_scaled = [False]
+
+
+def _mc_any(fs, ref_enum: int, plane: int, x, y, w, h, mv, sx, sy,
+            interp, bd, is_compound):
+    """Translational MC dispatch: scaled path when the reference
+    geometry differs from the current coded frame.
+
+    The scaled path (superres inter frames) is validated to the
+    +-1-LSB level against dav1d, not yet bit-exact (PARITY.md
+    "superres inter"); a one-shot warning marks approximate
+    output."""
+    if _is_scaled(fs, ref_enum):
+        if not _warned_scaled[0]:
+            _warned_scaled[0] = True
+            import logging
+            logging.getLogger("ffpic.av1").warning(
+                "scaled-reference MC (superres inter): output is "
+                "near-exact (+-1 LSB class) vs dav1d, not bit-exact")
+        return mc_translation_scaled(fs, ref_enum, plane, x, y, w,
+                                     h, mv, sx, sy, interp, bd,
+                                     is_compound)
+    return mc_translation(_ref_plane(fs, ref_enum, plane), x, y, w,
+                          h, mv, sx, sy, interp, bd, is_compound)
+
+
 def dist_weights(seq, fh, ref0: int, ref1: int):
     """Distance-weighted compound weights (spec 7.11.3.15):
     (weight for pred0, weight for pred1), summing to 16."""
@@ -444,9 +530,16 @@ def _ref_plane(fs, ref_enum: int, plane: int):
     return rf.planes[plane]
 
 
+def _ref_frame(fs, ref_enum: int):
+    return fs.refs[fs.fh.ref_frame_idx[ref_enum - C.LAST_FRAME]]
+
+
 def _is_scaled(fs, ref_enum: int) -> bool:
-    rf = fs.refs[fs.fh.ref_frame_idx[ref_enum - C.LAST_FRAME]]
-    return (rf.upscaled_width != fs.fh.upscaled_width or
+    """Spec av1_is_scaled: the ref's stored (upscaled) geometry vs
+    the CURRENT CODED (post-superres-downscale) geometry — with
+    superres active every ref is scaled."""
+    rf = _ref_frame(fs, ref_enum)
+    return (rf.upscaled_width != fs.fh.width or
             rf.height != fs.fh.height)
 
 
@@ -487,7 +580,10 @@ def _pred_one_ref(fs, b, i, plane, px, py, pw, ph, sx, sy,
     mv = b.mvs2[i] if mv is None else mv
     interp = b.interp if interp is None else interp
     ref = _ref_plane(fs, ref_enum, plane)
-    if pw >= 8 and ph >= 8:
+    if pw >= 8 and ph >= 8 and not _is_scaled(fs, ref_enum):
+        # libaom do_warp: warp never runs against a SCALED reference
+        # (superres frames fall back to scaled translation even when
+        # the syntax coded LOCALWARP)
         fh = fs.fh
         if i == 0 and b.motion_mode == C.LOCALWARP:
             wp = _block_warp_params(fs, b)
@@ -505,8 +601,8 @@ def _pred_one_ref(fs, b, i, plane, px, py, pw, ph, sx, sy,
                 return warp_affine(ref, fh.gm_params[ref_enum],
                                    shear, px, py, pw, ph, sx, sy,
                                    bd, is_compound)
-    return mc_translation(ref, px, py, pw, ph, mv, sx, sy,
-                          interp, bd, is_compound)
+    return _mc_any(fs, ref_enum, plane, px, py, pw, ph, mv, sx,
+                   sy, interp, bd, is_compound)
 
 
 def _blend_compound(fs, b, p0, p1, plane, luma_mask, bd):
@@ -650,9 +746,9 @@ def _sub8x8_chroma(fs, plane_arr, b, plane, sx, sy) -> bool:
                   int(fs.interp[mr, mc_, 1])]
         oy = gy + dy * qh
         ox = gx + dx * qw
-        pred = mc_translation(
-            _ref_plane(fs, ref_enum, plane),
-            ox, oy, qw, qh, mv, sx, sy, interp, bd, False)
+        pred = _mc_any(fs, ref_enum, plane,
+                       ox, oy, qw, qh, mv, sx, sy, interp, bd,
+                       False)
         plane_arr[oy:oy + qh, ox:ox + qw] = pred
     return True
 
@@ -701,8 +797,8 @@ def _obmc(fs, planes, b):
                         continue
                     px = ((c + x4) * 4) >> sx
                     py = (r * 4) >> sy
-                    pred = mc_translation(
-                        _ref_plane(fs, ref_enum, plane),
+                    pred = _mc_any(
+                        fs, ref_enum, plane,
                         px, py, pw, ph, mv, sx, sy, interp, bd,
                         False).astype(np.int64)
                     m = mask_for(ph)[:, None]
@@ -738,8 +834,8 @@ def _obmc(fs, planes, b):
                         continue
                     px = (c * 4) >> sx
                     py = ((r + y4) * 4) >> sy
-                    pred = mc_translation(
-                        _ref_plane(fs, ref_enum, plane),
+                    pred = _mc_any(
+                        fs, ref_enum, plane,
                         px, py, pw, ph, mv, sx, sy, interp, bd,
                         False).astype(np.int64)
                     m = mask_for(pw)[None, :]
