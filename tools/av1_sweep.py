@@ -74,3 +74,61 @@ with tempfile.TemporaryDirectory() as td:
             print(f'FAIL {w}x{h} {kind} q{q} s{speed} {sub}: '
                   f'{"EXC " + err if bad < 0 else f"{bad} px"}', flush=True)
 print(f'sweep: {n} configs, {fails} failures')
+
+# ---- inter sweep: multi-frame streams via the libaom ctypes encoder
+# (round-4 conformance: temporal mvs, compound, warp, grain,
+# superres stills).  Configs limited to the validated GOP shapes
+# (lag<=8 or 2-frame; the deep-GOP lag>=19 open bug is tracked in
+# NEXT.md and excluded until fixed).
+from tools import aom_oracle as AO
+from ffpic_tpu.formats.av1_recon import Av1Decoder
+
+def yuv_frames(n, h, w, bd, seed, shift):
+    rng = np.random.default_rng(seed)
+    mx = (1 << bd) - 1
+    base = np.clip(np.linspace(0, mx, w)[None, :] +
+                   np.linspace(0, mx // 2, h)[:, None] +
+                   rng.integers(0, max(2, mx // 10), (h, w)),
+                   0, mx).astype(np.uint16)
+    out = []
+    for i in range(n):
+        out.append([np.roll(base, shift * i, 1),
+                    np.full(((h + 1) // 2, (w + 1) // 2), mx // 2,
+                            np.uint16),
+                    rng.integers(0, mx, ((h + 1) // 2, (w + 1) // 2))
+                    .astype(np.uint16)])
+    return out
+
+inter_n = inter_fails = 0
+if AO.available():
+    icfgs = [
+        (3, 64, 64, 8, 3, 0, 6),  (5, 48, 48, 8, 5, 5, 6),
+        (4, 96, 128, 8, 7, 8, 8), (3, 64, 64, 10, 3, 0, 6),
+        (2, 128, 96, 8, 4, 0, 4), (8, 32, 32, 8, 2, 8, 6),
+        (4, 64, 96, 10, 5, 5, 8), (2, 70, 94, 8, 3, 0, 8),
+    ]
+    for (nf, h, w, bd, shift, lag, speed) in icfgs:
+        try:
+            obus = AO.encode_frames(
+                yuv_frames(nf, h, w, bd, 11 + nf, shift),
+                bit_depth=bd, speed=speed, lag=lag)
+            refs = decode_obus(obus, all_frames=True)
+            ours = Av1Decoder().decode_obus(obus)
+            bad = 0 if len(ours) == len(refs) else -2
+            if bad == 0:
+                for (rp, _), (op, _) in zip(refs, ours):
+                    bad += sum(int((a.astype(np.int64) !=
+                                    b.astype(np.int64)).sum())
+                               for a, b in zip(op, rp))
+        except Exception as e:
+            bad = -1
+            err = repr(e)[:120]
+        inter_n += 1
+        if bad != 0:
+            inter_fails += 1
+            print(f'FAIL inter n{nf} {w}x{h} bd{bd} lag{lag} '
+                  f's{speed}: '
+                  f'{"EXC " + err if bad == -1 else f"{bad} px"}',
+                  flush=True)
+print(f'inter sweep: {inter_n} configs, {inter_fails} failures')
+
