@@ -236,3 +236,46 @@ def test_ls_terms_match_binary():
                 (a * b * 4 + (a + b) * 16 + 64) >> 4
             assert _ls_product2(a, b) == \
                 (a * b * 4 + (a + b) * 16 + 128) >> 4
+
+
+@needs_dav1d
+@pytest.mark.parametrize("sub,bd", [("444", 8), ("444", 10),
+                                    ("422", 8), ("420", 12)])
+def test_aom_encoder_inter_subsampling_bitdepth(sub, bd):
+    """Inter conformance across chroma samplings and the 12-bit
+    professional profile — streams minted by libaom's encoder
+    (profile auto-selected), frame-exact vs dav1d."""
+    import aom_oracle as AO
+    if not AO.available():                          # pragma: no cover
+        pytest.skip("libaom unavailable")
+    rng = np.random.default_rng(4)
+    mx = (1 << bd) - 1
+    h = w = 64
+    base = np.clip(np.linspace(0, mx, w)[None, :] +
+                   np.linspace(0, mx // 2, h)[:, None] +
+                   rng.integers(0, max(2, mx // 10), (h, w)),
+                   0, mx).astype(np.uint16)
+    frames = []
+    for i in range(3 if bd != 12 else 2):
+        y = np.roll(base, 3 * i, 1)
+        if sub == "444":
+            u, v = np.roll(base, -3 * i, 1), \
+                np.full((h, w), mx // 2, np.uint16)
+        elif sub == "422":
+            u = np.roll(base, -3 * i, 1)[:, ::2].copy()
+            v = np.full((h, w // 2), mx // 2, np.uint16)
+        else:
+            u = np.full((h // 2, w // 2), mx // 2, np.uint16)
+            v = rng.integers(0, mx, (h // 2, w // 2)) \
+                .astype(np.uint16)
+        frames.append([y, u, v])
+    obus = AO.encode_frames(frames, bit_depth=bd, speed=6, lag=0,
+                            subsampling=sub)
+    refs = decode_obus(obus, all_frames=True)
+    ours = Av1Decoder().decode_obus(obus)
+    assert len(ours) == len(refs)
+    for fi, ((rp, _), (op, _)) in enumerate(zip(refs, ours)):
+        for pi, (a, b) in enumerate(zip(op, rp)):
+            bad = int((a.astype(np.int64) !=
+                       b.astype(np.int64)).sum())
+            assert bad == 0, f"{sub}/{bd} f{fi} p{pi}: {bad}"

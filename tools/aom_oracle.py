@@ -194,9 +194,14 @@ class _CxPkt(ctypes.Structure):
                 ("vis", ctypes.c_uint * 2)]
 
 
+_AOM_IMG_FMT_I422 = 0x105
+_AOM_IMG_FMT_I444 = 0x106
+
+
 def encode_frames(frames, bit_depth: int = 8, speed: int = 6,
                   q: int = 40, lag: int | None = None,
-                  usage: int = 0):
+                  usage: int = 0, subsampling: str = "420",
+                  profile: int | None = None):
     """Encode YUV420 frames with libaom; returns the raw OBU stream
     (temporal units concatenated, sequence header included).
 
@@ -220,6 +225,15 @@ def encode_frames(frames, bit_depth: int = 8, speed: int = 6,
     def poke(name, val):
         _s.pack_into("<I", cfgbuf, offs[name], val)
 
+    if profile is None:
+        # profile 0: 420 8/10-bit; 1: 444 8/10; 2: 422 or 12-bit
+        if bit_depth == 12 or subsampling == "422":
+            profile = 2
+        elif subsampling == "444":
+            profile = 1
+        else:
+            profile = 0
+    poke("g_profile", profile)
     poke("g_w", w)
     poke("g_h", h)
     poke("g_bit_depth", bit_depth)
@@ -239,8 +253,11 @@ def encode_frames(frames, bit_depth: int = 8, speed: int = 6,
         lib.aom_codec_control(ctypes.byref(ctx), _AOME_SET_CPUUSED,
                               ctypes.c_int(speed))
         # AOME_SET_CQ_LEVEL=255+13? — leave rate control at defaults
-        fmt = _AOM_IMG_FMT_I42016 if bit_depth > 8 else \
-            _AOM_IMG_FMT_I420
+        fmt = {"420": _AOM_IMG_FMT_I420,
+               "422": _AOM_IMG_FMT_I422,
+               "444": _AOM_IMG_FMT_I444}[subsampling]
+        if bit_depth > 8:
+            fmt |= 0x800
         lib.aom_img_alloc.restype = ctypes.POINTER(_Image)
         img_p = lib.aom_img_alloc(None, ctypes.c_int(fmt),
                                   ctypes.c_uint(w), ctypes.c_uint(h),
