@@ -132,3 +132,47 @@ def test_superres_exact(den, h, w, bd):
 def test_superres_with_grain():
     _assert_exact(_encode(_frames(1, 64, 128, 8), bd=8,
                           grain_level=8, sr_den=16))
+
+
+@needs_oracles
+@pytest.mark.parametrize("sub,level,bd", [("444", 8, 8),
+                                          ("444", 25, 8),
+                                          ("422", 8, 8),
+                                          ("420", 40, 10)])
+def test_film_grain_subsampling(sub, level, bd):
+    """Grain templates at every chroma geometry (4:4:4 82x73,
+    4:2:2 44x73, 4:2:0 44x38) incl. the luma-correlated AR term."""
+    rng = np.random.default_rng(6)
+    mx = (1 << bd) - 1
+    h = w = 64
+    base = np.clip(np.linspace(0, mx, w)[None, :] +
+                   np.linspace(0, mx // 2, h)[:, None] +
+                   rng.integers(0, max(2, mx // 10), (h, w)),
+                   0, mx).astype(np.uint16)
+    frames = []
+    for i in range(2):
+        y = np.roll(base, 3 * i, 1)
+        if sub == "444":
+            u, v = np.roll(base, -3 * i, 1), \
+                np.full((h, w), mx // 2, np.uint16)
+        elif sub == "422":
+            u = np.roll(base, -3 * i, 1)[:, ::2].copy()
+            v = np.full((h, w // 2), mx // 2, np.uint16)
+        else:
+            u = np.full((h // 2, w // 2), mx // 2, np.uint16)
+            v = rng.integers(0, mx, (h // 2, w // 2)) \
+                .astype(np.uint16)
+        frames.append([y, u, v])
+    code = open(os.path.join(REPO, "tools", "aom_oracle.py")).read()
+    fa = ('        lib.aom_codec_control(ctypes.byref(ctx), '
+          '_AOME_SET_CPUUSED,\n'
+          '                              ctypes.c_int(speed))')
+    assert fa in code
+    code = code.replace(fa, fa + (
+        '\n        lib.aom_codec_control(ctypes.byref(ctx), '
+        f'{_GRAIN_CTRL}, ctypes.c_int({level}))'))
+    ns = {}
+    exec(compile(code, "aom_oracle_patched", "exec"), ns)
+    obus = ns["encode_frames"](frames, bit_depth=bd, speed=6,
+                               lag=0, subsampling=sub)
+    _assert_exact(obus)
