@@ -113,6 +113,24 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
                 stack.append([cand, [0, 0], weight])
             return
 
+    # spec 7.10.2 setup: maxRowOffset/maxColOffset (the -6 reach
+    # clamped to the tile edge, 0 when the edge row/col is absent)
+    # and the processedRows/Cols cells that let a tall/wide adjacent
+    # candidate SKIP the outer scans entirely.
+    row_adj = 1 if (bh4 < 2 and (r & 1)) else 0
+    col_adj = 1 if (bw4 < 2 and (c & 1)) else 0
+    MVREF_ROW_COLS = 3
+    max_row_offset = 0
+    if r > td.r0:
+        max_row_offset = max(-(MVREF_ROW_COLS << 1) + row_adj,
+                             td.r0 - r)
+    max_col_offset = 0
+    if c > td.c0:
+        max_col_offset = max(-(MVREF_ROW_COLS << 1) + col_adj,
+                             td.c0 - c)
+    processed_rows = [0]
+    processed_cols = [0]
+
     def scan_row(delta_row):
         end4 = min(min(bw4, fs.mi_cols - c), 16)
         delta_col = 0
@@ -125,12 +143,24 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
             mr, mc = r + delta_row, c + delta_col + i
             if not is_inside(mr, mc):
                 break
-            ln = min(2, int(C.BLOCK_W4[fs.bsize[mr, mc]]))
+            cand_w4 = int(C.BLOCK_W4[fs.bsize[mr, mc]])
+            ln = min(2, cand_w4)
             if abs(delta_row) > 1:
                 ln = max(2, ln)
             if use_step16:
                 ln = max(4, ln)
-            add_candidate(mr, mc, ln * 2)
+            # weight boost for a covering candidate (spec
+            # 7.10.2.2): a candidate at least as wide as the block
+            # weights by its height up to the remaining scan reach,
+            # and marks the rows it covers as processed so outer
+            # row scans are skipped
+            weight = 2
+            if bw4 >= 2 and bw4 <= cand_w4:
+                inc = min(-max_row_offset + delta_row + 1,
+                          int(C.BLOCK_H4[fs.bsize[mr, mc]]))
+                weight = max(weight, inc)
+                processed_rows[0] = inc - delta_row - 1
+            add_candidate(mr, mc, ln * weight)
             i += ln
 
     def scan_col(delta_col):
@@ -145,12 +175,19 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
             mr, mc = r + delta_row + i, c + delta_col
             if not is_inside(mr, mc):
                 break
-            ln = min(2, int(C.BLOCK_H4[fs.bsize[mr, mc]]))
+            cand_h4 = int(C.BLOCK_H4[fs.bsize[mr, mc]])
+            ln = min(2, cand_h4)
             if abs(delta_col) > 1:
                 ln = max(2, ln)
             if use_step16:
                 ln = max(4, ln)
-            add_candidate(mr, mc, ln * 2)
+            weight = 2
+            if bh4 >= 2 and bh4 <= cand_h4:
+                inc = min(-max_col_offset + delta_col + 1,
+                          int(C.BLOCK_W4[fs.bsize[mr, mc]]))
+                weight = max(weight, inc)
+                processed_cols[0] = inc - delta_col - 1
+            add_candidate(mr, mc, ln * weight)
             i += ln
 
     def scan_point(delta_row, delta_col):
@@ -266,14 +303,23 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
         found_above = True
     for idx in (2, 3):
         off = -2 * idx + 1
-        found_match[0] = False
-        scan_row(off)           # is_inside bounds the tile edge
-        if found_match[0]:
-            found_above = True
-        found_match[0] = False
-        scan_col(off)
-        if found_match[0]:
-            found_left = True
+        # outer scans run only within the clamped reach and only
+        # past rows/cols a covering adjacent candidate has already
+        # processed (spec 7.10.2 find_mv_stack outer loop)
+        row_off = off + row_adj
+        if (abs(row_off) <= abs(max_row_offset) and
+                abs(row_off) > processed_rows[0]):
+            found_match[0] = False
+            scan_row(off)
+            if found_match[0]:
+                found_above = True
+        col_off = off + col_adj
+        if (abs(col_off) <= abs(max_col_offset) and
+                abs(col_off) > processed_cols[0]):
+            found_match[0] = False
+            scan_col(off)
+            if found_match[0]:
+                found_left = True
     total_matches = int(found_above) + int(found_left)
 
     # ---- sorting (stable, by descending weight, two segments)
