@@ -49,8 +49,6 @@ def parse_film_grain(r, fh, seq, refs) -> GrainParams:
         g.update_grain = bool(r.read_bit())
     if not g.update_grain:
         g.ref_idx = r.read_bits(3)
-        ref = refs[fh.ref_frame_idx[g.ref_idx]] \
-            if g.ref_idx < len(fh.ref_frame_idx) else None
         # spec: load_grain_params(film_grain_params_ref_idx) — the
         # ref slot INDEX is absolute, not through ref_frame_idx
         ref = refs[g.ref_idx]
@@ -366,6 +364,12 @@ def apply_grain(planes, g: GrainParams, bd: int, sub_x: int,
                     lrow = src[0][ly:ly + (bh << sy):1 << sy,
                                   x0 << sx:(x0 + bw) << sx]
                     if sx:
+                        # spec 7.18.3.6 clamps lumaX+1 to the plane
+                        # width: replicate the last column when the
+                        # luma slice has an odd column count
+                        if lrow.shape[1] & 1:
+                            lrow = np.concatenate(
+                                [lrow, lrow[:, -1:]], axis=1)
                         avg = (lrow[:, 0::2] +
                                lrow[:, 1::2] + 1) >> 1
                     else:

@@ -120,14 +120,17 @@ def find_mv_stack(td, b, is_compound: bool) -> MvStack:
     row_adj = 1 if (bh4 < 2 and (r & 1)) else 0
     col_adj = 1 if (bw4 < 2 and (c & 1)) else 0
     MVREF_ROW_COLS = 3
+    # libaom setup_ref_mv_list narrows the scan reach for sub-8px
+    # blocks PER DIMENSION: height < 8px -> row base -(2<<1),
+    # width < 8px -> col base -(2<<1) (then the tile clamp)
     max_row_offset = 0
     if r > td.r0:
-        max_row_offset = max(-(MVREF_ROW_COLS << 1) + row_adj,
-                             td.r0 - r)
+        row_base = -(2 << 1) if bh4 < 2 else -(MVREF_ROW_COLS << 1)
+        max_row_offset = max(row_base + row_adj, td.r0 - r)
     max_col_offset = 0
     if c > td.c0:
-        max_col_offset = max(-(MVREF_ROW_COLS << 1) + col_adj,
-                             td.c0 - c)
+        col_base = -(2 << 1) if bw4 < 2 else -(MVREF_ROW_COLS << 1)
+        max_col_offset = max(col_base + col_adj, td.c0 - c)
     processed_rows = [0]
     processed_cols = [0]
 
@@ -473,11 +476,16 @@ SEG_LVL_ALT_Q, SEG_LVL_ALT_LF_Y_V, SEG_LVL_ALT_LF_Y_H, \
     SEG_LVL_ALT_LF_U, SEG_LVL_ALT_LF_V, SEG_LVL_REF_FRAME, \
     SEG_LVL_SKIP, SEG_LVL_GLOBALMV = range(8)
 
-# spec Compound_Mode_Ctx_Map
+# spec Compound_Mode_Ctx_Map (verified against libaom's
+# compound_mode_ctx_map .rodata — root cause of the round-4
+# deep-GOP desync: rows 1/2 were mis-transcribed as
+# {3,4,4,4,4}/{5,6,7,7,7}, sending e.g. (NewMvCtx=2,RefMvCtx=3)
+# to row 4 instead of row 3 — same decoded mode, drifted msac
+# state, desync ~10 blocks later)
 _COMP_MODE_CTX_MAP = [
     [0, 1, 1, 1, 1],
-    [3, 4, 4, 4, 4],
-    [5, 6, 7, 7, 7],
+    [1, 2, 3, 4, 4],
+    [4, 4, 5, 6, 7],
 ]
 
 
@@ -637,7 +645,10 @@ def read_ref_frames(td, b, r, c):
             if intra or sg:
                 ctx = 2
             else:
-                ctx = 1 + 2 * int(uni)
+                # libaom comp_reference_type_context one-edge comp
+                # case: 3 * has_uni_comp_refs (0 bidir / 3 unidir),
+                # NOT the both-edges 1+2*uni ladder
+                ctx = 3 * int(uni)
         else:
             ctx = 2
         bidir = td.sym(td.cdf["comp_ref_type"][ctx])

@@ -791,6 +791,14 @@ def _obmc(fs, planes, b):
                 for plane in range(nplanes):
                     sx = seq.subsampling_x if plane else 0
                     sy = seq.subsampling_y if plane else 0
+                    # above-pass chroma gate (libaom
+                    # av1_skip_u4x4_pred_in_obmc dir==0 / dav1d
+                    # obmc): small chroma blocks (4x4/8x4/4x8, i.e.
+                    # bw4*hmul + bh4*vmul < 16) skip the ABOVE
+                    # blend only — the left pass still applies
+                    if plane and (bw4 * (4 >> sx) +
+                                  bh4 * (4 >> sy) < 16):
+                        continue
                     pw = max(1, (ow4 * 4) >> sx)
                     ph = max(1, (oh4 * 4) >> sy)
                     if pw < 2 or ph < 2:

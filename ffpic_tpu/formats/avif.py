@@ -351,23 +351,36 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
     # cover item duplicates the first track frame, so on a successful
     # track decode the cover Pic is REPLACED by the track frames —
     # each animation frame appears exactly once, matching this repo's
-    # GIF/WebP convention.  Track samples go through untrusted
-    # struct.unpack walks (basemedia.track_samples), hence the broad
-    # except: a malformed moov must not sink the already-decoded
-    # cover image.
+    # GIF/WebP convention.  ONLY the untrusted container walk
+    # (basemedia.track_samples struct.unpack walks) gets the broad
+    # except — a malformed moov must not sink the already-decoded
+    # cover image.  Decoder errors from the already-validated OBU
+    # stream propagate as typed codec errors; anything else
+    # (IndexError/KeyError from a decoder regression) raises.
     try:
-        track = []
-        for rgba_f, dur in _track_frames(data, nclx):
-            # apply the cover item's irot/imir so all frames agree
-            # in orientation with frame 0
-            if rot:
-                rgba_f = np.ascontiguousarray(
-                    np.rot90(rgba_f, rot // 90))
-            if mir is not None:
-                rgba_f = np.ascontiguousarray(
-                    np.fliplr(rgba_f) if mir == 0 else
-                    np.flipud(rgba_f))
-            track.append((rgba_f, dur))
+        setup = _track_setup(data, nclx)
+    except (ValueError, NotImplementedError, struct.error,
+            IndexError, KeyError) as e:
+        log.warning("avis moov walk failed: %s", e)
+        setup = None
+    if setup is not None:
+        try:
+            track = []
+            for rgba_f, dur in _track_decode(data, setup):
+                # apply the cover item's irot/imir so all frames
+                # agree in orientation with frame 0
+                if rot:
+                    rgba_f = np.ascontiguousarray(
+                        np.rot90(rgba_f, rot // 90))
+                if mir is not None:
+                    rgba_f = np.ascontiguousarray(
+                        np.fliplr(rgba_f) if mir == 0 else
+                        np.flipud(rgba_f))
+                track.append((rgba_f, dur))
+        except (ValueError, NotImplementedError) as e:
+            log.warning("avis track decode failed: %s", e)
+            meta["degraded"] = f"track decode failed: {e}"
+            track = []
         if track:
             pics = []
             for fi, (rgba_f, dur) in enumerate(track):
@@ -380,21 +393,17 @@ def load(data: bytes, skip_decode: bool = False) -> list[Pic]:
                                 meta=fmeta))
             meta["frames"] = len(pics)
             meta.update(width=pics[0].width, height=pics[0].height)
-    except (ValueError, NotImplementedError, struct.error,
-            IndexError, KeyError) as e:
-        log.warning("avis track decode failed: %s", e)
     return pics
 
 
-def _track_frames(data: bytes, item_nclx):
-    """Decode av01 track samples (animated AVIF) to RGBA frames.
-    Yields (rgba, duration_ms) per SHOWN frame.  The first track frame
-    usually duplicates the still cover item — both are returned; the
-    caller's Pic list mirrors the GIF/WebP frame convention."""
+def _track_setup(data: bytes, item_nclx):
+    """Untrusted container walk for an av01 track: sample table,
+    av1C config OBUs, and color info.  Returns None when no av01
+    track exists; raises on malformed boxes (caller catches)."""
     boxes = bm.parse_boxes(data, 0, len(data))
     tr = bm.track_samples(data, boxes, "av01")
     if tr is None:
-        return
+        return None
     es = tr["entry_start"]
     children = bm.parse_boxes(data, es + 86, es + tr["entry_size"])
     av1c = bm.find_box(children, "av1C")
@@ -410,6 +419,15 @@ def _track_frames(data: bytes, item_nclx):
             transfer=_st.unpack_from(">H", data, colr.start + 6)[0],
             matrix=_st.unpack_from(">H", data, colr.start + 8)[0],
             full_range=bool(data[colr.start + 10] >> 7))
+    return dict(tr=tr, cfg=cfg, nclx=nclx)
+
+
+def _track_decode(data: bytes, setup):
+    """Decode av01 track samples (animated AVIF) to RGBA frames.
+    Yields (rgba, duration_ms) per SHOWN frame.  The first track frame
+    usually duplicates the still cover item — both are returned; the
+    caller's Pic list mirrors the GIF/WebP frame convention."""
+    tr, cfg, nclx = setup["tr"], setup["cfg"], setup["nclx"]
     from ffpic_tpu.formats.av1_recon import Av1Decoder
     dec = Av1Decoder()
     if cfg:

@@ -176,3 +176,14 @@ def test_film_grain_subsampling(sub, level, bd):
     obus = ns["encode_frames"](frames, bit_depth=bd, speed=6,
                                lag=0, subsampling=sub)
     _assert_exact(obus)
+
+
+@needs_oracles
+@pytest.mark.parametrize("h,w", [(33, 33), (64, 65), (31, 47)])
+def test_film_grain_truly_odd_width(h, w):
+    """ODD luma width/height in 4:2:0: the chroma blend's 2x luma
+    column pairing hits lumaX+1 == w; spec 7.18.3.6 clamps to the
+    plane edge (replicate last column).  Crashed with a broadcast
+    ValueError before round 5 (ADVICE finding)."""
+    _assert_exact(_encode(_frames(2, h, w, 8), bd=8,
+                          grain_level=50))

@@ -279,3 +279,88 @@ def test_aom_encoder_inter_subsampling_bitdepth(sub, bd):
             bad = int((a.astype(np.int64) !=
                        b.astype(np.int64)).sum())
             assert bad == 0, f"{sub}/{bd} f{fi} p{pi}: {bad}"
+
+
+# --------------------------------------------- deep-GOP regression
+
+def _pan_frames(n, h, w, shift=7, seed=3):
+    """Diagonal-gradient pan with noisy chroma — the round-4/5
+    deep-GOP repro content (desync isolated to the mis-transcribed
+    Compound_Mode_Ctx_Map rows 1/2; fixed in round 5)."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)
+    yy = np.linspace(0, 255, h)
+    g = (x[None, :] + yy[:, None]) / 2
+    frames = []
+    for i in range(n):
+        y = np.clip(np.roll(g, i * shift, 1) +
+                    rng.integers(0, 20, (h, w)), 0, 255) \
+            .astype(np.uint16)
+        u = np.clip(128 + rng.integers(-10, 10,
+                    ((h + 1) // 2, (w + 1) // 2)), 0, 255) \
+            .astype(np.uint16)
+        v = np.clip(np.roll(g, -i * shift, 1)[0::2, 0::2] +
+                    rng.integers(0, 10,
+                    ((h + 1) // 2, (w + 1) // 2)), 0, 255) \
+            .astype(np.uint16)
+        frames.append([y, u, v])
+    return frames
+
+
+@needs_dav1d
+@pytest.mark.parametrize("lag", [19, 25])
+def test_deep_gop_alt_ref_pyramid_exact(lag):
+    """lag-in-frames >= 19 (libaom's default range) builds a hidden
+    alt-ref pyramid whose shown frames take compound prediction from
+    TWO distinct hidden refs.  Round 4's only known wrong-pixels bug
+    lived here: _COMP_MODE_CTX_MAP rows 1/2 were mis-transcribed
+    ({3,4,4,4,4}/{5,6,7,7,7} instead of {1,2,3,4,4}/{4,4,5,6,7} —
+    verified against libaom's compound_mode_ctx_map .rodata), so a
+    (NewMvCtx=2, RefMvCtx=3) block read its compound mode from row 4
+    instead of row 3: same decoded mode, drifted msac state, desync a
+    few blocks later.  Frame-exact vs dav1d now."""
+    import aom_oracle as AO
+    if not AO.available():                          # pragma: no cover
+        pytest.skip("libaom unavailable")
+    obus = AO.encode_frames(_pan_frames(5, 64, 64), speed=6, lag=lag)
+    refs = decode_obus(obus, all_frames=True)
+    ours = Av1Decoder().decode_obus(obus)
+    assert len(ours) == len(refs) == 5
+    for fi, ((rp, _), (op, _)) in enumerate(zip(refs, ours)):
+        for pi, (a, b) in enumerate(zip(op, rp)):
+            bad = int((a.astype(np.int64) !=
+                       b.astype(np.int64)).sum())
+            assert bad == 0, f"lag{lag} f{fi} p{pi}: {bad}"
+
+
+@needs_dav1d
+def test_obmc_above_chroma_gate():
+    """OBMC above-pass chroma gate (libaom
+    av1_skip_u4x4_pred_in_obmc dir==0): 8x8/8x16/16x8 blocks in
+    4:2:0 skip the ABOVE chroma blend while the left pass still
+    applies.  Minted with small-block-friendly content so OBMC
+    (motion_mode reads) and sub-8x8 partitions occur."""
+    import aom_oracle as AO
+    if not AO.available():                          # pragma: no cover
+        pytest.skip("libaom unavailable")
+    rng = np.random.default_rng(11)
+    h = w = 64
+    frames = []
+    for i in range(3):
+        y = rng.integers(0, 255, (h, w)).astype(np.uint16)
+        # strong static structure + moving patch => mixed block sizes
+        y[: h // 2] = (np.arange(w)[None, :] * 2 + i * 9) % 255
+        u = np.clip(128 + rng.integers(-40, 40, (h // 2, w // 2)),
+                    0, 255).astype(np.uint16)
+        v = np.clip(96 + rng.integers(-40, 40, (h // 2, w // 2)),
+                    0, 255).astype(np.uint16)
+        frames.append([y, u, v])
+    obus = AO.encode_frames(frames, speed=3, lag=0, q=55)
+    refs = decode_obus(obus, all_frames=True)
+    ours = Av1Decoder().decode_obus(obus)
+    assert len(ours) == len(refs)
+    for fi, ((rp, _), (op, _)) in enumerate(zip(refs, ours)):
+        for pi, (a, b) in enumerate(zip(op, rp)):
+            bad = int((a.astype(np.int64) !=
+                       b.astype(np.int64)).sum())
+            assert bad == 0, f"f{fi} p{pi}: {bad}"

@@ -77,9 +77,10 @@ print(f'sweep: {n} configs, {fails} failures')
 
 # ---- inter sweep: multi-frame streams via the libaom ctypes encoder
 # (round-4 conformance: temporal mvs, compound, warp, grain,
-# superres stills).  Configs limited to the validated GOP shapes
-# (lag<=8 or 2-frame; the deep-GOP lag>=19 open bug is tracked in
-# NEXT.md and excluded until fixed).
+# superres stills).  Round 5: deep-GOP configs (lag 19-25, libaom's
+# default range) are INCLUDED — the round-4 desync was root-caused
+# to a mis-transcribed Compound_Mode_Ctx_Map (av1_inter.py) and
+# fixed; tests/test_av1_inter.py pins the minimal repro.
 from tools import aom_oracle as AO
 from ffpic_tpu.formats.av1_recon import Av1Decoder
 
@@ -106,6 +107,8 @@ if AO.available():
         (4, 96, 128, 8, 7, 8, 8), (3, 64, 64, 10, 3, 0, 6),
         (2, 128, 96, 8, 4, 0, 4), (8, 32, 32, 8, 2, 8, 6),
         (4, 64, 96, 10, 5, 5, 8), (2, 70, 94, 8, 3, 0, 8),
+        (5, 64, 64, 8, 7, 19, 6), (6, 96, 64, 8, 5, 25, 6),
+        (5, 48, 80, 10, 7, 19, 8), (8, 64, 64, 8, 3, 22, 6),
     ]
     for (nf, h, w, bd, shift, lag, speed) in icfgs:
         try:
