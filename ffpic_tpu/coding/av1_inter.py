@@ -954,10 +954,14 @@ def inter_block_mode_info(td, b, r, c):
 
 
 def _ref_is_scaled(td, ref: int) -> bool:
+    """libaom av1_is_scaled: the ref's stored (upscaled) geometry vs
+    the current CODED width (post-superres-downscale, fh.width — NOT
+    upscaled_width: with superres active every ref is scaled, which
+    gates the motion-mode read to the OBMC bool)."""
     rf = td.fs.refs[td.fh.ref_frame_idx[ref - C.LAST_FRAME]]
     if rf is None:
         return False
-    return (rf.upscaled_width != td.fh.upscaled_width or
+    return (rf.upscaled_width != td.fh.width or
             rf.height != td.fh.height)
 
 

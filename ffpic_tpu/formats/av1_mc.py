@@ -164,25 +164,18 @@ def mc_translation_scaled(fs, ref_enum: int, plane: int, x: int,
     return out.astype(np.int32)
 
 
-_warned_scaled = [False]
-
-
 def _mc_any(fs, ref_enum: int, plane: int, x, y, w, h, mv, sx, sy,
             interp, bd, is_compound):
     """Translational MC dispatch: scaled path when the reference
     geometry differs from the current coded frame.
 
-    The scaled path (superres inter frames) is validated to the
-    +-1-LSB level against dav1d, not yet bit-exact (PARITY.md
-    "superres inter"); a one-shot warning marks approximate
-    output."""
+    The scaled path (superres inter / resolution switching) is
+    bit-exact vs dav1d (tests/test_av1_inter.py superres-inter cases,
+    sweep configs across denominators 9-16, 8/10-bit, deep GOPs).
+    Round 4's "±1-LSB residue" was NOT this convolve: it was the
+    parse-side _ref_is_scaled gate comparing against upscaled_width,
+    reading motion_mode where dav1d reads the OBMC bool."""
     if _is_scaled(fs, ref_enum):
-        if not _warned_scaled[0]:
-            _warned_scaled[0] = True
-            import logging
-            logging.getLogger("ffpic.av1").warning(
-                "scaled-reference MC (superres inter): output is "
-                "near-exact (+-1 LSB class) vs dav1d, not bit-exact")
         return mc_translation_scaled(fs, ref_enum, plane, x, y, w,
                                      h, mv, sx, sy, interp, bd,
                                      is_compound)

@@ -187,3 +187,19 @@ def test_film_grain_truly_odd_width(h, w):
     ValueError before round 5 (ADVICE finding)."""
     _assert_exact(_encode(_frames(2, h, w, 8), bd=8,
                           grain_level=50))
+
+
+@needs_oracles
+@pytest.mark.parametrize("den,bd,lag", [(16, 8, 0), (9, 8, 0),
+                                        (12, 8, 19), (14, 10, 0)])
+def test_superres_inter_exact(den, bd, lag):
+    """Superres INTER frames: every reference is scaled (stored
+    upscaled vs coded downscaled geometry), so each inter block
+    takes the scaled-convolve path AND the motion-mode read is
+    gated to the OBMC bool (libaom av1_is_scaled compares the
+    CODED width — round 5 fixed the parse gate comparing
+    upscaled_width, which desynced every warp-enabled superres
+    stream).  Frame-exact vs dav1d incl. deep-GOP pyramids."""
+    n = 5 if lag else 3
+    _assert_exact(_encode(_frames(n, 64, 128, bd, shift=5), bd=bd,
+                          sr_den=den, lag=lag, speed=6))

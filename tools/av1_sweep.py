@@ -135,3 +135,37 @@ if AO.available():
                   flush=True)
 print(f'inter sweep: {inter_n} configs, {inter_fails} failures')
 
+
+# ---- superres-inter sweep: scaled references on every inter block
+# (round 5: parse gate + scaled convolve bit-exact; the encode helper
+# with the rc_superres cfg pokes lives in tests/test_av1_grain.py)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+sr_n = sr_fails = 0
+if AO.available():
+    from test_av1_grain import _encode as _sr_encode, \
+        _frames as _sr_frames
+    for (den, h, w, bd, lag, nf) in [(16, 64, 128, 8, 0, 4),
+                                     (13, 96, 64, 8, 19, 5),
+                                     (10, 64, 96, 10, 8, 4)]:
+        try:
+            obus = _sr_encode(_sr_frames(nf, h, w, bd, shift=5),
+                              bd=bd, sr_den=den, lag=lag, speed=6)
+            refs = decode_obus(obus, all_frames=True)
+            ours = Av1Decoder().decode_obus(obus)
+            bad = 0 if len(ours) == len(refs) else -2
+            if bad == 0:
+                for (rp, _), (op, _) in zip(refs, ours):
+                    bad += sum(int((a.astype(np.int64) !=
+                                    b.astype(np.int64)).sum())
+                               for a, b in zip(op, rp))
+        except Exception as e:
+            bad = -1
+            err = repr(e)[:120]
+        sr_n += 1
+        if bad != 0:
+            sr_fails += 1
+            print(f'FAIL sr-inter den{den} {w}x{h} bd{bd} lag{lag}: '
+                  f'{"EXC " + err if bad == -1 else f"{bad} px"}',
+                  flush=True)
+print(f'superres-inter sweep: {sr_n} configs, {sr_fails} failures')
