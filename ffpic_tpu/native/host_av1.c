@@ -39,18 +39,49 @@ typedef struct {
     int allow_update;
 } Msac;
 
+/* lightweight always-on profile counters (av1_prof_read) */
+static unsigned long long _prof[8];
+static inline unsigned long long _rdtsc(void)
+{
+#if defined(__x86_64__) || defined(__i386__)
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((unsigned long long)hi << 32) | lo;
+#else
+    return 0;
+#endif
+}
+EXPORT void av1_prof_read(unsigned long long *out, int reset)
+{
+    for (int i = 0; i < 8; i++) out[i] = _prof[i];
+    if (reset) memset(_prof, 0, sizeof(_prof));
+}
+
 static inline int msac_read_bits(Msac *m, int n)
 {
-    int v = 0;
-    for (int i = 0; i < n; i++) {
-        int bit = 0;
-        if (m->bitpos < m->end8)
-            bit = (m->data[m->bitpos >> 3] >> (7 - (m->bitpos & 7)))
-                  & 1;
-        v = (v << 1) | bit;
-        m->bitpos++;
+    /* bulk MSB-first window read (n <= 15): gather 4 bytes at the
+     * bit cursor and shift out n bits; bytes past the buffer end
+     * read as zero (spec msac padding).  Semantics identical to the
+     * former bit-at-a-time loop — the (bitpos, dif, rng, cnt) state
+     * still round-trips with the Python oracle unchanged. */
+    if (!n)
+        return 0;
+    int64_t bp = m->bitpos;
+    m->bitpos = bp + n;
+    int64_t b0 = bp >> 3;
+    int64_t nbytes = (m->end8 + 7) >> 3;
+    const uint8_t *d = m->data;
+    uint32_t w;
+    if (b0 + 4 <= nbytes) {
+        w = ((uint32_t)d[b0] << 24) | ((uint32_t)d[b0 + 1] << 16) |
+            ((uint32_t)d[b0 + 2] << 8) | (uint32_t)d[b0 + 3];
+    } else {
+        w = 0;
+        for (int i = 0; i < 4; i++)
+            w = (w << 8) |
+                (b0 + i < nbytes ? (uint32_t)d[b0 + i] : 0u);
     }
-    return v;
+    return (int)((w << (bp & 7)) >> (32 - n));
 }
 
 static inline void msac_renorm(Msac *m, uint32_t dif, uint32_t rng)
@@ -71,8 +102,68 @@ static inline void msac_renorm(Msac *m, uint32_t dif, uint32_t rng)
 
 static int msac_symbol(Msac *m, int32_t *cdf, int n)
 {
+    _prof[3]++;
     uint32_t rng = m->rng, dif = m->dif;
-    uint32_t r8 = rng >> 8, cur = rng, prev;
+    uint32_t r8 = rng >> 8;
+    if (n == 2) {
+        /* boolean with adaptive cdf (txb_skip/dc_sign/eob_extra) */
+        uint32_t c0 = ((r8 * ((uint32_t)cdf[0] >> EC_PROB_SHIFT))
+                       >> 1) + EC_MIN_PROB;
+        int sym = dif < c0;
+        if (sym)
+            msac_renorm(m, dif, c0);
+        else
+            msac_renorm(m, dif - c0, rng - c0);
+        if (m->allow_update) {
+            int count = cdf[2];
+            int rate = 4 + (count > 15) + (count > 31);
+            cdf[0] += sym ? ((32768 - cdf[0]) >> rate)
+                          : -(cdf[0] >> rate);
+            cdf[2] = count + (count < 32);
+        }
+        return sym;
+    }
+    if (n == 4) {
+        /* coeff_base / coeff_br: early-exit search (symbols are
+         * heavily skewed toward 0) + unrolled branch-light adapt */
+        uint32_t c0 = ((r8 * ((uint32_t)cdf[0] >> EC_PROB_SHIFT))
+                       >> 1) + EC_MIN_PROB * 3;
+        int sym;
+        uint32_t lo, hi;
+        if (dif >= c0) {
+            sym = 0; lo = c0; hi = rng;
+        } else {
+            uint32_t c1 = ((r8 * ((uint32_t)cdf[1]
+                                  >> EC_PROB_SHIFT)) >> 1)
+                          + EC_MIN_PROB * 2;
+            if (dif >= c1) {
+                sym = 1; lo = c1; hi = c0;
+            } else {
+                uint32_t c2 = ((r8 * ((uint32_t)cdf[2]
+                                      >> EC_PROB_SHIFT)) >> 1)
+                              + EC_MIN_PROB;
+                if (dif >= c2) {
+                    sym = 2; lo = c2; hi = c1;
+                } else {
+                    sym = 3; lo = 0; hi = c2;
+                }
+            }
+        }
+        msac_renorm(m, dif - lo, hi - lo);
+        if (m->allow_update) {
+            int count = cdf[4];
+            int rate = 5 + (count > 15) + (count > 31);
+            cdf[0] += (sym > 0) ? ((32768 - cdf[0]) >> rate)
+                                : -(cdf[0] >> rate);
+            cdf[1] += (sym > 1) ? ((32768 - cdf[1]) >> rate)
+                                : -(cdf[1] >> rate);
+            cdf[2] += (sym > 2) ? ((32768 - cdf[2]) >> rate)
+                                : -(cdf[2] >> rate);
+            cdf[4] = count + (count < 32);
+        }
+        return sym;
+    }
+    uint32_t cur = rng, prev;
     int sym = -1;
     do {
         sym++;
@@ -895,10 +986,11 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
     int32_t lv[37 * 37];
     memset(lv, 0, sizeof(int32_t) * (h + 5) * (w + 5));
     int stride = w + 5;
+    /* quant/signs need no zeroing: every cell read below is written
+     * first (the scan loops cover exactly positions scan[0..eob)) */
     int64_t quant[1024];
     int8_t signs[1024];
-    memset(quant, 0, sizeof(int64_t) * area);
-    memset(signs, 0, sizeof(int8_t) * area);
+    int log2w = __builtin_ctz(w);
     int32_t *base_eob = (int32_t *)ptrs[P_BASEEOB]
                       + (txs * 2 + ptype) * 4 * 4;
     int32_t *base = (int32_t *)ptrs[P_BASE]
@@ -908,8 +1000,8 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
 
     for (int ci = eob - 1; ci >= 0; ci--) {
         int pos = scan[ci];
-        int row = pos / w;
-        int col = pos - row * w;
+        int row = pos >> log2w;
+        int col = pos - (row << log2w);
         int32_t *L = lv + row * stride + col;
         int64_t level;
         if (ci == eob - 1) {
@@ -1202,12 +1294,14 @@ static void parse_tb(TbCtx *tc, int x, int y, int tx)
     }
     int aw = S[S_AW + tx], ah = S[S_AH + tx];
     int tt = 0;
+    unsigned long long _tc0 = _rdtsc();
     int eob = decode_tb_coeffs(
         m, ptrs, S, tc->scans, plane, x4, y4, tx, cw4, ch4,
         l_base, az, ett_set, ett_dir, ett_sqr, fixed_tt,
         P[PPF_DCQ], P[PPF_ACQ], shift, tc->clip,
         tc->coef_out + tc->coef_total, &tt, ett_row, ett_inv,
         ett_n);
+    _prof[4] += _rdtsc() - _tc0; _prof[5]++;
     if (blk[B_INTERTX] && plane == 0 && eob > 0) {
         uint8_t *gtt = (uint8_t *)tc->mp[M_GTXTYPE];
         int re_ = y4 + h4 < mi_rows ? y4 + h4 : mi_rows;
@@ -2657,7 +2751,9 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     out[O_DLF0] = t->dlf[0]; out[O_DLF1] = t->dlf[1];
     out[O_DLF2] = t->dlf[2]; out[O_DLF3] = t->dlf[3];
     int pal_base = t->n_pal;
+    unsigned long long _t0 = _rdtsc();
     block_mode_core(&t->m, t->mp, kblk, out, t->pal + pal_base);
+    _prof[0] += _rdtsc() - _t0; _t0 = _rdtsc();
     if (out[O_ERR]) {
         t->err = out[O_ERR];
         return;
@@ -2882,10 +2978,12 @@ static void sb_decode_block(SbCtx *t, int r, int c, int bsize)
     bblk[B_QIDX] = qidx;
     bblk[B_REDUCEDTX] = sbp[SBP_REDUCEDTX];
     t->new_sb = 0;
+    _prof[1] += _rdtsc() - _t0; _t0 = _rdtsc();
     block_parse_core(&t->m, t->ptrs, bblk, pp, nplanes,
                      t->ops + (long long)t->n_ops * OP_NF, t->coef,
                      t->tbmeta + (long long)t->n_tbs * TBM_NF,
                      t->clip, t->io, t->mp, t->S3);
+    _prof[2] += _rdtsc() - _t0;
     int new_ops = t->io[2], new_tbs = t->io[3];
     for (int i = 0; i < new_tbs; i++) {
         int32_t *tm = t->tbmeta
