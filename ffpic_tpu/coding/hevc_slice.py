@@ -53,6 +53,15 @@ _CTX_SET = (
     ("coeff_abs_level_greater2_flag", 6), ("cu_qp_delta_abs", 2),
 )
 
+# inter-only elements (P/B slices; INIT_VALUES rows are [initType1,
+# initType2] for these, [0,1,2] for the shared set above)
+_CTX_SET_INTER = (
+    ("cu_skip_flag", 3), ("pred_mode_flag", 1), ("merge_flag", 1),
+    ("merge_index", 1), ("inter_pred_idc", 5), ("ref_idx", 2),
+    ("mvp_flag", 1), ("abs_mvd_greater0_flag", 1),
+    ("abs_mvd_greater1_flag", 1), ("rqt_root_cbf", 1),
+)
+
 
 class InterSliceUnsupported(NotImplementedError):
     """A P/B slice was encountered: header parsed to slice_type, no
@@ -61,7 +70,8 @@ class InterSliceUnsupported(NotImplementedError):
 
 
 class Contexts:
-    """All context models for an I slice (initType 0)."""
+    """All context models for one slice (initType 0 = I, 1/2 = P/B
+    per the cabac_init_flag swap, 9.3.2.2)."""
 
     def __init__(self, qp: int, init_type: int = 0):
         self.m = {}
@@ -75,8 +85,26 @@ class Contexts:
             if name == "sig_coeff_flag":
                 ivs = (INIT_VALUES["sig_coeff_flag"][init_type]
                        + INIT_VALUES["sig_coeff_flag1"][init_type])
+            if name == "part_mode":
+                # flat [intra(1) | type1(4) | type2(4)] layout
+                flat = INIT_VALUES["part_mode"]
+                if init_type == 0:
+                    ivs = [flat[0]]
+                else:
+                    ivs = flat[1 + (init_type - 1) * 4:
+                               1 + init_type * 4]
+                count = len(ivs)
             assert len(ivs) >= count, (name, len(ivs), count)
             self.m[name] = [ContextModel(iv, qp) for iv in ivs[:count]]
+        if init_type:
+            for name, count in _CTX_SET_INTER:
+                tbl = INIT_VALUES[name]
+                ivs = tbl[init_type - 1]
+                if not isinstance(ivs, list):
+                    ivs = [ivs]
+                assert len(ivs) >= count, (name, len(ivs), count)
+                self.m[name] = [ContextModel(iv, qp)
+                                for iv in ivs[:count]]
 
     def __getitem__(self, key):
         name, idx = key
@@ -104,6 +132,13 @@ class SliceHeader:
     entry_points: tuple = ()
     data_bit_offset: int = 0
     dependent: bool = False
+    # inter (P=1 / B=0) slice fields
+    num_ref_l0: int = 1
+    num_ref_l1: int = 1
+    max_merge: int = 5
+    cabac_init_flag: bool = False
+    temporal_mvp: bool = False
+    mvd_l1_zero: bool = False
 
 
 def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
@@ -137,36 +172,84 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
     for _ in range(pps.num_extra_slice_header_bits):
         r.read_bit()
     h.slice_type = read_ue(r)
-    if h.slice_type != 2:
-        # Parse-level tolerance (reference parity: hevc.c:6285-6397
-        # parses PU/MVD inter syntax but never motion-compensates, so
-        # inter pictures produce no pixels there either).  Raise a
-        # typed error so sequence tracks / item walks can skip the
-        # frame and keep the I frames instead of failing the load.
-        raise InterSliceUnsupported(
-            f"slice_type {h.slice_type} (P/B) — inter prediction "
-            f"not supported; frame skipped")
+    if h.slice_type > 2:
+        raise ValueError("invalid slice_type")
     if pps.output_flag_present:
         r.read_bit()
+    num_pics_total_curr = 0
     if nal_unit_type not in (19, 20):
-        # CRA/BLA stills (16-18, 21): poc lsb + (empty) short-term RPS
-        # — intra decode is otherwise identical to IDR
-        if not (16 <= nal_unit_type <= 21):
-            raise NotImplementedError("non-IRAP slices")
+        # non-IDR: poc lsb + reference picture set signalling
+        # (7.3.6.1; P/B parse-and-skip parity with hevc.c:6285-6397 —
+        # the reference parses inter syntax but never
+        # motion-compensates)
         r.read_bits(sps.log2_max_pic_order_cnt)   # slice_pic_order_cnt
         if not r.read_bit():                       # st_rps_sps_flag
-            # inline short_term_ref_pic_set(0) with no prior sets:
-            # no inter_rps prediction fields present
-            n_neg = read_ue(r)
-            n_pos = read_ue(r)
-            for _ in range(n_neg + n_pos):
-                read_ue(r)                         # delta_poc_minus1
-                r.read_bit()                       # used_by_curr_pic
-        # sps long_term / temporal_mvp are off for stills (parse_sps
-        # reads them; both gate further fields we do not expect)
+            num_pics_total_curr += _parse_st_rps_inline(r, sps)
+        else:
+            idx = 0
+            if getattr(sps, "num_short_term_rps", 0) > 1:
+                idx = r.read_bits(
+                    (sps.num_short_term_rps - 1).bit_length())
+            info = getattr(sps, "st_rps_info", ())
+            if idx < len(info):
+                num_pics_total_curr += info[idx][1]
+        if getattr(sps, "long_term_ref_pics", False):
+            num_lt_sps = 0
+            if getattr(sps, "num_long_term_sps", 0) > 0:
+                num_lt_sps = read_ue(r)
+            num_lt_pics = read_ue(r)
+            for i in range(num_lt_sps + num_lt_pics):
+                if i < num_lt_sps:
+                    if sps.num_long_term_sps > 1:
+                        r.read_bits((sps.num_long_term_sps - 1)
+                                    .bit_length())
+                else:
+                    r.read_bits(sps.log2_max_pic_order_cnt)
+                    num_pics_total_curr += r.read_bit()  # used_by_curr
+                if r.read_bit():                   # delta_poc_msb
+                    read_ue(r)
+        if getattr(sps, "temporal_mvp", False):
+            h.temporal_mvp = bool(r.read_bit())
     if sps.sample_adaptive_offset:
         h.sao_luma = bool(r.read_bit())
         h.sao_chroma = bool(r.read_bit())
+    if h.slice_type != 2:
+        # ---- P/B reference machinery (7.3.6.1)
+        h.num_ref_l0 = pps.num_ref_idx_l0_default
+        h.num_ref_l1 = pps.num_ref_idx_l1_default
+        if r.read_bit():          # num_ref_idx_active_override
+            h.num_ref_l0 = read_ue(r) + 1
+            if h.slice_type == 0:                  # B
+                h.num_ref_l1 = read_ue(r) + 1
+        if getattr(pps, "lists_modification", False) \
+                and num_pics_total_curr > 1:
+            nb = (num_pics_total_curr - 1).bit_length()
+            if r.read_bit():      # ref_pic_list_modification_flag_l0
+                for _ in range(h.num_ref_l0):
+                    r.read_bits(nb)
+            if h.slice_type == 0:
+                if r.read_bit():
+                    for _ in range(h.num_ref_l1):
+                        r.read_bits(nb)
+        if h.slice_type == 0:
+            h.mvd_l1_zero = bool(r.read_bit())
+        if pps.cabac_init_present:
+            h.cabac_init_flag = bool(r.read_bit())
+        if h.temporal_mvp:
+            col_l0 = True
+            if h.slice_type == 0:
+                col_l0 = bool(r.read_bit())
+            n = h.num_ref_l0 if col_l0 else h.num_ref_l1
+            if n > 1:
+                read_ue(r)        # collocated_ref_idx
+        if (getattr(pps, "weighted_pred", False)
+                and h.slice_type == 1) or \
+           (getattr(pps, "weighted_bipred", False)
+                and h.slice_type == 0):
+            _parse_pred_weight_table(r, sps, h)
+        h.max_merge = 5 - read_ue(r)
+        if not (1 <= h.max_merge <= 5):
+            raise ValueError("corrupt slice header: MaxNumMergeCand")
     h.qp = 26 + (pps.init_qp - 26) + read_se(r)
     # SliceQpY range is [-QpBdOffsetY, 51] (7.4.7.1): conforming
     # Main10 streams may go as low as -12
@@ -212,6 +295,57 @@ def _parse_slice_header_tail(r, h, sps, pps) -> None:
         if r.read_bit() != 0:
             raise ValueError("nonzero alignment bit in slice header")
     h.data_bit_offset = r.bitpos
+
+
+def _parse_st_rps_inline(r, sps) -> int:
+    """short_term_ref_pic_set(idx == num_short_term_ref_pic_sets)
+    inline in the slice header (7.3.7); returns the used-by-current
+    picture count for NumPicsTotalCurr."""
+    nsets = getattr(sps, "num_short_term_rps", 0)
+    if nsets > 0 and r.read_bit():   # inter_ref_pic_set_prediction
+        delta_idx = read_ue(r) + 1   # delta_idx_minus1 (slice-header)
+        r.read_bit()                 # delta_rps_sign
+        read_ue(r)                   # abs_delta_rps_minus1
+        ref_idx = nsets - delta_idx
+        info = getattr(sps, "st_rps_info", ())
+        ndp_ref = info[ref_idx][0] if 0 <= ref_idx < len(info) else 0
+        used_n = 0
+        for _ in range(ndp_ref + 1):
+            used = r.read_bit()
+            if used:
+                used_n += 1
+            else:
+                r.read_bit()         # use_delta_flag
+        return used_n
+    neg = read_ue(r)
+    pos = read_ue(r)
+    used_n = 0
+    for _ in range(neg + pos):
+        read_ue(r)                   # delta_poc_sX_minus1
+        used_n += r.read_bit()       # used_by_curr_pic_sX_flag
+    return used_n
+
+
+def _parse_pred_weight_table(r, sps, h) -> None:
+    """pred_weight_table (7.3.6.3) — parse-only."""
+    read_ue(r)                       # luma_log2_weight_denom
+    if sps.chroma_format:
+        read_se(r)                   # delta_chroma_log2_weight_denom
+    for nref, active in ((h.num_ref_l0, True),
+                         (h.num_ref_l1, h.slice_type == 0)):
+        if not active:
+            continue
+        lw = [r.read_bit() for _ in range(nref)]
+        cw = [r.read_bit() for _ in range(nref)] \
+            if sps.chroma_format else [0] * nref
+        for i in range(nref):
+            if lw[i]:
+                read_se(r)           # delta_luma_weight
+                read_se(r)           # luma_offset
+            if cw[i]:
+                for _ in range(2):
+                    read_se(r)       # delta_chroma_weight
+                    read_se(r)       # delta_chroma_offset
 
 
 # ---------------------------------------------------------------------------
@@ -360,15 +494,33 @@ class SliceDecoder:
         self.layout = self.shared.layout
         self.slice_idx = slice_idx
         self.data = data
+        if header.slice_type == 2:
+            self.init_type = 0
+        elif header.slice_type == 1:                 # P
+            self.init_type = 2 if header.cabac_init_flag else 1
+        else:                                        # B
+            self.init_type = 1 if header.cabac_init_flag else 2
+        self.parse_only = header.slice_type != 2
+        self.stats = {"cus": 0, "skip_cus": 0, "inter_cus": 0,
+                      "intra_cus": 0, "pus": 0, "merge_pus": 0,
+                      "mvds": 0}
         if header.dependent and self.shared.dep_ctx is not None:
-            self.ctx = Contexts(header.qp)
+            self.ctx = Contexts(header.qp, self.init_type)
             _ctx_restore(self.ctx, self.shared.dep_ctx)
         else:
-            self.ctx = Contexts(header.qp)
+            self.ctx = Contexts(header.qp, self.init_type)
         self.dec = None                   # per-substream, set in decode
         # syntax-state maps at 4x4 granularity (picture-shared)
         self.ct_depth = self.shared.ct_depth
         self.luma_mode = self.shared.luma_mode
+        if not hasattr(self.shared, "skip_map"):
+            import numpy as _np
+            self.shared.skip_map = _np.zeros_like(self.shared.ct_depth,
+                                                  dtype=_np.uint8)
+            self.shared.intra_map = _np.ones_like(self.shared.ct_depth,
+                                                  dtype=_np.uint8)
+        self.skip_map = self.shared.skip_map
+        self.intra_map = self.shared.intra_map
         self.qp_y_map = self.shared.qp_y_map
         self.zone = self.shared.zone
         self.cur_zone = 0
@@ -378,6 +530,8 @@ class SliceDecoder:
         self.qg_pos = (0, 0)
         self.cur_qp = header.qp
         self.ops: list[PredOp] = []
+        self.cu_is_inter = False
+        self.cu_inter_split = False
         self.sao_out = self.shared.sao_out
         self.pic = pic if pic is not None else self.shared.pic
         self._cu_tus: list[TU] = []
@@ -430,13 +584,14 @@ class SliceDecoder:
                     raise ValueError("slice data: missing entry point")
                 self.dec = CabacDecoder(BitReader(subs[sub_idx]))
                 if new_tile:
-                    self.ctx = Contexts(self.hdr.qp)      # 9.3.1 tiles
+                    self.ctx = Contexts(self.hdr.qp,
+                                        self.init_type)   # 9.3.1 tiles
                 elif new_row:
                     # WPP sync (9.3.1): restore the snapshot taken
                     # after the 2nd CTB of the row above if that CTB
                     # is in the same slice; else fresh init
                     up_right_rs = rs - self.ctbs_x + 1
-                    self.ctx = Contexts(self.hdr.qp)
+                    self.ctx = Contexts(self.hdr.qp, self.init_type)
                     if (self.shared.wpp_ctx is not None
                             and up_right_rs >= 0
                             and self.shared.wpp_row == cy - 1
@@ -608,7 +763,43 @@ class SliceDecoder:
         if self.pps.transquant_bypass:
             bypass = bool(self.dec.decision(
                 self.ctx["cu_transquant_bypass_flag", 0]))
-        # I slice: pred mode inferred INTRA; no cu_skip; no palette
+        self.stats["cus"] += 1
+        if self.hdr.slice_type != 2:
+            # P/B slice: cu_skip_flag (ctx from decoded neighbors'
+            # skip flags, 9.3.4.2.2) then pred_mode_flag
+            ctx_inc = 0
+            if self._avail(x0 - 1, y0) \
+                    and self.skip_map[y0 // 4, (x0 - 1) // 4]:
+                ctx_inc += 1
+            if self._avail(x0, y0 - 1) \
+                    and self.skip_map[(y0 - 1) // 4, x0 // 4]:
+                ctx_inc += 1
+            skip = self.dec.decision(self.ctx["cu_skip_flag", ctx_inc])
+            self.ct_depth[y0 // 4:(y0 + size) // 4,
+                          x0 // 4:(x0 + size) // 4] = depth
+            if skip:
+                self.stats["skip_cus"] += 1
+                self.stats["inter_cus"] += 1
+                self.skip_map[y0 // 4:(y0 + size) // 4,
+                              x0 // 4:(x0 + size) // 4] = 1
+                self.intra_map[y0 // 4:(y0 + size) // 4,
+                               x0 // 4:(x0 + size) // 4] = 0
+                self._merge_data()           # merge candidate only
+                return
+            self.skip_map[y0 // 4:(y0 + size) // 4,
+                          x0 // 4:(x0 + size) // 4] = 0
+            intra = bool(self.dec.decision(
+                self.ctx["pred_mode_flag", 0]))
+            if not intra:
+                self.stats["inter_cus"] += 1
+                self.intra_map[y0 // 4:(y0 + size) // 4,
+                               x0 // 4:(x0 + size) // 4] = 0
+                self._coding_unit_inter(x0, y0, log2, depth, bypass)
+                return
+            self.stats["intra_cus"] += 1
+            self.intra_map[y0 // 4:(y0 + size) // 4,
+                           x0 // 4:(x0 + size) // 4] = 1
+        # I slice (or intra CU in P/B): pred mode INTRA; no palette
         part_nxn = False
         if log2 == self.min_cb:
             if not self.dec.decision(self.ctx["part_mode", 0]):
@@ -703,6 +894,174 @@ class SliceDecoder:
                 qpi = min(max(qp_y + off, -bd_off_c), 57)
                 tu.qp = chroma_qp(qpi) + bd_off_c
 
+    # -- inter CU parse-and-skip (7.3.8.5/6/9; reference parity with
+    # hevc.c:6285-6397 which parses PU/MVD then discards — no motion
+    # compensation happens in either implementation) -------------------
+    def _merge_data(self):
+        """merge_idx when MaxNumMergeCand > 1 (TR: first bin ctx,
+        rest bypass)."""
+        self.stats["pus"] += 1
+        self.stats["merge_pus"] += 1
+        cmax = self.hdr.max_merge - 1
+        if cmax <= 0:
+            return 0
+        idx = 0
+        if self.dec.decision(self.ctx["merge_index", 0]):
+            idx = 1
+            while idx < cmax and self.dec.bypass():
+                idx += 1
+        return idx
+
+    def _part_mode_inter(self, log2):
+        """part_mode binarization for inter CUs (9.3.3.7): ctx bins
+        0/1, third bin ctx 2 at min size else ctx 3 (AMP), fourth bin
+        bypass."""
+        if self.dec.decision(self.ctx["part_mode", 0]):
+            return 0                                   # 2Nx2N
+        at_min = log2 == self.min_cb
+        b1 = self.dec.decision(self.ctx["part_mode", 1])
+        if at_min:
+            if b1:
+                return 1                               # 2NxN
+            if log2 == 3:
+                return 2 if self.dec.decision(
+                    self.ctx["part_mode", 2]) else -1  # Nx2N (000 inv)
+            return 2 if self.dec.decision(
+                self.ctx["part_mode", 2]) else 3       # Nx2N / NxN
+        amp = self.sps.amp_enabled
+        if b1:                                         # horizontal
+            if not amp:
+                return 1
+            if self.dec.decision(self.ctx["part_mode", 3]):
+                return 1                               # 2NxN
+            return 5 if self.dec.bypass() else 4       # 2NxnD / 2NxnU
+        if not amp:
+            return 2
+        if self.dec.decision(self.ctx["part_mode", 3]):
+            return 2                                   # Nx2N
+        return 7 if self.dec.bypass() else 6           # nRx2N / nLx2N
+
+    _PART_GEOM = {
+        0: ((0, 0, 4, 4),),
+        1: ((0, 0, 4, 2), (0, 2, 4, 2)),
+        2: ((0, 0, 2, 4), (2, 0, 2, 4)),
+        3: ((0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)),
+        4: ((0, 0, 4, 1), (0, 1, 4, 3)),               # 2NxnU
+        5: ((0, 0, 4, 3), (0, 3, 4, 1)),               # 2NxnD
+        6: ((0, 0, 1, 4), (1, 0, 3, 4)),               # nLx2N
+        7: ((0, 0, 3, 4), (3, 0, 1, 4)),               # nRx2N
+    }
+
+    def _coding_unit_inter(self, x0, y0, log2, depth, bypass):
+        size = 1 << log2
+        part = self._part_mode_inter(log2)
+        if part < 0:
+            raise ValueError("invalid inter part_mode bin string")
+        merged_2nx2n = False
+        for (qx, qy, qw, qh) in self._PART_GEOM[part]:
+            px = x0 + (qx * size) // 4
+            py = y0 + (qy * size) // 4
+            pw = (qw * size) // 4
+            ph = (qh * size) // 4
+            merged = self._prediction_unit(px, py, pw, ph, depth)
+            if part == 0:
+                merged_2nx2n = merged
+        # rqt_root_cbf (7.3.8.5): absent (inferred 1) for 2Nx2N merge
+        root_cbf = True
+        if not merged_2nx2n:
+            root_cbf = bool(self.dec.decision(
+                self.ctx["rqt_root_cbf", 0]))
+        if not root_cbf:
+            return
+        self._cu_tus = []
+        self.cu_bypass = bypass
+        self.cu_modes = [[1]]            # DC sentinel (diag scans)
+        self.cu_chroma_mode = 1
+        self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2
+        self.cu_part_nxn = False
+        self.cu_is_inter = True
+        # interSplitFlag: forced depth-0 split when the inter
+        # hierarchy depth is 0 and the CU is partitioned (7.4.9.8)
+        self.cu_inter_split = (
+            self.sps.max_transform_hierarchy_depth_inter == 0
+            and part != 0)
+        self.cu_max_trafo_depth = (
+            self.sps.max_transform_hierarchy_depth_inter
+            + (1 if self.cu_inter_split else 0))
+        self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
+        self.cu_is_inter = False
+        self.cu_inter_split = False
+        # QP bookkeeping mirrors the intra path (cu_qp_delta may have
+        # been parsed inside the TUs)
+        qp_y = (self._derive_qp()
+                if self.pps.cu_qp_delta_enabled else self.hdr.qp)
+        self.qp_prev = qp_y
+        self.qp_y_map[y0 // 4:(y0 + size) // 4,
+                      x0 // 4:(x0 + size) // 4] = qp_y
+
+    def _prediction_unit(self, x0, y0, w, h, depth):
+        """prediction_unit (7.3.8.6) parse-only.  Returns True when
+        the PU is merge-coded."""
+        self.stats["pus"] += 1
+        if self.dec.decision(self.ctx["merge_flag", 0]):
+            self.stats["merge_pus"] += 1
+            cmax = self.hdr.max_merge - 1
+            if cmax > 0:
+                if self.dec.decision(self.ctx["merge_index", 0]):
+                    idx = 1
+                    while idx < cmax and self.dec.bypass():
+                        idx += 1
+            return True
+        # inter_pred_idc (9.3.3.9): bi gated by PU size
+        pred_idc = 1                                  # PRED_L0
+        if self.hdr.slice_type == 0:                  # B
+            if w + h != 12:
+                if self.dec.decision(
+                        self.ctx["inter_pred_idc", depth]):
+                    pred_idc = 3                      # PRED_BI
+                else:
+                    pred_idc = 2 if self.dec.decision(
+                        self.ctx["inter_pred_idc", 4]) else 1
+            else:
+                pred_idc = 2 if self.dec.decision(
+                    self.ctx["inter_pred_idc", 4]) else 1
+        for lst, num_ref in ((0, self.hdr.num_ref_l0),
+                             (1, self.hdr.num_ref_l1)):
+            if lst == 0 and pred_idc == 2:
+                continue
+            if lst == 1 and pred_idc == 1:
+                continue
+            if num_ref > 1:                            # ref_idx TR
+                if self.dec.decision(self.ctx["ref_idx", 0]):
+                    ri = 1
+                    if num_ref > 2 and self.dec.decision(
+                            self.ctx["ref_idx", 1]):
+                        ri = 2
+                        while ri < num_ref - 1 and self.dec.bypass():
+                            ri += 1
+            if lst == 1 and self.hdr.mvd_l1_zero and pred_idc == 3:
+                pass                                   # MvdL1 = 0
+            else:
+                self._mvd_coding()
+            self.dec.decision(self.ctx["mvp_flag", 0])
+        return False
+
+    def _mvd_coding(self):
+        """mvd_coding (7.3.8.9)."""
+        self.stats["mvds"] += 1
+        g0 = [self.dec.decision(self.ctx["abs_mvd_greater0_flag", 0])
+              for _ in range(2)]
+        g1 = [0, 0]
+        for i in range(2):
+            if g0[i]:
+                g1[i] = self.dec.decision(
+                    self.ctx["abs_mvd_greater1_flag", 0])
+        for i in range(2):
+            if g0[i]:
+                if g1[i]:
+                    self.dec.exp_golomb_k(1)   # abs_mvd_minus2 EG1
+                self.dec.bypass()              # mvd_sign_flag
+
     def _pcm_cu(self, x0, y0, log2, depth, bypass):
         """pcm_sample (7.3.9): raw fixed-length samples, scaled to
         BitDepth (8.4.4.1); engine pauses then re-initializes."""
@@ -757,6 +1116,8 @@ class SliceDecoder:
                 return INTRA_DC
             if above and (ny >> self.ctb_log2) != (yp >> self.ctb_log2):
                 return INTRA_DC
+            if not self.intra_map[ny // 4, nx // 4]:
+                return INTRA_DC          # inter/skip neighbor (8.4.2)
             m = self.luma_mode[ny // 4, nx // 4]
             return INTRA_DC if m < 0 else int(m)
         cand_a = cand(xp - 1, yp, False)
@@ -788,14 +1149,17 @@ class SliceDecoder:
     def _transform_tree(self, x0, y0, xb, yb, log2, depth, blk_idx,
                         cbf_cb_par, cbf_cr_par):
         intra_split = self.cu_part_nxn
+        inter_split = self.cu_inter_split and depth == 0
         if (log2 <= self.max_tb and log2 > self.min_tb
                 and depth < self.cu_max_trafo_depth
-                and not (intra_split and depth == 0)):
+                and not (intra_split and depth == 0)
+                and not inter_split):
             split = self.dec.decision(
                 self.ctx["split_transform_flag", 5 - log2])
         else:
             split = int(log2 > self.max_tb
-                        or (intra_split and depth == 0
+                        or ((intra_split or inter_split)
+                            and depth == 0
                             and log2 > self.min_tb))
         cbf_cb, cbf_cr = cbf_cb_par, cbf_cr_par
         if self.sps.chroma_format and log2 > 2:
@@ -820,8 +1184,12 @@ class SliceDecoder:
             self._transform_tree(x0 + half, y0 + half, x0, y0, log2 - 1,
                                  depth + 1, 3, cbf_cb, cbf_cr)
             return
-        cbf_luma = bool(self.dec.decision(
-            self.ctx["cbf_luma", 1 if depth == 0 else 0]))
+        if self.cu_is_inter and depth == 0 and not cbf_cb \
+                and not cbf_cr:
+            cbf_luma = True        # inferred (7.4.9.8 inter leaf)
+        else:
+            cbf_luma = bool(self.dec.decision(
+                self.ctx["cbf_luma", 1 if depth == 0 else 0]))
         self._transform_unit(x0, y0, xb, yb, log2, depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 
@@ -840,7 +1208,8 @@ class SliceDecoder:
                 self._parse_cu_qp_delta()
         # luma: prediction op (+ residual)
         size = 1 << log2
-        mode = int(self.luma_mode[y0 // 4, x0 // 4])
+        mode = 1 if self.cu_is_inter \
+            else int(self.luma_mode[y0 // 4, x0 // 4])
         tu = None
         if cbf_luma:
             tu = self._residual(x0, y0, log2, 0, mode)

@@ -81,6 +81,13 @@ class SPS:
     scaling_lists: dict | None = None   # parsed 7.3.4 lists (None=default)
     amp_enabled: bool = False
     sample_adaptive_offset: bool = False
+    temporal_mvp: bool = False
+    long_term_ref_pics: bool = False
+    num_long_term_sps: int = 0
+    num_short_term_rps: int = 0
+    # per short-term set: (num_delta_pocs, num_used) for the slice
+    # header's RPS-index / NumPicsTotalCurr derivations
+    st_rps_info: tuple = ()
     pcm_enabled: bool = False
     pcm_bit_depth_luma: int = 8
     pcm_bit_depth_chroma: int = 8
@@ -113,6 +120,11 @@ class PPS:
     sps_id: int = 0
     sign_data_hiding: bool = False
     cabac_init_present: bool = False
+    weighted_pred: bool = False
+    weighted_bipred: bool = False
+    lists_modification: bool = False
+    num_ref_idx_l0_default: int = 1
+    num_ref_idx_l1_default: int = 1
     init_qp: int = 26
     constrained_intra_pred: bool = False
     transform_skip_enabled: bool = False
@@ -211,36 +223,46 @@ def parse_sps(nalu: bytes) -> SPS:
         s.log2_diff_max_min_pcm_cb = read_ue(r)
         s.pcm_loop_filter_disabled = bool(r.read_bit())
     num_short_term_rps = read_ue(r)
+    s.num_short_term_rps = num_short_term_rps
     # parse st_ref_pic_set entries (7.3.7) so the trailing SPS flags
     # are always read — sequence-track SPSes from real encoders (x265
     # defaults) carry RPS sets AND strong_intra_smoothing, which would
     # otherwise be silently left False (advisor r2 finding)
     num_delta_pocs = []
+    st_info = []
     for idx in range(num_short_term_rps):
         if idx != 0 and r.read_bit():   # inter_ref_pic_set_prediction
             r.read_bit()                # delta_rps_sign
             read_ue(r)                  # abs_delta_rps_minus1
             ndp = 0
+            used_n = 0
             for _ in range(num_delta_pocs[idx - 1] + 1):
                 used = r.read_bit()
                 if used:
                     ndp += 1
+                    used_n += 1
                 elif r.read_bit():      # use_delta_flag
                     ndp += 1
             num_delta_pocs.append(ndp)
+            st_info.append((ndp, used_n))
         else:
             neg = read_ue(r)
             pos = read_ue(r)
+            used_n = 0
             for _ in range(neg + pos):
                 read_ue(r)              # delta_poc_sX_minus1
-                r.read_bit()            # used_by_curr_pic_sX_flag
+                used_n += r.read_bit()  # used_by_curr_pic_sX_flag
             num_delta_pocs.append(neg + pos)
-    if r.read_bit():                    # long_term_ref_pics_present
+            st_info.append((neg + pos, used_n))
+    s.st_rps_info = tuple(st_info)
+    s.long_term_ref_pics = bool(r.read_bit())
+    if s.long_term_ref_pics:
         n = read_ue(r)
+        s.num_long_term_sps = n
         for _ in range(n):
             r.read_bits(s.log2_max_pic_order_cnt)
             r.read_bit()
-    r.read_bit()                        # sps_temporal_mvp_enabled
+    s.temporal_mvp = bool(r.read_bit())
     s.strong_intra_smoothing = bool(r.read_bit())
     return s
 
@@ -269,8 +291,8 @@ def parse_pps(nalu: bytes) -> PPS:
     p.num_extra_slice_header_bits = r.read_bits(3)
     p.sign_data_hiding = bool(r.read_bit())
     p.cabac_init_present = bool(r.read_bit())
-    read_ue(r)                          # num_ref_idx_l0
-    read_ue(r)                          # num_ref_idx_l1
+    p.num_ref_idx_l0_default = read_ue(r) + 1
+    p.num_ref_idx_l1_default = read_ue(r) + 1
     p.init_qp = 26 + read_se(r)
     p.constrained_intra_pred = bool(r.read_bit())
     p.transform_skip_enabled = bool(r.read_bit())
@@ -280,8 +302,8 @@ def parse_pps(nalu: bytes) -> PPS:
     p.cb_qp_offset = read_se(r)
     p.cr_qp_offset = read_se(r)
     p.slice_chroma_qp_offsets_present = bool(r.read_bit())
-    r.read_bit()                        # weighted_pred
-    r.read_bit()                        # weighted_bipred
+    p.weighted_pred = bool(r.read_bit())
+    p.weighted_bipred = bool(r.read_bit())
     p.transquant_bypass = bool(r.read_bit())
     p.tiles_enabled = bool(r.read_bit())
     p.entropy_coding_sync = bool(r.read_bit())
@@ -306,7 +328,7 @@ def parse_pps(nalu: bytes) -> PPS:
     if r.read_bit():                    # pps_scaling_list_data_present
         from ffpic_tpu.coding.hevc_scaling import parse_scaling_list_data
         p.scaling_lists = parse_scaling_list_data(r)
-    r.read_bit()                        # lists_modification_present
+    p.lists_modification = bool(r.read_bit())
     read_ue(r)                          # log2_parallel_merge_level_minus2
     p.slice_header_extension_present = bool(r.read_bit())
     return p
@@ -355,6 +377,35 @@ def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
         parsed.append((hdr, rbsp[hdr.data_bit_offset // 8:]))
 
     hdr0 = parsed[0][0]
+    if any(h.slice_type != 2 for h, _ in parsed):
+        # P/B picture: full parse-and-skip through the Python slice
+        # decoder (CABAC stays bit-synced through every CU/PU/MVD and
+        # residual; reference parity with hevc.c:6285-6397 which
+        # parses inter syntax but never motion-compensates), then a
+        # typed raise so track walks keep the intra frames.
+        from ffpic_tpu.coding.hevc_slice import InterSliceUnsupported
+        shared = SharedPictureState(sps, pps, pic)
+        stats = {"cus": 0, "skip_cus": 0, "inter_cus": 0,
+                 "intra_cus": 0, "pus": 0, "merge_pus": 0, "mvds": 0}
+        slice_idx = -1
+        for hdr, data in parsed:
+            if not hdr.dependent:
+                slice_idx += 1
+            sd = SliceDecoder(sps, pps, hdr, data, pic,
+                              shared=shared, slice_idx=slice_idx)
+            sd.decode_slice_data()
+            for k in stats:
+                stats[k] += sd.stats[k]
+        exc = InterSliceUnsupported(
+            f"slice_type {hdr0.slice_type} (P/B) parsed "
+            f"(parse-and-skip): {stats['cus']} CUs "
+            f"({stats['inter_cus']} inter / {stats['skip_cus']} skip "
+            f"/ {stats['intra_cus']} intra), {stats['pus']} PUs, "
+            f"{stats['merge_pus']} merge, {stats['mvds']} MVDs — "
+            f"no motion compensation (reference parity "
+            f"hevc.c:6285-6397); frame skipped")
+        exc.parse_stats = stats
+        raise exc
     native_ok = (not os.environ.get("FFPIC_NO_NATIVE")
                  and sps.bit_depth_luma in (8, 9, 10)
                  and not sps.pcm_enabled
