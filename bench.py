@@ -140,13 +140,32 @@ def main():
         jax.block_until_ready(jax.device_put(probe))
         return probe.nbytes / (time.perf_counter() - t0) / 1e9
 
+    # per-LAUNCH latency probe: tiny jit dispatch + 1-element fetch.
+    # Bandwidth alone does not explain capture collapse — the round-5
+    # investigation measured 27-30 ms launch RTT with the tunnel at
+    # 1.3 GB/s (r2/r3-era numbers imply <= 5 ms), which caps every
+    # multi-launch path at ~1000/RTT launches/s regardless of GB/s.
+    _rtt_fn = jax.jit(lambda a: a + 1)
+    _rtt_x = jnp.zeros(8, jnp.int32)
+
+    def rtt_probe():
+        t0 = time.perf_counter()
+        r = _rtt_fn(_rtt_x)
+        np.asarray(r[0])
+        return (time.perf_counter() - t0) * 1e3
+
     _log("tunnel probe at launch")
+    rtt_rounds = []
     try:
         tunnel_probe()                              # warm the path
         tunnel_at_launch = round(tunnel_probe(), 3)
+        rtt_probe()                                 # warm the jit
+        rtt_at_launch = round(min(rtt_probe() for _ in range(3)), 1)
     except Exception:
         tunnel_at_launch = None
-    _log(f"tunnel at launch: {tunnel_at_launch} GB/s")
+        rtt_at_launch = None
+    _log(f"tunnel at launch: {tunnel_at_launch} GB/s, "
+         f"launch RTT {rtt_at_launch} ms")
 
     # ---- host entropy stage ------------------------------------------
     _log("warming host entropy")
@@ -273,6 +292,11 @@ def main():
             except Exception:
                 pass
             tunnel_rounds.append(gbps)
+            try:
+                rtt_rounds.append(round(min(rtt_probe()
+                                            for _ in range(2)), 1))
+            except Exception:
+                rtt_rounds.append(None)
         for n in names:
             fn, _mp = trials[n]
             try:
@@ -571,6 +595,8 @@ def main():
         "device_entropy_spec_mps": rnd(mps("device_entropy_spec")),
         "device_pipeline_mps": rnd(mps("device_pipeline")),
         "tunnel_at_launch_gbps": tunnel_at_launch,
+        "launch_rtt_ms_at_start": rtt_at_launch,
+        "launch_rtt_ms_per_round": rtt_rounds,
         "host_to_hbm_gbps": (max(t for t in tunnel_rounds if t)
                              if any(tunnel_rounds) else None),
         "tunnel_gbps_per_round": tunnel_rounds,
