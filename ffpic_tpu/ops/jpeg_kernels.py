@@ -408,6 +408,48 @@ def stack_packed(packed_list, minimum: int = 2048):
     return counts, ks, vals
 
 
+def stack_packed_fused(packed_list, minimum: int = 2048):
+    """Fused-batch staging: stack N frames' packed emissions into ONE
+    uint8 buffer (counts (N,G) | ks (N,E) | vals (N,E) int16 views)
+    so the batch ships in a SINGLE host->HBM transfer.  At the
+    round-5 measured tunnel regime (launch/transfer RTT ~28 ms,
+    bimodal stall lottery per transfer) three stacked transfers cost
+    3x the fixed overhead; one fused buffer pays it once."""
+    n = len(packed_list)
+    emax = _bucket(max(int(p[3]) for p in packed_list), minimum)
+    g = np.asarray(packed_list[0][0]).shape[0]
+    buf = np.zeros(n * (g + 3 * emax), np.uint8)
+    cb = buf[:n * g].reshape(n, g)
+    kb = buf[n * g:n * (g + emax)].reshape(n, emax)
+    vb = buf[n * (g + emax):].reshape(n, 2 * emax)
+    for i, (c, k, v, nnz) in enumerate(packed_list):
+        cb[i] = np.asarray(c)
+        kb[i, :nnz] = np.asarray(k)[:nnz]
+        vb[i, :2 * nnz] = np.asarray(v, np.int16)[:nnz].view(np.uint8)
+    return buf, g, emax
+
+
+@functools.partial(jax.jit, static_argnames=("n", "g", "e", "shapes",
+                                             "order", "mode"))
+def decode_batch_420_packed_fused(buf, block_map, yquant, cquant,
+                                  n: int, g: int, e: int, shapes,
+                                  order="rgba", mode="reference"):
+    """decode_batch_420_packed on a stack_packed_fused buffer: the
+    counts/ks/vals split happens on device, so the whole batch is ONE
+    transfer + ONE launch."""
+    counts = buf[:n * g].reshape(n, g)
+    ks = buf[n * g:n * (g + e)].reshape(n, e)
+    vals = jax.lax.bitcast_convert_type(
+        buf[n * (g + e):n * (g + 3 * e)].reshape(n, e, 2), jnp.int16)
+
+    def unpack(c, k, v):
+        return _unpack_coeffs(c, k, v, block_map, shapes)
+
+    y, u, v = jax.vmap(unpack)(counts, ks, vals)
+    return decode_batch_420(y, u, v, yquant, cquant, order=order,
+                            mode=mode)
+
+
 def _bucket(n: int, minimum: int = 2048) -> int:
     """Round nnz up to the next power of two (min 2048): few distinct
     jit shapes, padding bounded at 2x."""
