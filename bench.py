@@ -42,6 +42,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -90,6 +91,25 @@ def _anchor(arr):
     while hasattr(a, "ndim") and a.ndim > 0:
         a = a[0]
     _np.asarray(a)
+
+
+def _with_timeout(fn, seconds, default=None):
+    """Run fn() on a daemon thread with a wall timeout: a stalled
+    tunnel transfer must not deadlock the whole capture (observed: a
+    probe stuck >25 min while the tunnel was in a stall phase).  The
+    stuck thread is abandoned (daemon) — when the stall clears the
+    result is simply dropped."""
+    box = [default]
+
+    def run():
+        try:
+            box[0] = fn()
+        except Exception:
+            pass
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(seconds)
+    return box[0]
 
 
 def _git_head() -> str:
@@ -156,14 +176,14 @@ def main():
 
     _log("tunnel probe at launch")
     rtt_rounds = []
-    try:
+
+    def _launch_probes():
         tunnel_probe()                              # warm the path
-        tunnel_at_launch = round(tunnel_probe(), 3)
+        g = round(tunnel_probe(), 3)
         rtt_probe()                                 # warm the jit
-        rtt_at_launch = round(min(rtt_probe() for _ in range(3)), 1)
-    except Exception:
-        tunnel_at_launch = None
-        rtt_at_launch = None
+        return g, round(min(rtt_probe() for _ in range(3)), 1)
+    lp = _with_timeout(_launch_probes, 90, (None, None))
+    tunnel_at_launch, rtt_at_launch = lp if lp else (None, None)
     _log(f"tunnel at launch: {tunnel_at_launch} GB/s, "
          f"launch RTT {rtt_at_launch} ms")
 
@@ -287,16 +307,12 @@ def main():
     def run_round(names, probe_first=True):
         gbps = None
         if probe_first:
-            try:
-                gbps = round(tunnel_probe(), 3)
-            except Exception:
-                pass
+            g = _with_timeout(lambda: round(tunnel_probe(), 3), 45)
+            gbps = g
             tunnel_rounds.append(gbps)
-            try:
-                rtt_rounds.append(round(min(rtt_probe()
-                                            for _ in range(2)), 1))
-            except Exception:
-                rtt_rounds.append(None)
+            rtt_rounds.append(_with_timeout(
+                lambda: round(min(rtt_probe() for _ in range(2)), 1),
+                30))
         for n in names:
             fn, _mp = trials[n]
             try:
@@ -320,8 +336,8 @@ def main():
 
     # ---- secondary rows ----------------------------------------------
     # e2e batched (production decode_batch shape)
-    from ffpic_tpu.ops.jpeg_kernels import (decode_batch_420_packed,
-                                            stack_packed)
+    from ffpic_tpu.ops.jpeg_kernels import (
+        decode_batch_420_packed_fused, stack_packed_fused)
     KB = 8
 
     def parse_all():
@@ -334,27 +350,25 @@ def main():
         return out, jj
 
     plist, jlast = parse_all()
-    cts, kss2, vls2 = stack_packed(plist)
+    bufw, gW, eW = stack_packed_fused(plist)
     yqs = jnp.asarray(np.broadcast_to(yq, (KB, 1, 1, 8, 8)))
     cqs = jnp.asarray(np.broadcast_to(cq, (KB, 1, 1, 8, 8)))
-    _log("warming e2e_batch")
-    warmb = decode_batch_420_packed(
-        jnp.asarray(cts), jnp.asarray(kss2), jnp.asarray(vls2), bmap,
-        yqs, cqs, shapes)
+    _log("warming e2e_batch (fused single-transfer staging)")
+    warmb = decode_batch_420_packed_fused(
+        jnp.asarray(bufw), bmap, yqs, cqs, KB, gW, eW, shapes)
     warmb.block_until_ready()
     del warmb
 
     def e2e_batch_trial():
         t0 = time.perf_counter()
         pl, _ = parse_all()
-        c_, k_, v_ = stack_packed(pl)
-        out = decode_batch_420_packed(
-            jnp.asarray(c_), jnp.asarray(k_), jnp.asarray(v_), bmap,
-            yqs, cqs, shapes)
+        buf_, g_, e_ = stack_packed_fused(pl)
+        out = decode_batch_420_packed_fused(
+            jnp.asarray(buf_), bmap, yqs, cqs, KB, g_, e_, shapes)
         out.block_until_ready()
         _anchor(out)
         return time.perf_counter() - t0
-    register("e2e_batch", e2e_batch_trial, KB * mp)
+    register("e2e_batch", e2e_batch_trial, KB * mp, headline=True)
 
     # device pipeline stage (batched, coefficients pre-staged)
     ycb_d = jnp.asarray(np.broadcast_to(yc, (BATCH, *yc.shape)).copy())
@@ -513,9 +527,11 @@ def main():
                     for t in tunnel_rounds)
     t_ext0 = time.perf_counter()
     ext_rounds = 0
+    ext_names = ["host_entropy", "host_entropy_packed"] + \
+        list(headline_names)
     while not seen_good and time.perf_counter() - t_ext0 < ext_budget:
         time.sleep(SLEEP)
-        gbps = run_round(early_names)
+        gbps = run_round(ext_names)
         ext_rounds += 1
         _log(f"extension round {ext_rounds} (tunnel {gbps} GB/s)")
         seen_good = gbps is not None and gbps >= MIN_GBPS
@@ -531,6 +547,7 @@ def main():
     # groups through device entropy, everything else through packed
     # host entropy); which one wins depends on tunnel weather.
     candidates = {"host_packed": mps("e2e_packed") or 0,
+                  "e2e_batch": mps("e2e_batch") or 0,
                   "device_entropy_dri": mps("device_entropy_dri") or 0,
                   "hybrid_pipeline": mps("hybrid_pipeline") or 0,
                   "device_entropy_spec": mps("device_entropy_spec") or 0}

@@ -215,10 +215,9 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
     # staging is adaptive: packed (idx, val) pairs when the scan is
     # sparse enough to cut host->HBM bytes (~3x on photo-like content,
     # break-even at ~1/3 nonzero), dense planes otherwise
-    from ffpic_tpu.ops.jpeg_kernels import (decode_batch_420_packed,
-                                            decode_batch_420_sparse,
-                                            decode_frame_420_packed,
-                                            pack_coeffs, stack_packed)
+    from ffpic_tpu.ops.jpeg_kernels import (
+        decode_batch_420_packed_fused, decode_batch_420_sparse,
+        decode_frame_420_packed, pack_coeffs, stack_packed_fused)
     for (nby, nbx), allmembers in buckets.items():
         # packed-emission members: one coalesced unpack|decode launch
         # for the whole bucket (stacked staging amortizes per-transfer
@@ -229,17 +228,20 @@ def decode_batch(srcs: Sequence, size: tuple[int, int] | None = None,
             j0 = pmembers[0][1]
             shapes = tuple((c.nby, c.nbx) for c in j0.comps)
             bmap = packed_block_map(j0)
-            cts, kss, vls = stack_packed([j.packed for _i, j in
-                                          pmembers])
+            # fused staging: ONE uint8 transfer + ONE launch per
+            # bucket (round-5 regime finding: per-transfer fixed
+            # overhead ~28 ms dominates stacked MB-scale arrays)
+            buf, g_, e_ = stack_packed_fused([j.packed for _i, j in
+                                              pmembers])
             yq = jnp.asarray(np.stack(
                 [j.dqt[j.comps[0].tq].reshape(8, 8)
                  for _i, j in pmembers])[:, None, None])
             cq = jnp.asarray(np.stack(
                 [j.dqt[j.comps[1].tq].reshape(8, 8)
                  for _i, j in pmembers])[:, None, None])
-            outp = decode_batch_420_packed(
-                jnp.asarray(cts), jnp.asarray(kss), jnp.asarray(vls),
-                bmap, yq, cq, shapes, order="rgba", mode=color_mode)
+            outp = decode_batch_420_packed_fused(
+                jnp.asarray(buf), bmap, yq, cq, len(pmembers), g_,
+                e_, shapes, order="rgba", mode=color_mode)
             for k, (i, j) in enumerate(pmembers):
                 slots[i] = outp[k, :j.height, :j.width]
         elif pmembers:
