@@ -417,8 +417,12 @@ def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
             p[:, 1] = np.where(act, np.clip(pi[:, 1] + dp, 0, maxv),
                                p[:, 1])
         if dEq:
+            # spec 8.7.2.5.7: the q-side secondary adjustment uses
+            # MINUS delta (q0' = q0 - delta) — found round 5 via the
+            # libde265 oracle (the C reference stubs deblock, so no
+            # prior oracle covered filtered output)
             dq = np.clip((((qi[:, 2] + qi[:, 0] + 1) >> 1)
-                          - qi[:, 1] + delta) >> 1, -(tc >> 1), tc >> 1)
+                          - qi[:, 1] - delta) >> 1, -(tc >> 1), tc >> 1)
             q[:, 1] = np.where(act, np.clip(qi[:, 1] + dq, 0, maxv),
                                q[:, 1])
     # write back (skip the lossless side, 8.7.2.5.3 nDp/nDq = 0)

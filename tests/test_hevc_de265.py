@@ -1,0 +1,112 @@
+"""HEVC intra decode bit-exact against libde265 (a production HEVC
+decoder; third oracle leg after the compiled C reference — which
+STUBS deblocking and force-disables SAO, hevc.c:7173-7192 — and the
+repo's own encoder roundtrips).
+
+Streams are minted by driving libx265 via ctypes
+(tools/x265_oracle.py).  This oracle found a real bug on first
+contact in round 5: the weak-filter q-side secondary adjustment used
++delta where spec 8.7.2.5.7 has -delta (q0' = q0 - delta) — invisible
+to every previous oracle because none of them produced deblock-
+filtered output.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from ffpic_tpu.formats import hevc as HV                 # noqa: E402
+
+try:
+    import de265_oracle as DO
+    import x265_oracle as XO
+    HAVE = DO.available() and XO.available()
+except Exception:                                        # pragma: no cover
+    HAVE = False
+
+needs = pytest.mark.skipif(not HAVE,
+                           reason="libde265/libx265 unavailable")
+
+
+def _frames(h, w, seed=5, noise=40):
+    rng = np.random.default_rng(seed)
+    base = np.clip(np.linspace(0, 255, w)[None, :] +
+                   np.linspace(0, 80, h)[:, None] +
+                   rng.integers(0, noise, (h, w)), 0, 255) \
+        .astype(np.uint8)
+    return [[base,
+             np.clip(128 + rng.integers(-30, 30, (h // 2, w // 2)),
+                     0, 255).astype(np.uint8),
+             np.clip(110 + rng.integers(-30, 30, (h // 2, w // 2)),
+                     0, 255).astype(np.uint8)]]
+
+
+def _nals(d):
+    out, i, starts = [], 0, []
+    while i < len(d) - 3:
+        if d[i:i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    starts.append(len(d) + 3)
+    return [d[a:b - 3] for a, b in zip(starts, starts[1:])
+            if d[a:b - 3]]
+
+
+def _check(frames, label, **kw):
+    obus = XO.encode_frames(frames, gop=1, bframes=0, **kw)
+    refs = DO.decode_annexb(obus)
+    sps = pps = None
+    n_pic = 0
+    for n in _nals(obus):
+        t = (n[0] >> 1) & 0x3F
+        if t == 33:
+            sps = HV.parse_sps(n)
+        elif t == 34:
+            pps = HV.parse_pps(n)
+        elif t < 32:
+            pic = HV.decode_picture(sps, pps, [n])
+            for pi, (ours, ref) in enumerate(zip(pic.planes,
+                                                 refs[n_pic])):
+                ours = np.asarray(ours)[:ref.shape[0], :ref.shape[1]]
+                bad = int((ours.astype(np.int64) !=
+                           ref.astype(np.int64)).sum())
+                assert bad == 0, f"{label} pic{n_pic} p{pi}: {bad} px"
+            n_pic += 1
+    assert n_pic >= 1
+
+
+@needs
+@pytest.mark.parametrize("qp", [18, 28, 38])
+def test_intra_exact_qp(qp):
+    """Deblock-active intra pictures bit-exact vs libde265 across
+    QPs (beta/tc sweep through the strong/weak decision space)."""
+    _check(_frames(96, 96, seed=qp), f"qp{qp}", qp=qp)
+
+
+@needs
+@pytest.mark.parametrize("dims", [(64, 64), (96, 160), (160, 96)])
+def test_intra_exact_dims(dims):
+    h, w = dims
+    _check(_frames(h, w, seed=h + w), f"{w}x{h}", qp=30)
+
+
+@needs
+def test_intra_exact_no_filters():
+    _check(_frames(96, 96, seed=1), "nofilters", qp=30,
+           extra={"no-deblock": 1, "sao": 0})
+
+
+@needs
+def test_intra_exact_sao():
+    """SAO-active streams (the C reference force-disables SAO, so
+    this is the first production-decoder check of our SAO)."""
+    _check(_frames(128, 128, seed=9, noise=80), "sao", qp=34,
+           extra={"sao": 1})
