@@ -136,6 +136,7 @@ class SliceHeader:
     num_ref_l0: int = 1
     num_ref_l1: int = 1
     max_merge: int = 5
+    lf_across_slices: bool = True
     cabac_init_flag: bool = False
     temporal_mvp: bool = False
     mvd_l1_zero: bool = False
@@ -165,7 +166,8 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
                              "preceding independent segment")
         for f in ("slice_type", "sao_luma", "sao_chroma", "qp",
                   "cb_qp_offset", "cr_qp_offset", "deblocking_disabled",
-                  "beta_offset_div2", "tc_offset_div2"):
+                  "beta_offset_div2", "tc_offset_div2",
+                  "lf_across_slices"):
             setattr(h, f, getattr(prev, f))
         _parse_slice_header_tail(r, h, sps, pps)
         return h
@@ -269,9 +271,10 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
             if not h.deblocking_disabled:
                 h.beta_offset_div2 = read_se(r)
                 h.tc_offset_div2 = read_se(r)
+    h.lf_across_slices = pps.loop_filter_across_slices
     if ((h.sao_luma or h.sao_chroma or not h.deblocking_disabled)
             and pps.loop_filter_across_slices):
-        r.read_bit()
+        h.lf_across_slices = bool(r.read_bit())
     _parse_slice_header_tail(r, h, sps, pps)
     return h
 

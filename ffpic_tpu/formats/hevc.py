@@ -377,6 +377,7 @@ def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
         parsed.append((hdr, rbsp[hdr.data_bit_offset // 8:]))
 
     hdr0 = parsed[0][0]
+    _attach_lf_barriers(pic, sps, pps, parsed)
     if any(h.slice_type != 2 for h, _ in parsed):
         # P/B picture: full parse-and-skip through the Python slice
         # decoder (CABAC stays bit-synced through every CU/PU/MVD and
@@ -435,6 +436,62 @@ def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
     pic.sao_params = shared.sao_out
     hevc_recon.execute_ops(pic, all_ops)
     return _finish_picture(pic, hdr0, pps)
+
+
+def _attach_lf_barriers(pic, sps, pps, parsed) -> None:
+    """Loop-filter barrier masks at 4x4 granularity (8.7.2
+    filterEdgeFlag / 8.7.3 SAO availability): an edge whose two sides
+    lie in different slices is not filtered when the LATER (decode
+    order) slice's slice_loop_filter_across_slices_enabled_flag is 0;
+    tile boundaries block when pps loop_filter_across_tiles is 0.
+    Runs for BOTH the native and Python decode paths (slice
+    membership from the segment addresses in tile-scan order).  The C
+    reference stubs deblocking entirely, so this surface is
+    validated against libde265 (tests/test_hevc_de265.py)."""
+    import numpy as np
+    from ffpic_tpu.coding.hevc_slice import TileLayout
+    slice_flags = [h.lf_across_slices for h, _ in parsed
+                   if not h.dependent]
+    n_slices = len(slice_flags)
+    multi_tile = getattr(pps, "tiles_enabled", False) and \
+        not getattr(pps, "loop_filter_across_tiles", True)
+    if (n_slices <= 1 or all(slice_flags)) and not multi_tile:
+        return
+    lay = TileLayout(sps, pps)
+    ctb_l2 = sps.ctb_log2
+    ctbs_x = (sps.width + (1 << ctb_l2) - 1) >> ctb_l2
+    # slice-of-CTB from segment addresses (tile-scan order, 7.4.7.1)
+    addrs = [h.segment_address for h, _ in parsed if not h.dependent]
+    slice_of_ctb = np.zeros(lay.n_ctbs, np.int32)
+    for i, a in enumerate(addrs):
+        ts0 = int(lay.rs_to_ts[a])
+        slice_of_ctb[np.asarray(lay.ts_to_rs[ts0:])] = i
+    mh = (sps.height + 3) // 4
+    mw = (sps.width + 3) // 4
+    y4 = np.arange(mh)
+    x4 = np.arange(mw)
+    cy = (y4 * 4) >> ctb_l2
+    cx = (x4 * 4) >> ctb_l2
+    rs = cy[:, None] * ctbs_x + cx[None, :]
+    sl = slice_of_ctb[rs]
+    tl = np.asarray(lay.tile_of_rs)[rs]
+    flags = np.asarray([bool(f) for f in slice_flags], bool) \
+        if slice_flags else np.ones(1, bool)
+
+    lf_v = np.zeros((mh, mw), bool)
+    lf_h = np.zeros((mh, mw), bool)
+    if n_slices > 1 and not all(slice_flags):
+        later_v = np.maximum(sl[:, 1:], sl[:, :-1])
+        lf_v[:, 1:] |= (sl[:, 1:] != sl[:, :-1]) & \
+            ~flags[np.clip(later_v, 0, n_slices - 1)]
+        later_h = np.maximum(sl[1:], sl[:-1])
+        lf_h[1:] |= (sl[1:] != sl[:-1]) & \
+            ~flags[np.clip(later_h, 0, n_slices - 1)]
+    if multi_tile:
+        lf_v[:, 1:] |= tl[:, 1:] != tl[:, :-1]
+        lf_h[1:] |= tl[1:] != tl[:-1]
+    pic.lf_block_v = lf_v
+    pic.lf_block_h = lf_h
 
 
 def _finish_picture(pic, hdr, pps):

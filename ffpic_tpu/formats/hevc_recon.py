@@ -59,6 +59,11 @@ class Picture:
         self.masks = [np.zeros(((p.shape[0] + 3) // 4, (p.shape[1] + 3) // 4),
                                bool) for p in self.planes]
         self.sao_params: dict[tuple, SaoParam] = {}
+        # loop-filter barrier masks (4x4 cells): True = the edge at
+        # this cell's left (v) / top (h) must not be filtered
+        # (slice/tile boundaries with filtering disabled, 8.7.2)
+        self.lf_block_v = None
+        self.lf_block_h = None
         # per-4x4 luma QP map (for deblocking tC/beta lookups)
         self.qp_map = np.zeros(((self.h + 3) // 4, (self.w + 3) // 4),
                                np.int32)
@@ -299,7 +304,7 @@ def compute_residual(tu, bd: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
-                       bd=8, bypass_map=None):
+                       bd=8, bypass_map=None, lf_block=None):
     """Filter all bS=2 (intra) luma edges in one direction, in 4-line
     segments along each 8-aligned edge."""
     h, w = pl.shape
@@ -311,6 +316,9 @@ def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
             for y0 in range(0, h, 4):
                 if not edges[y0:y0 + 4, ci].any():
                     continue
+                if lf_block is not None and \
+                        lf_block[y0 // 4, xc // 4]:
+                    continue
                 _filter_luma_segment(pl, xc, y0, qp_map, beta_off,
                                      tc_off, True, bd, bypass_map)
     else:
@@ -320,6 +328,9 @@ def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
                 continue
             for x0 in range(0, w, 4):
                 if not edges[ri, x0:x0 + 4].any():
+                    continue
+                if lf_block is not None and \
+                        lf_block[yc // 4, x0 // 4]:
                     continue
                 _filter_luma_segment(pl, x0, yc, qp_map, beta_off,
                                      tc_off, False, bd, bypass_map)
@@ -453,6 +464,9 @@ def _deblock_chroma(pic, beta_off, tc_off, vertical, cb_off=0,
                 for y0 in range(0, ch, 4):
                     if not pic.v_edges[y0 * 2:(y0 + 4) * 2, lx // 8].any():
                         continue
+                    if pic.lf_block_v is not None and \
+                            pic.lf_block_v[(y0 * 2) // 4, lx // 4]:
+                        continue
                     _filter_chroma_segment(pic, c, pl, xc, y0, tc_off,
                                            True, coff)
         else:
@@ -462,6 +476,9 @@ def _deblock_chroma(pic, beta_off, tc_off, vertical, cb_off=0,
                     continue
                 for x0 in range(0, cw, 4):
                     if not pic.h_edges[ly // 8, x0 * 2:(x0 + 4) * 2].any():
+                        continue
+                    if pic.lf_block_h is not None and \
+                            pic.lf_block_h[ly // 4, (x0 * 2) // 4]:
                         continue
                     _filter_chroma_segment(pic, c, pl, x0, yc, tc_off,
                                            False, coff)
@@ -525,12 +542,14 @@ def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0,
     cb/cr_qp_off are the PPS chroma QP offsets (8.7.2.5.5)."""
     byp = pic.bypass_map if pic.bypass_map.any() else None
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.v_edges,
-                       beta_off, tc_off, True, pic.bd, byp)
+                       beta_off, tc_off, True, pic.bd, byp,
+                       pic.lf_block_v)
     if len(pic.planes) > 1:
         _deblock_chroma(pic, beta_off, tc_off, vertical=True,
                         cb_off=cb_qp_off, cr_off=cr_qp_off)
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.h_edges,
-                       beta_off, tc_off, False, pic.bd, byp)
+                       beta_off, tc_off, False, pic.bd, byp,
+                       pic.lf_block_h)
     if len(pic.planes) > 1:
         _deblock_chroma(pic, beta_off, tc_off, vertical=False,
                         cb_off=cb_qp_off, cr_off=cr_qp_off)
@@ -582,6 +601,14 @@ def apply_sao(pic: Picture) -> None:
                 valid = ((n0y >= 0) & (n0y < h) & (n0x >= 0) & (n0x < w)
                          & (n1y >= 0) & (n1y < h) & (n1x >= 0)
                          & (n1x < w))
+                if pic.lf_block_h is not None or \
+                        pic.lf_block_v is not None:
+                    # 8.7.3 availability: neighbors across a
+                    # slice/tile boundary with filtering disabled
+                    # leave the sample unmodified
+                    ss = 0 if c == 0 else 1
+                    valid &= ~_sao_blocked(pic, ya, xa, dy0, dx0, ss)
+                    valid &= ~_sao_blocked(pic, ya, xa, dy1, dx1, ss)
                 n0 = s[np.clip(n0y, 0, h - 1), np.clip(n0x, 0, w - 1)]
                 n1 = s[np.clip(n1y, 0, h - 1), np.clip(n1x, 0, w - 1)]
                 sign = (np.sign(region - n0) + np.sign(region - n1))
@@ -592,6 +619,36 @@ def apply_sao(pic: Picture) -> None:
                                    np.clip(region + offs[k], 0, maxv),
                                    out)
                 pl[y0:y1, x0:x1] = out
+
+
+def _sao_blocked(pic, ya, xa, dy, dx, ss):
+    """True where the (dy, dx) neighbor of luma/chroma sample
+    (ya, xa) crosses a loop-filter barrier (4x4-luma-cell masks)."""
+    ly = ya << ss
+    lx = xa << ss
+    blk = np.zeros(ya.shape, bool)
+    bh, bv = pic.lf_block_h, pic.lf_block_v
+    if bh is not None and dy != 0:
+        if dy < 0:
+            edge_row = ly            # edge above sample row
+        else:
+            edge_row = ly + (1 << ss)
+        on_edge = (edge_row % 4 == 0)
+        r4 = np.clip(edge_row // 4, 0, bh.shape[0] - 1)
+        c4 = np.clip(lx // 4, 0, bh.shape[1] - 1)
+        blk |= on_edge & bh[r4, c4] & (edge_row // 4 < bh.shape[0]) \
+            & (edge_row > 0 if dy < 0 else True)
+    if bv is not None and dx != 0:
+        if dx < 0:
+            edge_col = lx
+        else:
+            edge_col = lx + (1 << ss)
+        on_edge = (edge_col % 4 == 0)
+        r4 = np.clip(ly // 4, 0, bv.shape[0] - 1)
+        c4 = np.clip(edge_col // 4, 0, bv.shape[1] - 1)
+        blk |= on_edge & bv[r4, c4] & (edge_col // 4 < bv.shape[1]) \
+            & (edge_col > 0 if dx < 0 else True)
+    return blk
 
 
 # ---------------------------------------------------------------------------

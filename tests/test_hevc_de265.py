@@ -110,3 +110,35 @@ def test_intra_exact_sao():
     this is the first production-decoder check of our SAO)."""
     _check(_frames(128, 128, seed=9, noise=80), "sao", qp=34,
            extra={"sao": 1})
+
+
+@needs
+@pytest.mark.parametrize("nslices", [2, 3])
+def test_intra_multislice_lf_boundary(nslices):
+    """Multi-slice pictures with loop_filter_across_slices OFF
+    (x265 default): deblock/SAO must NOT cross slice boundaries
+    (8.7.2 filterEdgeFlag / 8.7.3 availability) — the second real
+    bug the de265 oracle exposed in round 5 (filters previously ran
+    across every boundary; diffs concentrated on the boundary
+    rows)."""
+    frames = _frames(160, 160, seed=7, noise=60)
+    obus = XO.encode_frames(frames, gop=1, bframes=0, qp=30,
+                            extra={"slices": nslices})
+    refs = DO.decode_annexb(obus)
+    sps = pps = None
+    slices = []
+    for n in _nals(obus):
+        t = (n[0] >> 1) & 0x3F
+        if t == 33:
+            sps = HV.parse_sps(n)
+        elif t == 34:
+            pps = HV.parse_pps(n)
+        elif t < 32:
+            slices.append(n)
+    assert len(slices) == nslices
+    pic = HV.decode_picture(sps, pps, slices)
+    for pi, (ours, ref) in enumerate(zip(pic.planes, refs[0])):
+        ours = np.asarray(ours)[:ref.shape[0], :ref.shape[1]]
+        bad = int((ours.astype(np.int64) !=
+                   ref.astype(np.int64)).sum())
+        assert bad == 0, f"slices{nslices} p{pi}: {bad} px"
