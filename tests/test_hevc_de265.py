@@ -142,3 +142,38 @@ def test_intra_multislice_lf_boundary(nslices):
         bad = int((ours.astype(np.int64) !=
                    ref.astype(np.int64)).sum())
         assert bad == 0, f"slices{nslices} p{pi}: {bad} px"
+
+
+@needs
+@pytest.mark.parametrize("qp,seed", [(22, 1), (30, 2), (36, 3)])
+def test_our_encoder_decodes_in_de265(qp, seed):
+    """Streams from the repo's HEVC encoder decode in libde265 with
+    output identical to our own decoder — production-decoder
+    validation of the ENCODER's bitstreams (previously dual-oracle:
+    our decoder + the C reference)."""
+    from ffpic_tpu.formats import heif_enc
+    from ffpic_tpu.coding.hevc_enc import EncPolicy, make_nalu
+    rng = np.random.default_rng(seed)
+    rgba = np.zeros((96, 96, 4), np.uint8)
+    rgba[..., :3] = np.clip(
+        np.linspace(0, 255, 96)[None, :, None] +
+        rng.integers(0, 60, (96, 96, 3)), 0, 255)
+    rgba[..., 3] = 255
+    y, u, v = heif_enc.rgb_to_yuv420(rgba)
+    y, u, v, _, _ = heif_enc._pad_planes(y, u, v)
+    pol = EncPolicy(seed=seed, split_prob=0.4, tt_split_prob=0.3,
+                    nxn_prob=0.25)
+    idr, sps_r, pps_r = heif_enc._encode_tile((y, u, v), qp, pol)
+    stream = b"".join(b"\x00\x00\x01" + n for n in
+                      (make_nalu(33, sps_r), make_nalu(34, pps_r),
+                       idr))
+    pics = DO.decode_annexb(stream)
+    assert pics, "de265 rejected our encoder's stream"
+    sps = HV.parse_sps(make_nalu(33, sps_r))
+    pps = HV.parse_pps(make_nalu(34, pps_r))
+    pic = HV.decode_picture(sps, pps, [idr])
+    for pi, (ours, ref) in enumerate(zip(pic.planes, pics[0])):
+        ours = np.asarray(ours)[:ref.shape[0], :ref.shape[1]]
+        bad = int((ours.astype(np.int64) !=
+                   ref.astype(np.int64)).sum())
+        assert bad == 0, f"qp{qp} p{pi}: {bad} px"
