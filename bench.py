@@ -113,14 +113,22 @@ def _with_timeout(fn, seconds, default=None):
 
 
 def _git_head() -> str:
+    """Code key for best-persistence: the ffpic_tpu TREE hash plus a
+    hash of bench.py itself — stable across commits that do not
+    change measured code (doc/log commits, the driver's wrap-up
+    commit), unlike HEAD."""
+    import hashlib
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=10
+        tree = subprocess.run(
+            ["git", "rev-parse", "HEAD:ffpic_tpu"],
+            cwd=here, capture_output=True, text=True, timeout=10
         ).stdout.strip()
     except Exception:
-        return ""
+        tree = ""
+    with open(os.path.join(here, "bench.py"), "rb") as f:
+        bh = hashlib.sha256(f.read()).hexdigest()[:12]
+    return f"{tree}+{bh}"
 
 
 def main():
