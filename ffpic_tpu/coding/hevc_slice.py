@@ -140,6 +140,16 @@ class SliceHeader:
     cabac_init_flag: bool = False
     temporal_mvp: bool = False
     mvd_l1_zero: bool = False
+    # retained reference machinery for full inter decode (8.3)
+    poc_lsb: int = 0
+    rps: tuple = ((), ())          # (s0, s1) per 7.4.8
+    has_lt: bool = False
+    list_mod: tuple = (None, None)  # per-list list_entry_lX or None
+    col_from_l0: bool = True
+    col_ref_idx: int = 0
+    # pred_weight_table: (luma_log2_denom, chroma_log2_denom,
+    #   entries[2][ref] = (wY, oY, wCb, oCb, wCr, oCr))
+    wp: tuple | None = None
 
 
 def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
@@ -181,25 +191,29 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
     num_pics_total_curr = 0
     if nal_unit_type not in (19, 20):
         # non-IDR: poc lsb + reference picture set signalling
-        # (7.3.6.1; P/B parse-and-skip parity with hevc.c:6285-6397 —
-        # the reference parses inter syntax but never
-        # motion-compensates)
-        r.read_bits(sps.log2_max_pic_order_cnt)   # slice_pic_order_cnt
+        # (7.3.6.1), fully retained for the 8.3 decode processes
+        h.poc_lsb = r.read_bits(sps.log2_max_pic_order_cnt)
         if not r.read_bit():                       # st_rps_sps_flag
-            num_pics_total_curr += _parse_st_rps_inline(r, sps)
+            from ffpic_tpu.formats.hevc import parse_st_rps
+            nsets = getattr(sps, "num_short_term_rps", 0)
+            h.rps = parse_st_rps(r, list(getattr(sps, "st_rps", ())),
+                                 nsets, slice_level=True)
         else:
             idx = 0
             if getattr(sps, "num_short_term_rps", 0) > 1:
                 idx = r.read_bits(
                     (sps.num_short_term_rps - 1).bit_length())
-            info = getattr(sps, "st_rps_info", ())
-            if idx < len(info):
-                num_pics_total_curr += info[idx][1]
+            sets = getattr(sps, "st_rps", ())
+            if idx < len(sets):
+                h.rps = sets[idx]
+        num_pics_total_curr += sum(u for _, u in h.rps[0])
+        num_pics_total_curr += sum(u for _, u in h.rps[1])
         if getattr(sps, "long_term_ref_pics", False):
             num_lt_sps = 0
             if getattr(sps, "num_long_term_sps", 0) > 0:
                 num_lt_sps = read_ue(r)
             num_lt_pics = read_ue(r)
+            h.has_lt = (num_lt_sps + num_lt_pics) > 0
             for i in range(num_lt_sps + num_lt_pics):
                 if i < num_lt_sps:
                     if sps.num_long_term_sps > 1:
@@ -226,13 +240,15 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
         if getattr(pps, "lists_modification", False) \
                 and num_pics_total_curr > 1:
             nb = (num_pics_total_curr - 1).bit_length()
+            mods = [None, None]
             if r.read_bit():      # ref_pic_list_modification_flag_l0
-                for _ in range(h.num_ref_l0):
-                    r.read_bits(nb)
+                mods[0] = tuple(r.read_bits(nb)
+                                for _ in range(h.num_ref_l0))
             if h.slice_type == 0:
                 if r.read_bit():
-                    for _ in range(h.num_ref_l1):
-                        r.read_bits(nb)
+                    mods[1] = tuple(r.read_bits(nb)
+                                    for _ in range(h.num_ref_l1))
+            h.list_mod = tuple(mods)
         if h.slice_type == 0:
             h.mvd_l1_zero = bool(r.read_bit())
         if pps.cabac_init_present:
@@ -241,9 +257,10 @@ def parse_slice_header(r: BitReader, nal_unit_type: int, sps,
             col_l0 = True
             if h.slice_type == 0:
                 col_l0 = bool(r.read_bit())
+            h.col_from_l0 = col_l0
             n = h.num_ref_l0 if col_l0 else h.num_ref_l1
             if n > 1:
-                read_ue(r)        # collocated_ref_idx
+                h.col_ref_idx = read_ue(r)
         if (getattr(pps, "weighted_pred", False)
                 and h.slice_type == 1) or \
            (getattr(pps, "weighted_bipred", False)
@@ -300,55 +317,49 @@ def _parse_slice_header_tail(r, h, sps, pps) -> None:
     h.data_bit_offset = r.bitpos
 
 
-def _parse_st_rps_inline(r, sps) -> int:
-    """short_term_ref_pic_set(idx == num_short_term_ref_pic_sets)
-    inline in the slice header (7.3.7); returns the used-by-current
-    picture count for NumPicsTotalCurr."""
-    nsets = getattr(sps, "num_short_term_rps", 0)
-    if nsets > 0 and r.read_bit():   # inter_ref_pic_set_prediction
-        delta_idx = read_ue(r) + 1   # delta_idx_minus1 (slice-header)
-        r.read_bit()                 # delta_rps_sign
-        read_ue(r)                   # abs_delta_rps_minus1
-        ref_idx = nsets - delta_idx
-        info = getattr(sps, "st_rps_info", ())
-        ndp_ref = info[ref_idx][0] if 0 <= ref_idx < len(info) else 0
-        used_n = 0
-        for _ in range(ndp_ref + 1):
-            used = r.read_bit()
-            if used:
-                used_n += 1
-            else:
-                r.read_bit()         # use_delta_flag
-        return used_n
-    neg = read_ue(r)
-    pos = read_ue(r)
-    used_n = 0
-    for _ in range(neg + pos):
-        read_ue(r)                   # delta_poc_sX_minus1
-        used_n += r.read_bit()       # used_by_curr_pic_sX_flag
-    return used_n
-
-
 def _parse_pred_weight_table(r, sps, h) -> None:
-    """pred_weight_table (7.3.6.3) — parse-only."""
-    read_ue(r)                       # luma_log2_weight_denom
+    """pred_weight_table (7.3.6.3), retained for the explicit
+    weighted sample prediction process (8.5.4.3.3).  Absent per-ref
+    flags yield the spec default weights (w = 1 << denom, o = 0)."""
+    luma_denom = read_ue(r)
+    chroma_denom = luma_denom
     if sps.chroma_format:
-        read_se(r)                   # delta_chroma_log2_weight_denom
-    for nref, active in ((h.num_ref_l0, True),
-                         (h.num_ref_l1, h.slice_type == 0)):
+        chroma_denom = luma_denom + read_se(r)
+    if not (0 <= luma_denom <= 7 and 0 <= chroma_denom <= 7):
+        raise ValueError("corrupt pred_weight_table: denom")
+    entries: list = [[], []]
+    for lst, (nref, active) in enumerate(
+            ((h.num_ref_l0, True),
+             (h.num_ref_l1, h.slice_type == 0))):
         if not active:
             continue
         lw = [r.read_bit() for _ in range(nref)]
         cw = [r.read_bit() for _ in range(nref)] \
             if sps.chroma_format else [0] * nref
         for i in range(nref):
+            w_y, o_y = 1 << luma_denom, 0
+            w_cb = w_cr = 1 << chroma_denom
+            o_cb = o_cr = 0
             if lw[i]:
-                read_se(r)           # delta_luma_weight
-                read_se(r)           # luma_offset
+                w_y = (1 << luma_denom) + read_se(r)
+                o_y = read_se(r)
             if cw[i]:
+                ws, os_ = [], []
                 for _ in range(2):
-                    read_se(r)       # delta_chroma_weight
-                    read_se(r)       # delta_chroma_offset
+                    wc = (1 << chroma_denom) + read_se(r)
+                    doff = read_se(r)
+                    # 7.4.7.3: offset reconstructed around the
+                    # weighted midpoint
+                    oc = max(-128, min(127, doff
+                                       - ((128 * wc) >> chroma_denom)
+                                       + 128))
+                    ws.append(wc)
+                    os_.append(oc)
+                w_cb, w_cr = ws
+                o_cb, o_cr = os_
+            entries[lst].append((w_y, o_y, w_cb, o_cb, w_cr, o_cr))
+    h.wp = (luma_denom, chroma_denom, tuple(entries[0]),
+            tuple(entries[1]))
 
 
 # ---------------------------------------------------------------------------
@@ -386,9 +397,25 @@ class PredOp:
     x: int
     y: int
     n: int
-    mode: int
+    mode: int               # intra mode; -1 = residual add onto MC
     tu: TU | None = None    # residual to add, if any
     zone: int = 0           # (slice_idx << 12) | tile_idx availability zone
+
+
+@dataclass
+class InterOp:
+    """Motion-compensated prediction of one PU (all planes); executed
+    by formats/hevc_mc.predict_inter before the CU's residual ops."""
+    x: int
+    y: int
+    w: int
+    h: int
+    mv0: tuple | None = None    # quarter-pel (x, y) or None
+    poc0: int = 0
+    mv1: tuple | None = None
+    poc1: int = 0
+    wp: tuple | None = None     # (log2WdY, log2WdC, entry0, entry1)
+    zone: int = 0
 
 
 class TileLayout:
@@ -451,6 +478,11 @@ class SharedPictureState:
         self.luma_mode = np.full((mh, mw), -1, np.int8)
         self.qp_y_map = np.zeros((mh, mw), np.int8)
         self.zone = np.full((mh, mw), -1, np.int32)
+        # decode-order CU stamps (6.4.1 z-scan availability for the
+        # inter candidate derivations) + luma nonzero-coeff map
+        # (deblock bS=1 rule, 8.7.2.4)
+        self.decoded_map = np.zeros((mh, mw), np.uint8)
+        self.nonzero_map = np.zeros((mh, mw), np.uint8)
         self.sao_out = {}
         self.layout = TileLayout(sps, pps)
         self.dep_ctx = None               # saved Contexts for dependent
@@ -482,7 +514,7 @@ class SliceDecoder:
 
     def __init__(self, sps, pps, header: SliceHeader, data: bytes,
                  pic=None, shared: SharedPictureState | None = None,
-                 slice_idx: int = 0):
+                 slice_idx: int = 0, inter_ctx=None):
         self.sps, self.pps, self.hdr = sps, pps, header
         self.ctb_log2 = sps.ctb_log2
         self.min_cb = sps.log2_min_cb
@@ -503,7 +535,18 @@ class SliceDecoder:
             self.init_type = 2 if header.cabac_init_flag else 1
         else:                                        # B
             self.init_type = 1 if header.cabac_init_flag else 2
-        self.parse_only = header.slice_type != 2
+        # full inter decode when the sequence layer supplies reference
+        # state (coding/hevc_inter.InterSliceCtx); otherwise P/B
+        # slices run parse-and-skip (reference parity)
+        self.inter_ctx = inter_ctx
+        self.full_inter = (header.slice_type != 2
+                           and inter_ctx is not None)
+        self.deriver = None
+        if self.full_inter:
+            from ffpic_tpu.coding.hevc_inter import MotionDeriver
+            self.deriver = MotionDeriver(self, inter_ctx)
+        self.parse_only = (header.slice_type != 2
+                           and inter_ctx is None)
         self.stats = {"cus": 0, "skip_cus": 0, "inter_cus": 0,
                       "intra_cus": 0, "pus": 0, "merge_pus": 0,
                       "mvds": 0}
@@ -524,6 +567,8 @@ class SliceDecoder:
                                                   dtype=_np.uint8)
         self.skip_map = self.shared.skip_map
         self.intra_map = self.shared.intra_map
+        self.decoded_map = self.shared.decoded_map
+        self.nonzero_map = self.shared.nonzero_map
         self.qp_y_map = self.shared.qp_y_map
         self.zone = self.shared.zone
         self.cur_zone = 0
@@ -787,7 +832,15 @@ class SliceDecoder:
                               x0 // 4:(x0 + size) // 4] = 1
                 self.intra_map[y0 // 4:(y0 + size) // 4,
                                x0 // 4:(x0 + size) // 4] = 0
-                self._merge_data()           # merge candidate only
+                self._cu_tus = []
+                midx = self._merge_data()
+                if self.full_inter:
+                    m = self.deriver.merge(x0, y0, size, x0, y0,
+                                           size, size, 0, 0, midx)
+                    self._emit_inter_pu(x0, y0, size, size, m)
+                self._finish_inter_cu_qp(x0, y0, size)
+                self.decoded_map[y0 // 4:(y0 + size) // 4,
+                                 x0 // 4:(x0 + size) // 4] = 1
                 return
             self.skip_map[y0 // 4:(y0 + size) // 4,
                           x0 // 4:(x0 + size) // 4] = 0
@@ -896,6 +949,8 @@ class SliceDecoder:
                        self.pps.cr_qp_offset + self.hdr.cr_qp_offset)
                 qpi = min(max(qp_y + off, -bd_off_c), 57)
                 tu.qp = chroma_qp(qpi) + bd_off_c
+        self.decoded_map[y0 // 4:(y0 + size) // 4,
+                         x0 // 4:(x0 + size) // 4] = 1
 
     # -- inter CU parse-and-skip (7.3.8.5/6/9; reference parity with
     # hevc.c:6285-6397 which parses PU/MVD then discards — no motion
@@ -957,24 +1012,33 @@ class SliceDecoder:
 
     def _coding_unit_inter(self, x0, y0, log2, depth, bypass):
         size = 1 << log2
+        self._cu_tus = []
         part = self._part_mode_inter(log2)
         if part < 0:
             raise ValueError("invalid inter part_mode bin string")
         merged_2nx2n = False
-        for (qx, qy, qw, qh) in self._PART_GEOM[part]:
+        for part_idx, (qx, qy, qw, qh) in \
+                enumerate(self._PART_GEOM[part]):
             px = x0 + (qx * size) // 4
             py = y0 + (qy * size) // 4
             pw = (qw * size) // 4
             ph = (qh * size) // 4
-            merged = self._prediction_unit(px, py, pw, ph, depth)
+            pu = self._prediction_unit(px, py, pw, ph, depth)
             if part == 0:
-                merged_2nx2n = merged
+                merged_2nx2n = pu["merged"]
+            if self.full_inter:
+                m = self._derive_pu_motion(x0, y0, size, px, py, pw,
+                                           ph, part_idx, part, pu)
+                self._emit_inter_pu(px, py, pw, ph, m)
         # rqt_root_cbf (7.3.8.5): absent (inferred 1) for 2Nx2N merge
         root_cbf = True
         if not merged_2nx2n:
             root_cbf = bool(self.dec.decision(
                 self.ctx["rqt_root_cbf", 0]))
         if not root_cbf:
+            self._finish_inter_cu_qp(x0, y0, size)
+            self.decoded_map[y0 // 4:(y0 + size) // 4,
+                             x0 // 4:(x0 + size) // 4] = 1
             return
         self._cu_tus = []
         self.cu_bypass = bypass
@@ -994,27 +1058,97 @@ class SliceDecoder:
         self._transform_tree(x0, y0, x0, y0, log2, 0, 0, True, True)
         self.cu_is_inter = False
         self.cu_inter_split = False
-        # QP bookkeeping mirrors the intra path (cu_qp_delta may have
-        # been parsed inside the TUs)
+        self._finish_inter_cu_qp(x0, y0, size)
+        self.decoded_map[y0 // 4:(y0 + size) // 4,
+                         x0 // 4:(x0 + size) // 4] = 1
+
+    def _finish_inter_cu_qp(self, x0, y0, size):
+        """QP bookkeeping for inter/skip CUs (8.6.1): mirrors the
+        intra path; deblocking reads pic.qp_map."""
         qp_y = (self._derive_qp()
                 if self.pps.cu_qp_delta_enabled else self.hdr.qp)
         self.qp_prev = qp_y
         self.qp_y_map[y0 // 4:(y0 + size) // 4,
                       x0 // 4:(x0 + size) // 4] = qp_y
+        if self.pic is not None:
+            self.pic.qp_map[y0 // 4:(y0 + size) // 4,
+                            x0 // 4:(x0 + size) // 4] = qp_y
+        bd_off = 6 * (self.sps.bit_depth_luma - 8)
+        bd_off_c = 6 * (self.sps.bit_depth_chroma - 8)
+        for tu in self._cu_tus:
+            if tu.c_idx == 0:
+                tu.qp = qp_y + bd_off
+            else:
+                off = (self.pps.cb_qp_offset + self.hdr.cb_qp_offset
+                       if tu.c_idx == 1 else
+                       self.pps.cr_qp_offset + self.hdr.cr_qp_offset)
+                qpi = min(max(qp_y + off, -bd_off_c), 57)
+                tu.qp = chroma_qp(qpi) + bd_off_c
+        self._cu_tus = []
+
+    def _derive_pu_motion(self, xCb, yCb, nCbS, px, py, pw, ph,
+                          part_idx, part_mode, pu):
+        """Motion derivation for one parsed PU (8.5.3.1)."""
+        from ffpic_tpu.coding.hevc_inter import NO_REF, PuMotion
+        if pu["merged"]:
+            return self.deriver.merge(xCb, yCb, nCbS, px, py, pw, ph,
+                                      part_idx, part_mode,
+                                      pu["merge_idx"])
+        ctx = self.inter_ctx
+        m = PuMotion()
+        for lx in range(2):
+            if not pu["pred"][lx]:
+                continue
+            ri = pu["ref_idx"][lx]
+            mvp = self.deriver.amvp(xCb, yCb, nCbS, px, py, pw, ph,
+                                    part_idx, lx, ri,
+                                    pu["mvp_flag"][lx])
+            dx, dy = pu["mvd"][lx]
+            # 16-bit wrap (7.4.9.9 / 8.5.3.1)
+            mx = ((mvp[0] + dx + 0x8000) & 0xFFFF) - 0x8000
+            my = ((mvp[1] + dy + 0x8000) & 0xFFFF) - 0x8000
+            m.pred[lx] = True
+            m.mv[lx] = (mx, my)
+            m.ref_idx[lx] = ri
+            m.poc[lx] = ctx.ref_list[lx][ri][0]
+        return m
+
+    def _emit_inter_pu(self, px, py, pw, ph, m):
+        """Stamp the motion field and emit the MC op (+ PU deblock
+        edges)."""
+        ctx = self.inter_ctx
+        ctx.field_.stamp(px, py, pw, ph, m)
+        wp_op = None
+        if ctx.wp is not None:
+            d_y, d_c, e0, e1 = ctx.wp
+            wp_op = (d_y, d_c,
+                     e0[m.ref_idx[0]] if m.pred[0] else None,
+                     e1[m.ref_idx[1]] if m.pred[1] else None)
+        self.ops.append(InterOp(
+            x=px, y=py, w=pw, h=ph,
+            mv0=m.mv[0] if m.pred[0] else None,
+            poc0=m.poc[0] if m.pred[0] else 0,
+            mv1=m.mv[1] if m.pred[1] else None,
+            poc1=m.poc[1] if m.pred[1] else 0,
+            wp=wp_op, zone=self.cur_zone))
+        if self.pic is not None:
+            self.pic.mark_edges_rect(px, py, pw, ph)
 
     def _prediction_unit(self, x0, y0, w, h, depth):
-        """prediction_unit (7.3.8.6) parse-only.  Returns True when
-        the PU is merge-coded."""
+        """prediction_unit (7.3.8.6).  Returns the parsed motion
+        syntax as a dict (merged, merge_idx, pred[2], ref_idx[2],
+        mvd[2], mvp_flag[2])."""
         self.stats["pus"] += 1
         if self.dec.decision(self.ctx["merge_flag", 0]):
             self.stats["merge_pus"] += 1
             cmax = self.hdr.max_merge - 1
+            idx = 0
             if cmax > 0:
                 if self.dec.decision(self.ctx["merge_index", 0]):
                     idx = 1
                     while idx < cmax and self.dec.bypass():
                         idx += 1
-            return True
+            return {"merged": True, "merge_idx": idx}
         # inter_pred_idc (9.3.3.9): bi gated by PU size
         pred_idc = 1                                  # PRED_L0
         if self.hdr.slice_type == 0:                  # B
@@ -1028,11 +1162,13 @@ class SliceDecoder:
             else:
                 pred_idc = 2 if self.dec.decision(
                     self.ctx["inter_pred_idc", 4]) else 1
+        pred = [pred_idc in (1, 3), pred_idc in (2, 3)]
+        ref_idx = [0, 0]
+        mvd = [(0, 0), (0, 0)]
+        mvp_flag = [0, 0]
         for lst, num_ref in ((0, self.hdr.num_ref_l0),
                              (1, self.hdr.num_ref_l1)):
-            if lst == 0 and pred_idc == 2:
-                continue
-            if lst == 1 and pred_idc == 1:
+            if not pred[lst]:
                 continue
             if num_ref > 1:                            # ref_idx TR
                 if self.dec.decision(self.ctx["ref_idx", 0]):
@@ -1042,15 +1178,17 @@ class SliceDecoder:
                         ri = 2
                         while ri < num_ref - 1 and self.dec.bypass():
                             ri += 1
+                    ref_idx[lst] = ri
             if lst == 1 and self.hdr.mvd_l1_zero and pred_idc == 3:
                 pass                                   # MvdL1 = 0
             else:
-                self._mvd_coding()
-            self.dec.decision(self.ctx["mvp_flag", 0])
-        return False
+                mvd[lst] = self._mvd_coding()
+            mvp_flag[lst] = self.dec.decision(self.ctx["mvp_flag", 0])
+        return {"merged": False, "merge_idx": 0, "pred": pred,
+                "ref_idx": ref_idx, "mvd": mvd, "mvp_flag": mvp_flag}
 
     def _mvd_coding(self):
-        """mvd_coding (7.3.8.9)."""
+        """mvd_coding (7.3.8.9); returns (mvd_x, mvd_y)."""
         self.stats["mvds"] += 1
         g0 = [self.dec.decision(self.ctx["abs_mvd_greater0_flag", 0])
               for _ in range(2)]
@@ -1059,11 +1197,14 @@ class SliceDecoder:
             if g0[i]:
                 g1[i] = self.dec.decision(
                     self.ctx["abs_mvd_greater1_flag", 0])
+        out = [0, 0]
         for i in range(2):
             if g0[i]:
+                v = 1
                 if g1[i]:
-                    self.dec.exp_golomb_k(1)   # abs_mvd_minus2 EG1
-                self.dec.bypass()              # mvd_sign_flag
+                    v = 2 + self.dec.exp_golomb_k(1)  # abs_mvd_minus2
+                out[i] = -v if self.dec.bypass() else v
+        return (out[0], out[1])
 
     def _pcm_cu(self, x0, y0, log2, depth, bypass):
         """pcm_sample (7.3.9): raw fixed-length samples, scaled to
@@ -1097,6 +1238,8 @@ class SliceDecoder:
                       x0 // 4:(x0 + size) // 4] = depth
         self.luma_mode[y0 // 4:(y0 + size) // 4,
                        x0 // 4:(x0 + size) // 4] = INTRA_DC
+        self.decoded_map[y0 // 4:(y0 + size) // 4,
+                         x0 // 4:(x0 + size) // 4] = 1
         qp_y = (self._derive_qp()
                 if self.pps.cu_qp_delta_enabled else self.hdr.qp)
         self.qp_prev = qp_y
@@ -1216,10 +1359,23 @@ class SliceDecoder:
         tu = None
         if cbf_luma:
             tu = self._residual(x0, y0, log2, 0, mode)
-        self.ops.append(PredOp(0, x0, y0, size, mode, tu,
-                               zone=self.cur_zone))
+            if self.full_inter and np.any(tu.levels):
+                # luma nonzero-coeff map for the deblock bS=1 rule
+                self.nonzero_map[y0 // 4:(y0 + size) // 4,
+                                 x0 // 4:(x0 + size) // 4] = 1
+        if self.cu_is_inter:
+            # MC already predicted the CU; TUs only add residual
+            if tu is not None:
+                self.ops.append(PredOp(0, x0, y0, size, -1, tu,
+                                       zone=self.cur_zone))
+        else:
+            self.ops.append(PredOp(0, x0, y0, size, mode, tu,
+                                   zone=self.cur_zone))
         if self.pic is not None:
-            self.pic.mark_edges(x0, y0, size)
+            if self.full_inter:
+                self.pic.mark_edges_full(x0, y0, size)
+            else:
+                self.pic.mark_edges(x0, y0, size)
         # chroma: at this leaf if size > 4, else at blkIdx 3 (covering
         # the parent 8x8)
         if has_chroma:
@@ -1230,10 +1386,22 @@ class SliceDecoder:
                 tu_cb = self._residual(cx, cy, clog2, 1, cmode)
             if cbf_cr:
                 tu_cr = self._residual(cx, cy, clog2, 2, cmode)
-            self.ops.append(PredOp(1, cx >> 1, cy >> 1, csize, cmode,
-                                   tu_cb, zone=self.cur_zone))
-            self.ops.append(PredOp(2, cx >> 1, cy >> 1, csize, cmode,
-                                   tu_cr, zone=self.cur_zone))
+            if self.cu_is_inter:
+                if tu_cb is not None:
+                    self.ops.append(PredOp(1, cx >> 1, cy >> 1, csize,
+                                           -1, tu_cb,
+                                           zone=self.cur_zone))
+                if tu_cr is not None:
+                    self.ops.append(PredOp(2, cx >> 1, cy >> 1, csize,
+                                           -1, tu_cr,
+                                           zone=self.cur_zone))
+            else:
+                self.ops.append(PredOp(1, cx >> 1, cy >> 1, csize,
+                                       cmode, tu_cb,
+                                       zone=self.cur_zone))
+                self.ops.append(PredOp(2, cx >> 1, cy >> 1, csize,
+                                       cmode, tu_cr,
+                                       zone=self.cur_zone))
 
     def _parse_cu_qp_delta(self):
         # cu_qp_delta_abs: TR cMax=5 ctx-coded (bin0 ctx0, rest ctx1),

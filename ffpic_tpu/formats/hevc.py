@@ -88,6 +88,10 @@ class SPS:
     # per short-term set: (num_delta_pocs, num_used) for the slice
     # header's RPS-index / NumPicsTotalCurr derivations
     st_rps_info: tuple = ()
+    # full derived sets (7.4.8): ((s0, s1), ...) with sX =
+    # ((delta_poc, used_by_curr), ...) — s0 negative deltas closest
+    # first, s1 positive deltas closest first
+    st_rps: tuple = ()
     pcm_enabled: bool = False
     pcm_bit_depth_luma: int = 8
     pcm_bit_depth_chroma: int = 8
@@ -154,6 +158,78 @@ class PPS:
     tc_offset_div2: int = 0
     slice_header_extension_present: bool = False
     scaling_lists: dict | None = None   # PPS override of SPS lists
+    par_mrg_level: int = 2              # Log2ParMrgLevel
+
+
+def parse_st_rps(r: BitReader, sets: list, idx: int,
+                 slice_level: bool):
+    """st_ref_pic_set (7.3.7) with the full 7.4.8 derivation.
+
+    `sets` holds the previously-derived sets (for inter-RPS
+    prediction).  Returns (s0, s1): s0 = ((negative delta, used), ...)
+    closest-first (decreasing delta), s1 = ((positive delta, used),
+    ...) closest-first (increasing delta).
+    """
+    inter_pred = False
+    if idx != 0 and r.read_bit():        # inter_ref_pic_set_prediction
+        inter_pred = True
+    if inter_pred:
+        delta_idx = 1
+        if slice_level:
+            delta_idx = read_ue(r) + 1   # delta_idx_minus1
+        sign = r.read_bit()
+        abs_delta = read_ue(r) + 1
+        delta_rps = (1 - 2 * sign) * abs_delta
+        ref_idx = idx - delta_idx
+        if not (0 <= ref_idx < len(sets)):
+            raise ValueError("corrupt RPS: reference index")
+        r0, r1 = sets[ref_idx]
+        ndp_ref = len(r0) + len(r1)
+        used = []
+        use_delta = []
+        for _ in range(ndp_ref + 1):
+            u = r.read_bit()
+            used.append(u)
+            use_delta.append(r.read_bit() if not u else 1)
+        n_neg = len(r0)
+        s0 = []
+        for j in range(len(r1) - 1, -1, -1):
+            d = r1[j][0] + delta_rps
+            if d < 0 and use_delta[n_neg + j]:
+                s0.append((d, bool(used[n_neg + j])))
+        if delta_rps < 0 and use_delta[ndp_ref]:
+            s0.append((delta_rps, bool(used[ndp_ref])))
+        for j in range(n_neg):
+            d = r0[j][0] + delta_rps
+            if d < 0 and use_delta[j]:
+                s0.append((d, bool(used[j])))
+        s1 = []
+        for j in range(n_neg - 1, -1, -1):
+            d = r0[j][0] + delta_rps
+            if d > 0 and use_delta[j]:
+                s1.append((d, bool(used[j])))
+        if delta_rps > 0 and use_delta[ndp_ref]:
+            s1.append((delta_rps, bool(used[ndp_ref])))
+        for j in range(len(r1)):
+            d = r1[j][0] + delta_rps
+            if d > 0 and use_delta[n_neg + j]:
+                s1.append((d, bool(used[n_neg + j])))
+        return tuple(s0), tuple(s1)
+    neg = read_ue(r)
+    pos = read_ue(r)
+    if neg + pos > 16:
+        raise ValueError("corrupt RPS: too many delta POCs")
+    s0 = []
+    d = 0
+    for _ in range(neg):
+        d -= read_ue(r) + 1              # delta_poc_s0_minus1
+        s0.append((d, bool(r.read_bit())))
+    s1 = []
+    d = 0
+    for _ in range(pos):
+        d += read_ue(r) + 1
+        s1.append((d, bool(r.read_bit())))
+    return tuple(s0), tuple(s1)
 
 
 def _parse_ptl(r: BitReader) -> ProfileTierLevel:
@@ -224,37 +300,18 @@ def parse_sps(nalu: bytes) -> SPS:
         s.pcm_loop_filter_disabled = bool(r.read_bit())
     num_short_term_rps = read_ue(r)
     s.num_short_term_rps = num_short_term_rps
-    # parse st_ref_pic_set entries (7.3.7) so the trailing SPS flags
-    # are always read — sequence-track SPSes from real encoders (x265
-    # defaults) carry RPS sets AND strong_intra_smoothing, which would
-    # otherwise be silently left False (advisor r2 finding)
-    num_delta_pocs = []
-    st_info = []
+    # parse st_ref_pic_set entries (7.3.7) retaining the FULL derived
+    # sets (7.4.8 DeltaPocS0/S1 + UsedByCurrPicS0/S1) — the slice
+    # header's reference picture set process (8.3.2) and the inter
+    # decode path need them; the (count, used) summary stays for the
+    # header's NumPicsTotalCurr derivation
+    sets: list = []
     for idx in range(num_short_term_rps):
-        if idx != 0 and r.read_bit():   # inter_ref_pic_set_prediction
-            r.read_bit()                # delta_rps_sign
-            read_ue(r)                  # abs_delta_rps_minus1
-            ndp = 0
-            used_n = 0
-            for _ in range(num_delta_pocs[idx - 1] + 1):
-                used = r.read_bit()
-                if used:
-                    ndp += 1
-                    used_n += 1
-                elif r.read_bit():      # use_delta_flag
-                    ndp += 1
-            num_delta_pocs.append(ndp)
-            st_info.append((ndp, used_n))
-        else:
-            neg = read_ue(r)
-            pos = read_ue(r)
-            used_n = 0
-            for _ in range(neg + pos):
-                read_ue(r)              # delta_poc_sX_minus1
-                used_n += r.read_bit()  # used_by_curr_pic_sX_flag
-            num_delta_pocs.append(neg + pos)
-            st_info.append((neg + pos, used_n))
-    s.st_rps_info = tuple(st_info)
+        sets.append(parse_st_rps(r, sets, idx, slice_level=False))
+    s.st_rps = tuple(sets)
+    s.st_rps_info = tuple((len(s0) + len(s1),
+                           sum(u for _, u in s0) + sum(u for _, u in s1))
+                          for s0, s1 in sets)
     s.long_term_ref_pics = bool(r.read_bit())
     if s.long_term_ref_pics:
         n = read_ue(r)
@@ -329,7 +386,7 @@ def parse_pps(nalu: bytes) -> PPS:
         from ffpic_tpu.coding.hevc_scaling import parse_scaling_list_data
         p.scaling_lists = parse_scaling_list_data(r)
     p.lists_modification = bool(r.read_bit())
-    read_ue(r)                          # log2_parallel_merge_level_minus2
+    p.par_mrg_level = read_ue(r) + 2    # Log2ParMrgLevel (7.4.3.3.1)
     p.slice_header_extension_present = bool(r.read_bit())
     return p
 
@@ -344,15 +401,23 @@ def decode_idr_slice(sps: SPS, pps: PPS, nalu: bytes):
     return decode_picture(sps, pps, [nalu])
 
 
-def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
-    """Decode all slice segment NALUs of one intra picture to a
+def decode_picture(sps: SPS, pps: PPS, slice_nalus: list,
+                   inter_env: dict | None = None):
+    """Decode all slice segment NALUs of one picture to a
     reconstructed Picture (CABAC syntax -> recon -> deblock -> SAO).
 
     Handles multi-slice pictures, dependent slice segments (CABAC
     context carry, 9.3.1), tiles and WPP entry points — all of which
     the reference parses in its CTU loop (hevc.c:6981-7005, 2660,
-    cabac.c:708-733).  Single-segment plain pictures take the native
+    cabac.c:708-733).  Single-segment intra pictures take the native
     C fast path.
+
+    P/B pictures decode fully (merge/AMVP motion derivation + MC +
+    bS-aware deblock — beyond the reference, which parses inter
+    syntax and discards it, hevc.c:6285-6397) when `inter_env`
+    supplies the sequence state: {"poc": int, "refpics":
+    {poc: Picture}} from a SequenceDecoder.  Without it they
+    parse-and-skip with a typed raise (reference parity).
     """
     from ffpic_tpu.coding.hevc_slice import (SharedPictureState,
                                              SliceDecoder,
@@ -379,11 +444,15 @@ def decode_picture(sps: SPS, pps: PPS, slice_nalus: list):
     hdr0 = parsed[0][0]
     _attach_lf_barriers(pic, sps, pps, parsed)
     if any(h.slice_type != 2 for h, _ in parsed):
-        # P/B picture: full parse-and-skip through the Python slice
-        # decoder (CABAC stays bit-synced through every CU/PU/MVD and
-        # residual; reference parity with hevc.c:6285-6397 which
-        # parses inter syntax but never motion-compensates), then a
-        # typed raise so track walks keep the intra frames.
+        if inter_env is not None:
+            return _decode_picture_inter(sps, pps, parsed, pic,
+                                         inter_env)
+        # P/B picture without sequence state: full parse-and-skip
+        # through the Python slice decoder (CABAC stays bit-synced
+        # through every CU/PU/MVD and residual; reference parity with
+        # hevc.c:6285-6397 which parses inter syntax but never
+        # motion-compensates), then a typed raise so track walks keep
+        # the intra frames.
         from ffpic_tpu.coding.hevc_slice import InterSliceUnsupported
         shared = SharedPictureState(sps, pps, pic)
         stats = {"cus": 0, "skip_cus": 0, "inter_cus": 0,
@@ -738,3 +807,231 @@ def _decode_slice_native(sps, pps, hdr, data: bytes, pic):
         ops.append(PredOp(int(plane), int(x), int(y), int(n), int(mode),
                           tus[tu] if tu >= 0 else None))
     return ops
+
+
+# ---------------------------------------------------------------------------
+# full inter decode (8.3 + 8.5; beyond the reference's parse-and-skip)
+# ---------------------------------------------------------------------------
+
+def _ref_lists(sps, pps, hdr, poc: int, refpics: dict):
+    """RefPicList0/1 construction (8.3.4) from the slice's RPS."""
+    if hdr.has_lt:
+        raise NotImplementedError("long-term reference pictures")
+    before = [poc + d for d, u in hdr.rps[0] if u]
+    after = [poc + d for d, u in hdr.rps[1] if u]
+    nptc = len(before) + len(after)
+    if nptc == 0:
+        raise ValueError("P/B slice with an empty reference "
+                         "picture set")
+    for p in before + after:
+        if p not in refpics:
+            raise ValueError(f"missing reference picture POC {p}")
+    lists = []
+    for lx in range(2):
+        order = (before + after) if lx == 0 else (after + before)
+        nref = hdr.num_ref_l0 if lx == 0 else hdr.num_ref_l1
+        tmp = []
+        while len(tmp) < max(nref, nptc):
+            tmp.extend(order)
+        mod = hdr.list_mod[lx]
+        if mod is not None:
+            sel = [tmp[i] for i in mod[:nref]]
+        else:
+            sel = tmp[:nref]
+        lists.append([(p, refpics[p], False) for p in sel])
+    return lists
+
+
+def _build_inter_ctx(sps, pps, hdr, poc, refpics, fld):
+    from ffpic_tpu.coding.hevc_inter import InterSliceCtx
+    ref_list = _ref_lists(sps, pps, hdr, poc, refpics)
+    ctx = InterSliceCtx(poc=poc, ref_list=ref_list, field_=fld)
+    ctx.slice_type = hdr.slice_type
+    ctx.max_merge = hdr.max_merge
+    ctx.par_mrg_level = getattr(pps, "par_mrg_level", 2)
+    ctx.mvd_l1_zero = hdr.mvd_l1_zero
+    ctx.ctb_log2 = sps.ctb_log2
+    ctx.pic_w, ctx.pic_h = sps.width, sps.height
+    if hdr.temporal_mvp:
+        col_list = ref_list[0] if hdr.col_from_l0 else ref_list[1]
+        if hdr.col_ref_idx < len(col_list):
+            col_poc, col_pic, _lt = col_list[hdr.col_ref_idx]
+            if getattr(col_pic, "motion", None) is not None:
+                ctx.temporal_mvp = True
+                ctx.col_field = col_pic.motion
+                ctx.col_poc = col_poc
+                ctx.col_from_l0 = hdr.col_from_l0
+    if (pps.weighted_pred and hdr.slice_type == 1) or \
+            (pps.weighted_bipred and hdr.slice_type == 0):
+        if hdr.wp is None:
+            raise ValueError("weighted prediction enabled but no "
+                             "pred_weight_table in the slice header")
+        ctx.wp = hdr.wp
+    return ctx
+
+
+def _decode_picture_inter(sps, pps, parsed, pic, inter_env):
+    """Full P/B picture decode: per-slice reference lists, inline
+    motion derivation during the CABAC pass, MC + residual execution,
+    bS-aware deblock + SAO."""
+    from ffpic_tpu.coding.hevc_inter import MotionField
+    from ffpic_tpu.coding.hevc_slice import (SharedPictureState,
+                                             SliceDecoder)
+    from ffpic_tpu.formats import hevc_recon
+
+    if pps.constrained_intra_pred:
+        raise NotImplementedError("constrained_intra_pred")
+    poc = inter_env["poc"]
+    refpics = inter_env["refpics"]
+    fld = MotionField(sps.width, sps.height)
+    shared = SharedPictureState(sps, pps, pic)
+    pic.ref_pics = refpics
+    all_ops = []
+    slice_idx = -1
+    hdr0 = parsed[0][0]
+    for hdr, data in parsed:
+        if not hdr.dependent:
+            slice_idx += 1
+        ictx = None
+        if hdr.slice_type != 2:
+            ictx = _build_inter_ctx(sps, pps, hdr, poc, refpics, fld)
+        sd = SliceDecoder(sps, pps, hdr, data, pic, shared=shared,
+                          slice_idx=slice_idx, inter_ctx=ictx)
+        all_ops.extend(sd.decode_slice_data())
+    pic.sao_params = shared.sao_out
+    hevc_recon.execute_ops(pic, all_ops)
+    hevc_recon.compute_bs(pic, fld, shared.intra_map,
+                          shared.nonzero_map)
+    pic.motion = fld
+    return _finish_picture(pic, hdr0, pps)
+
+
+class SequenceDecoder:
+    """Stateful HEVC NALU-stream decoder with a decoded picture
+    buffer: POC derivation (8.3.1), reference picture set
+    application (8.3.2) and per-picture dispatch into
+    decode_picture.  Feed NAL units in decode order via push();
+    completed pictures come back in decode order (reorder by .poc
+    for output order)."""
+
+    def __init__(self):
+        self.sps: dict = {}
+        self.pps: dict = {}
+        self.dpb: dict = {}          # poc -> Picture (with .motion)
+        self.prev_tid0_poc = 0
+        self._au: list = []
+
+    def push(self, nalu: bytes):
+        """Feed one NAL unit; returns a decoded Picture when this
+        NALU completes the *previous* access unit, else None."""
+        t = nal_type(nalu)
+        out = None
+        if t >= 32 or (t < 32 and ((nalu[2] >> 7) & 1)):
+            # parameter set / non-slice, or a first-slice segment:
+            # both close any pending AU
+            if self._au:
+                out = self._decode_au()
+        if t == NAL_SPS:
+            s = parse_sps(nalu)
+            self.sps[s.sps_id] = s
+        elif t == NAL_PPS:
+            p = parse_pps(nalu)
+            self.pps[p.pps_id] = p
+        elif t < 32:
+            self._au.append(nalu)
+        return out
+
+    def flush(self):
+        """Decode any pending access unit."""
+        if self._au:
+            return self._decode_au()
+        return None
+
+    def decode_annexb(self, stream: bytes):
+        """Decode a whole Annex-B stream; returns the pictures in
+        decode order."""
+        out = []
+        for nalu in split_annexb(stream):
+            pic = self.push(nalu)
+            if pic is not None:
+                out.append(pic)
+        pic = self.flush()
+        if pic is not None:
+            out.append(pic)
+        return out
+
+    def _decode_au(self):
+        from ffpic_tpu.coding.hevc_slice import parse_slice_header
+        from ffpic_tpu.coding.hevc_inter import MotionField
+
+        nalus, self._au = self._au, []
+        rbsp = unescape(nalus[0])
+        nut = (rbsp[0] >> 1) & 0x3F
+        r = BitReader(rbsp)
+        r.skip_bits(16)
+        # probe pps_id cheaply (first_slice flag is set on AU starts)
+        r.read_bit()
+        if 16 <= nut <= 23:
+            r.read_bit()
+        pps = self.pps[read_ue(r)]
+        sps = self.sps[pps.sps_id]
+        r2 = BitReader(rbsp)
+        r2.skip_bits(16)
+        hdr0 = parse_slice_header(r2, nut, sps, pps)
+
+        # POC (8.3.1)
+        if nut in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+            poc = 0
+            self.dpb = {}
+        else:
+            max_lsb = 1 << sps.log2_max_pic_order_cnt
+            if 16 <= nut <= 23:
+                # IRAP with NoRaslOutputFlag: MSB resets (treating
+                # every CRA/BLA as a random-access point)
+                poc = hdr0.poc_lsb
+            else:
+                prev = self.prev_tid0_poc
+                prev_lsb = prev & (max_lsb - 1)
+                prev_msb = prev - prev_lsb
+                lsb = hdr0.poc_lsb
+                if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                    msb = prev_msb + max_lsb
+                elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                    msb = prev_msb - max_lsb
+                else:
+                    msb = prev_msb
+                poc = msb + lsb
+            # RPS application (8.3.2): drop DPB entries the current
+            # RPS no longer references
+            keep = {poc + d for d, _u in hdr0.rps[0]} \
+                | {poc + d for d, _u in hdr0.rps[1]}
+            self.dpb = {p: v for p, v in self.dpb.items()
+                        if p in keep}
+        self.prev_tid0_poc = poc
+
+        env = {"poc": poc, "refpics": self.dpb}
+        pic = decode_picture(sps, pps, nalus, inter_env=env)
+        pic.poc = poc
+        if pic.motion is None:
+            pic.motion = MotionField(sps.width, sps.height)
+        self.dpb[poc] = pic
+        return pic
+
+
+def split_annexb(data: bytes):
+    """Split an Annex-B byte stream into NAL units (start codes
+    00 00 01 / 00 00 00 01)."""
+    out = []
+    i = data.find(b"\x00\x00\x01")
+    while i >= 0:
+        j = data.find(b"\x00\x00\x01", i + 3)
+        end = len(data) if j < 0 else (j - (1 if j > 0
+                                            and data[j - 1] == 0
+                                            else 0))
+        nal = data[i + 3:end]
+        if nal:
+            out.append(nal)
+        if j < 0:
+            break
+        i = j
+    return out

@@ -72,6 +72,17 @@ class Picture:
         self.h_edges = np.zeros(((self.h + 7) // 8, self.w), bool)
         self.bypass_map = np.zeros(((self.h + 3) // 4, (self.w + 3) // 4),
                                    bool)
+        # inter state: PU edges (8.7.2.4 bS needs the TU/PU
+        # distinction), per-segment bS arrays (computed by compute_bs
+        # for P/B pictures; None = intra picture, all edges bS 2),
+        # and the POC->Picture map for MC
+        self.pu_v_edges = np.zeros_like(self.v_edges)
+        self.pu_h_edges = np.zeros_like(self.h_edges)
+        self.bs_v = None
+        self.bs_h = None
+        self.ref_pics: dict = {}
+        self.motion = None       # MotionField after an inter decode
+        self.poc = 0
 
     def mark_decoded(self, plane: int, x: int, y: int, size: int) -> None:
         m = self.masks[plane]
@@ -83,6 +94,33 @@ class Picture:
             self.v_edges[y:y + size, x // 8] = True
         if y % 8 == 0 and y > 0:
             self.h_edges[y // 8, x:x + size] = True
+
+    def mark_edges_rect(self, x: int, y: int, w: int, h: int) -> None:
+        """Record a PU boundary (all four edges — unlike TBs in intra
+        pictures, PUs border skip/no-residual CUs that mark nothing,
+        so bottom/right edges must be recorded by this block; 8-grid
+        aligned only, AMP quarter offsets are never filtered,
+        8.7.2.2)."""
+        if x % 8 == 0 and x > 0:
+            self.pu_v_edges[y:y + h, x // 8] = True
+        if y % 8 == 0 and y > 0:
+            self.pu_h_edges[y // 8, x:x + w] = True
+        xr, yb = x + w, y + h
+        if xr % 8 == 0 and xr < self.w:
+            self.pu_v_edges[y:y + h, xr // 8] = True
+        if yb % 8 == 0 and yb < self.h:
+            self.pu_h_edges[yb // 8, x:x + w] = True
+
+    def mark_edges_full(self, x: int, y: int, size: int) -> None:
+        """TB edge marking for inter pictures: all four edges (a TB's
+        bottom/right edge can border a CU with no transform tree —
+        still a TU edge for the bS=1 coefficient rule, 8.7.2.4)."""
+        self.mark_edges(x, y, size)
+        xr, yb = x + size, y + size
+        if xr % 8 == 0 and xr < self.w:
+            self.v_edges[y:y + size, xr // 8] = True
+        if yb % 8 == 0 and yb < self.h:
+            self.h_edges[yb // 8, x:x + size] = True
 
     def mark_edges_batch(self, xs, ys, ns) -> None:
         """Vectorized mark_edges over TB arrays (one fancy-index write
@@ -303,42 +341,181 @@ def compute_residual(tu, bd: int) -> np.ndarray:
 # deblocking filter (8.7.2) — real implementation (reference stubs it)
 # ---------------------------------------------------------------------------
 
+def _seg_any_rows(edges: np.ndarray) -> np.ndarray:
+    """Reduce (h, c) edge marks to 4-row segments -> (ceil(h/4), c)."""
+    n = edges.shape[0]
+    pad = (-n) % 4
+    if pad:
+        edges = np.concatenate(
+            [edges, np.zeros((pad, edges.shape[1]), bool)])
+    return edges.reshape(-1, 4, edges.shape[1]).any(1)
+
+
+def _seg_any_cols(edges: np.ndarray) -> np.ndarray:
+    """Reduce (r, w) edge marks to 4-col segments -> (r, ceil(w/4))."""
+    n = edges.shape[1]
+    pad = (-n) % 4
+    if pad:
+        edges = np.concatenate(
+            [edges, np.zeros((edges.shape[0], pad), bool)], axis=1)
+    return edges.reshape(edges.shape[0], -1, 4).any(2)
+
+
+def _mv_mismatch(rp_p, mv_p, rp_q, mv_q, no_ref):
+    """Vectorized 8.7.2.4 motion comparison: True where bS = 1 by
+    reference/MV difference.  rp_X: (2, ...) ref POCs, mv_X:
+    (2, ..., 2) quarter-pel MVs."""
+    pv = rp_p != no_ref                   # (2, ...) pred flags
+    qv = rp_q != no_ref
+    cnt_p = pv[0].astype(np.int32) + pv[1]
+    cnt_q = qv[0].astype(np.int32) + qv[1]
+    out = cnt_p != cnt_q
+
+    def big(a, b):
+        return (np.abs(a[..., 0] - b[..., 0]) >= 4) | \
+               (np.abs(a[..., 1] - b[..., 1]) >= 4)
+
+    # uni/uni: compare the single used (poc, mv) of each side
+    p_poc1 = np.where(pv[0], rp_p[0], rp_p[1])
+    q_poc1 = np.where(qv[0], rp_q[0], rp_q[1])
+    p_mv1 = np.where(pv[0][..., None], mv_p[0], mv_p[1])
+    q_mv1 = np.where(qv[0][..., None], mv_q[0], mv_q[1])
+    uni = (cnt_p == 1) & (cnt_q == 1)
+    out |= uni & ((p_poc1 != q_poc1) | big(p_mv1, q_mv1))
+
+    # bi/bi
+    bi = (cnt_p == 2) & (cnt_q == 2)
+    pair_straight = (rp_p[0] == rp_q[0]) & (rp_p[1] == rp_q[1])
+    pair_cross = (rp_p[0] == rp_q[1]) & (rp_p[1] == rp_q[0])
+    diff_pair = ~(pair_straight | pair_cross)
+    straight_big = big(mv_p[0], mv_q[0]) | big(mv_p[1], mv_q[1])
+    cross_big = big(mv_p[0], mv_q[1]) | big(mv_p[1], mv_q[0])
+    same_ref_both = rp_p[0] == rp_p[1]    # same picture in both lists
+    bi_mis = np.where(
+        diff_pair, True,
+        np.where(same_ref_both, straight_big & cross_big,
+                 np.where(pair_straight, straight_big, cross_big)))
+    out |= bi & bi_mis
+    return out
+
+
+def compute_bs(pic: Picture, fld, intra_map, nonzero_map) -> None:
+    """Boundary-strength arrays for an inter picture (8.7.2.4), at
+    4-sample segment granularity: pic.bs_v[(y//4, x//8)] for the
+    vertical edge at x, pic.bs_h[(y//8, x//4)] for the horizontal
+    edge at y.  fld is the picture's MotionField."""
+    from ffpic_tpu.coding.hevc_inter import NO_REF
+    mh, mw = intra_map.shape
+    im = intra_map.astype(bool)
+    nz = nonzero_map.astype(bool)
+
+    # vertical edges
+    tu_v = _seg_any_rows(pic.v_edges)        # (h4, W8)
+    pu_v = _seg_any_rows(pic.pu_v_edges)
+    h4, w8 = tu_v.shape
+    cc = np.arange(w8)
+    xq = np.clip(2 * cc, 0, mw - 1)
+    xp = np.clip(2 * cc - 1, 0, mw - 1)
+    rows = np.arange(min(h4, mh))
+    edge = (tu_v | pu_v)[:len(rows)]
+    edge[:, 0] = False
+    i2 = im[np.ix_(rows, xp)] | im[np.ix_(rows, xq)]
+    coeff = tu_v[:len(rows)] & (nz[np.ix_(rows, xp)]
+                                | nz[np.ix_(rows, xq)])
+    rp_p = fld.refpoc[:, rows][:, :, xp]
+    rp_q = fld.refpoc[:, rows][:, :, xq]
+    mv_p = fld.mv[:, rows][:, :, xp].astype(np.int32)
+    mv_q = fld.mv[:, rows][:, :, xq].astype(np.int32)
+    mis = _mv_mismatch(rp_p, mv_p, rp_q, mv_q, NO_REF)
+    bs = np.zeros((h4, w8), np.int8)
+    bs[:len(rows)][edge & i2] = 2
+    bs[:len(rows)][edge & ~i2 & (coeff | mis)] = 1
+    pic.bs_v = bs
+
+    # horizontal edges
+    tu_h = _seg_any_cols(pic.h_edges)        # (H8, w4)
+    pu_h = _seg_any_cols(pic.pu_h_edges)
+    h8, w4 = tu_h.shape
+    rr = np.arange(h8)
+    yq = np.clip(2 * rr, 0, mh - 1)
+    yp = np.clip(2 * rr - 1, 0, mh - 1)
+    cols = np.arange(min(w4, mw))
+    edge = (tu_h | pu_h)[:, :len(cols)]
+    edge[0, :] = False
+    i2 = im[np.ix_(yp, cols)] | im[np.ix_(yq, cols)]
+    coeff = tu_h[:, :len(cols)] & (nz[np.ix_(yp, cols)]
+                                   | nz[np.ix_(yq, cols)])
+    rp_p = fld.refpoc[:, yp][:, :, cols]
+    rp_q = fld.refpoc[:, yq][:, :, cols]
+    mv_p = fld.mv[:, yp][:, :, cols].astype(np.int32)
+    mv_q = fld.mv[:, yq][:, :, cols].astype(np.int32)
+    mis = _mv_mismatch(rp_p, mv_p, rp_q, mv_q, NO_REF)
+    bs = np.zeros((h8, w4), np.int8)
+    bs[:, :len(cols)][edge & i2] = 2
+    bs[:, :len(cols)][edge & ~i2 & (coeff | mis)] = 1
+    pic.bs_h = bs
+
+
 def _deblock_luma_edge(pl, qp_map, edges, beta_off, tc_off, vertical,
-                       bd=8, bypass_map=None, lf_block=None):
-    """Filter all bS=2 (intra) luma edges in one direction, in 4-line
-    segments along each 8-aligned edge."""
+                       bd=8, bypass_map=None, lf_block=None, bs=None):
+    """Filter luma edges in one direction, in 4-line segments along
+    each 8-aligned edge.  Without a bS array every marked edge is
+    bS=2 (intra pictures); with one (inter pictures) segments filter
+    at their computed strength."""
     h, w = pl.shape
     if vertical:
         for ci in range(edges.shape[1]):
             xc = ci * 8
-            if xc == 0 or xc >= w or not edges[:, ci].any():
+            if xc == 0 or xc >= w:
+                continue
+            if bs is None and not edges[:, ci].any():
+                continue
+            if bs is not None and not bs[:, ci].any():
                 continue
             for y0 in range(0, h, 4):
-                if not edges[y0:y0 + 4, ci].any():
-                    continue
+                if bs is None:
+                    seg_bs = 2
+                    if not edges[y0:y0 + 4, ci].any():
+                        continue
+                else:
+                    seg_bs = int(bs[y0 // 4, ci])
+                    if not seg_bs:
+                        continue
                 if lf_block is not None and \
                         lf_block[y0 // 4, xc // 4]:
                     continue
                 _filter_luma_segment(pl, xc, y0, qp_map, beta_off,
-                                     tc_off, True, bd, bypass_map)
+                                     tc_off, True, bd, bypass_map,
+                                     seg_bs)
     else:
         for ri in range(edges.shape[0]):
             yc = ri * 8
-            if yc == 0 or yc >= h or not edges[ri].any():
+            if yc == 0 or yc >= h:
+                continue
+            if bs is None and not edges[ri].any():
+                continue
+            if bs is not None and not bs[ri].any():
                 continue
             for x0 in range(0, w, 4):
-                if not edges[ri, x0:x0 + 4].any():
-                    continue
+                if bs is None:
+                    seg_bs = 2
+                    if not edges[ri, x0:x0 + 4].any():
+                        continue
+                else:
+                    seg_bs = int(bs[ri, x0 // 4])
+                    if not seg_bs:
+                        continue
                 if lf_block is not None and \
                         lf_block[yc // 4, x0 // 4]:
                     continue
                 _filter_luma_segment(pl, x0, yc, qp_map, beta_off,
-                                     tc_off, False, bd, bypass_map)
+                                     tc_off, False, bd, bypass_map,
+                                     seg_bs)
 
 
 def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
-                         bd=8, bypass_map=None):
-    """One 4-line luma deblock decision+filter (8.7.2.5.3), bS=2.
+                         bd=8, bypass_map=None, bs=2):
+    """One 4-line luma deblock decision+filter (8.7.2.5.3).
     beta/tc scale by 1 << (bd - 8) per 8.7.2.5.3.  Samples in a
     transquant-bypass CU are never modified (nDp/nDq = 0)."""
     h, w = pl.shape
@@ -370,7 +547,7 @@ def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
     qp_l = (int(qp_p) + int(qp_q) + 1) >> 1
     b_idx = min(max(qp_l + (beta_off << 1), 0), 51)
     beta = BETA_TABLE[b_idx] << (bd - 8)
-    tc_idx = min(max(qp_l + 2 * (2 - 1) + (tc_off << 1), 0), 53)
+    tc_idx = min(max(qp_l + 2 * (bs - 1) + (tc_off << 1), 0), 53)
     tc = TC_TABLE[tc_idx] << (bd - 8)
     if beta == 0:
         return
@@ -451,7 +628,11 @@ def _filter_luma_segment(pl, x, y, qp_map, beta_off, tc_off, vertical,
 
 def _deblock_chroma(pic, beta_off, tc_off, vertical, cb_off=0,
                     cr_off=0):
-    """Chroma deblock (8.7.2.5.5): bS=2 edges on the 16-luma grid."""
+    """Chroma deblock (8.7.2.5.5): bS=2 edges on the 16-luma grid.
+    With per-segment bS arrays (inter pictures) the 4-chroma-row unit
+    splits into 2-row halves, each gated on its own luma segment's
+    bS == 2."""
+    bs_v, bs_h = pic.bs_v, pic.bs_h
     for c in (1, 2):
         pl = pic.planes[c]
         coff = cb_off if c == 1 else cr_off
@@ -461,53 +642,69 @@ def _deblock_chroma(pic, beta_off, tc_off, vertical, cb_off=0,
                 lx = xc * 2
                 if lx % 8 or lx // 8 >= pic.v_edges.shape[1]:
                     continue
-                for y0 in range(0, ch, 4):
-                    if not pic.v_edges[y0 * 2:(y0 + 4) * 2, lx // 8].any():
-                        continue
+                for y0 in range(0, ch, 2):
+                    if bs_v is not None:
+                        if bs_v[(y0 * 2) // 4, lx // 8] != 2:
+                            continue
+                    elif y0 % 4 == 0:
+                        if not pic.v_edges[y0 * 2:(y0 + 4) * 2,
+                                           lx // 8].any():
+                            continue
+                    else:
+                        continue     # intra path: 4-row units only
                     if pic.lf_block_v is not None and \
                             pic.lf_block_v[(y0 * 2) // 4, lx // 4]:
                         continue
-                    _filter_chroma_segment(pic, c, pl, xc, y0, tc_off,
-                                           True, coff)
+                    _filter_chroma_segment(
+                        pic, c, pl, xc, y0, tc_off, True, coff,
+                        nrows=2 if bs_v is not None else 4)
         else:
             for yc in range(8, ch, 8):
                 ly = yc * 2
                 if ly % 8 or ly // 8 >= pic.h_edges.shape[0]:
                     continue
-                for x0 in range(0, cw, 4):
-                    if not pic.h_edges[ly // 8, x0 * 2:(x0 + 4) * 2].any():
+                for x0 in range(0, cw, 2):
+                    if bs_h is not None:
+                        if bs_h[ly // 8, (x0 * 2) // 4] != 2:
+                            continue
+                    elif x0 % 4 == 0:
+                        if not pic.h_edges[ly // 8,
+                                           x0 * 2:(x0 + 4) * 2].any():
+                            continue
+                    else:
                         continue
                     if pic.lf_block_h is not None and \
                             pic.lf_block_h[ly // 4, (x0 * 2) // 4]:
                         continue
-                    _filter_chroma_segment(pic, c, pl, x0, yc, tc_off,
-                                           False, coff)
+                    _filter_chroma_segment(
+                        pic, c, pl, x0, yc, tc_off, False, coff,
+                        nrows=2 if bs_h is not None else 4)
 
 
 def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical,
-                           c_qp_off=0):
+                           c_qp_off=0, nrows=4):
     h, w = pl.shape
     from ffpic_tpu.coding.hevc_consts import chroma_qp
     if vertical:
-        if x < 2 or x + 1 >= w or y + 3 >= h:
+        if x < 2 or x + 1 >= w or y + nrows - 1 >= h:
             return
         p_byp = bool(pic.bypass_map[y // 2, (x - 1) // 2])
         q_byp = bool(pic.bypass_map[y // 2, x // 2])
         if p_byp and q_byp:
             return
-        p = pl[y:y + 4, x - 2:x][:, ::-1]
-        q = pl[y:y + 4, x:x + 2]
+        p = pl[y:y + nrows, x - 2:x][:, ::-1]
+        q = pl[y:y + nrows, x:x + 2]
         qp_a = pic.qp_map[y // 2, (x - 1) // 2]
         qp_b = pic.qp_map[y // 2, x // 2]
     else:
-        if y < 2 or y + 1 >= h or x + 3 >= w:
+        if y < 2 or y + 1 >= h or x + nrows - 1 >= w:
             return
         p_byp = bool(pic.bypass_map[(y - 1) // 2, x // 2])
         q_byp = bool(pic.bypass_map[y // 2, x // 2])
         if p_byp and q_byp:
             return
-        p = pl[y - 2:y, x:x + 4][::-1].T.copy()
-        q = pl[y:y + 2, x:x + 4].T.copy()
+        p = pl[y - 2:y, x:x + nrows][::-1].T.copy()
+        q = pl[y:y + 2, x:x + nrows].T.copy()
         qp_a = pic.qp_map[(y - 1) // 2, x // 2]
         qp_b = pic.qp_map[y // 2, x // 2]
     # 8.7.2.5.5: QpC from the average luma QP plus the PPS chroma QP
@@ -526,14 +723,14 @@ def _filter_chroma_segment(pic, c_idx, pl, x, y, tc_off, vertical,
     q0 = np.clip(qi[:, 0] - delta, 0, maxv)
     if vertical:
         if not p_byp:
-            pl[y:y + 4, x - 1] = p0
+            pl[y:y + nrows, x - 1] = p0
         if not q_byp:
-            pl[y:y + 4, x] = q0
+            pl[y:y + nrows, x] = q0
     else:
         if not p_byp:
-            pl[y - 1, x:x + 4] = p0
+            pl[y - 1, x:x + nrows] = p0
         if not q_byp:
-            pl[y, x:x + 4] = q0
+            pl[y, x:x + nrows] = q0
 
 
 def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0,
@@ -543,13 +740,13 @@ def deblock(pic: Picture, beta_off: int = 0, tc_off: int = 0,
     byp = pic.bypass_map if pic.bypass_map.any() else None
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.v_edges,
                        beta_off, tc_off, True, pic.bd, byp,
-                       pic.lf_block_v)
+                       pic.lf_block_v, bs=pic.bs_v)
     if len(pic.planes) > 1:
         _deblock_chroma(pic, beta_off, tc_off, vertical=True,
                         cb_off=cb_qp_off, cr_off=cr_qp_off)
     _deblock_luma_edge(pic.planes[0], pic.qp_map, pic.h_edges,
                        beta_off, tc_off, False, pic.bd, byp,
-                       pic.lf_block_h)
+                       pic.lf_block_h, bs=pic.bs_h)
     if len(pic.planes) > 1:
         _deblock_chroma(pic, beta_off, tc_off, vertical=False,
                         cb_off=cb_qp_off, cr_off=cr_qp_off)
@@ -681,10 +878,22 @@ def execute_ops(pic: Picture, ops) -> None:
             for m in pic.masks:
                 m[:] = False
             cur_zone = z
+        if hasattr(op, "mv0"):             # InterOp: MC from refs
+            from ffpic_tpu.formats.hevc_mc import predict_inter
+            predict_inter(pic, op, pic.ref_pics)
+            continue
         if not hasattr(op, "mode"):        # PcmOp: raw samples
             pic.planes[op.plane][op.y:op.y + op.n,
                                  op.x:op.x + op.n] = op.samples
             pic.mark_decoded(op.plane, op.x, op.y, op.n)
+            continue
+        if op.mode == -1:                  # inter residual add
+            res = compute_residual(op.tu, pic.bd)
+            region = pic.planes[op.plane][op.y:op.y + op.n,
+                                          op.x:op.x + op.n]
+            pic.planes[op.plane][op.y:op.y + op.n,
+                                 op.x:op.x + op.n] = \
+                np.clip(region + res, 0, maxv)
             continue
         pred = predict_intra(pic, op.plane, op.x, op.y, op.n, op.mode)
         if op.tu is not None:
