@@ -209,14 +209,13 @@ class MotionDeriver:
                      part_idx == 1 and part_mode in (2, 6, 7))
         if a1 is not None:
             cands.append(a1)
-        # B1 (pruned vs A1)
+        # B1 (pruned vs A1's motion — the comparison target is the
+        # neighbor's motion whether or not it entered the list)
         b1 = spatial(xPb + nPbW - 1, yPb - 1,
                      part_idx == 1 and part_mode in (1, 4, 5))
         if b1 is not None and not (a1 is not None
                                    and b1.same_motion(a1)):
             cands.append(b1)
-        else:
-            b1 = None
         # B0 (pruned vs B1)
         b0 = spatial(xPb + nPbW, yPb - 1, False)
         if b0 is not None and not (b1 is not None

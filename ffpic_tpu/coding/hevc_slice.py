@@ -982,8 +982,7 @@ class SliceDecoder:
             if b1:
                 return 1                               # 2NxN
             if log2 == 3:
-                return 2 if self.dec.decision(
-                    self.ctx["part_mode", 2]) else -1  # Nx2N (000 inv)
+                return 2          # 8x8: "00" = Nx2N (table 9-34)
             return 2 if self.dec.decision(
                 self.ctx["part_mode", 2]) else 3       # Nx2N / NxN
         amp = self.sps.amp_enabled
@@ -1608,7 +1607,9 @@ class SliceDecoder:
                 xp, yp = int(coef_scan[nn][0]), int(coef_scan[nn][1])
                 levels[(syy << 2) + yp, (sxx << 2) + xp] = lvl
 
-        dst = (c_idx == 0 and log2 == 2)   # intra luma 4x4 -> DST
+        # implicit DST applies to INTRA luma 4x4 only (8.6.4); inter
+        # 4x4 luma TUs (forced Nx2N/2NxN splits) use the DCT
+        dst = (c_idx == 0 and log2 == 2 and not self.cu_is_inter)
         if c_idx:
             x0, y0 = x0 >> 1, y0 >> 1
         scaling = None
