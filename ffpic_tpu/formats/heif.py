@@ -627,6 +627,13 @@ def _decode_sequence(data: bytes, boxes, mode: str) -> list:
                 if first <= k + 1:
                     cur = per
             spc.append(cur)
+        # full sequence decode (I/P/B) through the DPB-backed
+        # SequenceDecoder — P/B samples motion-compensate for real
+        # (beyond the reference, which has no inter pixel path)
+        seq = hevc.SequenceDecoder()
+        seq.sps[sps.sps_id] = sps
+        seq.pps[pps.pps_id] = pps
+        decoded = []                   # (poc, Picture) decode order
         si = 0
         for ci in range(n_chunks):
             off = chunk_off[ci]
@@ -637,23 +644,28 @@ def _decode_sequence(data: bytes, boxes, mode: str) -> list:
                 off += sizes[si]
                 si += 1
                 try:
-                    slices = []
                     for nalu in hevc.split_nalus_length_prefixed(
                             blob, hvcc["length_size"]):
-                        t = hevc.nal_type(nalu)
-                        if t == hevc.NAL_SPS:
-                            sps = hevc.parse_sps(nalu)
-                        elif t == hevc.NAL_PPS:
-                            pps = hevc.parse_pps(nalu)
-                        elif 16 <= t <= 21:
-                            # all IRAP stills: IDR + CRA/BLA (same
-                            # set the still-item path accepts)
-                            slices.append(nalu)
-                    if not slices:
-                        continue      # non-intra sample: skip
-                    pic = hevc.decode_picture(sps, pps, slices)
-                    rgba = _yuv_pic_to_rgba(pic, sps, None, None, mode)
-                    frames.append(rgba)
+                        pic = seq.push(nalu)
+                        if pic is not None:
+                            decoded.append(pic)
                 except (ValueError, NotImplementedError) as e:
-                    log.warning("sequence sample %d skipped: %s", si, e)
+                    log.warning("sequence sample %d skipped: %s",
+                                si, e)
+        try:
+            pic = seq.flush()
+            if pic is not None:
+                decoded.append(pic)
+        except (ValueError, NotImplementedError) as e:
+            log.warning("sequence flush failed: %s", e)
+        # presentation order: reorder by POC within each IDR group
+        groups = []
+        for pic in decoded:
+            if pic.poc == 0 or not groups:
+                groups.append([])
+            groups[-1].append(pic)
+        for g in groups:
+            for pic in sorted(g, key=lambda q: q.poc):
+                frames.append(_yuv_pic_to_rgba(pic, pic.sps, None,
+                                               None, mode))
     return frames
