@@ -947,3 +947,310 @@ def rle_compress(raw: bytes) -> bytes:
             out.append(256 - ln)
             out += b[start:i].tobytes()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# DWAA / DWAB decode (OpenEXR ImfDwaCompressor semantics)
+# ---------------------------------------------------------------------------
+# The reference reads only uncompressed EXR scanlines (exr.c:207);
+# DWA is beyond-reference surface validated against the real OpenEXR
+# library (tests/test_exr_oracle.py).  Layout: an 11-field uint64 LE
+# header, then zlib'd UNKNOWN-channel data, the huffman/deflate AC
+# stream, the zip'd DC stream and the zlib+RLE stream.  Lossy-DCT
+# channels decode as half-quantized 8x8 float DCT blocks with an
+# optional Rec.709 CSC across {R,G,B} sets and a final
+# nonlinear->linear half lookup.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+_TO_LINEAR = None
+
+
+def _dwa_to_linear() -> np.ndarray:
+    """dwaLookups toLinear table (half bits -> half bits): the DWA
+    quantization space is sign-preserving gamma-2.2 below 1.0 and
+    logarithmic above (continuous in value and slope at 1.0):
+    |y| <= 1 -> |y|^2.2, |y| > 1 -> exp(2.2*(|y|-1)); non-finite
+    inputs map to 0."""
+    global _TO_LINEAR
+    if _TO_LINEAR is None:
+        bits = np.arange(65536, dtype=np.uint16)
+        h = bits.view(np.float16).astype(np.float64)
+        a = np.abs(h)
+        with np.errstate(invalid="ignore", over="ignore"):
+            v = np.where(a <= 1.0, np.power(a, 2.2),
+                         np.exp(2.2 * (a - 1.0)))
+            v = np.sign(h) * v
+            v = np.where(np.isfinite(h), v, 0.0)
+            _TO_LINEAR = v.astype(np.float16).view(np.uint16)
+    return _TO_LINEAR
+
+
+def _dct_inverse_8x8(blocks: np.ndarray) -> np.ndarray:
+    """OpenEXR dctInverse8x8 (float32 butterflies, same operation
+    order as dctInverse8x8_scalar) over (n, 8, 8) blocks."""
+    import math
+    f32 = np.float32
+    # constants exactly as the library's float expressions fold:
+    # .5f * cosf((k * 3.14159f) / n) with every step in float32 and
+    # a correctly-rounded cosf
+    pi = f32(3.14159)
+
+    def cn(k, n):
+        arg = (f32(k) * pi) / f32(n) if k != 1 else pi / f32(n)
+        return f32(.5) * f32(math.cos(float(arg)))
+
+    a = cn(1, 4)
+    b = cn(1, 16)
+    c = cn(1, 8)
+    d = cn(3, 16)
+    e = cn(5, 16)
+    f = cn(3, 8)
+    g = cn(7, 16)
+
+    def pass_rows(x):
+        # x: (n, 8, 8) operate on last axis
+        r = [x[..., i] for i in range(8)]
+        al0, al1 = c * r[2], f * r[2]
+        al2, al3 = c * r[6], f * r[6]
+        be0 = ((b * r[1] + d * r[3]) + e * r[5]) + g * r[7]
+        be1 = ((d * r[1] - g * r[3]) - b * r[5]) - e * r[7]
+        be2 = ((e * r[1] - b * r[3]) + g * r[5]) + d * r[7]
+        be3 = ((g * r[1] - e * r[3]) + d * r[5]) - b * r[7]
+        th0 = a * (r[0] + r[4])
+        th3 = a * (r[0] - r[4])
+        th1 = al0 + al3
+        th2 = al1 - al2
+        ga0 = th0 + th1
+        ga1 = th3 + th2
+        ga2 = th3 - th2
+        ga3 = th0 - th1
+        return np.stack([ga0 + be0, ga1 + be1, ga2 + be2, ga3 + be3,
+                         ga3 - be3, ga2 - be2, ga1 - be1, ga0 - be0],
+                        axis=-1)
+
+    x = pass_rows(blocks.astype(np.float32))
+    x = pass_rows(x.transpose(0, 2, 1)).transpose(0, 2, 1)
+    return x
+
+
+def _csc709_inverse(blocks3):
+    """csc709Inverse on [R-slot, G-slot, B-slot] float blocks."""
+    f32 = np.float32
+    y, by, ry = blocks3
+    r = y + f32(1.5747) * ry
+    g = (y - f32(0.1873) * by) - f32(0.4682) * ry
+    b = y + f32(1.8556) * by
+    return [r, g, b]
+
+
+# default channel rules (used for version < 2 streams):
+# (suffix, cscIdx or -1, scheme, pixel type); scheme 0=UNKNOWN,
+# 1=LOSSY_DCT, 2=RLE; types 0=UINT 1=HALF 2=FLOAT
+_DWA_DEFAULT_RULES = (
+    ("r", 0, 1, 1), ("r", 0, 1, 2),
+    ("g", 1, 1, 1), ("g", 1, 1, 2),
+    ("b", 2, 1, 1), ("b", 2, 1, 2),
+    ("y", -1, 1, 1), ("y", -1, 1, 2),
+    ("by", -1, 1, 1), ("by", -1, 1, 2),
+    ("ry", -1, 1, 1), ("ry", -1, 1, 2),
+    ("a", -1, 2, 0), ("a", -1, 2, 1), ("a", -1, 2, 2),
+)
+
+
+def _dwa_parse_rules(blob: bytes):
+    """Version-2 serialized channel rules: uint16 total size
+    (self-inclusive), then per rule a nul-terminated name, a packed
+    byte ((cscIdx+1) << 4 | scheme << 2 | ...) and the pixel type."""
+    import struct
+    size = struct.unpack_from("<H", blob, 0)[0]
+    rules = []
+    p = 2
+    while p < size:
+        e = blob.index(b"\0", p)
+        name = blob[p:e].decode("latin1").lower()
+        b0, b1 = blob[e + 1], blob[e + 2]
+        rules.append((name, (b0 >> 4) - 1, (b0 >> 2) & 3, b1))
+        p = e + 3
+    return rules, size
+
+
+def _dwa_classify(chans, rules):
+    """Match each channel's lowercase suffix + pixel type against the
+    rule list.  Returns (dct_groups, rle_idx, unk_idx): dct_groups is
+    a list of channel-index lists (len 3 = CSC set in cscIdx order,
+    len 1 = single lossy channel)."""
+    csc_cand: dict = {}
+    singles = []
+    rle_idx = []
+    unk_idx = []
+    for i, ch in enumerate(chans):
+        name = ch["name"]
+        pre, _, suf = name.rpartition(".")
+        s = suf.lower()
+        if ch.get("xs", 1) != 1 or ch.get("ys", 1) != 1:
+            raise NotImplementedError("DWA with subsampled channels")
+        rule = next((r for r in rules
+                     if r[0] == s and r[3] == ch["type"]), None)
+        if rule is None or rule[2] == 0:
+            unk_idx.append(i)
+        elif rule[2] == 2:
+            rle_idx.append(i)
+        elif rule[1] >= 0:
+            csc_cand.setdefault(pre, {})[rule[1]] = i
+        else:
+            singles.append(i)
+    groups = []
+    for pre in sorted(csc_cand):
+        m = csc_cand[pre]
+        if len(m) == 3:
+            groups.append([m[0], m[1], m[2]])
+        else:
+            singles.extend(m.values())
+    for i in sorted(singles):
+        groups.append([i])
+    return groups, rle_idx, unk_idx
+
+
+def dwa_decompress(blob: bytes, chans, w: int, nlines: int) -> bytes:
+    """DWAA/DWAB chunk payload -> scanline-interleaved raw block
+    bytes (the uncompressed chunk layout)."""
+    import struct
+    import zlib
+    if len(blob) < 88:
+        raise ValueError("DWA chunk too small")
+    (version, unk_unc_sz, unk_cmp_sz, ac_cmp_sz, dc_cmp_sz,
+     rle_cmp_sz, rle_unc_sz, rle_raw_sz, ac_count, dc_count,
+     ac_compression) = struct.unpack_from("<11Q", blob, 0)
+    if version > 2:
+        raise ValueError(f"DWA version {version}")
+    pos = 88
+    if version >= 2:
+        rules, rule_size = _dwa_parse_rules(blob[pos:])
+        pos += rule_size
+    else:
+        rules = list(_DWA_DEFAULT_RULES)
+    unk_data = blob[pos:pos + unk_cmp_sz]
+    pos += unk_cmp_sz
+    ac_data = blob[pos:pos + ac_cmp_sz]
+    pos += ac_cmp_sz
+    dc_data = blob[pos:pos + dc_cmp_sz]
+    pos += dc_cmp_sz
+    rle_data = blob[pos:pos + rle_cmp_sz]
+
+    groups, rle_idx, unk_idx = _dwa_classify(chans, rules)
+
+    # streams
+    if ac_count:
+        if ac_compression == 0:            # STATIC_HUFFMAN
+            ac = huf_decompress(bytes(ac_data), int(ac_count))
+        else:                              # DEFLATE
+            raw = zlib.decompress(bytes(ac_data))
+            ac = np.frombuffer(raw, "<u2").astype(np.uint16)
+    else:
+        ac = np.zeros(0, np.uint16)
+    if dc_count:
+        from ffpic_tpu.formats.exr import _zip_reconstruct
+        dc = np.frombuffer(
+            _zip_reconstruct(zlib.decompress(bytes(dc_data))), "<u2")
+        if len(dc) != dc_count:
+            raise ValueError("DWA DC count mismatch")
+    else:
+        dc = np.zeros(0, np.uint16)
+    if rle_raw_sz:
+        from ffpic_tpu.formats.exr import _rle_decode
+        rle_raw = _rle_decode(zlib.decompress(bytes(rle_data)),
+                              int(rle_raw_sz))
+    else:
+        rle_raw = b""
+    unk_raw = zlib.decompress(bytes(unk_data)) if unk_unc_sz else b""
+
+    nbx = (w + 7) // 8
+    nby = (nlines + 7) // 8
+    nblocks = nbx * nby
+    to_linear = _dwa_to_linear()
+    planes = [None] * len(chans)
+
+    # lossy-DCT channel groups share the AC token stream; DC values
+    # are planar per channel in group traversal order
+    ac_pos = 0
+    dc_pos = 0
+    ac = np.asarray(ac, np.uint16)
+    for grp in groups:
+        ncomp = len(grp)
+        zig = np.zeros((ncomp, nblocks, 64), np.uint16)
+        for blk in range(nblocks):
+            for ci in range(ncomp):
+                zig[ci, blk, 0] = dc[dc_pos + ci * nblocks + blk]
+                # unRleAc
+                k = 1
+                while k < 64:
+                    tok = int(ac[ac_pos])
+                    ac_pos += 1
+                    if tok == 0xFF00:
+                        break
+                    if (tok >> 8) == 0xFF:
+                        k += tok & 0xFF
+                    else:
+                        zig[ci, blk, k] = tok
+                        k += 1
+        dc_pos += ncomp * nblocks
+        # dezigzag -> half -> float -> IDCT
+        comps = []
+        for ci in range(ncomp):
+            dez = np.zeros((nblocks, 64), np.uint16)
+            dez[:, _ZIGZAG] = zig[ci]
+            fl = dez.view(np.float16).astype(np.float32) \
+                .reshape(nblocks, 8, 8)
+            comps.append(_dct_inverse_8x8(fl))
+        if ncomp == 3:
+            comps = _csc709_inverse(comps)
+        for ci, chan_idx in enumerate(grp):
+            halves = comps[ci].astype(np.float16).view(np.uint16)
+            halves = to_linear[halves]
+            # blocks -> plane (crop overhang)
+            full = halves.reshape(nby, nbx, 8, 8) \
+                .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            planes[chan_idx] = full[:nlines, :w].copy()
+
+    # RLE channels: per channel, byte-planes of size w*nlines
+    rp = 0
+    rb = np.frombuffer(rle_raw, np.uint8)
+    for i in rle_idx:
+        bpp = 2 if chans[i]["type"] == 1 else 4
+        npix = w * nlines
+        byte_planes = [rb[rp + k * npix: rp + (k + 1) * npix]
+                       for k in range(bpp)]
+        rp += bpp * npix
+        inter = np.empty(npix * bpp, np.uint8)
+        for k in range(bpp):
+            inter[k::bpp] = byte_planes[k]
+        planes[i] = inter
+    # UNKNOWN channels: planar per channel, rows consecutive
+    up = 0
+    ub = np.frombuffer(unk_raw, np.uint8)
+    for i in unk_idx:
+        bpp = 2 if chans[i]["type"] == 1 else 4
+        nbytes = w * nlines * bpp
+        planes[i] = ub[up:up + nbytes]
+        up += nbytes
+
+    # assemble the scanline-interleaved uncompressed layout
+    out = bytearray()
+    for row in range(nlines):
+        for i, ch in enumerate(chans):
+            bpp = 2 if ch["type"] == 1 else 4
+            p = planes[i]
+            if p is None:
+                raise ValueError("DWA: unclassified channel "
+                                 f"{ch['name']}")
+            if p.dtype == np.uint16:
+                out += p[row].tobytes()
+            else:
+                out += p[row * w * bpp:(row + 1) * w * bpp].tobytes()
+    return bytes(out)

@@ -28,11 +28,14 @@ MAGIC = b"\x76\x2f\x31\x01"
 PXT_UINT, PXT_HALF, PXT_FLOAT = 0, 1, 2
 _PXSIZE = {PXT_UINT: 4, PXT_HALF: 2, PXT_FLOAT: 4}
 
-C_NONE, C_RLE, C_ZIPS, C_ZIP, C_PIZ, C_PXR24, C_B44, C_B44A = range(8)
+(C_NONE, C_RLE, C_ZIPS, C_ZIP, C_PIZ, C_PXR24, C_B44, C_B44A,
+ C_DWAA, C_DWAB) = range(10)
 _LINES_PER_BLOCK = {C_NONE: 1, C_RLE: 1, C_ZIPS: 1, C_ZIP: 16, C_PIZ: 32,
-                    C_PXR24: 16, C_B44: 32, C_B44A: 32}
+                    C_PXR24: 16, C_B44: 32, C_B44A: 32,
+                    C_DWAA: 32, C_DWAB: 256}
 _COMP_NAMES = {C_NONE: "none", C_RLE: "RLE", C_ZIPS: "ZIPS", C_ZIP: "ZIP",
-               C_PIZ: "PIZ", C_PXR24: "PXR24", C_B44: "B44", C_B44A: "B44A"}
+               C_PIZ: "PIZ", C_PXR24: "PXR24", C_B44: "B44", C_B44A: "B44A",
+               C_DWAA: "DWAA", C_DWAB: "DWAB"}
 
 
 def probe(data: bytes) -> bool:
@@ -138,6 +141,8 @@ def _decode_block(blob: bytes, comp: int, chans, w: int,
         return exr_codec.pxr24_decompress(blob, chans, w, nlines)
     if comp in (C_B44, C_B44A):
         return exr_codec.b44_decompress(blob, chans, w, nlines)
+    if comp in (C_DWAA, C_DWAB):
+        return exr_codec.dwa_decompress(blob, chans, w, nlines)
     raise ValueError(f"unsupported EXR compression {comp}")
 
 

@@ -252,3 +252,50 @@ def test_decode_piz_geometries(dims):
         assert np.array_equal(pl[nm].astype(np.float32),
                               planes[i].astype(np.float32)), \
             f"{h}x{w} chan {nm}"
+
+
+@needs_openexr
+@pytest.mark.parametrize("comp", [8, 9])
+def test_decode_openexr_written_dwa(comp):
+    """DWAA/DWAB: RLE (A) and UNKNOWN (Q, Z2) channels must match
+    OpenEXR's decode bit-exactly; lossy-DCT channels (B, G, R CSC
+    set) are float-path-defined — OpenEXR's own scalar/SSE/AVX
+    builds differ in final-half rounding — so they must be >= 99.8%
+    bit-exact with every remaining pixel within 6 output half-ULPs
+    (one half-ULP in the nonlinear quantization space through the
+    exp segment of the toLinear curve)."""
+    planes = _halves(nc=5, h=100, w=90, seed=3)
+    path = f"/tmp/ffpic_oracle_c{comp}.exr"
+    _oracle_write(path, planes, comp)
+    ref = _oracle_read(path)
+    with open(path, "rb") as f:
+        pl = exr.load(f.read())[0].meta["exr_planes"]
+    for nm, want in ref.items():
+        ours = np.asarray(pl[nm], np.float16)
+        if nm in ("A", "Q"):
+            assert np.array_equal(ours.view(np.uint16),
+                                  want.view(np.uint16)), nm
+            continue
+        ob = ours.view(np.uint16).astype(np.int64)
+        wb = want.view(np.uint16).astype(np.int64)
+        d = np.abs(ob - wb)
+        frac = (d != 0).mean()
+        assert frac <= 0.002, (nm, frac)
+        assert d.max() <= 6, (nm, int(d.max()))
+
+
+@needs_openexr
+def test_decode_dwa_tall_blocks():
+    """DWAB's 256-line blocks + odd dims + partial bottom block."""
+    planes = _halves(nc=3, h=300, w=90, seed=4)
+    path = "/tmp/ffpic_oracle_dwab_tall.exr"
+    _oracle_write(path, planes, 9)
+    ref = _oracle_read(path)
+    with open(path, "rb") as f:
+        pl = exr.load(f.read())[0].meta["exr_planes"]
+    for nm, want in ref.items():
+        ours = np.asarray(pl[nm], np.float16)
+        ob = ours.view(np.uint16).astype(np.int64)
+        wb = want.view(np.uint16).astype(np.int64)
+        d = np.abs(ob - wb)
+        assert (d != 0).mean() <= 0.002 and d.max() <= 6, nm
