@@ -924,6 +924,8 @@ class SequenceDecoder:
     def push(self, nalu: bytes):
         """Feed one NAL unit; returns a decoded Picture when this
         NALU completes the *previous* access unit, else None."""
+        if len(nalu) < 3:
+            return None            # corrupt/truncated NAL: skip
         t = nal_type(nalu)
         out = None
         if t >= 32 or (t < 32 and ((nalu[2] >> 7) & 1)):
@@ -973,8 +975,12 @@ class SequenceDecoder:
         r.read_bit()
         if 16 <= nut <= 23:
             r.read_bit()
-        pps = self.pps[read_ue(r)]
-        sps = self.sps[pps.sps_id]
+        try:
+            pps = self.pps[read_ue(r)]
+            sps = self.sps[pps.sps_id]
+        except KeyError as e:
+            raise ValueError(f"slice references unknown parameter "
+                             f"set {e}") from None
         r2 = BitReader(rbsp)
         r2.skip_bits(16)
         hdr0 = parse_slice_header(r2, nut, sps, pps)
