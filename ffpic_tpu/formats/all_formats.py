@@ -17,4 +17,5 @@ from ffpic_tpu.formats import tiff  # noqa: F401
 from ffpic_tpu.formats import exr  # noqa: F401
 from ffpic_tpu.formats import psd  # noqa: F401
 from ffpic_tpu.formats import ico  # noqa: F401
+from ffpic_tpu.formats import hevc_raw  # noqa: F401
 from ffpic_tpu.formats import tga  # noqa: F401  (no magic; probe last)

@@ -143,3 +143,27 @@ def test_sequence_decoder_motion_fields():
     inter = [p for p in pics if p.poc > 0]
     assert inter
     assert any((p.motion.refpoc[0] != NO_REF).any() for p in inter)
+
+
+@needs_oracles
+def test_raw_annexb_file_format():
+    """Raw .265 elementary streams probe + decode through the
+    registry (picinfo/show surface for the inter decoder)."""
+    import ffpic_tpu
+    from ffpic_tpu.formats import registry
+
+    stream = XO.encode_frames(_frames(5, 96, 96), gop=8, bframes=2,
+                              qp=30, extra=ALL)
+    codec = registry.probe(stream)
+    assert codec.name == "HEVC"
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".265") as f:
+        f.write(stream)
+        f.flush()
+        pic = ffpic_tpu.load(f.name)
+        assert pic.width == 96 and pic.height == 96
+        assert len(pic.frames) == 4      # 5 pictures total
+        assert pic.meta["n_pictures"] == 5
+        # skip_decode structure-only path
+        meta = registry.load(f.name, skip_decode=True).meta
+        assert meta["access_units"] == 5
