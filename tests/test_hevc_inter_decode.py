@@ -167,3 +167,13 @@ def test_raw_annexb_file_format():
         # skip_decode structure-only path
         meta = registry.load(f.name, skip_decode=True).meta
         assert meta["access_units"] == 5
+
+
+@needs_oracles
+def test_poc_lsb_wraparound_long_gop():
+    """300 pictures in one GOP: slice_pic_order_cnt_lsb wraps its
+    8-bit space, exercising the PicOrderCntMsb increment/decrement
+    branches of 8.3.1 (plus long-run DPB management)."""
+    fr = _frames(6, 64, 64)
+    _assert_bitexact([fr[i % 6] for i in range(300)], gop=400,
+                     bframes=2, qp=34, extra=ALL)
