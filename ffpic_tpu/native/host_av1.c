@@ -73,8 +73,9 @@ static inline int msac_read_bits(Msac *m, int n)
     const uint8_t *d = m->data;
     uint32_t w;
     if (b0 + 4 <= nbytes) {
-        w = ((uint32_t)d[b0] << 24) | ((uint32_t)d[b0 + 1] << 16) |
-            ((uint32_t)d[b0 + 2] << 8) | (uint32_t)d[b0 + 3];
+        uint32_t t;
+        __builtin_memcpy(&t, d + b0, 4);
+        w = __builtin_bswap32(t);
     } else {
         w = 0;
         for (int i = 0; i < 4; i++)
@@ -983,8 +984,10 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
         }
     }
 
-    int32_t lv[37 * 37];
-    memset(lv, 0, sizeof(int32_t) * (h + 5) * (w + 5));
+    /* clamped-level neighborhood (values <= 127): uint8 keeps the
+     * 32x32 case in ~1.4KB of L1 for the 5-gather ctx derivations */
+    uint8_t lv[37 * 37];
+    memset(lv, 0, (size_t)(h + 5) * (w + 5));
     int stride = w + 5;
     /* quant/signs need no zeroing: every cell read below is written
      * first (the scan loops cover exactly positions scan[0..eob)) */
@@ -1002,7 +1005,7 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
         int pos = scan[ci];
         int row = pos >> log2w;
         int col = pos - (row << log2w);
-        int32_t *L = lv + row * stride + col;
+        uint8_t *L = lv + row * stride + col;
         int64_t level;
         if (ci == eob - 1) {
             int bctx;
@@ -1068,7 +1071,7 @@ static int decode_tb_coeffs(Msac *m, const long long *ptrs,
             }
         }
         quant[pos] = level;
-        L[0] = (int32_t)(level < 127 ? level : 127);
+        L[0] = (uint8_t)(level < 127 ? level : 127);
     }
 
     int64_t cul = 0;
