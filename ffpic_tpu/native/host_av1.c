@@ -37,6 +37,12 @@ typedef struct {
     uint32_t dif, rng;
     int32_t cnt;
     int allow_update;
+    /* cached big-endian 8-byte window at byte win_b0 (load cache
+     * only — no arithmetic state lives here; boundary (de)serialize
+     * ignores it and constructors set win_b0 = -16 to force a
+     * refill) */
+    uint64_t win;
+    int64_t win_b0;
 } Msac;
 
 /* lightweight always-on profile counters (av1_prof_read) */
@@ -69,20 +75,24 @@ static inline int msac_read_bits(Msac *m, int n)
     int64_t bp = m->bitpos;
     m->bitpos = bp + n;
     int64_t b0 = bp >> 3;
-    int64_t nbytes = (m->end8 + 7) >> 3;
-    const uint8_t *d = m->data;
-    uint32_t w;
-    if (b0 + 4 <= nbytes) {
-        uint32_t t;
-        __builtin_memcpy(&t, d + b0, 4);
-        w = __builtin_bswap32(t);
-    } else {
-        w = 0;
-        for (int i = 0; i < 4; i++)
-            w = (w << 8) |
-                (b0 + i < nbytes ? (uint32_t)d[b0 + i] : 0u);
+    if (b0 < m->win_b0 || b0 + 4 > m->win_b0 + 8) {
+        int64_t nbytes = (m->end8 + 7) >> 3;
+        const uint8_t *d = m->data;
+        uint64_t t;
+        if (b0 + 8 <= nbytes) {
+            __builtin_memcpy(&t, d + b0, 8);
+            t = __builtin_bswap64(t);
+        } else {
+            t = 0;
+            for (int i = 0; i < 8; i++)
+                t = (t << 8) |
+                    (b0 + i < nbytes ? (uint64_t)d[b0 + i] : 0u);
+        }
+        m->win = t;
+        m->win_b0 = b0;
     }
-    return (int)((w << (bp & 7)) >> (32 - n));
+    uint64_t w = m->win << (((b0 - m->win_b0) << 3) + (bp & 7));
+    return (int)(w >> (64 - n));
 }
 
 static inline void msac_renorm(Msac *m, uint32_t dif, uint32_t rng)
@@ -1481,6 +1491,8 @@ EXPORT void av1_block_parse(
     m.cnt = (int32_t)st[2];
     m.bitpos = st[3];
     m.allow_update = (int)st[4];
+    m.win_b0 = -16;
+    m.win = 0;
     block_parse_core(&m, ptrs, blk, pp, nplanes, ops, coef_out,
                      tbmeta, clip, inout, 0, 0);
     st[0] = m.dif;
@@ -2325,6 +2337,8 @@ EXPORT void av1_block_mode(
     m.cnt = (int32_t)st[2];
     m.bitpos = st[3];
     m.allow_update = (int)st[4];
+    m.win_b0 = -16;
+    m.win = 0;
     block_mode_core(&m, mp, blk, out, pal);
     st[0] = m.dif;
     st[1] = m.rng;
@@ -3126,6 +3140,8 @@ EXPORT void av1_sb_parse(
     t.m.cnt = (int32_t)st[2];
     t.m.bitpos = st[3];
     t.m.allow_update = (int)st[4];
+    t.m.win_b0 = -16;
+    t.m.win = 0;
     t.ptrs = ptrs; t.mp = mp; t.xp = xp; t.sbp = sbp;
     t.S2 = (const int32_t *)mp[M_STATIC2];
     t.S3 = (const int32_t *)xp[X_S3];
